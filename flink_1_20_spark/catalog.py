@@ -1,0 +1,51 @@
+"""Table catalog over the driver-generated parquet datasets.
+
+Reference parity: Flink's CatalogManager + GenericInMemoryCatalog
+(flink-table/flink-table-api-java/.../catalog/CatalogManager.java:80,
+GenericInMemoryCatalog.java:52) resolve table names for the planner. Here
+the Spark session catalog plays that role; this module is the thin glue
+that maps the fixture dataset (TESTDATA.md / FIXTURES.md) into it.
+
+Scans stay declarative (`spark.read.parquet`) so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free — the Spark
+equivalent of Flink's PushFilterIntoTableSourceScanRule /
+PushProjectIntoTableSourceScanRule (FlinkStreamRuleSets.scala:177,234).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame keyed by name."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (for `spark.sql`).
+
+    Re-registration is cheap and idempotent; callers may switch sf_dir
+    between calls (views always reflect the latest registration).
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,24 @@
+"""Query modules — each import registers named queries + oracles.
+
+One module per SURVEY.md §2 area; importing a module is what publishes
+its queries into `flink_1_20_spark.registry`.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "tpch",
+]
+
+_loaded = False
+
+
+def load() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        importlib.import_module(f"flink_1_20_spark.queries.{mod}")
+    _loaded = True
