@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -34,9 +35,28 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing physical-format quirks.
+
+    `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects (Flink's TIMESTAMP(9) supports
+    nanos; Spark's TimestampType is µs — SURVEY.md §1.2). We read nanos
+    as long (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable)
+    and truncate to µs — the same truncation DuckDB applies — keeping the
+    scan fully vectorized.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame keyed by name."""
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+    return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -10,6 +10,11 @@ import importlib
 
 _MODULES = [
     "tpch",
+    "joins",
+    "setops_sort",
+    "aggregates",
+    "over_windows",
+    "correlate_subquery",
 ]
 
 _loaded = False

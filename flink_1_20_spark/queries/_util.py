@@ -8,7 +8,20 @@ from pyspark.sql import functions as F
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (declarative scan — pushdown-friendly)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from flink_1_20_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def V(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views (for spark.sql queries).
+
+    View names match the oracle's pre-registered DuckDB views, so a
+    dialect-neutral SQL string can be shared verbatim between both
+    engines.
+    """
+    for name in names:
+        T(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def money(col: Column | str, scale: int = 2) -> Column:

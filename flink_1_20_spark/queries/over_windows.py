@@ -1,0 +1,309 @@
+"""Over-aggregates, rank/TopN, dedup (SURVEY.md §2.6).
+
+Reference parity:
+- batch over-agg (ROWS/RANGE frames, LEAD/LAG)
+  exec/batch/BatchExecOverAggregate.java:79 → RT/over/frame/*OverFrame.java
+- stream over-agg  exec/stream/StreamExecOverAggregate.java:92
+- Rank/TopN        exec/stream/StreamExecRank.java:87 → RT/rank/AppendOnlyTopNFunction.java:52
+- Deduplicate      exec/stream/StreamExecDeduplicate.java:89 (keep first/last per key)
+- Window TopN      exec/stream/StreamExecWindowRank.java:77
+
+Spark: WindowExec covers every frame spec. Flink's TopN operator is a
+planner *pattern* (ROW_NUMBER ≤ N) — we express the same pattern and let
+Spark's window + filter run it; partition pruning keeps it scalable
+because the rank is computed per partitionBy key, never globally.
+Every orderBy used with row_number carries a unique tiebreak column so
+results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.queries._util import T, money
+from flink_1_20_spark.registry import register
+
+
+def _events_2024_jan_week1(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.filter(F.col("ts") < "2024-01-08")
+
+
+@register(
+    "over_rows_running",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def over_rows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per key — RowTimeRowsBoundedPrecedingFunction.java:57."""
+    e = _events_2024_jan_week1(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        money(F.sum("value").over(w), 4).alias("running_value"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "over_rows_sliding",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def over_rows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_2024_jan_week1(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "event_id", "user_id", money(F.avg("value").over(w), 4).alias("mov_avg3")
+    )
+
+
+@register(
+    "over_range_numeric",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+                                            RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2)
+             AS price_in_qty_band
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def over_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric sort key (RangeSlidingOverFrame.java)."""
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    w = W.partitionBy("l_suppkey").orderBy("l_quantity").rangeBetween(-5, 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        money(F.sum("l_extendedprice").over(w), 2).alias("price_in_qty_band"),
+    )
+
+
+@register(
+    "over_lead_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(event_type, 1, 'none')  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           ROUND(value - LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def over_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG offset frames (OffsetOverFrame.java)."""
+    e = _events_2024_jan_week1(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+        money(F.col("value") - F.lag("value", 1, 0.0).over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "over_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def over_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        money(F.percent_rank().over(w), 6).alias("pct_rank"),
+        money(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "over_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest,
+           LAST_VALUE(o_orderkey)  OVER w AS priciest,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def over_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-06-01")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest"),
+        F.last("o_orderkey").over(w).alias("priciest"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@register(
+    "rank_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TopN pattern Flink's planner turns into an incremental rank
+    operator (StreamExecRank.java:87, AppendOnlyTopNFunction.java:52)."""
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", money("o_totalprice").alias("totalprice"), "rn")
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicate keep-first (StreamExecDeduplicate.java:89,
+    RowTimeDeduplicateFunction.java:31): earliest row per key."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicate keep-last (ProcTimeDeduplicateKeepLastRowFunction.java:32)."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "window_topn",
+    oracle="""
+    SELECT w_start, user_id, event_id, ROUND(value, 4) AS value, rn
+    FROM (SELECT date_trunc('hour', ts) AS w_start, user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 2
+    """,
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window TopN (StreamExecWindowRank.java:77): top-2 by value per
+    (tumbling hour, user)."""
+    e = T(spark, sf_dir, "events").withColumn("w_start", F.date_trunc("hour", "ts"))
+    w = W.partitionBy("w_start", "user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("w_start", "user_id", "event_id", money("value", 4).alias("value"), "rn")
+    )
+
+
+@register(
+    "sessionization_gap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-based session windows, the batch analog
+    of Flink's session windows / MergingWindowSet.java:255): lag + cumsum
+    — two window passes over the same (key, ts) sort, no shuffle between
+    them."""
+    e = T(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), money(F.sum("value"), 4).alias("session_value"))
+    )
