@@ -15,6 +15,7 @@ _MODULES = [
     "aggregates",
     "over_windows",
     "correlate_subquery",
+    "functions_scalar",
 ]
 
 _loaded = False

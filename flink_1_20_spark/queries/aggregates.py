@@ -84,8 +84,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_first_last_value",
     oracle="""
     SELECT c_mktsegment,
-           arg_min(o_orderkey, (o_orderdate, o_orderkey)) AS first_order,
-           arg_max(o_orderkey, (o_orderdate, o_orderkey)) AS last_order
+           first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+           last(o_orderkey ORDER BY o_orderdate, o_orderkey)  AS last_order
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
