@@ -16,6 +16,7 @@ _MODULES = [
     "over_windows",
     "correlate_subquery",
     "functions_scalar",
+    "window_tvf",
 ]
 
 _loaded = False

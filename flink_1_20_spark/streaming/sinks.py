@@ -1,0 +1,91 @@
+"""Streaming sinks.
+
+Reference parity (SURVEY.md §2.1):
+- collect()/TestValuesTableFactory sink → memory sink (`run_to_memory`)
+- upsert sinks (upsert-kafka, JDBC upsert; RowKind +U/-D changelog,
+  RowKind.java:31-52) → `upsert_foreach_batch`: keyed merge per
+  micro-batch, the Structured-Streaming-idiomatic changelog consumer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> "StreamingQuery":  # noqa: F821 — pyspark streaming query
+    """Start `df` into an in-memory table `name` and return the query.
+    Caller drives with `q.processAllAvailable()` then reads
+    `spark.table(name)`."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def upsert_foreach_batch(
+    df: DataFrame,
+    keys: list[str],
+    path: str,
+    order_col: str | None = None,
+) -> "StreamingQuery":  # noqa: F821
+    """Upsert each micro-batch into a parquet table at `path`.
+
+    Within a batch the last row per key wins (ordered by `order_col` if
+    given, else arrival order) — Flink's upsert materialization
+    (SinkUpsertMaterializer.java). Merge = read current table, anti-join
+    out replaced keys, append the batch. At scale, swap the parquet
+    rewrite for a MERGE INTO on a table format (Delta/Iceberg) — the
+    foreachBatch contract is identical.
+    """
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch.dropDuplicates(keys)
+        import os
+        import shutil
+
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+            merged = current.join(batch.select(*keys), on=keys, how="left_anti").unionByName(
+                batch
+            )
+        else:
+            merged = batch  # first batch — no table yet
+        # Write-then-swap: can't overwrite the path being read. The write
+        # is fully distributed; the swap is a metadata rename.
+        tmp = f"{path}.__staging__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return df.writeStream.foreachBatch(merge).start()
+
+
+def console_sink(df: DataFrame, output_mode: str = "append") -> "StreamingQuery":  # noqa: F821
+    """Debug print sink (Flink's print connector)."""
+    return df.writeStream.format("console").outputMode(output_mode).start()
+
+
+def foreach_batch_sink(
+    df: DataFrame, fn: Callable[[DataFrame, int], None]
+) -> "StreamingQuery":  # noqa: F821
+    """Generic per-micro-batch callback (Flink SinkFunction.invoke)."""
+    return df.writeStream.foreachBatch(fn).start()
