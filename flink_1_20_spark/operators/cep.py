@@ -1,0 +1,217 @@
+"""CEP / MATCH_RECOGNIZE — pattern matching over per-key event sequences.
+
+Reference parity (SURVEY.md §2.10): the flink-cep Pattern API
+(Pattern.java: begin:153, where:180, within:272, next/followedBy:338-387,
+optional:397, oneOrMore:415, times) compiled to an NFA (NFA.java:85) run
+by CepOperator.java:82; SQL MATCH_RECOGNIZE lowers onto the same operator
+(CommonExecMatch.java:170).
+
+Spark-first design: Spark has no pattern operator. Batch: one shuffle+sort
+per key (`applyInPandas`), then a linear NFA scan per partition-group in
+Python — Arrow-batched, no per-row Python round trips. The NFA is the
+textbook nondeterministic simulation with:
+- contiguity: STRICT (Flink `next`) or RELAXED (`followedBy`)
+- quantifiers: exactly-once, `times(n[, m])`, `one_or_more`, `optional`
+- `within`: max duration first→last event (Pattern.within:272)
+- after-match skip: PAST_LAST_EVENT or TO_NEXT_ROW
+  (AfterMatchSkipStrategy.java:44-82)
+
+Scale: matching is embarrassingly parallel across keys (state never
+crosses keys — same invariant CepOperator relies on). The shuffle is the
+only distributed cost; per-key sequences must fit in one Arrow group
+(true for any realistic keyed event history; for pathological keys,
+pre-split by time range).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+RowPredicate = Callable[[pd.Series], bool]
+
+
+@dataclass
+class _Step:
+    name: str
+    predicate: RowPredicate
+    min_times: int = 1
+    max_times: int = 1  # -1 = unbounded (oneOrMore / greedy tail)
+    strict: bool = False  # True = Flink `next`, False = `followedBy`
+
+
+@dataclass
+class Pattern:
+    """Fluent pattern builder mirroring flink-cep's Pattern API."""
+
+    steps: list[_Step] = field(default_factory=list)
+    within_seconds: float | None = None
+    skip: str = "PAST_LAST_EVENT"  # or "TO_NEXT_ROW"
+
+    @staticmethod
+    def begin(name: str, where: RowPredicate) -> "Pattern":
+        p = Pattern()
+        p.steps.append(_Step(name, where))
+        return p
+
+    def next(self, name: str, where: RowPredicate) -> "Pattern":
+        """Strict contiguity (Pattern.next:338)."""
+        self.steps.append(_Step(name, where, strict=True))
+        return self
+
+    def followed_by(self, name: str, where: RowPredicate) -> "Pattern":
+        """Relaxed contiguity — non-matching rows may intervene
+        (Pattern.followedBy:356)."""
+        self.steps.append(_Step(name, where, strict=False))
+        return self
+
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Repeat the last step n (or n..m) times (Pattern.times)."""
+        self.steps[-1].min_times = n
+        self.steps[-1].max_times = n if m is None else m
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        """Greedy unbounded repetition (Pattern.oneOrMore:415)."""
+        self.steps[-1].min_times = 1
+        self.steps[-1].max_times = -1
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least n repetitions, greedy (Pattern.timesOrMore)."""
+        self.steps[-1].min_times = n
+        self.steps[-1].max_times = -1
+        return self
+
+    def strict_repeat(self) -> "Pattern":
+        """Make the last step's repetitions strictly contiguous
+        (consecutive — Flink's default inner contiguity for looping
+        states is relaxed; strict = `consecutive()`, Pattern.java)."""
+        self.steps[-1].strict = True
+        return self
+
+    def optional(self) -> "Pattern":
+        """(Pattern.optional:397)"""
+        self.steps[-1].min_times = 0
+        return self
+
+    def within(self, seconds: float) -> "Pattern":
+        """Max first→last duration (Pattern.within:272)."""
+        self.within_seconds = seconds
+        return self
+
+    def after_match_skip(self, strategy: str) -> "Pattern":
+        if strategy not in ("PAST_LAST_EVENT", "TO_NEXT_ROW"):
+            raise ValueError(strategy)
+        self.skip = strategy
+        return self
+
+
+def _match_at(pat: Pattern, rows: pd.DataFrame, start: int) -> list[tuple[str, int]] | None:
+    """Greedy left-to-right match attempt anchored at `start`.
+
+    Returns [(step_name, row_idx), ...] or None. Greedy quantifiers with
+    backtracking on the *count* (try max first, shrink) — the same match
+    preference order as Flink's greedy NFA branches.
+    """
+    n = len(rows)
+    t0 = rows["__ts"].iloc[start]
+
+    def rec(step_i: int, pos: int) -> list[tuple[str, int]] | None:
+        if step_i == len(pat.steps):
+            return []
+        step = pat.steps[step_i]
+        # Candidate row positions where this step may begin.
+        anchored = step_i == 0
+        # Collect the maximal run of matches for this step starting at
+        # each feasible position, then backtrack over counts.
+        start_positions = [pos] if (anchored or step.strict) else range(pos, n)
+        for sp in start_positions:
+            if sp >= n and step.min_times > 0:
+                break
+            # run of consecutive (strict) matches from sp
+            matches: list[int] = []
+            j = sp
+            while j < n and (step.max_times == -1 or len(matches) < step.max_times):
+                row = rows.iloc[j]
+                if pat.within_seconds is not None and (
+                    (row["__ts"] - t0).total_seconds() > pat.within_seconds
+                ):
+                    break
+                if step.predicate(row):
+                    matches.append(j)
+                    j += 1
+                else:
+                    break
+            for take in range(len(matches), step.min_times - 1, -1):
+                nxt = sp + take if take > 0 else sp
+                rest = rec(step_i + 1, nxt)
+                if rest is not None:
+                    return [(step.name, idx) for idx in matches[:take]] + rest
+            if anchored or step.strict:
+                break
+        if pos >= n and step.min_times == 0:
+            # zero-occupancy attempt when no rows remain (optional tail)
+            return rec(step_i + 1, pos)
+        return None
+
+    return rec(0, start)
+
+
+def match_recognize(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    pattern: Pattern,
+    measures: Callable[[dict[str, pd.DataFrame]], dict],
+    output_schema: StructType | str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Batch MATCH_RECOGNIZE: one output row per match.
+
+    `measures(groups) -> dict` receives {step_name: DataFrame of its
+    rows} (Flink's MEASURES clause with FINAL semantics) and returns the
+    output row; `keys` columns are prepended automatically.
+    """
+    tiebreak = order_tiebreak or []
+    # Resolve output column names on the driver — schema parsing needs an
+    # active SparkSession, which workers don't have.
+    out_cols = [f.name for f in _schema_fields(output_schema)]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, *tiebreak], kind="mergesort").reset_index(drop=True)
+        pdf["__ts"] = pdf[ts]
+        out_rows: list[dict] = []
+        i = 0
+        while i < len(pdf):
+            m = _match_at(pattern, pdf, i)
+            if m:
+                groups: dict[str, list[int]] = {}
+                for name, idx in m:
+                    groups.setdefault(name, []).append(idx)
+                rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
+                for k in keys:
+                    rendered[k] = pdf[k].iloc[0]
+                out_rows.append(rendered)
+                last_idx = max(idx for _, idx in m)
+                i = last_idx + 1 if pattern.skip == "PAST_LAST_EVENT" else i + 1
+            else:
+                i += 1
+        if not out_rows:
+            return pd.DataFrame(columns=out_cols)
+        return pd.DataFrame(out_rows)
+
+    return df.groupBy(*keys).applyInPandas(run, schema=output_schema)
+
+
+def _schema_fields(schema: StructType | str):
+    if isinstance(schema, StructType):
+        return schema.fields
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(schema).fields

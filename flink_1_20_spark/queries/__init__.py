@@ -17,6 +17,7 @@ _MODULES = [
     "correlate_subquery",
     "functions_scalar",
     "window_tvf",
+    "temporal_cep",
 ]
 
 _loaded = False

@@ -1,0 +1,197 @@
+"""Unit tests for custom operators: as-of join, CEP NFA, lookup join.
+
+Hand-built micro-fixtures with known-by-construction expectations —
+the reference's operator harness style (SURVEY.md §5: OneInput
+StreamOperatorTestHarness with scripted inputs).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators import Pattern, asof_join, lookup_join, match_recognize
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string, value double")
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(30), 200.0), (2, _ts(5), 300.0)],
+        "k bigint, ts timestamp, lval double",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 1.0), (1, _ts(25), 2.0), (1, _ts(40), 3.0)],
+        "k bigint, rts timestamp, rval double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    got = {(r["k"], r["ts"].minute): (r["rts_matched"].minute if r["rts_matched"] else None, r["rval"])
+           for r in out.collect()}
+    assert got == {
+        (1, 10): (8, 1.0),   # latest right <= 10:10 is 10:08
+        (1, 30): (25, 2.0),  # 10:25, not 10:40
+        (2, 5): (None, None),  # key 2 has no right rows
+    }
+
+
+def test_asof_exact_match_toggle(spark):
+    left = spark.createDataFrame([(1, _ts(10), 1.0)], "k bigint, ts timestamp, lval double")
+    right = spark.createDataFrame([(1, _ts(10), 9.0)], "k bigint, rts timestamp, rval double")
+    inc = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()[0]
+    exc = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", allow_exact_matches=False
+    ).collect()[0]
+    assert inc["rval"] == 9.0
+    assert exc["rval"] is None
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(30), 1.0)], "k bigint, ts timestamp, lval double")
+    right = spark.createDataFrame([(1, _ts(0), 9.0)], "k bigint, rts timestamp, rval double")
+    loose = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", tolerance="1 hour")
+    tight = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", tolerance="10 minutes")
+    assert loose.collect()[0]["rval"] == 9.0
+    assert tight.collect()[0]["rval"] is None
+
+
+FUNNEL_SCHEMA = "start_m bigint, end_m bigint, user_id bigint"
+
+# NOTE: measures callables must be pickled by value (workers can't import
+# the tests module) — `_fm` builds a fresh lambda per call site.
+def _fm():
+    return lambda g: {
+        "start_m": int(g["a"]["ts"].iloc[0].minute),
+        "end_m": int(g["c"]["ts"].iloc[-1].minute),
+    }
+
+
+def test_cep_strict_vs_relaxed(spark):
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "error", 0.0),   # breaks strict contiguity
+        (1, _ts(2), "view", 0.0),
+        (1, _ts(3), "purchase", 0.0),
+        (2, _ts(0), "click", 0.0),
+        (2, _ts(1), "view", 0.0),
+        (2, _ts(2), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    strict = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .next("b", lambda r: r["event_type"] == "view")
+        .next("c", lambda r: r["event_type"] == "purchase")
+    )
+    relaxed = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    s = match_recognize(df, ["user_id"], "ts", strict, _fm(), FUNNEL_SCHEMA).collect()
+    r = match_recognize(df, ["user_id"], "ts", relaxed, _fm(), FUNNEL_SCHEMA).collect()
+    assert {x["user_id"] for x in s} == {2}          # user 1 broken by the error row
+    assert {x["user_id"] for x in r} == {1, 2}       # relaxed skips the error row
+
+
+def test_cep_within(spark):
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "view", 0.0),
+        (1, _ts(50), "purchase", 0.0),  # 50 min after start
+    ]
+    df = _events(spark, rows)
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    assert len(match_recognize(df, ["user_id"], "ts", pat.within(3600), _fm(), FUNNEL_SCHEMA).collect()) == 1
+    pat2 = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+        .within(600)
+    )
+    assert match_recognize(df, ["user_id"], "ts", pat2, _fm(), FUNNEL_SCHEMA).collect() == []
+
+
+def test_cep_skip_strategies(spark):
+    # e e e e — bursts of >=2 consecutive errors
+    rows = [(1, _ts(m), "error", 0.0) for m in range(4)]
+    df = _events(spark, rows)
+
+    def mk():
+        return (
+            Pattern.begin("e", lambda r: r["event_type"] == "error")
+            .times_or_more(2)
+            .strict_repeat()
+        )
+
+    def meas(g):
+        return {"start_m": int(g["e"]["ts"].iloc[0].minute), "n": int(len(g["e"]))}
+
+    past = match_recognize(
+        df, ["user_id"], "ts", mk().after_match_skip("PAST_LAST_EVENT"), meas,
+        "start_m bigint, n bigint, user_id bigint",
+    ).collect()
+    nxt = match_recognize(
+        df, ["user_id"], "ts", mk().after_match_skip("TO_NEXT_ROW"), meas,
+        "start_m bigint, n bigint, user_id bigint",
+    ).collect()
+    # greedy consumes all 4; PAST_LAST → one match, TO_NEXT_ROW → anchors 0,1,2
+    assert [(r["start_m"], r["n"]) for r in sorted(past, key=lambda r: r["start_m"])] == [(0, 4)]
+    assert [(r["start_m"], r["n"]) for r in sorted(nxt, key=lambda r: r["start_m"])] == [
+        (0, 4), (1, 3), (2, 2),
+    ]
+
+
+def test_cep_times_exact_and_optional(spark):
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "click", 0.0),
+        (1, _ts(2), "purchase", 0.0),
+        (2, _ts(0), "click", 0.0),
+        (2, _ts(1), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    # exactly 2 clicks then purchase — only user 1
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .times(2)
+        .next("b", lambda r: r["event_type"] == "purchase")
+    )
+    got = match_recognize(
+        df, ["user_id"], "ts", pat,
+        lambda g: {"n_clicks": int(len(g["a"]))},
+        "n_clicks bigint, user_id bigint",
+    ).collect()
+    assert {r["user_id"]: r["n_clicks"] for r in got} == {1: 2}
+    # optional middle step
+    pat2 = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .next("x", lambda r: r["event_type"] == "view")
+        .optional()
+        .next("b", lambda r: r["event_type"] == "purchase")
+    )
+    got2 = match_recognize(
+        df, ["user_id"], "ts", pat2,
+        lambda g: {"has_view": int("x" in g)},
+        "has_view bigint, user_id bigint",
+    ).collect()
+    assert {r["user_id"] for r in got2} == {1, 2}
+
+
+def test_lookup_join_broadcast_plan(spark):
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k bigint, name string")
+    out = lookup_join(fact, dim, on=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 100
