@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns.
+
+Beyond-reference surface (SURVEY.md §7 M4). Two tiers:
+
+- `cosine_topk`: exact brute-force top-k — broadcast the query set,
+  JVM-side dot products (zip_with/aggregate — no Python), per-query
+  window top-k. At 100 TB: queries broadcast once, candidates stream
+  through executors; cost is one pass over the corpus per query batch,
+  the right baseline and the recall yardstick for everything below.
+
+- `random_hyperplane_buckets` (LSH / SimHash-for-vectors): k signed
+  hyperplanes → k-bit bucket id. Hyperplane weights are ±1 derived from
+  md5 (deterministic — reproducible across engines and across runs,
+  no stored model). Bucketing turns ANN into an equi-join on bucket id;
+  probing p neighboring buckets trades recall for fanout. This is the
+  scale path: shuffle keyed on bucket, each bucket's candidates
+  exact-scored locally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cos, rank), rank by rounded cosine
+    desc then neighbor id (total order — reproducible across engines).
+    Self-matches (same id) are excluded.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign = parity of md5(f"{plane}/{dim}").
+    Pure function of (plane, dim) — any engine can regenerate them."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}/{d}".encode()).hexdigest()[:8], 16) % 2 == 1 else -1
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def random_hyperplane_buckets(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign each vector its n_planes-bit LSH bucket.
+
+    Output: (id, bucket). Bucket bit j = 1 iff dot(v, h_j) > 0. The
+    projection is a JVM expression over literal weight arrays (weights
+    are broadcast inside the plan — no join, no Python)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    ws = hyperplane_weights(n_planes, dim)
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        w_lit = F.array(*[F.lit(float(x)) for x in ws[j]])
+        proj = _dot(F.col("v"), w_lit)
+        bucket = bucket + F.when(proj > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return v.select("vid", bucket.alias("bucket"))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket,
+    then exact cosine + window top-k within it. Recall < 1 by design —
+    measure against cosine_topk (see tests)."""
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    qb = random_hyperplane_buckets(queries, id_col, vec_col, n_planes, dim).withColumnRenamed(
+        "vid", "query_id"
+    )
+    cb = random_hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim).withColumnRenamed(
+        "vid", "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).join(qb, "query_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).join(cb, "neighbor_id")
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    cn = F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (qn * cn), round_to)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

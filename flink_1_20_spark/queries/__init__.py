@@ -18,6 +18,10 @@ _MODULES = [
     "functions_scalar",
     "window_tvf",
     "temporal_cep",
+    "dedup_docs",
+    "similarity",
+    "text_analysis",
+    "multimodal_q",
 ]
 
 _loaded = False

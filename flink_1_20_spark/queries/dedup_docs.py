@@ -1,0 +1,202 @@
+"""Document deduplication queries — exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine (SURVEY.md §7 M4: training-data pipeline ops).
+
+Every query is oracle-checked: the DuckDB SQL recomputes the identical
+pipeline (same md5-derived hashes, same shingling, same thresholds), so
+value-hashes must match. The oracle uses O(n²) pair joins (fine at
+verify scale); the Spark side uses the scalable formulation (LSH band
+join / inverted index) that yields the same rows by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.textdedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from flink_1_20_spark.registry import register
+
+from ._util import T
+
+# ------------------------------------------------------------- SQL mirrors
+# DuckDB fragments mirroring the Spark expressions in operators/textdedup.py.
+
+_WORDS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " '\\s+'), w -> w <> '')"
+)
+
+
+def _sh_sql(n: int) -> str:
+    """Distinct n-word shingles over the w column."""
+    return (
+        "list_distinct(list_transform(range(1, greatest(len(w) - " + str(n - 1) + ", 0) + 1),"
+        " i -> array_to_string(w[i:i+" + str(n - 1) + "], ' ')))"
+    )
+
+
+def _h60(expr: str) -> str:
+    return "CAST(('0x' || substring(md5(" + expr + "), 1, 15)) AS BIGINT)"
+
+
+def _h32(expr: str) -> str:
+    return "CAST(('0x' || substring(md5(" + expr + "), 1, 8)) AS BIGINT)"
+
+
+def _mh(i: int) -> str:
+    """MinHash i over the sh column."""
+    return "list_min(list_transform(sh, s -> " + _h60("'" + str(i) + ":' || s") + "))"
+
+
+def _band(b: int, rows: int) -> str:
+    cols = ", ".join("CAST(mh" + str(b * rows + r) + " AS VARCHAR)" for r in range(rows))
+    return _h60("concat_ws(',', " + cols + ")")
+
+
+_NUM_HASHES, _ROWS_PER_BAND = 16, 4
+_N_BANDS = _NUM_HASHES // _ROWS_PER_BAND
+
+_MINHASH_ORACLE = (
+    "WITH words AS (SELECT doc_id, " + _WORDS + " AS w FROM documents),\n"
+    "sh AS (SELECT doc_id, " + _sh_sql(3) + " AS sh FROM words WHERE len(" + _sh_sql(3) + ") > 0),\n"
+    "sigs AS (SELECT doc_id, sh, "
+    + ", ".join(_mh(i) + " AS mh" + str(i) for i in range(_NUM_HASHES))
+    + " FROM sh),\n"
+    "banded AS (SELECT doc_id, sh, "
+    + ", ".join(_band(b, _ROWS_PER_BAND) + " AS band" + str(b) for b in range(_N_BANDS))
+    + " FROM sigs),\n"
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,\n"
+    "   len(a.sh) AS na, len(b.sh) AS nb\n"
+    " FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ("
+    + " OR ".join("a.band" + str(b) + " = b.band" + str(b) for b in range(_N_BANDS))
+    + "))\n"
+    "SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jac\n"
+    "FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.5"
+)
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified with
+    exact Jaccard ≥ 0.5 on 3-word shingles. Spark plan: signature
+    projection (codegen, no shuffle) → band explode → equi-join on
+    (band_idx, band_hash) → exact-Jaccard filter."""
+    docs = T(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        jaccard_threshold=0.5,
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def _bitsum(b: int) -> str:
+    return (
+        "CASE WHEN list_sum(list_transform(hl, h -> ((h >> " + str(b) + ") & 1) * 2 - 1)) > 0"
+        " THEN (CAST(1 AS BIGINT) << " + str(b) + ") ELSE 0 END"
+    )
+
+
+_SIMHASH_ORACLE = (
+    "WITH words AS (SELECT doc_id, " + _WORDS + " AS w FROM documents),\n"
+    "hs AS (SELECT doc_id, list_transform(w, t -> " + _h32("t") + ") AS hl FROM words),\n"
+    "fp AS (SELECT doc_id, ("
+    + " + ".join(_bitsum(b) for b in range(_SIMHASH_BITS))
+    + ") AS fp FROM hs)\n"
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "       bit_count(xor(a.fp, b.fp)) AS hamming\n"
+    "FROM fp a JOIN fp b ON a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.fp, b.fp)) <= 3"
+)
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit, term-frequency weighted) pairs with hamming ≤ 3.
+    Spark candidate generation: 4-block pigeonhole band join (exact for
+    hamming < 4, not approximate) — no O(n²) cross join."""
+    docs = T(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bits=_SIMHASH_BITS)
+
+
+_NGRAM_ORACLE = (
+    "WITH words AS (SELECT doc_id, " + _WORDS + " AS w FROM documents),\n"
+    "sh AS (SELECT doc_id, " + _sh_sql(3) + " AS sh FROM words WHERE len(" + _sh_sql(3) + ") > 0),\n"
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,\n"
+    "   len(a.sh) AS na, len(b.sh) AS nb\n"
+    " FROM sh a JOIN sh b ON a.doc_id < b.doc_id)\n"
+    "SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jac\n"
+    "FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.4"
+)
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.4 via inverted-index join (shuffle on
+    shingle, then on pair) — the non-approximate dedup baseline."""
+    docs = T(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.4)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id AS doc, md5(text) AS fingerprint,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: every doc mapped to its cluster's
+    canonical id (one shuffle on the 128-bit hash)."""
+    return exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_COS_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.35, exact (all-pairs).
+
+    Spark side: join on a trivial key then JVM-side zip_with/aggregate
+    dot product — no Python. All-pairs is the verify-scale baseline; the
+    scale path is sim search LSH bucketing (queries/similarity.py), which
+    prunes candidates before this same exact-cosine check."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
+    withn = e.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    a = withn.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = withn.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,86 @@
+"""Similarity-search queries over the embeddings table (SURVEY.md §7 M4).
+
+- brute-force cosine top-k (exact baseline + recall yardstick)
+- random-hyperplane LSH bucketing (the 100 TB scale path)
+
+Oracles regenerate the identical math in DuckDB — including the
+md5-derived hyperplane weights, embedded as literal arrays in the SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.simsearch import (
+    cosine_topk,
+    hyperplane_weights,
+    random_hyperplane_buckets,
+)
+from flink_1_20_spark.registry import register
+
+from ._util import T
+
+_K = 5
+_N_QUERIES = 20  # vec_id < 20 are the query set
+
+_TOPK_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+          FROM q, v c WHERE q.vec_id <> c.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+           FROM pairs)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("simsearch_topk_bruteforce", oracle=_TOPK_ORACLE)
+def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 20 query vectors: broadcast queries ×
+    corpus scan, JVM dot products, per-query window top-k. Rank order is
+    total (rounded cos desc, neighbor id) so results are reproducible."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(q, e, "vec_id", "embedding", k=_K)
+
+
+_N_PLANES, _DIM = 8, 64
+_WS = hyperplane_weights(_N_PLANES, _DIM)
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        arr = "[" + ", ".join(f"{float(x):.1f}" for x in _WS[j]) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product(emb, {arr}) > 0"
+            f" THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_LSH_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, ({_bucket_sql()}) AS bucket FROM v)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+FROM b GROUP BY bucket
+"""
+
+
+@register("simsearch_lsh_buckets", oracle=_LSH_ORACLE)
+def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets)
+    + occupancy histogram. Deterministic md5-derived ±1 hyperplanes —
+    the oracle embeds the same weights as SQL literals. At scale, ANN
+    becomes an equi-join on `bucket` (see operators/simsearch.lsh_topk)."""
+    e = T(spark, sf_dir, "embeddings")
+    b = random_hyperplane_buckets(e, "vec_id", "embedding", n_planes=_N_PLANES, dim=_DIM)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"), F.min("vid").alias("min_vec")
+    )

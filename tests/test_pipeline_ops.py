@@ -1,0 +1,78 @@
+"""Tests for training-data pipeline operators: dedup semantics on
+constructed duplicates, LSH recall vs brute force, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.multimodal import attach_fake_blob, extract_features, sample_frame_offsets
+from flink_1_20_spark.operators.simsearch import cosine_topk, lsh_topk
+from flink_1_20_spark.operators.textdedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+
+
+def test_exact_dedup_constructed(spark):
+    docs = spark.createDataFrame(
+        [(1, "the same text"), (2, "the same text"), (3, "different"), (4, "the same text")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc"]: (r["canonical_doc"], r["is_duplicate"]) for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False), 4: (1, True)}
+
+
+def test_minhash_finds_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    near = base + " extra tail"  # high overlap (jaccard ≈ 0.87 on 3-shingles)
+    far = "completely unrelated content about database query optimization and join ordering"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id bigint, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zx qy wv ut sr")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0
+    assert all(3 not in k for k in got)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, e, "vec_id", "embedding", k=5)
+    approx = lsh_topk(q, e, "vec_id", "embedding", k=5, n_planes=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # deterministic given fixed hyperplanes + data: measured 0.30 at
+    # sf0.001 with 2 planes (random-chance baseline ≈ 0.10)
+    assert recall >= 0.25, f"LSH recall regressed: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defgh")], "doc_id bigint, text string")
+    out = extract_features(attach_fake_blob(docs, "doc_id", "text")).collect()
+    got = {r["item_id"]: r for r in out}
+    assert got[1]["n_bytes"] == 3 and got[2]["n_bytes"] == 5
+    assert got[1]["content_md5"] == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
+    assert len(got[1]["features"]) == 16
+    assert all(0.0 <= f <= 1.0 for f in got[1]["features"])
+
+
+def test_frame_sampling():
+    assert sample_frame_offsets(10.0, 30.0, 2.5) == [0, 75, 150, 225]
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_frame_offsets(10.0, 0, 1)
