@@ -22,6 +22,8 @@ _MODULES = [
     "similarity",
     "text_analysis",
     "multimodal_q",
+    "changelog_count",
+    "udx",
 ]
 
 _loaded = False

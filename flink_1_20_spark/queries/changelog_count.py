@@ -1,0 +1,105 @@
+"""Changelog/CDC materialization + count windows (SURVEY.md §2.9).
+
+Reference parity:
+- RowKind changelog            RowKind.java:31-52
+- upsert materialization       SinkUpsertMaterializer.java
+- retract aggregates           GroupAggFunction retract path
+- count windows                KeyedStream.countWindow:745
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.changelog import changelog_agg, materialize_changelog
+from flink_1_20_spark.registry import register
+
+from ._util import T
+
+# Synthesize a deterministic changelog from events: per user, ordered by
+# ts — signup=+I, click/view/purchase=+U, error=-D. Both engines derive
+# it identically.
+_CDC_OP = (
+    "CASE event_type WHEN 'signup' THEN '+I' WHEN 'error' THEN '-D' ELSE '+U' END"
+)
+
+
+@register(
+    "cdc_upsert_materialize",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, ts, round(value, 4) AS value, {_CDC_OP} AS op
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, ts, value, op FROM ranked WHERE rn = 1 AND op <> '-D'
+    """,
+)
+def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert materialization of a changelog: latest image per key,
+    deleted keys dropped (SinkUpsertMaterializer.java). One shuffle on
+    the key; at scale this is the same rank pattern Flink's
+    materializer keeps in state."""
+    e = T(spark, sf_dir, "events")
+    log = e.select(
+        "user_id", "ts", F.round("value", 4).alias("value"), F.expr(_CDC_OP).alias("op")
+    )
+    return materialize_changelog(log, keys=["user_id"], seq_col="ts", op_col="op")
+
+
+@register(
+    "cdc_retract_agg",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, value, {_CDC_OP} AS op FROM events
+    )
+    SELECT user_id,
+           round(sum(value * CASE WHEN op IN ('+I', '+U') THEN 1 ELSE -1 END), 4) AS net_value,
+           sum(CASE WHEN op IN ('+I', '+U') THEN 1 ELSE -1 END) AS live_rows
+    FROM log GROUP BY user_id
+    """,
+)
+def cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-aware aggregate over the changelog: -D/-U contribute
+    negatively (GroupAggFunction retract path) — expressed as a signed
+    sum so map-side partial aggregation still applies."""
+    e = T(spark, sf_dir, "events")
+    log = e.select("user_id", "value", F.expr(_CDC_OP).alias("op"))
+    out = changelog_agg(log, keys=["user_id"], value_col="value", op_col="op")
+    return out.select("user_id", F.round("net_value", 4).alias("net_value"), "live_rows")
+
+
+@register(
+    "count_window_tumble",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, (rn - 1) // 10 AS win_id,
+           count(*) AS n, round(sum(value), 4) AS total,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM seq GROUP BY user_id, (rn - 1) // 10
+    """,
+)
+def count_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling COUNT window (10 rows per key, event-time ordered) —
+    KeyedStream.countWindow:745. Batch = row_number div N then hash agg;
+    the row_number sort and the agg share the user_id shuffle."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("win_id", ((F.col("rn") - 1) / 10).cast("bigint"))
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )

@@ -13,6 +13,7 @@ batch-as-bounded-stream unification, SURVEY.md §1.3).
 """
 
 from flink_1_20_spark.streaming.dedup import deduplicate
+from flink_1_20_spark.streaming.process import keyed_process, running_aggregate
 from flink_1_20_spark.streaming.joins import interval_join
 from flink_1_20_spark.streaming.sinks import run_to_memory, upsert_foreach_batch
 from flink_1_20_spark.streaming.sources import file_source, rate_source
@@ -27,6 +28,8 @@ __all__ = [
     "cumulate_window_agg",
     "deduplicate",
     "file_source",
+    "keyed_process",
+    "running_aggregate",
     "hop_window_agg",
     "interval_join",
     "rate_source",

@@ -1,0 +1,87 @@
+"""KeyedProcessFunction-equivalent: user code + keyed state + timeouts.
+
+Reference parity (SURVEY.md §2.9): KeyedProcessFunction.java:53
+(processElement:71, onTimer:85) with ValueState/ListState/MapState
+(flink-core/.../api/common/state/) and TimerService.
+
+Spark mapping: `applyInPandasWithState` — per key, per micro-batch, the
+user function receives the key, an iterator of Arrow batches, and a
+GroupState handle (get/update/remove + processing-time/event-time
+timeout ≈ registerProcessingTimeTimer/onTimer). State is engine-managed
+(checkpointed, RocksDB-capable) exactly like Flink's keyed state
+backend. Batch inputs fall back to a stateless per-key apply (state
+starts empty and is discarded — the bounded-stream degenerate case).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def keyed_process(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[tuple, Iterator[pd.DataFrame], "GroupState"], Iterator[pd.DataFrame]],
+    output_schema: str,
+    state_schema: str,
+    output_mode: str = "update",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Run `fn(key, batches, state)` per key with managed state.
+
+    `fn` contract (mirrors KeyedProcessFunction):
+    - called once per key per micro-batch that has data for the key;
+      also called on timeout expiry with an empty batch iterator
+      (state.hasTimedOut — Flink's onTimer)
+    - `state.get` / `state.update((..,))` / `state.remove()` ≈
+      ValueState; use tuple fields per state_schema column
+    - yields zero or more output DataFrames matching output_schema
+    """
+    timeouts = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }
+    if timeout not in timeouts:
+        raise ValueError(f"timeout must be one of {sorted(timeouts)}")
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, output_schema, state_schema, output_mode, timeouts[timeout]
+    )
+
+
+def running_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    output_schema: str | None = None,
+) -> DataFrame:
+    """Canned KeyedProcessFunction: per-key running count + sum emitted
+    on every micro-batch (the canonical ValueState example —
+    KeyedProcessFunction javadoc's CountWithTimestamp pattern)."""
+    key_cols = list(keys)
+    out_schema = output_schema or (
+        ", ".join(f"{k} bigint" for k in key_cols) + ", n bigint, total double"
+    )
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame([{**dict(zip(key_cols, key)), "n": n, "total": total}])
+
+    return keyed_process(
+        df,
+        key_cols,
+        fn,
+        output_schema=out_schema,
+        state_schema="n bigint, total double",
+        output_mode="update",
+    )
