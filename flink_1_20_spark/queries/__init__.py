@@ -24,6 +24,7 @@ _MODULES = [
     "multimodal_q",
     "changelog_count",
     "udx",
+    "misc_relational",
 ]
 
 _loaded = False

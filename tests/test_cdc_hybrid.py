@@ -1,0 +1,66 @@
+"""Tests: Debezium CDC decoding → changelog materialization, and the
+hybrid (backfill + live) source split."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.changelog import materialize_changelog
+from flink_1_20_spark.sources.cdc import parse_debezium
+from flink_1_20_spark.sources.hybrid import hybrid_source
+from flink_1_20_spark.streaming import run_to_memory
+
+
+def _dbz(op, before, after, ts):
+    return json.dumps({"before": before, "after": after, "op": op, "ts_ms": ts})
+
+
+def test_debezium_roundtrip_to_materialized_table(spark):
+    events = [
+        _dbz("c", None, {"id": 1, "name": "alice"}, 100),
+        _dbz("c", None, {"id": 2, "name": "bob"}, 200),
+        _dbz("u", {"id": 1, "name": "alice"}, {"id": 1, "name": "alice2"}, 300),
+        _dbz("d", {"id": 2, "name": "bob"}, None, 400),
+        _dbz("r", None, {"id": 3, "name": "carol"}, 50),  # snapshot read
+    ]
+    raw = spark.createDataFrame([(e,) for e in events], "value string")
+    log = parse_debezium(raw, "value", "id bigint, name string")
+    kinds = sorted((r["row_kind"], r["id"]) for r in log.collect())
+    assert kinds == [
+        ("+I", 1), ("+I", 2), ("+I", 3), ("+U", 1), ("-D", 2), ("-U", 1),
+    ]
+    final = materialize_changelog(log, keys=["id"], seq_col="ts_ms", op_col="row_kind")
+    got = {r["id"]: r["name"] for r in final.collect()}
+    assert got == {1: "alice2", 3: "carol"}  # bob deleted, alice updated
+
+
+def test_hybrid_source_no_gap_no_overlap(spark, tmp_path):
+    hist, live = str(tmp_path / "hist"), str(tmp_path / "live")
+    os.makedirs(hist)
+    os.makedirs(live)
+    # history file contains rows 1-5; live dir starts with rows 4-8
+    # (overlapping 4,5 — the cutoff must dedupe them)
+    with open(os.path.join(hist, "h.json"), "w") as f:
+        for i in range(1, 6):
+            f.write(json.dumps({"seq": i, "v": f"h{i}"}) + "\n")
+    with open(os.path.join(live, "l.json"), "w") as f:
+        for i in range(4, 9):
+            f.write(json.dumps({"seq": i, "v": f"l{i}"}) + "\n")
+    batch, stream = hybrid_source(
+        spark, hist, live, "seq bigint, v string", cutoff_col="seq", cutoff=5
+    )
+    assert not batch.isStreaming and stream.isStreaming
+    q = run_to_memory(stream, "hybrid_live")
+    try:
+        q.processAllAvailable()
+        live_rows = {r["seq"] for r in spark.table("hybrid_live").collect()}
+    finally:
+        q.stop()
+    hist_rows = {r["seq"] for r in batch.collect()}
+    assert hist_rows == {1, 2, 3, 4, 5}
+    assert live_rows == {6, 7, 8}          # > cutoff only
+    assert hist_rows | live_rows == set(range(1, 9))
+    assert hist_rows & live_rows == set()  # no double-count
