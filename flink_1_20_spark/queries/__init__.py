@@ -25,6 +25,7 @@ _MODULES = [
     "changelog_count",
     "udx",
     "misc_relational",
+    "tpch_full",
 ]
 
 _loaded = False
