@@ -12,11 +12,13 @@ streaming share one code path where Spark allows (Flink's
 batch-as-bounded-stream unification, SURVEY.md §1.3).
 """
 
+from flink_1_20_spark.streaming.cep_stream import match_recognize_stream
 from flink_1_20_spark.streaming.dedup import deduplicate
 from flink_1_20_spark.streaming.process import keyed_process, running_aggregate
 from flink_1_20_spark.streaming.joins import interval_join
 from flink_1_20_spark.streaming.sinks import run_to_memory, upsert_foreach_batch
 from flink_1_20_spark.streaming.sources import file_source, rate_source
+from flink_1_20_spark.streaming.temporal_stream import temporal_join_stream
 from flink_1_20_spark.streaming.windows import (
     cumulate_window_agg,
     hop_window_agg,
@@ -29,12 +31,14 @@ __all__ = [
     "deduplicate",
     "file_source",
     "keyed_process",
+    "match_recognize_stream",
     "running_aggregate",
     "hop_window_agg",
     "interval_join",
     "rate_source",
     "run_to_memory",
     "session_window_agg",
+    "temporal_join_stream",
     "tumble_window_agg",
     "upsert_foreach_batch",
 ]

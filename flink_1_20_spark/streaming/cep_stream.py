@@ -1,0 +1,103 @@
+"""Streaming CEP: the batch NFA (operators/cep.py) over keyed state.
+
+Reference parity: CepOperator.java:82 — per-key NFA with an event buffer
+in keyed state; elements are buffered, sorted by event time, and the NFA
+advances as the watermark moves. SQL MATCH_RECOGNIZE lowers to the same
+operator (CommonExecMatch.java:170).
+
+Spark mapping: `applyInPandasWithState`. Per key we keep the pending
+event buffer (the NFA's shared buffer, SharedBuffer.java) serialized in
+GroupState; each micro-batch appends its rows, re-sorts by event time,
+runs the same `_match_at` NFA used in batch, emits completed matches,
+and retains only rows after the last consumed event (after-match skip)
+bounded by `max_buffer` (Flink's within-pruning).
+
+Contract/simplification vs Flink: matches are emitted at micro-batch
+granularity assuming per-key in-order arrival across batches (no
+watermark-held partial matches). Out-of-order *within* a batch is
+handled by the sort; a row older than an already-consumed match is
+dropped — the same effect as arriving after the watermark.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_1_20_spark.operators.cep import Pattern, _match_at
+
+
+def match_recognize_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    pattern: Pattern,
+    measures: Callable[[dict[str, pd.DataFrame]], dict],
+    output_schema: str,
+    payload_cols: list[str],
+    max_buffer: int = 10_000,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE. Output rows = measures() dict + key
+    columns (same contract as the batch match_recognize).
+
+    `payload_cols`: event columns the predicates/measures read (these are
+    what gets buffered in state — keep it to what the pattern needs;
+    Flink's SharedBuffer stores whole rows, we store the projection)."""
+    key_cols = list(keys)
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        buf = json.loads(state.get[0]) if state.exists else []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rec = {c: row[c] for c in payload_cols}
+                rec[ts] = row[ts].isoformat()
+                buf.append(rec)
+        if not buf:
+            return
+        pdf = pd.DataFrame(buf)
+        pdf[ts] = pd.to_datetime(pdf[ts])
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        pdf["__ts"] = pdf[ts]
+
+        out_rows: list[dict] = []
+        consumed_until = -1
+        i = 0
+        while i < len(pdf):
+            m = _match_at(pattern, pdf, i)
+            if m:
+                groups: dict[str, list[int]] = {}
+                for name, idx in m:
+                    groups.setdefault(name, []).append(idx)
+                rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
+                for kc, kv in zip(key_cols, key):
+                    rendered[kc] = kv
+                out_rows.append(rendered)
+                last_idx = max(idx for _, idx in m)
+                consumed_until = max(consumed_until, last_idx)
+                i = last_idx + 1 if pattern.skip == "PAST_LAST_EVENT" else i + 1
+            else:
+                i += 1
+
+        # retain the un-consumed tail (bounded) as the new buffer
+        tail = pdf.iloc[consumed_until + 1 :].tail(max_buffer)
+        new_buf = []
+        for _, row in tail.iterrows():
+            rec = {c: row[c] for c in payload_cols}
+            rec[ts] = row[ts].isoformat()
+            new_buf.append(rec)
+        state.update((json.dumps(new_buf),))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        output_schema,
+        "buf string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

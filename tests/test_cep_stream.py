@@ -1,0 +1,64 @@
+"""Streaming CEP: pattern matches spanning micro-batches via keyed state."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from flink_1_20_spark.operators.cep import Pattern
+from flink_1_20_spark.streaming import file_source, match_recognize_stream, run_to_memory
+
+SCHEMA = "ts timestamp, user_id bigint, event_type string"
+
+
+def _drop(src, n, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, f"b{n}.json"), "w") as f:
+        for ts, uid, et in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "event_type": et}) + "\n")
+
+
+def test_streaming_cep_match_spans_batches(spark, tmp_path):
+    src = str(tmp_path / "in")
+    # batch 0: click+view for user 1 (partial match must persist in state)
+    _drop(src, 0, [
+        ("2024-01-01T10:00:00", 1, "click"),
+        ("2024-01-01T10:01:00", 1, "view"),
+        ("2024-01-01T10:00:00", 2, "view"),   # wrong start — never matches
+    ])
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+
+    def measures(g):
+        return {
+            "start_ts": g["a"]["ts"].iloc[0].isoformat(),
+            "end_ts": g["c"]["ts"].iloc[-1].isoformat(),
+        }
+
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="start_ts string, end_ts string, user_id bigint",
+        payload_cols=["event_type"],
+    )
+    q = run_to_memory(out, "cep_stream_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert spark.table("cep_stream_out").count() == 0  # no purchase yet
+        # batch 1: the purchase arrives — completes the buffered partial
+        _drop(src, 1, [("2024-01-01T10:05:00", 1, "purchase")])
+        q.processAllAvailable()
+        rows = spark.table("cep_stream_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert rows[0]["start_ts"] == "2024-01-01T10:00:00"
+    assert rows[0]["end_ts"] == "2024-01-01T10:05:00"

@@ -1,0 +1,56 @@
+"""Streaming temporal join: dim versions persist in state across
+micro-batches; each event matches the version valid at its time."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from flink_1_20_spark.streaming import file_source, run_to_memory
+from flink_1_20_spark.streaming.temporal_stream import temporal_join_stream
+
+
+def _drop(src, n, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, f"b{n}.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_temporal_join_stream_versions(spark, tmp_path):
+    ev_dir, dim_dir = str(tmp_path / "ev"), str(tmp_path / "dim")
+    # batch 0: two dim versions for key 1 (price 10 then 20 at 10:30)
+    _drop(dim_dir, 0, [
+        {"k": 1, "vts": "2024-01-01T10:00:00", "price": 10.0},
+        {"k": 1, "vts": "2024-01-01T10:30:00", "price": 20.0},
+    ])
+    _drop(ev_dir, 0, [
+        {"k": 1, "ets": "2024-01-01T10:15:00", "qty": 3},   # → price 10
+    ])
+    events = file_source(spark, ev_dir, "k bigint, ets timestamp, qty bigint", fmt="json")
+    dim = file_source(spark, dim_dir, "k bigint, vts timestamp, price double", fmt="json")
+    out = temporal_join_stream(
+        events, dim,
+        key="k", event_ts="ets", dim_ts="vts",
+        event_payload=["qty"], dim_payload=["price"],
+        output_schema="k bigint, ts timestamp, qty bigint, price double",
+    )
+    q = run_to_memory(out, "tjs_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # batch 1: later event joins the *newer* version from state;
+        # pre-history event (9:00) finds no version → null
+        _drop(ev_dir, 1, [
+            {"k": 1, "ets": "2024-01-01T11:00:00", "qty": 5},   # → price 20
+            {"k": 1, "ets": "2024-01-01T09:00:00", "qty": 1},   # → null
+        ])
+        q.processAllAvailable()
+        rows = spark.table("tjs_out").collect()
+    finally:
+        q.stop()
+    got = {r["ts"].isoformat(): (r["qty"], r["price"]) for r in rows}
+    assert got == {
+        "2024-01-01T10:15:00": (3, 10.0),
+        "2024-01-01T11:00:00": (5, 20.0),
+        "2024-01-01T09:00:00": (1, None),
+    }
