@@ -112,15 +112,28 @@ class Pattern:
         return self
 
 
-def _match_at(pat: Pattern, rows: pd.DataFrame, start: int) -> list[tuple[str, int]] | None:
+def _precompute(pat: Pattern, pdf: pd.DataFrame) -> tuple:
+    """Vectorize the per-row work once: each step's predicate evaluated
+    over the whole frame (one pandas apply per step, not one Python call
+    per NFA probe), and event-time as an epoch-seconds numpy array."""
+    sec = pdf["__ts"].astype("int64").to_numpy() / 1e9
+    pmat = [pdf.apply(step.predicate, axis=1).to_numpy() for step in pat.steps]
+    return sec, pmat
+
+
+def _match_at(
+    pat: Pattern, rows: pd.DataFrame, start: int, pre: tuple | None = None
+) -> list[tuple[str, int]] | None:
     """Greedy left-to-right match attempt anchored at `start`.
 
     Returns [(step_name, row_idx), ...] or None. Greedy quantifiers with
     backtracking on the *count* (try max first, shrink) — the same match
-    preference order as Flink's greedy NFA branches.
+    preference order as Flink's greedy NFA branches. Pass `pre` from
+    `_precompute` when scanning many anchors over one frame.
     """
     n = len(rows)
-    t0 = rows["__ts"].iloc[start]
+    sec, pmat = pre if pre is not None else _precompute(pat, rows)
+    t0 = sec[start]
 
     def rec(step_i: int, pos: int) -> list[tuple[str, int]] | None:
         if step_i == len(pat.steps):
@@ -137,13 +150,11 @@ def _match_at(pat: Pattern, rows: pd.DataFrame, start: int) -> list[tuple[str, i
             # run of consecutive (strict) matches from sp
             matches: list[int] = []
             j = sp
+            pm = pmat[step_i]
             while j < n and (step.max_times == -1 or len(matches) < step.max_times):
-                row = rows.iloc[j]
-                if pat.within_seconds is not None and (
-                    (row["__ts"] - t0).total_seconds() > pat.within_seconds
-                ):
+                if pat.within_seconds is not None and (sec[j] - t0) > pat.within_seconds:
                     break
-                if step.predicate(row):
+                if pm[j]:
                     matches.append(j)
                     j += 1
                 else:
@@ -186,10 +197,11 @@ def match_recognize(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts, *tiebreak], kind="mergesort").reset_index(drop=True)
         pdf["__ts"] = pdf[ts]
+        pre = _precompute(pattern, pdf)
         out_rows: list[dict] = []
         i = 0
         while i < len(pdf):
-            m = _match_at(pattern, pdf, i)
+            m = _match_at(pattern, pdf, i, pre)
             if m:
                 groups: dict[str, list[int]] = {}
                 for name, idx in m:

@@ -55,22 +55,66 @@ def normalized_words(text: Column) -> Column:
 
 
 def word_shingles(words: Column, n: int) -> Column:
-    """Distinct n-word shingles (space-joined). Empty array if < n words."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    return F.array_distinct(sh)
+    """Distinct n-word shingles (space-joined). Empty array if < n words.
+
+    Perf-critical shape: `words` is itself an expression (regexp + split)
+    and Catalyst's CollapseProject inlines it into every reference —
+    inside a transform() lambda that means re-tokenizing the document per
+    shingle (O(len²), measured 20-60× slower). The single-element
+    `transform(array(words), w -> ...)` wrapper is a let-binding: the
+    lambda variable `w` is evaluated once per row, and all inner
+    references are O(1) lambda-variable reads."""
+
+    def build(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(words), build), 1)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """num_hashes MinHash values, each = min over shingles of
-    hash60(seed || ':' || shingle). Pure projection — no shuffle.
-    Null-safe: empty shingle set → nulls (filtered by callers)."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: hash60(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+def minhash_mix_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family (a_i, b_i): one strong base
+    hash per shingle, then cheap integer mixes per signature slot —
+    16× fewer md5 calls than hashing per (seed, shingle). a is odd
+    (~21 bits), b ~32 bits; (a*h + b) stays under 2^53, no overflow in
+    either engine."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:5], 16) * 2 + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
+_MASK32 = 0xFFFFFFFF
+
+
+def minhash_signatures(
+    docs_shingles: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signatures via explode → base-hash → min-agg.
+
+    Plan shape: generate (doc, shingle) rows (no array recompute), ONE
+    md5 per shingle, then `num_hashes` cheap (a*h+b)&mask mixes reduced
+    by partial min-aggregation — shuffled bytes ≈ one signature row per
+    doc (rows from the same doc are co-located, so map-side combine
+    collapses them before the exchange)."""
+    params = minhash_mix_params(num_hashes)
+    ex = docs_shingles.select(
+        F.col(id_col).alias("doc"), F.explode(F.col(shingles_col)).alias("sh")
+    ).withColumn("h", hash32(F.col("sh")))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)).bitwiseAND(F.lit(_MASK32))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
     ]
+    return ex.groupBy("doc").agg(*mins)
 
 
 def band_keys(sig_prefix: str, num_hashes: int, rows_per_band: int) -> list[Column]:
@@ -86,28 +130,30 @@ def band_keys(sig_prefix: str, num_hashes: int, rows_per_band: int) -> list[Colu
     return out
 
 
-def simhash(words: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint: bit b set iff sum over tokens of
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: bit b set iff sum over tokens of
     (bit b of hash32(token) ? +1 : -1) > 0. Token multiplicity counts
-    (classic Charikar weighting by term frequency).
+    (classic Charikar weighting by term frequency). Returns (doc, fp).
 
-    Pure expression: one aggregate() per bit over the pre-hashed token
-    array — verbose plan, but all codegen, no shuffle."""
-    hashes = F.transform(words, lambda w: hash32(w))
-
-    def bit_sum(b: int):
-        # closure (not default-arg) — PySpark inspects lambda arity
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-
-    bit_sums = [bit_sum(b) for b in range(bits)]
+    Plan shape: explode tokens → ONE md5 per token → `bits` signed bit
+    sums as built-in aggregates (map-side partials collapse to one row
+    per doc before the shuffle). The earlier array-aggregate formulation
+    re-hashed every token once per bit — 32× the md5 work."""
+    words = normalized_words(F.col(text_col))
+    ex = docs.select(F.col(id_col).alias("doc"), F.explode(words).alias("w")).withColumn(
+        "h", hash32(F.col("w"))
+    )
+    sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy("doc").agg(*sums)
     fp = F.lit(0).cast("bigint")
-    for b, s in enumerate(bit_sums):
-        fp = fp + F.when(s > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
-    return fp
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return agg.select("doc", fp.alias("fp"))
 
 
 def simhash_bands(fp: Column, n_bands: int = 4, bits: int = 32) -> list[Column]:
@@ -148,35 +194,35 @@ def minhash_lsh_pairs(
     sh = word_shingles(words, shingle_n).alias("shingles")
     base = docs.select(F.col(id_col).alias("doc"), sh)
     base = base.filter(F.size("shingles") > 0)
-    sigs = base.select("doc", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
-    banded = sigs.select(
-        "doc", "shingles", *band_keys("mh", num_hashes, rows_per_band)
-    )
+    sigs = minhash_signatures(base, "doc", "shingles", num_hashes)
+    banded = sigs.select("doc", *band_keys("mh", num_hashes, rows_per_band))
     n_bands = num_hashes // rows_per_band
-    # long-form (doc, band_idx, band_hash)
+    # long-form (doc, band_idx, band_hash) — signatures only; the shingle
+    # arrays are joined back per candidate pair (cheaper than shipping
+    # the arrays through the band shuffle)
     band_struct = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
             for b in range(n_bands)
         ]
     )
-    long = banded.select(
-        "doc", "shingles", F.explode(band_struct).alias("bk")
-    ).select("doc", "shingles", "bk.band_idx", "bk.band_hash")
-    left = long.select(
-        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), "band_idx", "band_hash"
-    )
-    right = long.select(
-        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), "band_idx", "band_hash"
+    long = banded.select("doc", F.explode(band_struct).alias("bk")).select(
+        "doc", "bk.band_idx", "bk.band_hash"
     )
     pairs = (
-        left.join(right, ["band_idx", "band_hash"])
+        long.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
+        .join(long.select(F.col("doc").alias("id_b"), "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        pairs.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )
@@ -196,8 +242,7 @@ def simhash_pairs(
     n_bands = 4
     if max_hamming >= n_bands:
         raise ValueError("max_hamming must be < 4 for exact 4-block LSH")
-    words = normalized_words(F.col(text_col))
-    fp = docs.select(F.col(id_col).alias("doc"), simhash(words, bits).alias("fp"))
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
     blk = fp.select("doc", "fp", *simhash_bands(F.col("fp"), n_bands, bits))
     block_struct = F.array(
         *[

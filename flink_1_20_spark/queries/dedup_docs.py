@@ -48,9 +48,16 @@ def _h32(expr: str) -> str:
     return "CAST(('0x' || substring(md5(" + expr + "), 1, 8)) AS BIGINT)"
 
 
+from flink_1_20_spark.operators.textdedup import minhash_mix_params
+
+_MIX = minhash_mix_params(16)
+
+
 def _mh(i: int) -> str:
-    """MinHash i over the sh column."""
-    return "list_min(list_transform(sh, s -> " + _h60("'" + str(i) + ":' || s") + "))"
+    """MinHash i over the hl column (base 32-bit hashes): universal-hash
+    mix (a*h + b) & mask — mirrors minhash_signatures."""
+    a, b = _MIX[i]
+    return f"list_min(list_transform(hl, h -> ({a} * h + {b}) & 4294967295))"
 
 
 def _band(b: int, rows: int) -> str:
@@ -64,9 +71,10 @@ _N_BANDS = _NUM_HASHES // _ROWS_PER_BAND
 _MINHASH_ORACLE = (
     "WITH words AS (SELECT doc_id, " + _WORDS + " AS w FROM documents),\n"
     "sh AS (SELECT doc_id, " + _sh_sql(3) + " AS sh FROM words WHERE len(" + _sh_sql(3) + ") > 0),\n"
+    "hs AS (SELECT doc_id, sh, list_transform(sh, s -> " + _h32("s") + ") AS hl FROM sh),\n"
     "sigs AS (SELECT doc_id, sh, "
     + ", ".join(_mh(i) + " AS mh" + str(i) for i in range(_NUM_HASHES))
-    + " FROM sh),\n"
+    + " FROM hs),\n"
     "banded AS (SELECT doc_id, sh, "
     + ", ".join(_band(b, _ROWS_PER_BAND) + " AS band" + str(b) for b in range(_N_BANDS))
     + " FROM sigs),\n"

@@ -170,10 +170,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment joins."""
     d = T(spark, sf_dir, "documents")
     words = normalized_words(F.col("text"))
-    sh = word_shingles(words, 5)
-    hs = F.sort_array(F.transform(sh, lambda s: hash60(s)))
-    return d.select(
-        "doc_id",
-        F.slice(hs, 1, 4).alias("sketch"),
-        F.size(hs).alias("n_shingles"),
+    base = d.select("doc_id", word_shingles(words, 5).alias("sh"))
+    # explode → one hash per shingle → agg: shingles computed once per
+    # doc (array-expression reuse would recompute them per reference)
+    ex = base.select("doc_id", F.explode_outer("sh").alias("s")).withColumn(
+        "h", hash60(F.col("s"))
+    )
+    return ex.groupBy("doc_id").agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, 4).alias("sketch"),
+        F.count("h").alias("n_shingles"),
     )

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from flink_1_20_spark.operators.cep import Pattern, _match_at
+from flink_1_20_spark.operators.cep import Pattern, _match_at, _precompute
 
 
 def match_recognize_stream(
@@ -63,12 +63,13 @@ def match_recognize_stream(
         pdf[ts] = pd.to_datetime(pdf[ts])
         pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
         pdf["__ts"] = pdf[ts]
+        pre = _precompute(pattern, pdf)
 
         out_rows: list[dict] = []
         consumed_until = -1
         i = 0
         while i < len(pdf):
-            m = _match_at(pattern, pdf, i)
+            m = _match_at(pattern, pdf, i, pre)
             if m:
                 groups: dict[str, list[int]] = {}
                 for name, idx in m:
