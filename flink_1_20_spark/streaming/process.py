@@ -85,3 +85,59 @@ def running_aggregate(
         state_schema="n bigint, total double",
         output_mode="update",
     )
+
+
+def streaming_over_rows(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value_col: str,
+    n_preceding: int,
+    output_schema: str,
+) -> DataFrame:
+    """Streaming over-aggregate: per-row SUM/COUNT/AVG OVER
+    (PARTITION BY keys ORDER BY ts ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW) — SURVEY.md §2.6 stream over-agg
+    (RowTimeRowsBoundedPrecedingFunction.java:57: keeps the last n rows
+    per key in state, emits one output per input row).
+
+    State = the rolling window's rows (ts, value) serialized; output
+    columns: keys..., ts, value, win_sum, win_cnt, win_avg — declare in
+    `output_schema`. Same in-order-across-batches contract as the other
+    state operators here; within a batch rows are time-sorted."""
+    import json as _json
+
+    key_cols = list(keys)
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        window: list[tuple[str, float]] = (
+            _json.loads(state.get[0]) if state.exists else []
+        )
+        rows = []
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                rows.append((r[ts], float(r[value_col])))
+        rows.sort(key=lambda x: x[0])
+        out = []
+        for t, v in rows:
+            window.append((t.isoformat(), v))
+            window = window[-(n_preceding + 1):]
+            vals = [x[1] for x in window]
+            rec = dict(zip(key_cols, key))
+            rec.update(
+                {
+                    "ts": t,
+                    "value": v,
+                    "win_sum": sum(vals),
+                    "win_cnt": len(vals),
+                    "win_avg": sum(vals) / len(vals),
+                }
+            )
+            out.append(rec)
+        state.update((_json.dumps(window),))
+        if out:
+            yield pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, output_schema, "win string", "update", GroupStateTimeout.NoTimeout
+    )
