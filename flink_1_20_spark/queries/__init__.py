@@ -26,6 +26,7 @@ _MODULES = [
     "udx",
     "misc_relational",
     "tpch_full",
+    "json_aggs",
 ]
 
 _loaded = False
