@@ -50,10 +50,14 @@ def tumble_window_agg(
     keys: list[str] | None = None,
     aggs: Mapping[str, Column] | None = None,
     watermark: str | None = None,
+    offset: str | None = None,
 ) -> DataFrame:
-    """TUMBLE: fixed, non-overlapping windows of `size` over event time."""
+    """TUMBLE: fixed, non-overlapping windows of `size` over event time.
+    `offset` shifts window alignment (Flink's window offset parameter,
+    TumblingEventTimeWindows.of(size, offset) → Spark's startTime)."""
     df = _with_watermark(df, ts, watermark)
-    return _agg_windowed(df, F.window(ts, size), keys or [], aggs or {"n": F.count("*")})
+    win = F.window(ts, size, size, offset) if offset is not None else F.window(ts, size)
+    return _agg_windowed(df, win, keys or [], aggs or {"n": F.count("*")})
 
 
 def hop_window_agg(
