@@ -27,6 +27,7 @@ _MODULES = [
     "misc_relational",
     "tpch_full",
     "json_aggs",
+    "dedup_clusters",
 ]
 
 _loaded = False
