@@ -100,6 +100,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--prefix", default=None, help="only queries whose name starts with this")
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="use a bare SparkSession (UTC only, no engine configs) — "
+        "mirrors the driver, catches engine-session config dependence",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -114,7 +120,17 @@ def main() -> int:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
-    spark = get_spark("verify-local")
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify-bare")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify-local")
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
