@@ -102,6 +102,98 @@ def random_hyperplane_buckets(
     return v.select("vid", bucket.alias("bucket"))
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell (IVF
+    inverted-file partitioning).
+
+    `centroids` is small (tens..thousands) → broadcast cross join, cosine
+    per (vector, centroid), argmax per vector via window. Output:
+    (id, vec, norm, cell). At 100 TB the corpus streams through executors
+    once; the only shuffle is the window's hash on vector id, and even
+    that disappears if the corpus is already hash-partitioned by id.
+    Cosine is rounded before ranking so the cell choice is reproducible
+    across engines; ties break toward the smallest centroid id.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    cos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), round_to)
+    w = Window.partitionBy("vid").orderBy(F.desc("cos_c"), F.asc("cid"))
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", "nrm", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: nearest-centroid cells, probe
+    the `n_probe` closest cells per query, exact cosine inside them.
+
+    Centroids here are the `n_centroids` lowest-id corpus vectors — a
+    deterministic, training-free stand-in (swap in k-means output at
+    scale; the plan shape is identical). Mirrors the role of Flink's
+    lookup partitioning (SURVEY.md §2.3) applied to ANN: the cell id is
+    the shuffle key, so candidate generation is an equi-join on `cell`
+    instead of a full cross join — corpus_scan + one shuffle keyed by
+    cell regardless of corpus size. Recall < 1 by design; measured
+    against cosine_topk in tests.
+    """
+    from pyspark.sql import Window
+
+    centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
+
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    pcos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), round_to)
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", pcos)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
+    )
+
+    cand = probes.join(cells, "cell").filter(F.col("query_id") != F.col("vid"))
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), round_to)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("neighbor_id", F.col("vid"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

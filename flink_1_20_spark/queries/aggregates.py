@@ -217,6 +217,30 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+           GROUPING(l_returnflag) AS g_rf,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_ID()/GROUPING() super-aggregate markers
+    (BuiltInFunctionDefinitions GROUP_ID; DecomposeGroupingSetsRule.scala:130)
+    via the DataFrame cube() builder — Spark's grouping_id() bit order
+    (first cube column = MSB) matches Flink's and DuckDB's."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,

@@ -139,3 +139,32 @@ def temporal_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no full sort materialization)."""
     e = T(spark, sf_dir, "events")
     return e.select("event_id", "ts", "user_id", "event_type").orderBy("ts", "event_id").limit(500)
+
+
+@register(
+    "script_transform_pipe",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nationkey, upper(n_name) AS name_upper
+    FROM nation
+    """,
+)
+def script_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script transform (BatchExecScriptTransform.java:43 — Hive
+    TRANSFORM): rows piped tab-delimited through an external process,
+    one subprocess per partition. Spark's native no-serde TRANSFORM
+    (BaseScriptTransformationExec) — executor-side, scales with
+    partition count; the pipe never sees the whole dataset."""
+    from ._util import V
+
+    V(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT CAST(t.k AS INT) AS nationkey, t.name_upper
+        FROM (
+          SELECT TRANSFORM(n_nationkey, n_name)
+          USING 'tr a-z A-Z'
+          AS (k STRING, name_upper STRING)
+          FROM nation
+        ) t
+        """
+    )

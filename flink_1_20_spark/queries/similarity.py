@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from flink_1_20_spark.operators.simsearch import (
     cosine_topk,
     hyperplane_weights,
+    ivf_topk,
     random_hyperplane_buckets,
 )
 from flink_1_20_spark.registry import register
@@ -83,4 +84,57 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = random_hyperplane_buckets(e, "vec_id", "embedding", n_planes=_N_PLANES, dim=_DIM)
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vid").alias("min_vec")
+    )
+
+
+_N_CENT, _N_PROBE = 16, 4
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cv, nrm AS cnrm
+         FROM v ORDER BY vec_id LIMIT {_N_CENT}),
+assign AS (SELECT v.vec_id, v.emb, v.nrm, cent.cid,
+                  row_number() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY round(list_dot_product(v.emb, cent.cv)
+                                   / (v.nrm * cent.cnrm), 6) DESC, cent.cid
+                  ) AS rn
+           FROM v, cent),
+cells AS (SELECT vec_id, emb, nrm, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn
+      FROM v WHERE vec_id < {_N_QUERIES}),
+probe AS (SELECT q.query_id, q.qv, q.qn, cent.cid AS cell,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qv, cent.cv)
+                                  / (q.qn * cent.cnrm), 6) DESC, cent.cid
+                 ) AS rn
+          FROM q, cent),
+cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                round(list_dot_product(p.qv, c.emb) / (p.qn * c.nrm), 6) AS cos
+         FROM probe p JOIN cells c ON p.cell = c.cell
+         WHERE p.rn <= {_N_PROBE} AND p.query_id <> c.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+           FROM cand)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("simsearch_ivf_topk", oracle=_IVF_ORACLE)
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus partitioned into
+    nearest-centroid cells, each query probes its 4 closest cells, exact
+    cosine inside them. Centroids = 16 lowest-id vectors (deterministic,
+    training-free — same plan shape as k-means IVF). Candidate generation
+    is an equi-join on `cell`, so at 100 TB the cost is one corpus pass +
+    one shuffle keyed by cell — never a cross join. Oracle replays the
+    identical index build + probe in DuckDB CTEs."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(
+        q, e, "vec_id", "embedding", k=_K, n_centroids=_N_CENT, n_probe=_N_PROBE
     )

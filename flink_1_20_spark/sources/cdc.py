@@ -50,3 +50,84 @@ def parse_debezium(
         F.lit(DELETE).alias("row_kind"), "ts_ms", "before.*"
     )
     return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+def _merged_old(fields: list[str], old_struct: str, new_struct: str) -> list[Column]:
+    """Per-field before-image: Canal/Maxwell `old` carries only the
+    CHANGED columns — unchanged ones are taken from the after image
+    (same fill-in CanalJsonDeserializationSchema applies)."""
+    return [
+        F.coalesce(F.col(f"{old_struct}.{f}"), F.col(f"{new_struct}.{f}")).alias(f)
+        for f in fields
+    ]
+
+
+def parse_canal(df: DataFrame, value_col: str, payload_ddl: str) -> DataFrame:
+    """Decode Canal-JSON change events into a RowKind changelog.
+
+    Canal batches rows: `data` is an ARRAY of row images; for UPDATE,
+    `old[i]` holds row i's changed columns. Envelope:
+    {"data":[...], "old":[...]|null, "type":"INSERT|UPDATE|DELETE", "ts":...}.
+    Output columns: row_kind, ts_ms, then the payload fields.
+    (flink-formats/flink-json canal-json factory parity.)"""
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(payload_ddl).fieldNames()
+    env_ddl = (
+        f"data array<struct<{payload_ddl}>>, old array<struct<{payload_ddl}>>, "
+        "type string, ts bigint"
+    )
+    base = (
+        df.withColumn("__env", F.from_json(F.col(value_col), env_ddl))
+        .select("__env.*")
+        .select(
+            "type",
+            F.col("ts").alias("ts_ms"),
+            F.posexplode("data").alias("__i", "__row"),
+            F.col("old").alias("__olds"),
+        )
+        .withColumn("__old", F.col("__olds").getItem(F.col("__i")))
+    )
+    inserts = base.filter(F.col("type") == "INSERT").select(
+        F.lit(INSERT).alias("row_kind"), "ts_ms", "__row.*"
+    )
+    deletes = base.filter(F.col("type") == "DELETE").select(
+        F.lit(DELETE).alias("row_kind"), "ts_ms", "__row.*"
+    )
+    upd = base.filter(F.col("type") == "UPDATE")
+    upd_before = upd.select(
+        F.lit(UPDATE_BEFORE).alias("row_kind"),
+        "ts_ms",
+        *_merged_old(fields, "__old", "__row"),
+    )
+    upd_after = upd.select(F.lit(UPDATE_AFTER).alias("row_kind"), "ts_ms", "__row.*")
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+def parse_maxwell(df: DataFrame, value_col: str, payload_ddl: str) -> DataFrame:
+    """Decode Maxwell-JSON change events into a RowKind changelog.
+
+    One row image per message: {"data":{...}, "old":{...changed cols...},
+    "type":"insert|update|delete", "ts":...}. Output columns: row_kind,
+    ts_ms, then the payload fields.
+    (flink-formats/flink-json maxwell-json factory parity.)"""
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(payload_ddl).fieldNames()
+    env_ddl = (
+        f"data struct<{payload_ddl}>, old struct<{payload_ddl}>, type string, ts bigint"
+    )
+    base = df.withColumn("__env", F.from_json(F.col(value_col), env_ddl)).select("__env.*")
+    base = base.withColumn("ts_ms", F.col("ts"))
+    inserts = base.filter(F.col("type") == "insert").select(
+        F.lit(INSERT).alias("row_kind"), "ts_ms", "data.*"
+    )
+    deletes = base.filter(F.col("type") == "delete").select(
+        F.lit(DELETE).alias("row_kind"), "ts_ms", "data.*"
+    )
+    upd = base.filter(F.col("type") == "update")
+    upd_before = upd.select(
+        F.lit(UPDATE_BEFORE).alias("row_kind"), "ts_ms", *_merged_old(fields, "old", "data")
+    )
+    upd_after = upd.select(F.lit(UPDATE_AFTER).alias("row_kind"), "ts_ms", "data.*")
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)

@@ -37,6 +37,49 @@ def test_debezium_roundtrip_to_materialized_table(spark):
     assert got == {1: "alice2", 3: "carol"}  # bob deleted, alice updated
 
 
+def test_canal_batched_rows_and_partial_old(spark):
+    from flink_1_20_spark.sources.cdc import parse_canal
+
+    events = [
+        json.dumps({"data": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+                    "old": None, "type": "INSERT", "ts": 100}),
+        # old[] carries only the changed column (name) — id must be
+        # filled in from the after image
+        json.dumps({"data": [{"id": 1, "name": "a2"}],
+                    "old": [{"name": "a"}], "type": "UPDATE", "ts": 200}),
+        json.dumps({"data": [{"id": 2, "name": "b"}],
+                    "old": None, "type": "DELETE", "ts": 300}),
+    ]
+    raw = spark.createDataFrame([(e,) for e in events], "value string")
+    log = parse_canal(raw, "value", "id bigint, name string")
+    rows = sorted((r["row_kind"], r["id"], r["name"]) for r in log.collect())
+    assert rows == [
+        ("+I", 1, "a"), ("+I", 2, "b"), ("+U", 1, "a2"),
+        ("-D", 2, "b"), ("-U", 1, "a"),
+    ]
+    final = materialize_changelog(log, keys=["id"], seq_col="ts_ms", op_col="row_kind")
+    assert {r["id"]: r["name"] for r in final.collect()} == {1: "a2"}
+
+
+def test_maxwell_single_row_envelope(spark):
+    from flink_1_20_spark.sources.cdc import parse_maxwell
+
+    events = [
+        json.dumps({"data": {"id": 1, "name": "x"}, "old": None,
+                    "type": "insert", "ts": 10}),
+        json.dumps({"data": {"id": 1, "name": "y"}, "old": {"name": "x"},
+                    "type": "update", "ts": 20}),
+        json.dumps({"data": {"id": 1, "name": "y"}, "old": None,
+                    "type": "delete", "ts": 30}),
+    ]
+    raw = spark.createDataFrame([(e,) for e in events], "value string")
+    log = parse_maxwell(raw, "value", "id bigint, name string")
+    rows = sorted((r["row_kind"], r["id"], r["name"]) for r in log.collect())
+    assert rows == [("+I", 1, "x"), ("+U", 1, "y"), ("-D", 1, "y"), ("-U", 1, "x")]
+    final = materialize_changelog(log, keys=["id"], seq_col="ts_ms", op_col="row_kind")
+    assert final.count() == 0  # inserted, updated, then deleted
+
+
 def test_hybrid_source_no_gap_no_overlap(spark, tmp_path):
     hist, live = str(tmp_path / "hist"), str(tmp_path / "live")
     os.makedirs(hist)

@@ -60,6 +60,22 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.25, f"LSH recall regressed: {recall}"
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.operators.simsearch import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, e, "vec_id", "embedding", k=5)
+    approx = ivf_topk(q, e, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # probing half the cells (4 of 8): deterministic given the fixed
+    # lowest-id centroids; measured 0.86 at sf0.001
+    assert recall >= 0.5, f"IVF recall regressed: {recall}"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(1, "abc"), (2, "defgh")], "doc_id bigint, text string")
     out = extract_features(attach_fake_blob(docs, "doc_id", "text")).collect()
