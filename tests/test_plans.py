@@ -1,0 +1,70 @@
+"""Plan-quality regression tests — the 100 TB guardrails.
+
+Correctness tests prove the operators right at small SF; these prove the
+*physical plans* stay scale-appropriate: filters reach the parquet scan,
+projections prune the read schema, small dimensions broadcast instead of
+shuffling, and aggregates keep their partial (map-side) phase. A change
+that silently flips tpch_q5 to a sort-merge join of nation×region would
+still pass correctness — this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_1_20_spark.registry import get_queries
+
+
+def _final_plan(df) -> str:
+    # run the query first so AQE settles on its final physical plan
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return get_queries()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir, queries):
+    plan = _final_plan(queries["tpch_q6_forecast_revenue"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual(l_shipda" in m.group(1), plan
+    s = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in s.group(1).split(",")}
+    # 4 of lineitem's 16 columns — projection reached the scan
+    assert read_cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir, queries):
+    plan = _final_plan(queries["tpch_q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # at sf0.001 every join side under the threshold broadcasts: a
+    # sort-merge join here would shuffle the fact table 5x at scale
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_keeps_partial_aggregation(spark, sf_dir, queries):
+    plan = _final_plan(queries["tpch_q1_pricing_summary"](spark, sf_dir))
+    # partial (map-side) + final HashAggregate pairs; losing the partial
+    # phase means shuffling raw lineitem rows instead of one row per
+    # (returnflag, linestatus) per partition
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir, queries):
+    # window-based annotate-duplicates: exactly ONE exchange (hash on
+    # fingerprint) in the final plan — a second shuffle would double the
+    # network cost of the 100 TB dedup pass
+    plan = _final_plan(queries["dedup_exact"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_lookup_join_no_shuffle_of_fact(spark, sf_dir, queries):
+    plan = _final_plan(queries["lookup_join_dims"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
