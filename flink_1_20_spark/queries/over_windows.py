@@ -307,3 +307,27 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"), money(F.sum("value"), 4).alias("session_value"))
     )
+
+
+_RANGE_TIME_SQL = """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h,
+           round(avg(value) OVER w, 4) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("over_range_time", oracle=_RANGE_TIME_SQL)
+def over_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (RowTimeRangeBoundedPrecedingFunction /
+    RangeSlidingOverFrame.java): per-row aggregate over the trailing
+    hour, frame bounded by a time interval not a row count — rows with
+    equal ts share a frame. Dialect-identical SQL runs on both engines;
+    one shuffle on user_id, sort within partitions."""
+    from flink_1_20_spark.queries._util import V
+
+    V(spark, sf_dir, "events")
+    return spark.sql(_RANGE_TIME_SQL)

@@ -215,3 +215,61 @@ def wtvf_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("window_start").orderBy(F.desc("total_value"), F.asc("event_type"))
     return agg.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 2)
+
+
+@register(
+    "wtvf_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN event_type = 'purchase'
+                    THEN INTERVAL '30 minutes' ELSE INTERVAL '10 minutes'
+               END AS gap
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN max(ts + gap) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ) IS NULL
+                       OR ts >= max(ts + gap) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          )
+                  THEN 1 ELSE 0 END AS new_s
+        FROM g
+    ), sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           max(ts + gap)        AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def wtvf_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (DataStream DynamicSessionWindows /
+    SessionWindowTimeGapExtractor): per-event gap — purchases keep the
+    session alive 30 min, everything else 10. Spark's session_window
+    accepts a gap *expression*; merged window end = max(ts+gap) over the
+    session. Oracle = gaps-and-islands with a running max end (a plain
+    lag is wrong once gaps vary). Single shuffle on user_id either way."""
+    e = T(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
