@@ -11,7 +11,10 @@ per key (`applyInPandas`), then a linear NFA scan per partition-group in
 Python — Arrow-batched, no per-row Python round trips. The NFA is the
 textbook nondeterministic simulation with:
 - contiguity: STRICT (Flink `next`) or RELAXED (`followedBy`)
-- quantifiers: exactly-once, `times(n[, m])`, `one_or_more`, `optional`
+- negative patterns: `not_next` / `not_followed_by` (Pattern.java:338,369;
+  final not_followed_by requires `within`, as in Flink)
+- quantifiers: exactly-once, `times(n[, m])`, `one_or_more`, `optional`,
+  `until` stop condition (Pattern.until:244)
 - `within`: max duration first→last event (Pattern.within:272)
 - after-match skip: PAST_LAST_EVENT or TO_NEXT_ROW
   (AfterMatchSkipStrategy.java:44-82)
@@ -43,6 +46,8 @@ class _Step:
     min_times: int = 1
     max_times: int = 1  # -1 = unbounded (oneOrMore / greedy tail)
     strict: bool = False  # True = Flink `next`, False = `followedBy`
+    negative: bool = False  # notNext / notFollowedBy — consumes no rows
+    until: RowPredicate | None = None  # stop condition for looping steps
 
 
 @dataclass
@@ -95,6 +100,29 @@ class Pattern:
         self.steps[-1].strict = True
         return self
 
+    def not_next(self, name: str, where: RowPredicate) -> "Pattern":
+        """Negative strict contiguity (Pattern.notNext:338): the row
+        immediately after the previous step must NOT match. Consumes no
+        rows."""
+        self.steps.append(_Step(name, where, strict=True, negative=True))
+        return self
+
+    def not_followed_by(self, name: str, where: RowPredicate) -> "Pattern":
+        """Negative relaxed contiguity (Pattern.notFollowedBy:369): no
+        matching row may appear between the previous step and the next
+        one. As the FINAL step it requires `within(...)` (same
+        restriction as Flink) — then it means: no match until the
+        pattern window closes."""
+        self.steps.append(_Step(name, where, strict=False, negative=True))
+        return self
+
+    def until(self, where: RowPredicate) -> "Pattern":
+        """Stop condition for a looping step (Pattern.until:244):
+        repetition stops accumulating at the first row matching
+        `where`."""
+        self.steps[-1].until = where
+        return self
+
     def optional(self) -> "Pattern":
         """(Pattern.optional:397)"""
         self.steps[-1].min_times = 0
@@ -118,7 +146,11 @@ def _precompute(pat: Pattern, pdf: pd.DataFrame) -> tuple:
     per NFA probe), and event-time as an epoch-seconds numpy array."""
     sec = pdf["__ts"].astype("int64").to_numpy() / 1e9
     pmat = [pdf.apply(step.predicate, axis=1).to_numpy() for step in pat.steps]
-    return sec, pmat
+    umat = [
+        pdf.apply(step.until, axis=1).to_numpy() if step.until is not None else None
+        for step in pat.steps
+    ]
+    return sec, pmat, umat
 
 
 def _match_at(
@@ -132,27 +164,54 @@ def _match_at(
     `_precompute` when scanning many anchors over one frame.
     """
     n = len(rows)
-    sec, pmat = pre if pre is not None else _precompute(pat, rows)
+    sec, pmat, umat = pre if pre is not None else _precompute(pat, rows)
     t0 = sec[start]
 
-    def rec(step_i: int, pos: int) -> list[tuple[str, int]] | None:
+    def rec(step_i: int, pos: int, bound: int | None = None) -> list[tuple[str, int]] | None:
         if step_i == len(pat.steps):
             return []
         step = pat.steps[step_i]
+        pm = pmat[step_i]
+        if step.negative:
+            if step.strict:
+                # notNext: the immediately-following row must not match
+                if pos < n and pm[pos]:
+                    return None
+                return rec(step_i + 1, pos)
+            if step_i == len(pat.steps) - 1:
+                # final notFollowedBy — only valid with within (Flink's
+                # restriction): no match until the pattern window closes
+                if pat.within_seconds is None:
+                    raise ValueError("notFollowedBy cannot be the last step without within()")
+                for j in range(pos, n):
+                    if (sec[j] - t0) > pat.within_seconds:
+                        break
+                    if pm[j]:
+                        return None
+                return []
+            # non-final notFollowedBy: the NEXT step's first row must
+            # come no later than the first forbidden row
+            limit = next((j for j in range(pos, n) if pm[j]), n)
+            return rec(step_i + 1, pos, bound=limit)
         # Candidate row positions where this step may begin.
         anchored = step_i == 0
+        hi = n if bound is None else min(n, bound + 1)
         # Collect the maximal run of matches for this step starting at
         # each feasible position, then backtrack over counts.
-        start_positions = [pos] if (anchored or step.strict) else range(pos, n)
+        start_positions = [pos] if (anchored or step.strict) else range(pos, hi)
         for sp in start_positions:
             if sp >= n and step.min_times > 0:
+                break
+            if bound is not None and sp > bound:
                 break
             # run of consecutive (strict) matches from sp
             matches: list[int] = []
             j = sp
-            pm = pmat[step_i]
+            um = umat[step_i]
             while j < n and (step.max_times == -1 or len(matches) < step.max_times):
                 if pat.within_seconds is not None and (sec[j] - t0) > pat.within_seconds:
+                    break
+                if um is not None and um[j]:
                     break
                 if pm[j]:
                     matches.append(j)

@@ -188,6 +188,91 @@ def test_cep_times_exact_and_optional(spark):
     assert {r["user_id"] for r in got2} == {1, 2}
 
 
+def test_cep_not_next(spark):
+    # click immediately followed by error must NOT match; a view between
+    # click and purchase is fine
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "error", 0.0),   # kills user 1: error is the very next row
+        (1, _ts(2), "purchase", 0.0),
+        (2, _ts(0), "click", 0.0),
+        (2, _ts(1), "view", 0.0),
+        (2, _ts(2), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .not_next("x", lambda r: r["event_type"] == "error")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    got = match_recognize(df, ["user_id"], "ts", pat, _fm(), FUNNEL_SCHEMA).collect()
+    assert {x["user_id"] for x in got} == {2}
+
+
+def test_cep_not_followed_by_mid(spark):
+    # no error may appear anywhere between click and purchase
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "view", 0.0),
+        (1, _ts(2), "error", 0.0),   # kills user 1 even though not adjacent
+        (1, _ts(3), "purchase", 0.0),
+        (2, _ts(0), "click", 0.0),
+        (2, _ts(1), "view", 0.0),
+        (2, _ts(2), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .not_followed_by("x", lambda r: r["event_type"] == "error")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    got = match_recognize(df, ["user_id"], "ts", pat, _fm(), FUNNEL_SCHEMA).collect()
+    assert {x["user_id"] for x in got} == {2}
+
+
+def test_cep_not_followed_by_final_requires_within(spark):
+    # final notFollowedBy = "no purchase within the hour after signup"
+    rows = [
+        (1, _ts(0), "signup", 0.0),
+        (1, _ts(30), "purchase", 0.0),   # user 1 purchased → no match
+        (2, _ts(0), "signup", 0.0),
+        (2, _ts(5), "view", 0.0),        # user 2 never purchased → match
+    ]
+    df = _events(spark, rows)
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "signup")
+        .not_followed_by("x", lambda r: r["event_type"] == "purchase")
+        .within(3600)
+    )
+    meas = lambda g: {"start_m": int(g["a"]["ts"].iloc[0].minute), "end_m": 0}  # noqa: E731
+    got = match_recognize(df, ["user_id"], "ts", pat, meas, FUNNEL_SCHEMA).collect()
+    assert {x["user_id"] for x in got} == {2}
+
+
+def test_cep_until_stops_loop(spark):
+    # accumulate views one_or_more but stop at the first error
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "view", 0.0),
+        (1, _ts(2), "view", 0.0),
+        (1, _ts(3), "error", 0.0),
+        (1, _ts(4), "view", 0.0),   # after error — must not be absorbed
+        (1, _ts(5), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .one_or_more()
+        .until(lambda r: r["event_type"] == "error")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    meas = lambda g: {"start_m": int(len(g["b"])), "end_m": int(g["c"]["ts"].iloc[-1].minute)}  # noqa: E731
+    got = match_recognize(df, ["user_id"], "ts", pat, meas, FUNNEL_SCHEMA).collect()
+    assert len(got) == 1
+    assert got[0]["start_m"] == 2  # only the two pre-error views
+
+
 def test_lookup_join_broadcast_plan(spark):
     fact = spark.range(100).withColumnRenamed("id", "k")
     dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k bigint, name string")
