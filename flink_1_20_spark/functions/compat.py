@@ -140,3 +140,28 @@ def parse_url(col: Column | str, part: str, key: str | None = None) -> Column:
     if key is None:
         return F.parse_url(_c(col), F.lit(part))
     return F.parse_url(_c(col), F.lit(part), F.lit(key))
+
+
+# --- TIME(p) emulation (SURVEY.md §1.2: Spark has no TimeType) ---------
+# Flink TIME(p) = time-of-day; represented here as BIGINT nanos-of-day
+# (µs resolution — Spark timestamps are µs; the ns digits are zero).
+
+
+def time_of_day_nanos(ts: Column | str) -> Column:
+    """TIME value of a timestamp as nanos since midnight (DataTypes.TIME;
+    LocalTimeConverter uses the same nano-of-day long internally)."""
+    t = _c(ts)
+    return (F.unix_micros(t) - F.unix_micros(F.date_trunc("day", t))) * F.lit(1000)
+
+
+def time_hour(nanos: Column | str) -> Column:
+    """EXTRACT(HOUR FROM time) over the nanos-of-day encoding."""
+    return F.floor(_c(nanos) / F.lit(3_600_000_000_000)).cast("int")
+
+
+def time_minute(nanos: Column | str) -> Column:
+    return (F.floor(_c(nanos) / F.lit(60_000_000_000)) % 60).cast("int")
+
+
+def time_second(nanos: Column | str) -> Column:
+    return (F.floor(_c(nanos) / F.lit(1_000_000_000)) % 60).cast("int")

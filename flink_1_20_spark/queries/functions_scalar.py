@@ -617,3 +617,40 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h_sha256"),
         F.md5(F.concat("lang", F.lit("|"), "source")).alias("h_key"),
     )
+
+
+@register(
+    "fn_time_type",
+    oracle="""
+    SELECT event_id,
+           (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000 AS tod_nanos,
+           CAST((epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000
+                // 3600000000000 AS INT) AS tod_hour,
+           CAST((epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000
+                // 60000000000 % 60 AS INT) AS tod_minute,
+           CAST((epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000
+                // 1000000000 % 60 AS INT) AS tod_second
+    FROM events
+    WHERE event_id <= 500
+    """,
+)
+def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME(p) emulation (SURVEY.md §1.2 — Spark lacks TimeType; Flink
+    DataTypes.TIME, nano-of-day long): time-of-day as BIGINT nanos +
+    HOUR/MINUTE/SECOND extraction, all JVM-side arithmetic."""
+    from flink_1_20_spark.functions.compat import (
+        time_hour,
+        time_minute,
+        time_of_day_nanos,
+        time_second,
+    )
+
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    nanos = time_of_day_nanos("ts")
+    return e.select(
+        "event_id",
+        nanos.alias("tod_nanos"),
+        time_hour(nanos).alias("tod_hour"),
+        time_minute(nanos).alias("tod_minute"),
+        time_second(nanos).alias("tod_second"),
+    )

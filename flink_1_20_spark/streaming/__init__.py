@@ -13,6 +13,7 @@ batch-as-bounded-stream unification, SURVEY.md §1.3).
 """
 
 from flink_1_20_spark.streaming.cep_stream import match_recognize_stream
+from flink_1_20_spark.streaming.connect import connect_streams, gated_stream, keyed_co_process
 from flink_1_20_spark.streaming.dedup import deduplicate
 from flink_1_20_spark.streaming.process import keyed_process, running_aggregate
 from flink_1_20_spark.streaming.joins import interval_join
@@ -27,7 +28,10 @@ from flink_1_20_spark.streaming.windows import (
 )
 
 __all__ = [
+    "connect_streams",
     "cumulate_window_agg",
+    "gated_stream",
+    "keyed_co_process",
     "deduplicate",
     "file_source",
     "keyed_process",

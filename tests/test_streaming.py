@@ -238,3 +238,44 @@ def test_cumulate_batch_matches_manual(spark, sf_dir):
         for r in e.groupBy(F.window("ts", "1 hour").alias("w")).agg(F.count("*").alias("n")).collect()
     }
     assert full == tumble
+
+
+def test_connected_streams_control_gate(spark, tmp_path):
+    from flink_1_20_spark.streaming import gated_stream
+
+    data_dir, ctrl_dir = str(tmp_path / "data"), str(tmp_path / "ctrl")
+    ctrl_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("enabled", StringType()),  # json bools as strings for simplicity
+        ]
+    )
+    # batch 0: gate opens for user 1 at 10:00; data at 09:59 (gate still
+    # closed) and 10:01 (open); user 2 has data but never a control row
+    _write_batch(data_dir, [("2024-01-01T09:59:00", 1, "d", 1.0),
+                            ("2024-01-01T10:01:00", 1, "d", 2.0),
+                            ("2024-01-01T10:01:00", 2, "d", 9.0)], 0)
+    os.makedirs(ctrl_dir, exist_ok=True)
+    with open(os.path.join(ctrl_dir, "c0.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01T10:00:00", "user_id": 1, "enabled": "true"}) + "\n")
+
+    data = file_source(spark, data_dir, SCHEMA, fmt="json")
+    ctrl = file_source(spark, ctrl_dir, ctrl_schema, fmt="json").withColumn(
+        "enabled", F.col("enabled") == "true"
+    )
+    out = gated_stream(data, ctrl, keys=["user_id"], ts="ts", value_col="value")
+    q = run_to_memory(out, "gate_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # batch 1: no new control rows — the open gate must persist in
+        # state for user 1
+        _write_batch(data_dir, [("2024-01-01T10:05:00", 1, "d", 3.0),
+                                ("2024-01-01T10:05:00", 2, "d", 8.0)], 1)
+        q.processAllAvailable()
+        got = sorted((r["user_id"], r["value"]) for r in spark.table("gate_out").collect())
+    finally:
+        q.stop()
+    # user 1: 2.0 (after gate opened) and 3.0 (next batch, state carried);
+    # 1.0 was pre-gate; user 2 never enabled
+    assert got == [(1, 2.0), (1, 3.0)]
