@@ -77,3 +77,62 @@ def write_partitioned(
     assigner). Readers filtering on `partition_cols` prune whole
     directories — verify via PartitionFilters in the scan plan."""
     df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module is on the classpath. Avro is an
+    *external* Spark module (not bundled with the pip distribution);
+    deployments that need it add `org.apache.spark:spark-avro` to
+    `spark.jars.packages` (flink-formats/flink-avro AvroFormatFactory
+    parity)."""
+    try:
+        spark.range(0).write.format("avro").save(
+            f"/tmp/__avro_probe_{spark.sparkContext.applicationId}"
+        )
+        return True
+    except Exception as ex:  # AnalysisException: Failed to find data source
+        return "Failed to find data source" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Avro read — delegates to the spark-avro module when present,
+    otherwise raises with the deployment instruction (no silent
+    fallback; Avro decoding is not reimplementable in pure Python at
+    acceptable speed)."""
+    try:
+        reader = spark.read.format("avro")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(path)
+    except Exception as ex:
+        if "Failed to find data source" in str(ex):
+            raise NotImplementedError(
+                "spark-avro is not on the classpath; add "
+                "org.apache.spark:spark-avro_2.13:<spark-version> to "
+                "spark.jars.packages"
+            ) from ex
+        raise
+
+
+def decode_protobuf(df: DataFrame, value_col: str, message_name: str, desc_path: str):
+    """Protobuf decode (flink-formats/flink-protobuf parity) — requires
+    the spark-protobuf module plus a compiled descriptor file. Gated:
+    raises if the module is absent (same deployment story as Avro)."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as ex:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.protobuf is unavailable") from ex
+    from pyspark.sql import functions as F
+
+    try:
+        return df.withColumn(
+            "decoded", from_protobuf(F.col(value_col), message_name, desc_path)
+        )
+    except Exception as ex:
+        if "PROTOBUF" in str(ex).upper() or "Failed to find" in str(ex):
+            raise NotImplementedError(
+                "spark-protobuf is not on the classpath; add "
+                "org.apache.spark:spark-protobuf_2.13:<spark-version> to "
+                "spark.jars.packages"
+            ) from ex
+        raise

@@ -72,3 +72,24 @@ def test_running_aggregate_state_across_batches(spark, tmp_path):
             latest[r["user_id"]] = (r["n"], r["total"])
     assert latest[1] == (3, 17.0)
     assert latest[2] == (1, 1.0)
+
+
+def test_avro_protobuf_gated(spark, tmp_path):
+    """Avro/protobuf are external Spark modules — absent here, the
+    helpers must fail loudly with the deployment instruction, never
+    silently mis-read."""
+    import pytest
+
+    from flink_1_20_spark.sources.connectors import (
+        avro_available,
+        decode_protobuf,
+        read_avro,
+    )
+
+    if avro_available(spark):
+        pytest.skip("spark-avro present — gating not exercised")
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "x.avro"))
+    raw = spark.createDataFrame([(bytearray(b"\x00"),)], "value binary")
+    with pytest.raises(NotImplementedError):
+        decode_protobuf(raw, "value", "M", str(tmp_path / "d.desc")).collect()
