@@ -1,0 +1,128 @@
+"""Changelog (retract) stream-stream join — incremental view maintenance.
+
+Reference parity: StreamingJoinOperator.java:36 /
+MiniBatchStreamingJoinOperator.java — Flink's two-sided stateful equi
+join over changelogs: both inputs are kept in keyed state, each incoming
+±row joins the OTHER side's current state and emits ±result rows, so the
+downstream sees a correct changelog of the join view (SURVEY.md §2.3,
+§7 hard list item 3).
+
+Spark-first design: this is textbook incremental view maintenance over
+multiset (count-annotated) relations, expressed in DataFrames:
+
+    Δ(L ⋈ R) = ΔL ⋈ R_new  ∪  L_old ⋈ ΔR
+
+with per-row signed counts multiplying through the join (+·+ = +,
++·− = −, …). Rows carry a `__cnt` weight (+n inserts, −n retracts);
+state = the running count per distinct row of each input. All operations
+are joins/aggregations on DataFrames — Catalyst plans them, every step
+shuffles only on the join key, and the state tables are themselves
+DataFrames (persist to parquet between micro-batches via foreachBatch —
+the engine-managed analogue of Flink's JoinRecordStateViews).
+
+Batch inputs work identically (one "delta" = the whole input), which is
+what the tests exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.changelog import DELETE, INSERT, UPDATE_AFTER, UPDATE_BEFORE
+
+CNT_COL = "__cnt"
+
+
+def changelog_to_counts(df: DataFrame, op_col: str = "op") -> DataFrame:
+    """RowKind rows → signed count annotation: +I/+U contribute +1,
+    -D/-U contribute −1 (the multiset encoding RetractableTopNFunction
+    and the retract aggregates use internally)."""
+    sign = (
+        F.when(F.col(op_col).isin(INSERT, UPDATE_AFTER), F.lit(1))
+        .when(F.col(op_col).isin(DELETE, UPDATE_BEFORE), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return df.withColumn(CNT_COL, sign).drop(op_col)
+
+
+def counts_to_changelog(df: DataFrame, op_col: str = "op") -> DataFrame:
+    """Signed counts → RowKind rows: net positive → +I, net negative →
+    -D (repeated |cnt| times via explode, so consumers that expect one
+    op per row — e.g. materialize_changelog — work unchanged)."""
+    return (
+        df.filter(F.col(CNT_COL) != 0)
+        .withColumn(
+            op_col, F.when(F.col(CNT_COL) > 0, F.lit(INSERT)).otherwise(F.lit(DELETE))
+        )
+        .withColumn("__dup", F.explode(F.sequence(F.lit(1), F.abs(F.col(CNT_COL)))))
+        .drop(CNT_COL, "__dup")
+    )
+
+
+def _consolidate(df: DataFrame) -> DataFrame:
+    """Sum counts per distinct row; drop rows whose net count is 0."""
+    value_cols = [c for c in df.columns if c != CNT_COL]
+    return (
+        df.groupBy(*value_cols)
+        .agg(F.sum(CNT_COL).cast("int").alias(CNT_COL))
+        .filter(F.col(CNT_COL) != 0)
+    )
+
+
+class ChangelogJoin:
+    """Incremental equi-join over two changelogs.
+
+    Feed `process(delta_left, delta_right)` count-annotated deltas
+    (see `changelog_to_counts`); it returns the join's output delta and
+    folds the inputs into the retained state. Use from `foreachBatch`
+    for streaming (persist `state_left`/`state_right` to parquet between
+    batches and reload), or call once with full inputs for batch.
+
+    Columns: join on `on` (equi keys present in both inputs); all other
+    columns pass through (left's then right's, keys once).
+    """
+
+    def __init__(self, on: list[str]):
+        self.on = list(on)
+        self.state_left: DataFrame | None = None
+        self.state_right: DataFrame | None = None
+
+    @staticmethod
+    def _join_counts(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+        l = left.withColumnRenamed(CNT_COL, "__cl")
+        r = right.withColumnRenamed(CNT_COL, "__cr")
+        joined = l.join(r, on, "inner")
+        out_cols = [c for c in joined.columns if c not in ("__cl", "__cr")]
+        return joined.select(
+            *out_cols, (F.col("__cl") * F.col("__cr")).alias(CNT_COL)
+        )
+
+    def process(self, delta_left: DataFrame | None, delta_right: DataFrame | None) -> DataFrame:
+        """One micro-batch step: returns Δ(L ⋈ R) as count-annotated
+        rows (consolidate with `counts_to_changelog` for ±I/±D ops)."""
+        spark = (delta_left or delta_right).sparkSession
+        on = self.on
+
+        def empty_like(df: DataFrame) -> DataFrame:
+            return spark.createDataFrame([], df.schema)
+
+        dl = delta_left if delta_left is not None else empty_like(self.state_left)
+        dr = delta_right if delta_right is not None else empty_like(self.state_right)
+        l_old = self.state_left if self.state_left is not None else empty_like(dl)
+        r_old = self.state_right if self.state_right is not None else empty_like(dr)
+
+        r_new = _consolidate(r_old.unionByName(dr)) if dr is not None else r_old
+        # Δ(L⋈R) = ΔL ⋈ R_new ∪ L_old ⋈ ΔR  (no double count: ΔL⋈ΔR
+        # appears exactly once, inside the first term)
+        part1 = self._join_counts(dl, r_new, on)
+        part2 = self._join_counts(l_old, dr, on)
+        delta_out = _consolidate(part1.unionByName(part2))
+
+        self.state_left = _consolidate(l_old.unionByName(dl))
+        self.state_right = r_new
+        return delta_out
+
+    def materialized(self) -> DataFrame:
+        """Current full join view (for tests / late consumers)."""
+        return self._join_counts(self.state_left, self.state_right, self.on)

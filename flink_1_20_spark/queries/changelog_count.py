@@ -103,3 +103,52 @@ def count_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "changelog_join_incremental",
+    oracle="""
+    SELECT o_orderkey, c_custkey AS k, round(o_totalprice, 2) AS price,
+           c_name, '+I' AS op
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus <> 'F'
+    """,
+)
+def changelog_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog equi-join (StreamingJoinOperator.java:36) driven in one
+    batch: orders arrive as +I, status-'F' orders are then retracted
+    (-D), customers are all +I. The incremental join's net output must
+    equal the plain join of the net inputs — which is exactly what the
+    oracle computes. Exercises the ΔL⋈R ∪ L⋈ΔR multiset path end-to-end."""
+    from flink_1_20_spark.operators.changelog_join import (
+        ChangelogJoin,
+        changelog_to_counts,
+        counts_to_changelog,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    left_ins = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit("+I").alias("op"),
+    )
+    left_del = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.lit("-D").alias("op"),
+        )
+    )
+    right_ins = c.select(
+        F.col("c_custkey").alias("k"), "c_name", F.lit("+I").alias("op")
+    )
+    j = ChangelogJoin(on=["k"])
+    delta = j.process(
+        changelog_to_counts(left_ins.unionByName(left_del)),
+        changelog_to_counts(right_ins),
+    )
+    return counts_to_changelog(delta).select("o_orderkey", "k", "price", "c_name", "op")

@@ -1,0 +1,76 @@
+"""Changelog join: incremental delta output must track the full
+recomputed join after every batch (the StreamingJoinOperator invariant —
+downstream materialization equals join-of-materializations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.changelog_join import (
+    CNT_COL,
+    ChangelogJoin,
+    _consolidate,
+    changelog_to_counts,
+    counts_to_changelog,
+)
+
+L_SCHEMA = "k bigint, amount double, op string"
+R_SCHEMA = "k bigint, name string, op string"
+
+
+def _counts(spark, rows, schema):
+    return changelog_to_counts(spark.createDataFrame(rows, schema))
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_changelog_join_tracks_recompute(spark):
+    j = ChangelogJoin(on=["k"])
+    acc = None  # accumulated output deltas = downstream materialization
+
+    def step(dl_rows, dr_rows):
+        nonlocal acc
+        delta = j.process(
+            _counts(spark, dl_rows, L_SCHEMA), _counts(spark, dr_rows, R_SCHEMA)
+        )
+        acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+        assert _as_set(acc) == _as_set(j.materialized()), "delta drifted from recompute"
+
+    # batch 1: two orders, one customer → join has exactly (1, 10.0, x)
+    step(
+        [(1, 10.0, "+I"), (2, 20.0, "+I")],
+        [(1, "x", "+I")],
+    )
+    assert _as_set(acc) == {(1, 10.0, "x", 1)}
+
+    # batch 2: customer 2 appears (late-arriving right side joins the
+    # RETAINED left state), customer 1 renamed via -D/+I, order 2 retracted
+    step(
+        [(2, 20.0, "-D")],
+        [(2, "y", "+I"), (1, "x", "-D"), (1, "x2", "+I")],
+    )
+    assert _as_set(acc) == {(1, 10.0, "x2", 1)}
+
+    # batch 3: duplicate insert → multiset count 2 for the same row
+    step([(1, 10.0, "+I")], [])
+    assert _as_set(acc) == {(1, 10.0, "x2", 2)}
+
+
+def test_counts_changelog_roundtrip(spark):
+    log = spark.createDataFrame(
+        [(1, "a", "+I"), (1, "a", "+I"), (1, "a", "-D"), (2, "b", "+U"), (3, "c", "-U")],
+        "k bigint, v string, op string",
+    )
+    net = _consolidate(changelog_to_counts(log))
+    assert _as_set(net) == {(1, "a", 1), (2, "b", 1), (3, "c", -1)}
+    ops = counts_to_changelog(net)
+    got = sorted((r["k"], r["v"], r["op"]) for r in ops.collect())
+    assert got == [(1, "a", "+I"), (2, "b", "+I"), (3, "c", "-D")]
+
+
+def test_counts_to_changelog_expands_multiplicity(spark):
+    two = spark.createDataFrame([(1, "a", 2), (2, "b", -2)], f"k bigint, v string, {CNT_COL} int")
+    got = sorted((r["k"], r["op"]) for r in counts_to_changelog(two).collect())
+    assert got == [(1, "+I"), (1, "+I"), (2, "-D"), (2, "-D")]
