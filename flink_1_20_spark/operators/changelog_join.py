@@ -81,10 +81,19 @@ class ChangelogJoin:
 
     Columns: join on `on` (equi keys present in both inputs); all other
     columns pass through (left's then right's, keys once).
+
+    `how="left"` adds Flink's outer-join null-padding semantics
+    (OuterJoinRecordStateViews.java): an unmatched left row emits a
+    null-padded result, and the arrival of its first match RETRACTS the
+    padded row while emitting the joined one — computed as the delta of
+    the anti-join between consecutive states.
     """
 
-    def __init__(self, on: list[str]):
+    def __init__(self, on: list[str], how: str = "inner"):
+        if how not in ("inner", "left"):
+            raise ValueError("how must be 'inner' or 'left'")
         self.on = list(on)
+        self.how = how
         self.state_left: DataFrame | None = None
         self.state_right: DataFrame | None = None
 
@@ -112,17 +121,57 @@ class ChangelogJoin:
         l_old = self.state_left if self.state_left is not None else empty_like(dl)
         r_old = self.state_right if self.state_right is not None else empty_like(dr)
 
-        r_new = _consolidate(r_old.unionByName(dr)) if dr is not None else r_old
+        r_new = _consolidate(r_old.unionByName(dr))
+        l_new = _consolidate(l_old.unionByName(dl))
         # Δ(L⋈R) = ΔL ⋈ R_new ∪ L_old ⋈ ΔR  (no double count: ΔL⋈ΔR
         # appears exactly once, inside the first term)
         part1 = self._join_counts(dl, r_new, on)
         part2 = self._join_counts(l_old, dr, on)
         delta_out = _consolidate(part1.unionByName(part2))
 
-        self.state_left = _consolidate(l_old.unionByName(dl))
+        if self.how == "left":
+            # null-padding delta: pad(L,R) = L ⋉̸ R (anti-join, counts
+            # pass through); Δpad = pad(L_new,R_new) − pad(L_old,R_old)
+            right_val_cols = [
+                (c, t) for c, t in dr.dtypes if c not in on and c != CNT_COL
+            ]
+
+            def pad(l: DataFrame, r: DataFrame) -> DataFrame:
+                unmatched = l.join(r.select(*on).distinct(), on, "left_anti")
+                padded = unmatched.select(
+                    *[c for c in unmatched.columns if c != CNT_COL],
+                    *[F.lit(None).cast(t).alias(c) for c, t in right_val_cols],
+                    F.col(CNT_COL),
+                )
+                return padded
+
+            pad_new = pad(l_new, r_new)
+            pad_old = pad(l_old, r_old).withColumn(CNT_COL, -F.col(CNT_COL))
+            delta_pad = _consolidate(pad_new.unionByName(pad_old))
+            delta_out = _consolidate(
+                delta_out.unionByName(delta_pad.select(*delta_out.columns))
+            )
+
+        self.state_left = l_new
         self.state_right = r_new
         return delta_out
 
     def materialized(self) -> DataFrame:
         """Current full join view (for tests / late consumers)."""
-        return self._join_counts(self.state_left, self.state_right, self.on)
+        inner = self._join_counts(self.state_left, self.state_right, self.on)
+        if self.how != "left":
+            return inner
+        right_val_cols = [
+            (c, t)
+            for c, t in self.state_right.dtypes
+            if c not in self.on and c != CNT_COL
+        ]
+        unmatched = self.state_left.join(
+            self.state_right.select(*self.on).distinct(), self.on, "left_anti"
+        )
+        padded = unmatched.select(
+            *[c for c in unmatched.columns if c != CNT_COL],
+            *[F.lit(None).cast(t).alias(c) for c, t in right_val_cols],
+            F.col(CNT_COL),
+        )
+        return inner.unionByName(padded.select(*inner.columns))

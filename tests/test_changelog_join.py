@@ -74,3 +74,34 @@ def test_counts_to_changelog_expands_multiplicity(spark):
     two = spark.createDataFrame([(1, "a", 2), (2, "b", -2)], f"k bigint, v string, {CNT_COL} int")
     got = sorted((r["k"], r["op"]) for r in counts_to_changelog(two).collect())
     assert got == [(1, "+I"), (1, "+I"), (2, "-D"), (2, "-D")]
+
+
+def test_changelog_left_outer_pad_retraction(spark):
+    """The outer-join state machine (OuterJoinRecordStateViews): an
+    unmatched left row emits a null-padded result; its first match
+    retracts the pad and emits the joined row; retracting the last
+    match re-emits the pad."""
+    j = ChangelogJoin(on=["k"], how="left")
+    acc = None
+
+    def step(dl_rows, dr_rows):
+        nonlocal acc
+        delta = j.process(
+            _counts(spark, dl_rows, L_SCHEMA), _counts(spark, dr_rows, R_SCHEMA)
+        )
+        acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+        assert _as_set(acc) == _as_set(j.materialized())
+        return delta
+
+    # order 1 arrives with no customer → null-padded
+    step([(1, 10.0, "+I")], [])
+    assert _as_set(acc) == {(1, 10.0, None, 1)}
+
+    # customer 1 arrives → pad retracted, joined row emitted
+    d = step([], [(1, "x", "+I")])
+    assert _as_set(d) == {(1, 10.0, "x", 1), (1, 10.0, None, -1)}
+    assert _as_set(acc) == {(1, 10.0, "x", 1)}
+
+    # customer 1 retracted → joined row retracted, pad comes back
+    step([], [(1, "x", "-D")])
+    assert _as_set(acc) == {(1, 10.0, None, 1)}
