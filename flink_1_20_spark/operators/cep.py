@@ -133,10 +133,17 @@ class Pattern:
         self.within_seconds = seconds
         return self
 
-    def after_match_skip(self, strategy: str) -> "Pattern":
-        if strategy not in ("PAST_LAST_EVENT", "TO_NEXT_ROW"):
+    def after_match_skip(self, strategy: str, step: str | None = None) -> "Pattern":
+        """AfterMatchSkipStrategy.java:44-82: PAST_LAST_EVENT,
+        TO_NEXT_ROW, SKIP_TO_FIRST/SKIP_TO_LAST (which require the step
+        name to skip to — resume at that step's first/last matched
+        row)."""
+        if strategy not in ("PAST_LAST_EVENT", "TO_NEXT_ROW", "SKIP_TO_FIRST", "SKIP_TO_LAST"):
             raise ValueError(strategy)
+        if strategy in ("SKIP_TO_FIRST", "SKIP_TO_LAST") and not step:
+            raise ValueError(f"{strategy} requires the target step name")
         self.skip = strategy
+        self.skip_step = step
         return self
 
 

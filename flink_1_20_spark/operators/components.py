@@ -14,8 +14,9 @@ near-dup graphs are unions of small cliques, so 2-4 rounds in practice.
 
 Scale: each round is one join (labels ⋈ edges) + one min-aggregation,
 both shuffling on the node id — the standard large-scale CC
-(Kiveris et al., "Connected Components in MapReduce and Beyond").
-checkpoint_every truncates the growing lineage.
+(Kiveris et al., "Connected Components in MapReduce and Beyond"). The
+edge list and each round's labels are checkpointed so lineage stays
+O(1) and the (expensive) pair-generation upstream runs exactly once.
 """
 
 from __future__ import annotations
@@ -29,32 +30,40 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's min id.
 
     Returns (node, component). Deterministic: component = smallest node
     id in the connected component."""
+    # Materialize the edge list ONCE: `pairs` usually carries an
+    # expensive lineage (MinHash banding, signature joins) that must not
+    # be recomputed every round. On a cluster this would be
+    # `.checkpoint()` to reliable storage.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    for i in range(max_iter):
+    for _ in range(max_iter):
         # candidate labels via one hop: neighbor's current label
         nbr = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
+        # eager checkpoint per round: each iteration is then exactly one
+        # join+min-agg job over materialized inputs (lineage stays O(1))
         new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("component").alias("component"))
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        # converged when no label changed
+        # converged when no label changed (both sides materialized —
+        # this probe join is cheap)
         changed = (
             labels.withColumnRenamed("component", "old")
             .join(new_labels, "node")

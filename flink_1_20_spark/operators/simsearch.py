@@ -102,6 +102,63 @@ def random_hyperplane_buckets(
     return v.select("vid", bucket.alias("bucket"))
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via block-matrix multiplication.
+
+    One side (the full corpus) is collected, L2-normalized, and
+    broadcast; each partition then computes its block's similarities to
+    everything in a single BLAS GEMM inside `mapInPandas` — thousands of
+    pairs per fused multiply instead of one JVM expression tree per pair
+    (~10-50x over the crossJoin+zip_with formulation). Emits (id_a,
+    id_b, cos) with id_a < id_b.
+
+    Scale: this is the classic blocked similarity join — the broadcast
+    side must fit in executor memory (64-dim floats: ~0.5 GB per million
+    vectors). Beyond that, pre-bucket with `random_hyperplane_buckets`
+    or `ivf_assign` and run this per bucket/cell.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    src = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    rows = src.collect()
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        import pandas as pd
+
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ all_mat.T
+            bi, ci = np.where(sims >= threshold)
+            ia, ib = pdf["vid"].to_numpy()[bi], all_ids[ci]
+            keep = ia < ib
+            yield pd.DataFrame(
+                {
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
+                    "cos": np.round(sims[bi, ci][keep], round_to),
+                }
+            )
+
+    return src.mapInPandas(gen, "id_a bigint, id_b bigint, cos double")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
