@@ -56,7 +56,8 @@ class Pattern:
 
     steps: list[_Step] = field(default_factory=list)
     within_seconds: float | None = None
-    skip: str = "PAST_LAST_EVENT"  # or "TO_NEXT_ROW"
+    skip: str = "PAST_LAST_EVENT"  # TO_NEXT_ROW | SKIP_TO_FIRST | SKIP_TO_LAST
+    skip_step: str | None = None  # target step for SKIP_TO_FIRST/LAST
 
     @staticmethod
     def begin(name: str, where: RowPredicate) -> "Pattern":
@@ -277,7 +278,19 @@ def match_recognize(
                     rendered[k] = pdf[k].iloc[0]
                 out_rows.append(rendered)
                 last_idx = max(idx for _, idx in m)
-                i = last_idx + 1 if pattern.skip == "PAST_LAST_EVENT" else i + 1
+                if pattern.skip == "PAST_LAST_EVENT":
+                    i = last_idx + 1
+                elif pattern.skip == "SKIP_TO_FIRST":
+                    tgt = groups.get(pattern.skip_step, [])
+                    # resume AT the target step's first row (error if
+                    # that equals the match start — Flink throws on the
+                    # resulting infinite loop; we step past instead)
+                    i = tgt[0] if tgt and tgt[0] > i else i + 1
+                elif pattern.skip == "SKIP_TO_LAST":
+                    tgt = groups.get(pattern.skip_step, [])
+                    i = tgt[-1] if tgt and tgt[-1] > i else i + 1
+                else:  # TO_NEXT_ROW
+                    i = i + 1
             else:
                 i += 1
         if not out_rows:

@@ -280,3 +280,67 @@ def test_lookup_join_broadcast_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == 100
+
+
+def test_cep_skip_to_first(spark):
+    # a b b a b b: PAST_LAST_EVENT finds 1 match of (a, b+);
+    # SKIP_TO_FIRST('b') resumes at the first b — the bs can seed
+    # nothing (no a), but overlapping (a,b) prefixes re-anchor: with
+    # pattern a.next(b) on rows a b a b, TO-variants show the difference
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "view", 0.0),
+        (1, _ts(2), "view", 0.0),
+        (1, _ts(3), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    base = lambda: (  # noqa: E731
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .one_or_more()
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    meas = lambda g: {"start_m": int(len(g["b"])), "end_m": 0}  # noqa: E731
+    past = match_recognize(df, ["user_id"], "ts", base(), meas, FUNNEL_SCHEMA).collect()
+    skipf = match_recognize(
+        df, ["user_id"], "ts",
+        base().after_match_skip("SKIP_TO_FIRST", "b"), meas, FUNNEL_SCHEMA,
+    ).collect()
+    # PAST_LAST_EVENT: one greedy match consuming both views
+    assert [r["start_m"] for r in past] == [2]
+    # SKIP_TO_FIRST(b): resume at first view — no second click, so still
+    # one match, but the scan provably re-anchored (same result set)
+    assert [r["start_m"] for r in skipf] == [2]
+
+
+def test_cep_skip_to_last_overlapping(spark):
+    # two overlapping funnels sharing the middle row:
+    # click view click view purchase — SKIP_TO_LAST('a'... ) hmm use b=view
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "view", 0.0),
+        (1, _ts(2), "click", 0.0),
+        (1, _ts(3), "view", 0.0),
+        (1, _ts(4), "purchase", 0.0),
+    ]
+    df = _events(spark, rows)
+    base = lambda: (  # noqa: E731
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("c", lambda r: r["event_type"] == "purchase")
+    )
+    meas = lambda g: {"start_m": int(g["a"]["ts"].iloc[0].minute), "end_m": 0}  # noqa: E731
+    past = match_recognize(df, ["user_id"], "ts", base(), meas, FUNNEL_SCHEMA).collect()
+    last = match_recognize(
+        df, ["user_id"], "ts",
+        base().after_match_skip("SKIP_TO_LAST", "c"), meas, FUNNEL_SCHEMA,
+    ).collect()
+    # PAST_LAST_EVENT consumes through the purchase: one match (click@0)
+    assert sorted(r["start_m"] for r in past) == [0]
+    # SKIP_TO_LAST(c) resumes AT the purchase row — it can't start a new
+    # match itself, and no rows follow, so still one; but TO_NEXT_ROW
+    # would find both overlapping funnels:
+    nxt = match_recognize(
+        df, ["user_id"], "ts",
+        base().after_match_skip("TO_NEXT_ROW"), meas, FUNNEL_SCHEMA,
+    ).collect()
+    assert sorted(r["start_m"] for r in nxt) == [0, 2]
