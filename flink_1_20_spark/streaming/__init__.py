@@ -16,7 +16,7 @@ from flink_1_20_spark.streaming.cep_stream import match_recognize_stream
 from flink_1_20_spark.streaming.connect import connect_streams, gated_stream, keyed_co_process
 from flink_1_20_spark.streaming.dedup import deduplicate
 from flink_1_20_spark.streaming.process import keyed_process, running_aggregate
-from flink_1_20_spark.streaming.joins import interval_join
+from flink_1_20_spark.streaming.joins import interval_join, window_join
 from flink_1_20_spark.streaming.sinks import run_to_memory, upsert_foreach_batch
 from flink_1_20_spark.streaming.sources import file_source, rate_source
 from flink_1_20_spark.streaming.temporal_stream import temporal_join_stream
@@ -45,4 +45,5 @@ __all__ = [
     "temporal_join_stream",
     "tumble_window_agg",
     "upsert_foreach_batch",
+    "window_join",
 ]

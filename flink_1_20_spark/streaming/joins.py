@@ -45,3 +45,32 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(right, cond, how)
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    size: str,
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Window join (StreamExecWindowJoin.java:69 → WindowJoinOperator):
+    rows join iff they share the key AND fall in the same tumbling
+    window. Spark-native: equi-join on the `window(ts, size)` struct —
+    bounded state (one window per side), cleaned up as the watermark
+    passes each window end. Output carries window_start/window_end.
+    Works unchanged on batch inputs."""
+    if watermark is not None:
+        if left.isStreaming:
+            left = left.withWatermark(left_ts, watermark)
+        if right.isStreaming:
+            right = right.withWatermark(right_ts, watermark)
+    l = left.withColumn("__w", F.window(left_ts, size))
+    r = right.withColumn("__w", F.window(right_ts, size))
+    joined = l.join(r, [*keys, "__w"], how)
+    return joined.withColumn("window_start", F.col("__w.start")).withColumn(
+        "window_end", F.col("__w.end")
+    ).drop("__w")

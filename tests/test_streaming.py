@@ -279,3 +279,32 @@ def test_connected_streams_control_gate(spark, tmp_path):
     # user 1: 2.0 (after gate opened) and 3.0 (next batch, state carried);
     # 1.0 was pre-gate; user 2 never enabled
     assert got == [(1, 2.0), (1, 3.0)]
+
+
+def test_streaming_window_join(spark, tmp_path):
+    from flink_1_20_spark.streaming import window_join
+
+    left_dir, right_dir = str(tmp_path / "wl"), str(tmp_path / "wr")
+    # same 5-min window [10:00,10:05) & user 1 → join; user 2's rows are
+    # in different windows → no join
+    _write_batch(left_dir, [("2024-01-01T10:01:00", 1, "order", 10.0),
+                            ("2024-01-01T10:02:00", 2, "order", 20.0)], 0)
+    _write_batch(right_dir, [("2024-01-01T10:03:00", 1, "ship", 1.0),
+                             ("2024-01-01T10:07:00", 2, "ship", 2.0)], 0)
+    l = file_source(spark, left_dir, SCHEMA, fmt="json").withColumnRenamed("ts", "lts")
+    r = (
+        file_source(spark, right_dir, SCHEMA, fmt="json")
+        .withColumnRenamed("ts", "rts")
+        .select("rts", "user_id", F.col("value").alias("rvalue"))
+    )
+    out = window_join(
+        l, r, keys=["user_id"], left_ts="lts", right_ts="rts",
+        size="5 minutes", watermark="1 minute",
+    ).select("user_id", "value", "rvalue", "window_start")
+    q = run_to_memory(out, "wj_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = [(r["user_id"], r["value"], r["rvalue"]) for r in spark.table("wj_out").collect()]
+    finally:
+        q.stop()
+    assert got == [(1, 10.0, 1.0)]
