@@ -68,3 +68,36 @@ def test_lookup_join_no_shuffle_of_fact(spark, sf_dir, queries):
     plan = _final_plan(queries["lookup_join_dims"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioning_family_exchanges(spark):
+    """Each keyBy-family helper must produce exactly the Exchange it
+    documents (DataStream.java:321-512 mapping)."""
+    from flink_1_20_spark.operators.partitioning import (
+        global_single,
+        key_by,
+        partition_custom,
+        rebalance,
+        rescale,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+
+    plan = key_by(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan
+
+    plan = rebalance(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobinpartitioning(8" in plan.lower() or "RoundRobinPartitioning(8" in plan
+
+    # rescale/global: coalesce — a narrow dependency, NO Exchange
+    plan = rescale(df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan = global_single(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    plan = (
+        partition_custom(df, F.pmod(F.hash("k"), F.lit(16)), 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(__pc" in plan
