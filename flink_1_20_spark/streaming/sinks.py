@@ -89,3 +89,27 @@ def foreach_batch_sink(
 ) -> "StreamingQuery":  # noqa: F821
     """Generic per-micro-batch callback (Flink SinkFunction.invoke)."""
     return df.writeStream.foreachBatch(fn).start()
+
+
+def side_output_sink(
+    df: DataFrame,
+    side_predicate: "F.Column",
+    main_fn: Callable[[DataFrame, int], None],
+    side_fn: Callable[[DataFrame, int], None],
+) -> "StreamingQuery":  # noqa: F821
+    """Side outputs (SingleOutputStreamOperator.getSideOutput:402 /
+    ProcessFunction ctx.output): one pass over each micro-batch, rows
+    matching `side_predicate` routed to `side_fn`, the rest to
+    `main_fn`. The batch is persisted so the two filters don't recompute
+    the upstream — the Spark-idiomatic form of Flink's tagged side
+    streams (single scan, two sinks)."""
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            side_fn(batch.filter(side_predicate), batch_id)
+            main_fn(batch.filter(~side_predicate), batch_id)
+        finally:
+            batch.unpersist()
+
+    return df.writeStream.foreachBatch(route).start()

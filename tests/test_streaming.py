@@ -308,3 +308,25 @@ def test_streaming_window_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, 10.0, 1.0)]
+
+
+def test_side_output_sink_routes_both_ways(spark, tmp_path):
+    from flink_1_20_spark.streaming.sinks import side_output_sink
+
+    src = str(tmp_path / "in")
+    _write_batch(src, ROWS, 0)
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    main_rows, side_rows = [], []
+    q = side_output_sink(
+        stream,
+        F.col("event_type") == "view",  # views go to the side output
+        lambda b, _id: main_rows.extend(b.collect()),
+        lambda b, _id: side_rows.extend(b.collect()),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["event_type"] for r in main_rows} == {"click"}
+    assert {r["event_type"] for r in side_rows} == {"view"}
+    assert len(main_rows) + len(side_rows) == len(ROWS)
