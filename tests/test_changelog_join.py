@@ -105,3 +105,63 @@ def test_changelog_left_outer_pad_retraction(spark):
     # customer 1 retracted → joined row retracted, pad comes back
     step([], [(1, "x", "-D")])
     assert _as_set(acc) == {(1, 10.0, None, 1)}
+
+
+def test_changelog_join_foreachbatch_streaming(spark, tmp_path):
+    """The documented streaming wiring: deltas arrive per micro-batch
+    through foreachBatch; the join state carries across batches."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    src = str(tmp_path / "cdc")
+    os.makedirs(src, exist_ok=True)
+
+    def write(batch_no, rows):
+        with open(os.path.join(src, f"b{batch_no}.json"), "w") as f:
+            for side, k, payload, op in rows:
+                f.write(json.dumps(
+                    {"side": side, "k": k, "payload": payload, "op": op}) + "\n")
+
+    schema = StructType([
+        StructField("side", StringType()),
+        StructField("k", LongType()),
+        StructField("payload", StringType()),
+        StructField("op", StringType()),
+    ])
+    write(0, [("L", 1, "a10", "+I"), ("R", 1, "x", "+I"), ("L", 2, "a20", "+I")])
+
+    j = ChangelogJoin(on=["k"])
+    out_deltas = []
+
+    def step(batch, _bid):
+        # split the tagged CDC stream into the two join inputs
+        dl = changelog_to_counts(
+            batch.filter(F.col("side") == "L").select("k", F.col("payload").alias("lv"), "op"))
+        dr = changelog_to_counts(
+            batch.filter(F.col("side") == "R").select("k", F.col("payload").alias("rv"), "op"))
+        out_deltas.extend(j.process(dl, dr).collect())
+
+    stream = (
+        spark.readStream.schema(schema).json(src)
+    )
+    q = stream.writeStream.foreachBatch(step).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: right row for k=2 arrives late; k=1 right retracted
+        write(1, [("R", 2, "y", "+I"), ("R", 1, "x", "-D")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc = {}
+    for r in out_deltas:
+        key = (r["k"], r["lv"], r["rv"])
+        acc[key] = acc.get(key, 0) + r[CNT_COL]
+    net = {k: v for k, v in acc.items() if v != 0}
+    # k=1 joined then retracted; k=2 joined against retained left state
+    assert net == {(2, "a20", "y"): 1}
