@@ -253,3 +253,57 @@ def join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w_start", "user_id")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "cogroup_custkey",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS custkey, round(max(c_acctbal), 2) AS acctbal,
+                      count(*) AS n_cust
+               FROM customer GROUP BY c_custkey),
+         o AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+                      round(sum(o_totalprice), 2) AS total_price
+               FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           acctbal,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_price, 0.0) AS total_price
+    FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+    """,
+)
+def cogroup_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroup (DataStream.coGroup:748 / DataSet.coGroup:1041): both
+    inputs' rows for a key delivered to ONE user function — keys present
+    on either side included. Direct Spark mapping:
+    groupby().cogroup().applyInPandas (Arrow-batched both sides). The
+    oracle reformulates as full-outer-joined per-side aggregates — the
+    declarative plan you'd prefer when the logic IS expressible; cogroup
+    earns its keep when it isn't (custom pairing, ordered merges)."""
+    import pandas as pd
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def fn(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        key = int(cust["c_custkey"].iloc[0]) if len(cust) else int(orders["o_custkey"].iloc[0])
+        return pd.DataFrame(
+            [
+                {
+                    "custkey": key,
+                    "n_cust": len(cust),
+                    "acctbal": round(float(cust["c_acctbal"].max()), 2) if len(cust) else None,
+                    "n_orders": len(orders),
+                    "total_price": round(float(orders["o_totalprice"].sum()), 2),
+                }
+            ]
+        )
+
+    return (
+        c.groupby("c_custkey")
+        .cogroup(o.groupby("o_custkey"))
+        .applyInPandas(
+            fn,
+            "custkey bigint, n_cust bigint, acctbal double, n_orders bigint, total_price double",
+        )
+    )
