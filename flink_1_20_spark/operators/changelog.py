@@ -58,3 +58,11 @@ def changelog_agg(
         F.sum(F.col(value_col) * F.col("__sign")).alias("net_value"),
         F.sum("__sign").alias("live_rows"),
     )
+
+
+def drop_update_before(df: DataFrame, op_col: str = "op") -> DataFrame:
+    """DropUpdateBefore (StreamExecDropUpdateBefore.java:55): strip -U
+    rows for sinks that key on the primary key and only need the after
+    image (upsert sinks). A plain filter — kept as a named operator so
+    pipelines read like the reference's plans."""
+    return df.filter(F.col(op_col) != UPDATE_BEFORE)
