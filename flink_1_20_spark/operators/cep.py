@@ -265,9 +265,17 @@ def match_recognize(
         pdf = pdf.sort_values([ts, *tiebreak], kind="mergesort").reset_index(drop=True)
         pdf["__ts"] = pdf[ts]
         pre = _precompute(pattern, pdf)
+        # vectorized anchor gate: rows failing the first step's predicate
+        # can never start a match (unless that step is optional) — skip
+        # the per-row NFA probe entirely for them
+        first = pattern.steps[0]
+        can_anchor = None if (first.min_times == 0 or first.negative) else pre[1][0]
         out_rows: list[dict] = []
         i = 0
         while i < len(pdf):
+            if can_anchor is not None and not can_anchor[i]:
+                i += 1
+                continue
             m = _match_at(pattern, pdf, i, pre)
             if m:
                 groups: dict[str, list[int]] = {}
