@@ -103,3 +103,66 @@ def temporal_join_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def proctime_temporal_join(
+    events: DataFrame,
+    dim_updates: DataFrame,
+    key: str,
+    event_ts: str,
+    event_payload: list[str],
+    dim_payload: list[str],
+    output_schema: str,
+) -> DataFrame:
+    """Processing-time temporal join
+    (TemporalProcessTimeJoinOperator.java:48): each event joins the
+    dim's LATEST version as of processing time — no version history, no
+    event-time alignment. State = one row per key (vs the version list
+    of the row-time variant); arrival order decides, which is exactly
+    Flink's proc-time semantics. Same tagged-union wiring as
+    `temporal_join_stream`."""
+    tagged_events = events.select(
+        F.col(key).alias("__k"),
+        F.col(event_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.to_json(F.struct(*event_payload)).alias("__payload"),
+    )
+    tagged_dim = dim_updates.select(
+        F.col(key).alias("__k"),
+        F.lit(None).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.to_json(F.struct(*dim_payload)).alias("__payload"),
+    )
+    unioned = tagged_events.unionByName(tagged_dim)
+
+    def fn(k: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        latest: str | None = state.get[0] if state.exists else None
+        rows = []
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                rows.append((int(r["__side"]), r["__t"], r["__payload"]))
+        out: list[dict] = []
+        # dim updates apply before events within a batch (micro-batch
+        # granularity of "processing time"; ties build-side-first)
+        for side, t, payload in sorted(rows, key=lambda x: -x[0]):
+            if side == 1:
+                latest = payload
+            else:
+                rec = {"__k": k[0], "ts": t.isoformat(), **json.loads(payload)}
+                dimvals = json.loads(latest) if latest else {}
+                for c in dim_payload:
+                    rec[c] = dimvals.get(c)
+                out.append(rec)
+        state.update((latest,))
+        if out:
+            pdf_out = pd.DataFrame(out).rename(columns={"__k": key})
+            pdf_out["ts"] = pd.to_datetime(pdf_out["ts"])
+            yield pdf_out
+
+    return unioned.groupBy("__k").applyInPandasWithState(
+        fn,
+        output_schema,
+        "latest string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

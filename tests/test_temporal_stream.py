@@ -54,3 +54,35 @@ def test_temporal_join_stream_versions(spark, tmp_path):
         "2024-01-01T11:00:00": (5, 20.0),
         "2024-01-01T09:00:00": (1, None),
     }
+
+
+def test_proctime_temporal_join_latest_wins(spark, tmp_path):
+    from flink_1_20_spark.streaming.temporal_stream import proctime_temporal_join
+
+    ev_dir, dim_dir = str(tmp_path / "ev2"), str(tmp_path / "dim2")
+    # batch 0: dim arrives (price 10), one event → joins 10 regardless
+    # of event time (proc-time = whatever is latest NOW)
+    _drop(dim_dir, 0, [{"k": 1, "price": 10.0}])
+    _drop(ev_dir, 0, [{"k": 1, "ets": "2024-01-01T09:00:00", "qty": 3}])
+    events = file_source(spark, ev_dir, "k bigint, ets timestamp, qty bigint", fmt="json")
+    dim = file_source(spark, dim_dir, "k bigint, price double", fmt="json")
+    out = proctime_temporal_join(
+        events, dim,
+        key="k", event_ts="ets",
+        event_payload=["qty"], dim_payload=["price"],
+        output_schema="k bigint, ts timestamp, qty bigint, price double",
+    )
+    q = run_to_memory(out, "ptj_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # batch 1: dim updated to 20 → later events join 20 even with
+        # EARLIER event times (no version history — proc-time semantics)
+        _drop(dim_dir, 1, [{"k": 1, "price": 20.0}])
+        q.processAllAvailable()
+        _drop(ev_dir, 1, [{"k": 1, "ets": "2024-01-01T08:00:00", "qty": 5}])
+        q.processAllAvailable()
+        rows = spark.table("ptj_out").collect()
+    finally:
+        q.stop()
+    got = {r["qty"]: r["price"] for r in rows}
+    assert got == {3: 10.0, 5: 20.0}
