@@ -103,3 +103,46 @@ def gated_stream(
     return keyed_co_process(
         data, control, key_cols, fn, out_schema, "enabled boolean", "update"
     )
+
+
+class BroadcastControlGate:
+    """Broadcast state (BroadcastConnectedStream / BroadcastProcessFunction):
+    a LOW-volume control stream whose latest state applies to EVERY key
+    of the data stream — unlike `gated_stream`, where control is keyed.
+
+    Spark mapping: keyed state can't see other keys, so the control
+    state lives on the driver and is re-broadcast per micro-batch via
+    foreachBatch — faithful to Flink's model, where broadcast state is
+    replicated to every task and must stay small. `process_batch`
+    applies the newest control (a plain dict) to the batch's data rows.
+
+    Streaming wiring: tag+union the two streams (connect_streams), then
+    `stream.writeStream.foreachBatch(gate.step(sink_fn))`.
+    """
+
+    def __init__(self, control_cols: list[str]):
+        self.control_cols = list(control_cols)
+        self.state: dict = {}
+
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        """Fold this batch's control rows (tag 2) into the broadcast
+        state, then return the data rows (tag 1) filtered by it.
+        Control payload: {enabled: bool[, min_value: double]}."""
+        ctrl = batch.filter(F.col(TAG_COL) == 2).select(*self.control_cols).collect()
+        for r in ctrl:  # tiny by contract — broadcast state must be small
+            self.state.update({k: v for k, v in r.asDict().items() if v is not None})
+        data = batch.filter(F.col(TAG_COL) == 1)
+        if not self.state.get("enabled", False):
+            return data.limit(0)
+        if "min_value" in self.state:
+            data = data.filter(F.col("value") >= F.lit(self.state["min_value"]))
+        return data
+
+    def step(self, sink_fn):
+        """foreachBatch callback: route each micro-batch through the
+        gate into `sink_fn(filtered_df, batch_id)`."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            sink_fn(self.process_batch(batch), batch_id)
+
+        return _fn

@@ -330,3 +330,45 @@ def test_side_output_sink_routes_both_ways(spark, tmp_path):
     assert {r["event_type"] for r in main_rows} == {"click"}
     assert {r["event_type"] for r in side_rows} == {"view"}
     assert len(main_rows) + len(side_rows) == len(ROWS)
+
+
+def test_broadcast_control_gate_all_keys(spark, tmp_path):
+    from flink_1_20_spark.streaming import connect_streams
+    from flink_1_20_spark.streaming.connect import BroadcastControlGate
+
+    data_dir, ctrl_dir = str(tmp_path / "bd"), str(tmp_path / "bc")
+    ctrl_schema = StructType(
+        [
+            StructField("enabled", StringType()),
+            StructField("min_value", DoubleType()),
+        ]
+    )
+    # batch 0: gate closed (no control yet) — rows from BOTH users dropped
+    _write_batch(data_dir, [("2024-01-01T10:00:00", 1, "d", 1.0),
+                            ("2024-01-01T10:00:00", 2, "d", 9.0)], 0)
+    os.makedirs(ctrl_dir, exist_ok=True)
+    data = file_source(spark, data_dir, SCHEMA, fmt="json")
+    ctrl = file_source(spark, ctrl_dir, ctrl_schema, fmt="json").withColumn(
+        "enabled", F.col("enabled") == "true"
+    )
+    gate = BroadcastControlGate(control_cols=["enabled", "min_value"])
+    got = []
+    q = connect_streams(data, ctrl).writeStream.foreachBatch(
+        gate.step(lambda b, _id: got.extend(b.collect()))
+    ).start()
+    try:
+        q.processAllAvailable()
+        assert got == []  # gate starts closed for every key
+        # open the gate with a value floor — applies to ALL keys at once
+        os.makedirs(ctrl_dir, exist_ok=True)
+        with open(os.path.join(ctrl_dir, "c0.json"), "w") as f:
+            f.write(json.dumps({"enabled": "true", "min_value": 5.0}) + "\n")
+        q.processAllAvailable()
+        _write_batch(data_dir, [("2024-01-01T10:05:00", 1, "d", 3.0),
+                                ("2024-01-01T10:05:00", 2, "d", 8.0)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # user 1's 3.0 < floor dropped; user 2's 8.0 passes — one control row
+    # gated BOTH keys
+    assert [(r["user_id"], r["value"]) for r in got] == [(2, 8.0)]
