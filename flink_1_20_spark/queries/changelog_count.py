@@ -106,6 +106,41 @@ def count_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "count_window_slide",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS total
+        FROM events
+    )
+    SELECT user_id, rn AS fire_at, n, total
+    FROM seq WHERE rn % 5 = 0
+    """,
+)
+def count_window_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT window (size 10, slide 5 — KeyedStream.countWindow
+    (size, slide):745): fire every 5th row per key with the aggregate of
+    the last 10 rows. Batch = a ROWS frame + a fire-row filter; both the
+    frame and the filter ride one user_id shuffle. (Streaming form:
+    streaming/process.py streaming_over_rows emits per row; the slide
+    filter is the same modulo predicate.)"""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-9, 0)
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(frame))
+        .withColumn("total", F.round(F.sum("value").over(frame), 4))
+        .filter(F.col("rn") % 5 == 0)
+        .select("user_id", F.col("rn").alias("fire_at"), "n", "total")
+    )
+
+
+@register(
     "changelog_join_incremental",
     oracle="""
     SELECT o_orderkey, c_custkey AS k, round(o_totalprice, 2) AS price,
