@@ -372,3 +372,44 @@ def test_broadcast_control_gate_all_keys(spark, tmp_path):
     # user 1's 3.0 < floor dropped; user 2's 8.0 passes — one control row
     # gated BOTH keys
     assert [(r["user_id"], r["value"]) for r in got] == [(2, 8.0)]
+
+
+def test_streaming_interval_join_left_outer_null_after_watermark(spark, tmp_path):
+    """Outer interval join: the unmatched left row must emit with nulls
+    only once the watermark proves no matching right row can still
+    arrive (Flink emits the padded row when state for the bound is
+    cleaned; Spark at watermark + interval passage)."""
+    left_dir, right_dir = str(tmp_path / "lo"), str(tmp_path / "ro")
+    _write_batch(left_dir, [("2024-01-01T10:00:00", 1, "order", 10.0)], 0)
+    _write_batch(right_dir, [("2024-01-01T10:02:00", 2, "ship", 0.0)], 0)  # wrong key
+    left = file_source(spark, left_dir, SCHEMA, fmt="json").withColumnRenamed("ts", "lts")
+    right = (
+        file_source(spark, right_dir, SCHEMA, fmt="json")
+        .withColumnRenamed("ts", "rts")
+        .withColumnRenamed("user_id", "r_user")
+        .select("rts", "r_user")
+    )
+    joined = interval_join(
+        left, right,
+        on=F.col("user_id") == F.col("r_user"),
+        left_ts="lts", right_ts="rts",
+        lower="0 seconds", upper="5 minutes",
+        watermark="1 minute", how="leftOuter",
+    ).select("user_id", "lts", "r_user", "rts")
+    q = run_to_memory(joined, "loj_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        before = spark.table("loj_out").collect()
+        # advance both watermarks far past the join bound → padded row
+        _write_batch(left_dir, [("2024-01-01T12:00:00", 9, "flush", 0.0)], 1)
+        _write_batch(right_dir, [("2024-01-01T12:00:00", 9, "flush", 0.0)], 1)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        after = spark.table("loj_out").collect()
+    finally:
+        q.stop()
+    # no premature null emission...
+    assert all(r["rts"] is not None for r in before)
+    # ...but the unmatched order eventually appears null-padded
+    padded = [r for r in after if r["user_id"] == 1]
+    assert len(padded) == 1 and padded[0]["r_user"] is None
