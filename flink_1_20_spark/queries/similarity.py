@@ -138,3 +138,38 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         q, e, "vec_id", "embedding", k=_K, n_centroids=_N_CENT, n_probe=_N_PROBE
     )
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+b AS (SELECT vec_id, ({_bucket_sql()}) AS bucket FROM v),
+q AS (SELECT v.vec_id AS query_id, v.emb AS qv, v.nrm AS qn, b.bucket
+      FROM v JOIN b USING (vec_id) WHERE v.vec_id < {_N_QUERIES}),
+c AS (SELECT v.vec_id AS neighbor_id, v.emb AS cv, v.nrm AS cn, b.bucket
+      FROM v JOIN b USING (vec_id)),
+pairs AS (SELECT q.query_id, c.neighbor_id,
+                 round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) AS cos
+          FROM q JOIN c USING (bucket)
+          WHERE q.query_id <> c.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+           FROM pairs)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("simsearch_lsh_topk", oracle=_LSH_TOPK_ORACLE)
+def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k with candidates restricted to the query's LSH
+    bucket (the scale path end-to-end: bucket equi-join replaces the
+    cross join, then exact cosine + window top-k inside the bucket).
+    Deterministic md5 hyperplanes → the oracle rebuilds the identical
+    buckets as SQL literals and replays the same candidate join."""
+    from flink_1_20_spark.operators.simsearch import lsh_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(q, e, "vec_id", "embedding", k=_K, n_planes=_N_PLANES)

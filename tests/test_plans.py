@@ -101,3 +101,11 @@ def test_partitioning_family_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "hashpartitioning(__pc" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir, queries):
+    # the as-of join's core claim: union + window = ONE keyed exchange,
+    # not the sort-merge-join + re-sort a naive formulation costs
+    plan = _final_plan(queries["asof_join_backward"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
