@@ -113,3 +113,54 @@ def side_output_sink(
             batch.unpersist()
 
     return df.writeStream.foreachBatch(route).start()
+
+
+class LateDataSplitter:
+    """sideOutputLateData (WindowedStream.sideOutputLateData:141 /
+    WindowOperator.java:429 — late rows to a side output instead of
+    silently dropped).
+
+    Spark's stateful operators drop late rows internally with no hook,
+    so the split happens BEFORE them: a foreachBatch gate tracks the
+    watermark (max event time seen minus the allowed delay, monotonic)
+    and routes rows older than it to the late sink, current rows to the
+    main sink — Flink's definition of lateness, applied at micro-batch
+    granularity. Feed the main sink's rows into the downstream stateful
+    query (e.g. via parquet + a second stream, or direct writes).
+    """
+
+    def __init__(self, ts_col: str, allowed_delay_seconds: float):
+        self.ts_col = ts_col
+        self.delay = allowed_delay_seconds
+        self.watermark = None  # driver-held, monotonic
+
+    def split(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Returns (on_time, late) for this batch, then advances the
+        watermark to max(ts) - delay."""
+        import datetime as _dt
+
+        if self.watermark is None:
+            on_time, late = batch, batch.limit(0)
+        else:
+            cond = F.col(self.ts_col) >= F.lit(self.watermark)
+            on_time, late = batch.filter(cond), batch.filter(~cond)
+        mx = batch.agg(F.max(self.ts_col)).first()[0]
+        if mx is not None:
+            new_wm = mx - _dt.timedelta(seconds=self.delay)
+            if self.watermark is None or new_wm > self.watermark:
+                self.watermark = new_wm
+        return on_time, late
+
+    def step(self, main_fn, late_fn):
+        """foreachBatch callback routing each batch through the split."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            batch.persist()
+            try:
+                on_time, late = self.split(batch)
+                late_fn(late, batch_id)
+                main_fn(on_time, batch_id)
+            finally:
+                batch.unpersist()
+
+        return _fn

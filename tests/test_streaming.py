@@ -413,3 +413,28 @@ def test_streaming_interval_join_left_outer_null_after_watermark(spark, tmp_path
     # ...but the unmatched order eventually appears null-padded
     padded = [r for r in after if r["user_id"] == 1]
     assert len(padded) == 1 and padded[0]["r_user"] is None
+
+
+def test_late_data_side_output(spark, tmp_path):
+    from flink_1_20_spark.streaming.sinks import LateDataSplitter
+
+    src = str(tmp_path / "late")
+    _write_batch(src, [("2024-01-01T10:00:00", 1, "a", 1.0),
+                       ("2024-01-01T10:10:00", 1, "a", 2.0)], 0)
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    splitter = LateDataSplitter(ts_col="ts", allowed_delay_seconds=300)
+    main_rows, late_rows = [], []
+    q = stream.writeStream.foreachBatch(
+        splitter.step(lambda b, _i: main_rows.extend(b.collect()),
+                      lambda b, _i: late_rows.extend(b.collect()))
+    ).start()
+    try:
+        q.processAllAvailable()
+        # watermark now 10:05; a 10:01 row is LATE, a 10:06 row is fine
+        _write_batch(src, [("2024-01-01T10:01:00", 1, "a", 3.0),
+                           ("2024-01-01T10:06:00", 1, "a", 4.0)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["value"] for r in main_rows) == [1.0, 2.0, 4.0]
+    assert [r["value"] for r in late_rows] == [3.0]
