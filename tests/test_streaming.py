@@ -438,3 +438,40 @@ def test_late_data_side_output(spark, tmp_path):
         q.stop()
     assert sorted(r["value"] for r in main_rows) == [1.0, 2.0, 4.0]
     assert [r["value"] for r in late_rows] == [3.0]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Checkpointing/exactly-once (SURVEY.md §2.9: CheckpointCoordinator
+    → Structured Streaming checkpoints, engine-level): a file-sink query
+    stopped and restarted from the same checkpointLocation must neither
+    duplicate already-committed rows nor lose new ones."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_batch(src, ROWS[:3], 0)
+
+    def start():
+        return (
+            file_source(spark, src, SCHEMA, fmt="json")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 3
+
+    # new data lands while the query is DOWN; restart resumes from the
+    # checkpoint — the first 3 rows are not re-emitted
+    _write_batch(src, ROWS[3:], 1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(v for *_, v in ROWS)  # each row exactly once
