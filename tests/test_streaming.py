@@ -475,3 +475,28 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         q.stop()
     got = sorted(r["value"] for r in spark.read.parquet(out).collect())
     assert got == sorted(v for *_, v in ROWS)  # each row exactly once
+
+
+def test_hop_window_streaming(spark, tmp_path):
+    from flink_1_20_spark.streaming import hop_window_agg
+
+    src = str(tmp_path / "hop")
+    # one event at 10:02 → member of hops [9:55,10:05) and [10:00,10:10)
+    _write_batch(src, [("2024-01-01T10:02:00", 1, "click", 1.0)], 0)
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    out = hop_window_agg(
+        stream, ts="ts", size="10 minutes", slide="5 minutes",
+        keys=["user_id"], aggs={"n": F.count("*")}, watermark="1 minute",
+    )
+    q = run_to_memory(out, "hop_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        _write_batch(src, LATE_SENTINEL, 1)
+        q.processAllAvailable()
+        got = sorted(
+            r["window_start"].isoformat()
+            for r in spark.table("hop_out").filter(F.col("user_id") == 1).collect()
+        )
+    finally:
+        q.stop()
+    assert got == ["2024-01-01T09:55:00", "2024-01-01T10:00:00"]
