@@ -266,18 +266,24 @@ def lsh_topk(
     from pyspark.sql import Window
 
     dim = len(corpus.select(vec_col).first()[0])
-    qb = random_hyperplane_buckets(queries, id_col, vec_col, n_planes, dim).withColumnRenamed(
-        "vid", "query_id"
-    )
-    cb = random_hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim).withColumnRenamed(
-        "vid", "neighbor_id"
-    )
+    ws = hyperplane_weights(n_planes, dim)
+
+    def bucket_col(vec: Column) -> Column:
+        # inline bucket expression — one scan per side, no join-back
+        b = F.lit(0).cast("bigint")
+        for j in range(n_planes):
+            w_lit = F.array(*[F.lit(float(x)) for x in ws[j]])
+            b = b + F.when(_dot(vec, w_lit) > 0, F.lit(2**j).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        return b
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).join(qb, "query_id")
+    ).withColumn("bucket", bucket_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).join(cb, "neighbor_id")
+    ).withColumn("bucket", bucket_col(F.col("cv")))
     pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     cn = F.sqrt(_dot(F.col("cv"), F.col("cv")))
