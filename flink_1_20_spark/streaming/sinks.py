@@ -16,17 +16,24 @@ from pyspark.sql import functions as F
 
 
 def run_to_memory(
-    df: DataFrame, name: str, output_mode: str = "append"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    trigger: dict | None = None,
 ) -> "StreamingQuery":  # noqa: F821 — pyspark streaming query
     """Start `df` into an in-memory table `name` and return the query.
     Caller drives with `q.processAllAvailable()` then reads
-    `spark.table(name)`."""
-    return (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    `spark.table(name)`.
+
+    `trigger`: per-query pacing, Spark's (coarser) counterpart of
+    Flink's trigger configs — e.g. {"processingTime": "5 seconds"},
+    {"availableNow": True} (bounded drain then stop ≈ batch-over-stream),
+    {"once": True}. Flink's per-window count/delta triggers are a
+    non-goal (SURVEY.md §2.5)."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
 
 
 def upsert_foreach_batch(

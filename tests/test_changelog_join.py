@@ -165,3 +165,40 @@ def test_changelog_join_foreachbatch_streaming(spark, tmp_path):
     net = {k: v for k, v in acc.items() if v != 0}
     # k=1 joined then retracted; k=2 joined against retained left state
     assert net == {(2, "a20", "y"): 1}
+
+
+def test_changelog_join_random_sequences(spark):
+    """IVM invariant under randomized batches: for arbitrary op
+    sequences split arbitrarily into batches, accumulated deltas ==
+    join-of-materialized-states after every batch. Deterministic seed —
+    a pocket-sized model check of StreamingJoinOperator."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        # build a random but WELL-FORMED changelog per side (deletes only
+        # of rows currently present — Flink's input contract)
+        sides = {"L": [], "R": []}
+        live = {"L": [], "R": []}
+        for _ in range(30):
+            side = rng.choice("LR")
+            if live[side] and rng.random() < 0.35:
+                row = rng.choice(live[side])
+                live[side].remove(row)
+                sides[side].append((*row, "-D"))
+            else:
+                row = (rng.randint(1, 4), rng.choice("abc") if side == "R" else float(rng.randint(1, 9)))
+                live[side].append(row)
+                sides[side].append((*row, "+I"))
+        # split each side's ops into 3 ordered batches (thirds)
+        j = ChangelogJoin(on=["k"])
+        acc = None
+        for b in range(3):
+            def third(ops):
+                n = len(ops)
+                return ops[b * n // 3:(b + 1) * n // 3]
+            dl = _counts(spark, [(k, v, op) for k, v, op in third(sides["L"])], L_SCHEMA)
+            dr = _counts(spark, [(k, v, op) for k, v, op in third(sides["R"])], R_SCHEMA)
+            delta = j.process(dl, dr)
+            acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+            assert _as_set(acc) == _as_set(j.materialized()), f"trial {trial} batch {b}"

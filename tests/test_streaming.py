@@ -500,3 +500,20 @@ def test_hop_window_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert got == ["2024-01-01T09:55:00", "2024-01-01T10:00:00"]
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: drain everything currently available, then
+    stop on its own — the batch-over-bounded-stream execution mode
+    (Flink's bounded-source batch mode, SURVEY.md §1.3)."""
+    src = str(tmp_path / "an")
+    _write_batch(src, ROWS, 0)
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    q = run_to_memory(
+        stream.groupBy("event_type").count(),
+        "an_out", output_mode="complete", trigger={"availableNow": True},
+    )
+    q.awaitTermination(60)  # self-terminates after the drain
+    assert not q.isActive
+    got = {r["event_type"]: r["count"] for r in spark.table("an_out").collect()}
+    assert got == {"click": 3, "view": 2}
