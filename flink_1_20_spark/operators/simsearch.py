@@ -159,6 +159,92 @@ def cosine_pairs_blocked(
     return src.mapInPandas(gen, "id_a bigint, id_b bigint, cos double")
 
 
+def cosine_pairs_block_join(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold, EXACT and fully distributed — no
+    driver collect, no broadcast of the corpus.
+
+    Block-nested GEMM join: vectors are hashed into `n_blocks` blocks;
+    each row is replicated once per unordered block pair it belongs to
+    (exactly `n_blocks` copies), shuffled on the pair key, and each of
+    the B(B+1)/2 groups computes its block-vs-block similarities in one
+    BLAS matmul inside `applyInPandas`. Every vector pair meets in
+    exactly one group, so the output pair set is identical to the O(n²)
+    join — this is candidate-complete, unlike LSH/IVF bucketing.
+
+    Scale: replication factor is n_blocks and each group holds ~2/B of
+    the corpus, so pick B with corpus_bytes * 2 / B ≲ executor memory;
+    parallelism is B(B+1)/2 tasks. At 100 TB with B=128 that's 8256
+    independent GEMM tasks of ~1.5 TB·2/128 each — the standard blocked
+    all-pairs similarity join. For corpora that fit in one executor's
+    memory, `cosine_pairs_blocked` (single pass, broadcast) is cheaper.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    tagged = src.withColumn(
+        "blk", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    others = F.array(*[F.lit(i) for i in range(n_blocks)])
+    # row in block i emits once per partner block j → key (min,max): each
+    # unordered block pair sees each participating row exactly once
+    rep = tagged.select(
+        "vid",
+        "v",
+        "blk",
+        F.explode(others).alias("other"),
+    ).select(
+        "vid",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("pa"),
+        F.greatest("blk", "other").alias("pb"),
+    )
+
+    out_schema = "id_a bigint, id_b bigint, cos double"
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if not len(pdf):
+            return empty
+        pa, pb = int(pdf["pa"].iat[0]), int(pdf["pb"].iat[0])
+        if pa == pb:
+            sub = pdf.sort_values("vid")
+            ids = sub["vid"].to_numpy(dtype=np.int64)
+            mat = np.stack(sub["v"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ mat.T
+            ai, bi = np.where(np.triu(sims >= threshold, k=1))
+            ia, ib, cs = ids[ai], ids[bi], sims[ai, bi]
+        else:
+            a = pdf[pdf["blk"] == pa]
+            b = pdf[pdf["blk"] == pb]
+            if not len(a) or not len(b):
+                return empty
+            ids_a = a["vid"].to_numpy(dtype=np.int64)
+            ids_b = b["vid"].to_numpy(dtype=np.int64)
+            ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+            mb = np.stack(b["v"].to_numpy()).astype(np.float64)
+            ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            sims = ma @ mb.T
+            ai, bi = np.where(sims >= threshold)
+            xa, xb, cs = ids_a[ai], ids_b[bi], sims[ai, bi]
+            ia, ib = np.minimum(xa, xb), np.maximum(xa, xb)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": np.round(cs, round_to)})
+
+    return rep.groupBy("pa", "pb").applyInPandas(gemm, out_schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -259,13 +345,17 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket,
     then exact cosine + window top-k within it. Recall < 1 by design —
-    measure against cosine_topk (see tests)."""
+    measure against cosine_topk (see tests). Pass `dim` explicitly to
+    avoid the driver-side `.first()` sniff (a tiny but avoidable action
+    at plan-build time)."""
     from pyspark.sql import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     ws = hyperplane_weights(n_planes, dim)
 
     def bucket_col(vec: Column) -> Column:

@@ -189,12 +189,15 @@ WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.35
 @register("dedup_embedding_cosine", oracle=_COS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ 0.35, exact (all-pairs)
-    via blocked BLAS GEMM (operators/simsearch.cosine_pairs_blocked):
-    the normalized corpus matrix is broadcast, each partition multiplies
-    its block against it in one numpy matmul — Arrow-batched, ~15x the
-    crossJoin+zip_with formulation. Scale path beyond broadcastable
-    corpora: pre-bucket with LSH/IVF, run the same GEMM per bucket."""
-    from flink_1_20_spark.operators.simsearch import cosine_pairs_blocked
+    via the distributed block-pair GEMM join
+    (operators/simsearch.cosine_pairs_block_join): vectors hash into B
+    blocks, every unordered block pair meets in exactly one shuffle
+    group, and each group runs one BLAS matmul — candidate-complete
+    (identical pair set to the O(n²) join), NO driver collect and no
+    corpus broadcast, so the plan survives corpora that don't fit on one
+    node. `cosine_pairs_blocked` (broadcast, single pass) remains as the
+    explicit small-corpus fast path."""
+    from flink_1_20_spark.operators.simsearch import cosine_pairs_block_join
 
     e = T(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(e, "vec_id", "embedding", threshold=0.35)
+    return cosine_pairs_block_join(e, "vec_id", "embedding", threshold=0.35, n_blocks=8)

@@ -269,8 +269,9 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
@@ -280,7 +281,8 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM flagged)
-    SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value), 4) AS DECIMAL(18,4)) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -289,7 +291,13 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap-based session windows, the batch analog
     of Flink's session windows / MergingWindowSet.java:255): lag + cumsum
     — two window passes over the same (key, ts) sort, no shuffle between
-    them."""
+    them.
+
+    Hash-proofing (round-2 verdict): the 30-minute gap is compared at
+    microsecond precision (`unix_micros` vs DuckDB `epoch_us`) instead of
+    truncated whole seconds, and `session_value` is emitted as
+    DECIMAL(18,4) on BOTH engines — decimals hash by exact digits, so the
+    cross-engine value-hash cannot diverge on double representation."""
     e = T(spark, sf_dir, "events")
     w_order = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     w_run = (
@@ -297,15 +305,19 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    prev_ts = F.lag("ts").over(w_order)
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(w_order)
     new_session = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+        prev_us.isNull() | (ts_us - prev_us > 1_800_000_000), 1
     ).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(w_run))
         .groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"), money(F.sum("value"), 4).alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.sum("value"), 4).cast("decimal(18,4)").alias("session_value"),
+        )
     )
 
 

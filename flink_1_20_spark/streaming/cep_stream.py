@@ -32,6 +32,25 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from flink_1_20_spark.operators.cep import Pattern, _match_at, _precompute
 
 
+def _json_default(o):
+    """Serialize numpy scalars (np.int64/np.float64/np.bool_) that leak out
+    of pandas rows — json.dumps raises TypeError on them otherwise, which
+    would kill any pattern whose payload columns are int/bool typed."""
+    import numpy as np
+
+    if isinstance(o, np.generic):
+        return o.item()
+    raise TypeError(f"not JSON serializable: {type(o).__name__}")
+
+
+def _buffer_records(pdf: pd.DataFrame, payload_cols: list[str], ts: str) -> list[dict]:
+    """Project payload columns + isoformat ts into state records —
+    column-wise (to_dict) rather than per-row iterrows."""
+    proj = pdf[payload_cols].copy() if payload_cols else pd.DataFrame(index=pdf.index)
+    proj[ts] = pdf[ts].map(lambda t: t.isoformat())
+    return proj.to_dict("records")
+
+
 def match_recognize_stream(
     df: DataFrame,
     keys: list[str],
@@ -53,10 +72,7 @@ def match_recognize_stream(
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         buf = json.loads(state.get[0]) if state.exists else []
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                rec = {c: row[c] for c in payload_cols}
-                rec[ts] = row[ts].isoformat()
-                buf.append(rec)
+            buf.extend(_buffer_records(pdf, payload_cols, ts))
         if not buf:
             return
         pdf = pd.DataFrame(buf)
@@ -86,12 +102,8 @@ def match_recognize_stream(
 
         # retain the un-consumed tail (bounded) as the new buffer
         tail = pdf.iloc[consumed_until + 1 :].tail(max_buffer)
-        new_buf = []
-        for _, row in tail.iterrows():
-            rec = {c: row[c] for c in payload_cols}
-            rec[ts] = row[ts].isoformat()
-            new_buf.append(rec)
-        state.update((json.dumps(new_buf),))
+        new_buf = _buffer_records(tail, payload_cols, ts)
+        state.update((json.dumps(new_buf, default=_json_default),))
         if out_rows:
             yield pd.DataFrame(out_rows)
 

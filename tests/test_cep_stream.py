@@ -62,3 +62,54 @@ def test_streaming_cep_match_spans_batches(spark, tmp_path):
     assert rows[0]["user_id"] == 1
     assert rows[0]["start_ts"] == "2024-01-01T10:00:00"
     assert rows[0]["end_ts"] == "2024-01-01T10:05:00"
+
+
+def test_streaming_cep_int_bool_payload_state(spark, tmp_path):
+    """Regression: int/bool payload columns reach state as numpy scalars
+    (np.int64/np.bool_) — json.dumps must serialize them, and a partial
+    match buffered in state must survive into the next batch."""
+    src = str(tmp_path / "in_ib")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, user_id bigint, amount bigint, flagged boolean"
+
+    def drop(n, rows):
+        with open(os.path.join(src, f"b{n}.json"), "w") as f:
+            for ts, uid, amt, fl in rows:
+                f.write(json.dumps(
+                    {"ts": ts, "user_id": uid, "amount": amt, "flagged": fl}) + "\n")
+
+    # batch 0: only the first half of the pattern — forces a state write
+    # of int+bool payload (the old json.dumps raised TypeError here)
+    drop(0, [("2024-01-01T10:00:00", 1, 5, True)])
+    pat = (
+        Pattern.begin("a", lambda r: bool(r["flagged"]))
+        .followed_by("b", lambda r: r["amount"] > 100)
+    )
+
+    def measures(g):
+        return {
+            "small": int(g["a"]["amount"].iloc[0]),
+            "big": int(g["b"]["amount"].iloc[-1]),
+        }
+
+    stream = file_source(spark, src, schema, fmt="json")
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="small bigint, big bigint, user_id bigint",
+        payload_cols=["amount", "flagged"],
+    )
+    q = run_to_memory(out, "cep_stream_ib", output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert spark.table("cep_stream_ib").count() == 0  # partial buffered
+        drop(1, [("2024-01-01T10:02:00", 1, 500, False)])
+        q.processAllAvailable()
+        rows = spark.table("cep_stream_ib").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["small"] == 5 and rows[0]["big"] == 500

@@ -109,3 +109,33 @@ def test_asof_join_single_shuffle(spark, sf_dir, queries):
     plan = _final_plan(queries["asof_join_backward"](spark, sf_dir))
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_embedding_dedup_no_driver_collect(spark, sf_dir, queries):
+    """The registered embedding-dedup query must be lazily plannable: no
+    .collect()/.first() of the corpus on the driver at build time (the
+    round-1 scale-killer). Building the DataFrame with collect patched to
+    raise proves the plan is fully distributed; the result must equal the
+    broadcast fast path's pair set."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("driver collect in plan build")
+    ), mock.patch.object(
+        DataFrame, "first", side_effect=AssertionError("driver first in plan build")
+    ):
+        df = queries["dedup_embedding_cosine"](spark, sf_dir)
+
+    got = {(r.id_a, r.id_b, r.cos) for r in df.collect()}
+
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.operators.simsearch import cosine_pairs_blocked
+
+    e = read_table(spark, sf_dir, "embeddings")
+    want = {
+        (r.id_a, r.id_b, r.cos)
+        for r in cosine_pairs_blocked(e, "vec_id", "embedding", threshold=0.35).collect()
+    }
+    assert got == want and len(got) > 0
