@@ -87,11 +87,23 @@ class ChangelogJoin:
     null-padded result, and the arrival of its first match RETRACTS the
     padded row while emitting the joined one — computed as the delta of
     the anti-join between consecutive states.
+
+    `how="semi"` / `how="anti"` mirror StreamingSemiAntiJoinOperator.java:34
+    (IN / NOT-EXISTS over changelogs). Output rows are left rows only; the
+    right side contributes just a per-key existence bit. Delta rules:
+
+        Δsemi = ΔL ⋉ e_new  +  L_old × (e_new − e_old)
+        Δanti = ΔL ⋉ ¬e_new +  L_old × (e_old − e_new)
+
+    where e = "key has net count > 0 in R". A right-side key's existence
+    flipping 0→>0 emits +L rows (semi) / −L rows (anti) for that key —
+    exactly the associated-records emit/retract the reference does when
+    its right-state count crosses zero.
     """
 
     def __init__(self, on: list[str], how: str = "inner"):
-        if how not in ("inner", "left"):
-            raise ValueError("how must be 'inner' or 'left'")
+        if how not in ("inner", "left", "semi", "anti"):
+            raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
         self.on = list(on)
         self.how = how
         self.state_left: DataFrame | None = None
@@ -123,6 +135,13 @@ class ChangelogJoin:
 
         r_new = _consolidate(r_old.unionByName(dr))
         l_new = _consolidate(l_old.unionByName(dl))
+
+        if self.how in ("semi", "anti"):
+            delta_out = self._semi_anti_delta(dl, l_old, r_old, r_new)
+            self.state_left = l_new
+            self.state_right = r_new
+            return delta_out
+
         # Δ(L⋈R) = ΔL ⋈ R_new ∪ L_old ⋈ ΔR  (no double count: ΔL⋈ΔR
         # appears exactly once, inside the first term)
         part1 = self._join_counts(dl, r_new, on)
@@ -156,8 +175,42 @@ class ChangelogJoin:
         self.state_right = r_new
         return delta_out
 
+    @staticmethod
+    def _present_keys(r: DataFrame, on: list[str]) -> DataFrame:
+        """Keys whose net right-side count is positive — the existence
+        bit the reference keeps per key in its right state view."""
+        return (
+            r.groupBy(*on)
+            .agg(F.sum(CNT_COL).alias("__kc"))
+            .filter(F.col("__kc") > 0)
+            .select(*on)
+        )
+
+    def _semi_anti_delta(
+        self, dl: DataFrame, l_old: DataFrame, r_old: DataFrame, r_new: DataFrame
+    ) -> DataFrame:
+        on = self.on
+        keys_old = self._present_keys(r_old, on)
+        keys_new = self._present_keys(r_new, on)
+        appeared = keys_new.join(keys_old, on, "left_anti")  # e: 0 → 1
+        vanished = keys_old.join(keys_new, on, "left_anti")  # e: 1 → 0
+        if self.how == "semi":
+            term1 = dl.join(keys_new, on, "left_semi")
+            plus, minus = appeared, vanished
+        else:
+            term1 = dl.join(keys_new, on, "left_anti")
+            plus, minus = vanished, appeared
+        term2 = l_old.join(plus, on, "left_semi").unionByName(
+            l_old.join(minus, on, "left_semi").withColumn(CNT_COL, -F.col(CNT_COL))
+        )
+        return _consolidate(term1.unionByName(term2))
+
     def materialized(self) -> DataFrame:
         """Current full join view (for tests / late consumers)."""
+        if self.how in ("semi", "anti"):
+            keys = self._present_keys(self.state_right, self.on)
+            mode = "left_semi" if self.how == "semi" else "left_anti"
+            return self.state_left.join(keys, self.on, mode)
         inner = self._join_counts(self.state_left, self.state_right, self.on)
         if self.how != "left":
             return inner

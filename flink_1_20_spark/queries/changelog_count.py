@@ -187,3 +187,77 @@ def changelog_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         changelog_to_counts(right_ins),
     )
     return counts_to_changelog(delta).select("o_orderkey", "k", "price", "c_name", "op")
+
+
+def _changelog_semi_anti(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Drive ChangelogJoin(how=semi|anti) in TWO process() steps so the
+    existence-transition path runs (right keys appear in step 1, some
+    vanish in step 2): step 1 = all inserts, step 2 = retractions of 'F'
+    orders (left) and BUILDING-segment customers (right). The
+    accumulated delta must equal the semi/anti join of the net inputs —
+    which is what the oracle computes (StreamingSemiAntiJoinOperator.java:34)."""
+    from flink_1_20_spark.operators.changelog_join import (
+        ChangelogJoin,
+        _consolidate,
+        changelog_to_counts,
+        counts_to_changelog,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+
+    def left(df, op):
+        return df.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.lit(op).alias("op"),
+        )
+
+    def right(df, op):
+        return df.select(F.col("c_custkey").alias("k"), "c_name", F.lit(op).alias("op"))
+
+    j = ChangelogJoin(on=["k"], how=how)
+    d1 = j.process(
+        changelog_to_counts(left(o, "+I")), changelog_to_counts(right(c, "+I"))
+    )
+    d2 = j.process(
+        changelog_to_counts(left(o.filter(F.col("o_orderstatus") == "F"), "-D")),
+        changelog_to_counts(
+            right(c.filter(F.col("c_mktsegment") == "BUILDING"), "-D")
+        ),
+    )
+    acc = _consolidate(d1.unionByName(d2))
+    return counts_to_changelog(acc).select("o_orderkey", "k", "price", "op")
+
+
+@register(
+    "changelog_join_semi",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS k, round(o_totalprice, 2) AS price, '+I' AS op
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING')
+    """,
+)
+def changelog_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semi join (IN over changelogs): left rows whose key is
+    live on the right; right-count 0→>0 / >0→0 transitions emit/retract
+    the retained left rows. Net delta == semi join of net inputs."""
+    return _changelog_semi_anti(spark, sf_dir, "semi")
+
+
+@register(
+    "changelog_join_anti",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS k, round(o_totalprice, 2) AS price, '+I' AS op
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING')
+    """,
+)
+def changelog_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anti join (NOT EXISTS over changelogs): the complement —
+    a right key appearing retracts its left rows, vanishing re-emits
+    them. Net delta == anti join of net inputs."""
+    return _changelog_semi_anti(spark, sf_dir, "anti")

@@ -202,3 +202,111 @@ def test_changelog_join_random_sequences(spark):
             delta = j.process(dl, dr)
             acc = delta if acc is None else _consolidate(acc.unionByName(delta))
             assert _as_set(acc) == _as_set(j.materialized()), f"trial {trial} batch {b}"
+
+
+def test_changelog_semi_join_existence_transitions(spark):
+    """StreamingSemiAntiJoinOperator semantics: left rows emit iff the
+    right side has ≥1 matching row; the right count crossing zero
+    emits/retracts the associated left rows."""
+    j = ChangelogJoin(on=["k"], how="semi")
+    acc = None
+
+    def step(dl_rows, dr_rows):
+        nonlocal acc
+        delta = j.process(
+            _counts(spark, dl_rows, L_SCHEMA), _counts(spark, dr_rows, R_SCHEMA)
+        )
+        acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+        assert _as_set(acc) == _as_set(j.materialized())
+        return delta
+
+    # left rows arrive with no right match → nothing
+    step([(1, 10.0, "+I"), (2, 20.0, "+I")], [])
+    assert _as_set(acc) == set()
+
+    # right key 1 appears (0→1) → retained left row for k=1 emits
+    d = step([], [(1, "x", "+I")])
+    assert _as_set(d) == {(1, 10.0, 1)}
+
+    # second right row same key (1→2): existence unchanged → no delta
+    d = step([], [(1, "x2", "+I")])
+    assert _as_set(d) == set()
+
+    # one of the two right rows retracted (2→1): still present → no delta
+    d = step([], [(1, "x", "-D")])
+    assert _as_set(d) == set()
+
+    # last right row retracted (1→0) → left row retracts
+    d = step([], [(1, "x2", "-D")])
+    assert _as_set(d) == {(1, 10.0, -1)}
+    assert _as_set(acc) == set()
+
+
+def test_changelog_anti_join_existence_transitions(spark):
+    """NOT EXISTS over changelogs: left rows emit while the right side
+    has NO matching key; a first right match retracts them."""
+    j = ChangelogJoin(on=["k"], how="anti")
+    acc = None
+
+    def step(dl_rows, dr_rows):
+        nonlocal acc
+        delta = j.process(
+            _counts(spark, dl_rows, L_SCHEMA), _counts(spark, dr_rows, R_SCHEMA)
+        )
+        acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+        assert _as_set(acc) == _as_set(j.materialized())
+        return delta
+
+    # unmatched left rows emit immediately
+    step([(1, 10.0, "+I"), (2, 20.0, "+I")], [])
+    assert _as_set(acc) == {(1, 10.0, 1), (2, 20.0, 1)}
+
+    # right key 1 appears → k=1 left row retracts
+    d = step([], [(1, "x", "+I")])
+    assert _as_set(d) == {(1, 10.0, -1)}
+    assert _as_set(acc) == {(2, 20.0, 1)}
+
+    # right key 1 vanishes → k=1 left row comes back
+    d = step([], [(1, "x", "-D")])
+    assert _as_set(d) == {(1, 10.0, 1)}
+
+    # new left row for matched key 1? (no right rows now) — emits; then
+    # right reappears and retracts BOTH k=1 rows
+    step([(1, 11.0, "+I")], [])
+    d = step([], [(1, "z", "+I")])
+    assert _as_set(d) == {(1, 10.0, -1), (1, 11.0, -1)}
+    assert _as_set(acc) == {(2, 20.0, 1)}
+
+
+def test_changelog_semi_anti_random_sequences(spark):
+    """Same randomized IVM model check as the inner join, for semi and
+    anti: accumulated deltas == semi/anti of materialized states after
+    every batch."""
+    import random
+
+    for how in ("semi", "anti"):
+        rng = random.Random(11)
+        for trial in range(2):
+            sides = {"L": [], "R": []}
+            live = {"L": [], "R": []}
+            for _ in range(30):
+                side = rng.choice("LR")
+                if live[side] and rng.random() < 0.35:
+                    row = rng.choice(live[side])
+                    live[side].remove(row)
+                    sides[side].append((*row, "-D"))
+                else:
+                    row = (rng.randint(1, 4), rng.choice("abc") if side == "R" else float(rng.randint(1, 9)))
+                    live[side].append(row)
+                    sides[side].append((*row, "+I"))
+            j = ChangelogJoin(on=["k"], how=how)
+            acc = None
+            for b in range(3):
+                def third(ops):
+                    n = len(ops)
+                    return ops[b * n // 3:(b + 1) * n // 3]
+                dl = _counts(spark, [(k, v, op) for k, v, op in third(sides["L"])], L_SCHEMA)
+                dr = _counts(spark, [(k, v, op) for k, v, op in third(sides["R"])], R_SCHEMA)
+                delta = j.process(dl, dr)
+                acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+                assert _as_set(acc) == _as_set(j.materialized()), f"{how} trial {trial} batch {b}"
