@@ -260,10 +260,10 @@ def join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (SELECT c_custkey AS custkey, round(max(c_acctbal), 2) AS acctbal,
                       count(*) AS n_cust
-               FROM customer WHERE c_custkey % 10 = 0 GROUP BY c_custkey),
+               FROM customer GROUP BY c_custkey),
          o AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
                       round(sum(o_totalprice), 2) AS total_price
-               FROM orders WHERE o_custkey % 10 = 0 GROUP BY o_custkey)
+               FROM orders GROUP BY o_custkey)
     SELECT COALESCE(c.custkey, o.custkey) AS custkey,
            COALESCE(n_cust, 0) AS n_cust,
            acctbal,
@@ -279,19 +279,20 @@ def cogroup_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupby().cogroup().applyInPandas (Arrow-batched both sides). The
     oracle reformulates as full-outer-joined per-side aggregates — the
     declarative plan you'd prefer when the logic IS expressible; cogroup
-    earns its keep when it isn't (custom pairing, ordered merges)."""
+    earns its keep when it isn't (custom pairing, ordered merges).
+
+    Cost, measured (local[8], bare session, 2026-08): cogroup runs ONE
+    Python call per key — full keys take ~26 s for 15k keys at sf0.1
+    (~1.7 ms/key, Python/Arrow round-trip dominated; sf0.01's 1.5k keys
+    ~10 s mostly session warmup), where the declarative full-outer-agg
+    plan is <1 s at either SF. That per-key overhead is inherent to the
+    operator (it is why Flink, too, pushes users toward joins/aggs when
+    expressible); budget group counts accordingly before reaching for
+    cogroup."""
     import pandas as pd
 
-    c = (
-        T(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 10 == 0)  # 10% key sample: cogroup
-        .select("c_custkey", "c_acctbal")      # is one Python call per
-    )                                          # key — bound the group count
-    o = (
-        T(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 10 == 0)
-        .select("o_custkey", "o_totalprice")
-    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
 
     def fn(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         key = int(cust["c_custkey"].iloc[0]) if len(cust) else int(orders["o_custkey"].iloc[0])
