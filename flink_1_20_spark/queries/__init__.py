@@ -28,6 +28,7 @@ _MODULES = [
     "tpch_full",
     "json_aggs",
     "dedup_clusters",
+    "tpcds_shapes",
 ]
 
 _loaded = False

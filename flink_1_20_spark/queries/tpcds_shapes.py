@@ -1,0 +1,335 @@
+"""TPC-DS-shape batch SQL battery.
+
+The reference's primary batch-correctness gate is 103 golden-answer
+TPC-DS queries (flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/
+query/, driver .../tpcds/TpcdsTestProgram.java:48). This module ports
+the *shapes* those queries exercise — deep CTE stacks, union-of-channel
+aggregations, window-over-aggregate chains, INTERSECT/EXCEPT towers,
+correlated scalar subqueries, rollup+rank hierarchies — onto the
+fixture tables, one registered query per shape, each named for the
+TPC-DS query whose plan shape it mirrors.
+
+Every query here is a single dialect-neutral SQL string executed
+verbatim on BOTH engines (Spark via temp views, DuckDB as the oracle),
+so correctness is value-exact by construction. Float aggregates are
+rounded in the projection; rank/row_number windows carry explicit
+tiebreaks (and explicit NULLS FIRST where engines' defaults differ) so
+ordering is total.
+
+Scale notes: these are pure declarative plans — Catalyst gets full
+freedom (subquery decorrelation, partial aggs, broadcast of the dim
+sides, AQE). The shapes worth watching at 100 TB: the correlated
+scalar subqueries (q1/q32) decorrelate into one extra keyed aggregate +
+broadcast/shuffle join each (no per-row subquery execution), the
+INTERSECT towers are hash semi-joins on the grouping key, and the
+rollup queries expand via Expand (one shuffle, grouping-id keyed).
+q44's global rank and q51's global cumulative sum run unpartitioned
+windows — safe here because their input is post-aggregation output
+(one row per supplier / per month), which stays small at any corpus
+size; never put a global window on a pre-aggregation stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_20_spark.registry import register
+
+from ._util import V
+
+# (name, tables, sql) — sql runs verbatim on Spark AND DuckDB.
+_SHAPES: list[tuple[str, list[str], str]] = [
+    (
+        # TPC-DS q1: CTE aggregate + correlated scalar subquery vs
+        # 1.2x the per-group average.
+        "tpcds_q1_returns_above_avg",
+        ["lineitem", "orders", "customer"],
+        """
+        WITH cust_returns AS (
+          SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
+                 sum(l.l_extendedprice * (1 - l.l_discount)) AS ret_amt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY c.c_custkey, c.c_nationkey)
+        SELECT cr.custkey, round(cr.ret_amt, 2) AS ret_amt
+        FROM cust_returns cr
+        WHERE cr.ret_amt > (SELECT avg(cr2.ret_amt) * 1.2
+                            FROM cust_returns cr2
+                            WHERE cr2.nationkey = cr.nationkey)
+        """,
+    ),
+    (
+        # TPC-DS q11/q4: multi-CTE year-over-year customer spend ratio.
+        "tpcds_q11_yoy_spend",
+        ["orders"],
+        """
+        WITH y95 AS (SELECT o_custkey, sum(o_totalprice) AS t
+                     FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+             y96 AS (SELECT o_custkey, sum(o_totalprice) AS t
+                     FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+        SELECT y95.o_custkey AS custkey,
+               round(y95.t, 2) AS spend_95, round(y96.t, 2) AS spend_96,
+               round(y96.t / y95.t, 4) AS ratio
+        FROM y95 JOIN y96 ON y95.o_custkey = y96.o_custkey
+        WHERE y96.t / y95.t > 1.1
+        """,
+    ),
+    (
+        # TPC-DS q5/q76/q71: union of channels, aggregated per channel.
+        "tpcds_q5_channel_union",
+        ["orders", "lineitem"],
+        """
+        WITH sales AS (
+          SELECT 'order' AS channel, year(o_orderdate) AS yr, o_totalprice AS amt
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem' AS channel, year(l_shipdate) AS yr,
+                 l_extendedprice * (1 - l_discount) AS amt
+          FROM lineitem
+          UNION ALL
+          SELECT 'return' AS channel, year(l_shipdate) AS yr, -l_extendedprice AS amt
+          FROM lineitem WHERE l_returnflag = 'R')
+        SELECT channel, yr, count(*) AS n, round(sum(amt), 2) AS total
+        FROM sales GROUP BY channel, yr
+        """,
+    ),
+    (
+        # TPC-DS q38: INTERSECT tower — customers active in all 3 years.
+        "tpcds_q38_intersect_customers",
+        ["orders"],
+        """
+        SELECT count(*) AS n_loyal FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t
+        """,
+    ),
+    (
+        # TPC-DS q87: EXCEPT tower — active in 1995, gone both later years.
+        "tpcds_q87_except_customers",
+        ["orders"],
+        """
+        SELECT count(*) AS n_churned FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) t
+        """,
+    ),
+    (
+        # TPC-DS q47/q57: monthly aggregate + same-window avg/lag/lead,
+        # deviation filter.
+        "tpcds_q47_monthly_lag_lead",
+        ["orders"],
+        """
+        WITH m AS (
+          SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+                 month(o_orderdate) AS mon, sum(o_totalprice) AS s
+          FROM orders GROUP BY o_orderpriority, year(o_orderdate), month(o_orderdate)),
+        w AS (
+          SELECT pri, yr, mon, s,
+                 avg(s) OVER (PARTITION BY pri, yr) AS yr_avg,
+                 lag(s) OVER (PARTITION BY pri ORDER BY yr, mon) AS prev_s,
+                 lead(s) OVER (PARTITION BY pri ORDER BY yr, mon) AS next_s
+          FROM m)
+        SELECT pri, yr, mon, round(s, 2) AS s, round(yr_avg, 2) AS yr_avg,
+               round(prev_s, 2) AS prev_s, round(next_s, 2) AS next_s,
+               round(s - yr_avg, 2) AS dev
+        FROM w
+        WHERE abs(s - yr_avg) / yr_avg > 0.1
+        """,
+    ),
+    (
+        # TPC-DS q51: two windowed cumulative streams FULL OUTER JOINed
+        # and compared.
+        "tpcds_q51_cumulative_compare",
+        ["orders", "lineitem"],
+        """
+        WITH o AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+                          sum(o_totalprice) AS s
+                   FROM orders GROUP BY year(o_orderdate), month(o_orderdate)),
+             l AS (SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+                          sum(l_extendedprice) AS s
+                   FROM lineitem GROUP BY year(l_shipdate), month(l_shipdate)),
+             oc AS (SELECT yr, mon, sum(s) OVER (ORDER BY yr, mon
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM o),
+             lc AS (SELECT yr, mon, sum(s) OVER (ORDER BY yr, mon
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM l)
+        SELECT COALESCE(oc.yr, lc.yr) AS yr, COALESCE(oc.mon, lc.mon) AS mon,
+               round(oc.cum, 2) AS cum_orders, round(lc.cum, 2) AS cum_lineitem
+        FROM oc FULL OUTER JOIN lc ON oc.yr = lc.yr AND oc.mon = lc.mon
+        WHERE COALESCE(oc.cum, 0) > COALESCE(lc.cum, 0)
+        """,
+    ),
+    (
+        # TPC-DS q53/q63/q89: per-group aggregate vs window average,
+        # ratio filter (QUALIFY rewritten as a subquery — Spark has no
+        # QUALIFY).
+        "tpcds_q53_ratio_to_avg",
+        ["lineitem", "part"],
+        """
+        WITH b AS (
+          SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+                 sum(l_extendedprice) AS s
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, year(l_shipdate), month(l_shipdate))
+        SELECT brand, yr, mon, s, brand_avg, round(ratio, 4) AS ratio
+        FROM (
+          SELECT p_brand AS brand, yr, mon, round(s, 2) AS s,
+                 round(avg(s) OVER (PARTITION BY p_brand), 2) AS brand_avg,
+                 s / avg(s) OVER (PARTITION BY p_brand) AS ratio
+          FROM b) t
+        WHERE ratio > 1.3
+        """,
+    ),
+    (
+        # TPC-DS q44: best-rank and worst-rank lists self-joined on rank.
+        "tpcds_q44_best_worst",
+        ["lineitem"],
+        """
+        WITH s AS (SELECT l_suppkey, avg(l_discount) AS ad
+                   FROM lineitem GROUP BY l_suppkey),
+             r AS (SELECT l_suppkey, ad,
+                          rank() OVER (ORDER BY ad DESC, l_suppkey) AS rk_best,
+                          rank() OVER (ORDER BY ad ASC, l_suppkey) AS rk_worst
+                   FROM s)
+        SELECT b.rk_best AS rnk, b.l_suppkey AS best_supp, w.l_suppkey AS worst_supp,
+               round(b.ad, 6) AS best_avg_disc, round(w.ad, 6) AS worst_avg_disc
+        FROM r b JOIN r w ON b.rk_best = w.rk_worst
+        WHERE b.rk_best <= 5
+        """,
+    ),
+    (
+        # TPC-DS q16/q94: EXISTS (different member on a second relation
+        # instance) + NOT EXISTS, over a selective outer filter.
+        "tpcds_q16_exists_shape",
+        ["orders", "lineitem"],
+        """
+        SELECT count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        WHERE o.o_orderstatus = 'O'
+          AND EXISTS (SELECT 1
+                      FROM lineitem l1 JOIN lineitem l2
+                        ON l1.l_orderkey = l2.l_orderkey
+                       AND l1.l_suppkey <> l2.l_suppkey
+                      WHERE l1.l_orderkey = o.o_orderkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                          WHERE lr.l_orderkey = o.o_orderkey
+                            AND lr.l_returnflag = 'R')
+        """,
+    ),
+    (
+        # TPC-DS q36/q86: ROLLUP hierarchy + rank within grouping level
+        # (the lochierarchy + CASE partition trick, verbatim shape).
+        "tpcds_q36_rollup_rank",
+        ["orders", "customer", "nation"],
+        """
+        WITH r AS (
+          SELECT n_name, c_mktsegment,
+                 grouping(n_name) + grouping(c_mktsegment) AS lochierarchy,
+                 sum(o_totalprice) AS s
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY ROLLUP(n_name, c_mktsegment))
+        SELECT n_name, c_mktsegment, lochierarchy, round(s, 2) AS total,
+               rank() OVER (PARTITION BY lochierarchy,
+                            CASE WHEN lochierarchy = 0 THEN n_name END
+                            ORDER BY s DESC, c_mktsegment ASC NULLS FIRST) AS rnk
+        FROM r
+        """,
+    ),
+    (
+        # TPC-DS q67: 3-level ROLLUP + top-k per partition.
+        "tpcds_q67_rollup_topk",
+        ["orders"],
+        """
+        WITH agg AS (
+          SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+                 o_orderpriority AS pri, sum(o_totalprice) AS s
+          FROM orders
+          GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate), o_orderpriority)),
+        ranked AS (
+          SELECT yr, mon, pri, s,
+                 row_number() OVER (PARTITION BY yr
+                                    ORDER BY s DESC, mon ASC NULLS FIRST,
+                                             pri ASC NULLS FIRST) AS rk
+          FROM agg)
+        SELECT yr, mon, pri, round(s, 2) AS total, rk
+        FROM ranked WHERE rk <= 3
+        """,
+    ),
+    (
+        # TPC-DS q32/q92: correlated scalar subquery — rows above 1.3x
+        # their own group's average.
+        "tpcds_q32_excess_revenue",
+        ["lineitem"],
+        """
+        SELECT count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS excess_revenue
+        FROM lineitem l
+        WHERE l.l_extendedprice > (SELECT 1.3 * avg(l2.l_extendedprice)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey)
+        """,
+    ),
+    (
+        # TPC-DS q9: CASE over bucketed conditional aggregates (FILTER
+        # clause) — one scan, all buckets.
+        "tpcds_q9_bucket_case",
+        ["lineitem"],
+        """
+        SELECT CASE WHEN count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 15) > 20000
+                    THEN round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 1 AND 15), 2)
+                    ELSE round(avg(l_discount) FILTER (WHERE l_quantity BETWEEN 1 AND 15), 6)
+               END AS bucket1,
+               CASE WHEN count(*) FILTER (WHERE l_quantity BETWEEN 16 AND 35) > 20000
+                    THEN round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 16 AND 35), 2)
+                    ELSE round(avg(l_discount) FILTER (WHERE l_quantity BETWEEN 16 AND 35), 6)
+               END AS bucket2,
+               CASE WHEN count(*) FILTER (WHERE l_quantity > 35) > 20000
+                    THEN round(avg(l_extendedprice) FILTER (WHERE l_quantity > 35), 2)
+                    ELSE round(avg(l_discount) FILTER (WHERE l_quantity > 35), 6)
+               END AS bucket3,
+               count(*) AS n_total
+        FROM lineitem
+        """,
+    ),
+    (
+        # TPC-DS q78: channel exclusion via left-join-null (orders with
+        # no returned lineitem), aggregated per year.
+        "tpcds_q78_no_return_by_year",
+        ["orders", "lineitem"],
+        """
+        WITH nr AS (
+          SELECT o.o_orderkey, year(o.o_orderdate) AS yr, o.o_totalprice
+          FROM orders o
+          LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                     WHERE l_returnflag = 'R') r
+            ON o.o_orderkey = r.l_orderkey
+          WHERE r.l_orderkey IS NULL)
+        SELECT yr, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM nr GROUP BY yr
+        """,
+    ),
+]
+
+
+def _make(name: str, tables: list[str], sql: str) -> None:
+    @register(name, oracle=sql)
+    def q(spark: SparkSession, sf_dir: str, _tables=tables, _sql=sql) -> DataFrame:
+        V(spark, sf_dir, *_tables)
+        return spark.sql(_sql)
+
+    q.__name__ = name
+    q.__doc__ = f"TPC-DS shape battery: dialect-shared SQL, see _SHAPES['{name}']."
+
+
+for _name, _tables, _sql in _SHAPES:
+    _make(_name, _tables, _sql)
