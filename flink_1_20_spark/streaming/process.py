@@ -113,10 +113,10 @@ def streaming_over_rows(
         window: list[tuple[str, float]] = (
             _json.loads(state.get[0]) if state.exists else []
         )
-        rows = []
+        rows: list[tuple] = []
         for pdf in batches:
-            for _, r in pdf.iterrows():
-                rows.append((r[ts], float(r[value_col])))
+            if len(pdf):
+                rows.extend(zip(pdf[ts], pdf[value_col].astype(float)))
         rows.sort(key=lambda x: x[0])
         out = []
         for t, v in rows:
@@ -134,6 +134,72 @@ def streaming_over_rows(
                 }
             )
             out.append(rec)
+        state.update((_json.dumps(window),))
+        if out:
+            yield pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, output_schema, "win string", "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_over_range(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value_col: str,
+    range_seconds: int,
+    output_schema: str,
+) -> DataFrame:
+    """Streaming event-time RANGE over-aggregate: per-row SUM/COUNT/AVG
+    OVER (PARTITION BY keys ORDER BY ts RANGE BETWEEN interval PRECEDING
+    AND CURRENT ROW) — the time-bounded sibling of `streaming_over_rows`
+    (RowTimeRangeBoundedPrecedingFunction.java:64: retains rows inside
+    the trailing interval per key, retracts rows that age out, emits one
+    output per input row).
+
+    RANGE semantics: rows with EQUAL timestamps are frame peers — each
+    emits with the aggregate over all of them (matches the batch SQL
+    RANGE frame, over_range_time). State = the interval's rows
+    (ts, value); rows older than newest_ts − interval are pruned on
+    every step, so state size is bounded by the interval's row count,
+    not history. Same in-order-across-batches contract as the other
+    state operators here; within a batch rows are time-sorted."""
+    import json as _json
+    from itertools import groupby as _groupby
+
+    key_cols = list(keys)
+    delta = pd.Timedelta(seconds=range_seconds)
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        window: list[tuple[str, float]] = (
+            _json.loads(state.get[0]) if state.exists else []
+        )
+        rows: list[tuple] = []
+        for pdf in batches:
+            if len(pdf):
+                rows.extend(zip(pdf[ts], pdf[value_col].astype(float)))
+        rows.sort(key=lambda x: x[0])
+        out: list[dict] = []
+        for t, peer_iter in _groupby(rows, key=lambda x: x[0]):
+            peers = list(peer_iter)
+            t_iso = t.isoformat()
+            lo_iso = (t - delta).isoformat()
+            window.extend((t_iso, v) for _, v in peers)
+            window = [w for w in window if w[0] >= lo_iso]
+            vals = [x[1] for x in window]
+            for _, v in peers:
+                rec = dict(zip(key_cols, key))
+                rec.update(
+                    {
+                        "ts": t,
+                        "value": v,
+                        "win_sum": sum(vals),
+                        "win_cnt": len(vals),
+                        "win_avg": sum(vals) / len(vals),
+                    }
+                )
+                out.append(rec)
         state.update((_json.dumps(window),))
         if out:
             yield pd.DataFrame(out)

@@ -14,16 +14,27 @@ same thing: CoProcess = union of tagged inputs keyed together). Per key:
 Versions are kept sorted; old versions are pruned to `max_versions`
 (Flink's state-retention cleanup).
 
-Simplification vs Flink: events are matched at micro-batch granularity
-assuming dim updates for a version arrive no later than the events that
-need them (in-order across batches per key) — no watermark-held event
-buffering. Within a batch, rows are time-sorted, so dim-before-event in
-the same batch works.
+Watermark correctness (`watermark_delay` set): the union carries a
+`withWatermark` and the state function reads the global watermark via
+`GroupState.getCurrentWatermarkMs()` — events BUFFER in keyed state
+until watermark >= event_ts, i.e. until no dim version that could be
+the event's match can still arrive (exactly the left-row buffering of
+TemporalRowTimeJoinOperator.java:78; the delay is the allowed
+out-of-orderness). Dim updates arriving a batch after the events they
+enrich therefore still join correctly. Latency follows the watermark:
+an event emits in the first micro-batch whose watermark passed it.
+
+`watermark_delay=None` keeps the lighter contract: events emit in
+their arrival batch, assuming dim updates for a version arrive no
+later than the events that need them (in-order across batches per
+key). Within a batch, dim rows apply before event lookups, so
+dim-before-event in the same batch always works in both modes.
 """
 
 from __future__ import annotations
 
 import json
+from bisect import bisect_right
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +42,31 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _tag(df: DataFrame, key: str, ts_col, side: int, payload: list[str]) -> DataFrame:
+    return df.select(
+        F.col(key).alias("__k"),
+        (F.col(ts_col) if isinstance(ts_col, str) else ts_col).alias("__t"),
+        F.lit(side).alias("__side"),
+        F.to_json(F.struct(*payload)).alias("__payload"),
+    )
+
+
+def _intake(batches: Iterator[pd.DataFrame]) -> tuple[list, list]:
+    """Split tagged batches into (events, dims) as (iso_ts, payload)
+    tuples — column-wise, no iterrows."""
+    events: list[tuple[str, str]] = []
+    dims: list[tuple[str, str]] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        t_iso = pdf["__t"].map(lambda t: t.isoformat() if t is not None else "")
+        is_dim = (pdf["__side"] == 1).to_numpy()
+        pay = pdf["__payload"]
+        dims.extend(zip(t_iso[is_dim], pay[is_dim]))
+        events.extend(zip(t_iso[~is_dim], pay[~is_dim]))
+    return events, dims
 
 
 def temporal_join_stream(
@@ -43,63 +79,63 @@ def temporal_join_stream(
     dim_payload: list[str],
     output_schema: str,
     max_versions: int = 100,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """FOR SYSTEM_TIME AS OF over streams.
 
     Output columns: key, event_ts (as `ts`), event_payload...,
     dim_payload... (null when no version existed at the event's time) —
-    declare them in `output_schema` in that order."""
-    tagged_events = events.select(
-        F.col(key).alias("__k"),
-        F.col(event_ts).alias("__t"),
-        F.lit(0).alias("__side"),  # 0 = event (probe)
-        F.to_json(F.struct(*event_payload)).alias("__payload"),
+    declare them in `output_schema` in that order. See module docstring
+    for the `watermark_delay` contract."""
+    unioned = _tag(events, key, event_ts, 0, event_payload).unionByName(
+        _tag(dim_updates, key, dim_ts, 1, dim_payload)
     )
-    tagged_dim = dim_updates.select(
-        F.col(key).alias("__k"),
-        F.col(dim_ts).alias("__t"),
-        F.lit(1).alias("__side"),  # 1 = dim version (build)
-        F.to_json(F.struct(*dim_payload)).alias("__payload"),
-    )
-    unioned = tagged_events.unionByName(tagged_dim)
+    if watermark_delay is not None:
+        unioned = unioned.withWatermark("__t", watermark_delay)
 
     def fn(k: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
-        versions: list[tuple[str, str]] = json.loads(state.get[0]) if state.exists else []
-        rows = []
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                rows.append((r["__t"], int(r["__side"]), r["__payload"]))
-        # dim rows first at equal timestamps (version valid AT its time)
-        rows.sort(key=lambda x: (x[0], -x[1]))
-        out = []
-        for t, side, payload in rows:
-            tiso = t.isoformat()
-            if side == 1:
-                versions.append((tiso, payload))
-                versions.sort(key=lambda v: v[0])
-                versions = versions[-max_versions:]
-            else:
-                match = None
-                for vts, vpayload in reversed(versions):
-                    if vts <= tiso:
-                        match = (vts, vpayload)
-                        break
-                rec = {"__k": k[0], "ts": tiso, **json.loads(payload)}
-                dimvals = json.loads(match[1]) if match else {}
-                for c in dim_payload:
-                    rec[c] = dimvals.get(c)
-                out.append(rec)
-        state.update((json.dumps(versions),))
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"versions": [], "pending": []}
+        versions = [tuple(v) for v in st["versions"]]
+        pending = [tuple(p) for p in st["pending"]]
+
+        new_events, new_dims = _intake(batches)
+        versions.extend(new_dims)
+        versions.sort(key=lambda v: v[0])
+        versions = versions[-max_versions:]
+
+        if watermark_delay is None:
+            ready = sorted(new_events)
+            pending_next: list[tuple[str, str]] = []
+        else:
+            wm_ms = state.getCurrentWatermarkMs()
+            wm_iso = pd.Timestamp(wm_ms, unit="ms").isoformat() if wm_ms > 0 else ""
+            allp = pending + new_events
+            ready = sorted(e for e in allp if e[0] <= wm_iso)
+            pending_next = [e for e in allp if e[0] > wm_iso]
+
+        vts = [v[0] for v in versions]
+        out: list[dict] = []
+        for t_iso, payload in ready:
+            i = bisect_right(vts, t_iso) - 1  # latest version_ts <= event_ts
+            rec = {"__k": k[0], "ts": t_iso, **json.loads(payload)}
+            dimvals = json.loads(versions[i][1]) if i >= 0 else {}
+            for c in dim_payload:
+                rec[c] = dimvals.get(c)
+            out.append(rec)
+
+        state.update((json.dumps({"versions": versions, "pending": pending_next}),))
         if out:
-            pdf_out = pd.DataFrame(out)
-            pdf_out = pdf_out.rename(columns={"__k": key})
+            pdf_out = pd.DataFrame(out).rename(columns={"__k": key})
             pdf_out["ts"] = pd.to_datetime(pdf_out["ts"])
             yield pdf_out
 
     return unioned.groupBy("__k").applyInPandasWithState(
         fn,
         output_schema,
-        "versions string",
+        "state string",
         "update",
         GroupStateTimeout.NoTimeout,
     )
@@ -121,12 +157,7 @@ def proctime_temporal_join(
     of the row-time variant); arrival order decides, which is exactly
     Flink's proc-time semantics. Same tagged-union wiring as
     `temporal_join_stream`."""
-    tagged_events = events.select(
-        F.col(key).alias("__k"),
-        F.col(event_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.to_json(F.struct(*event_payload)).alias("__payload"),
-    )
+    tagged_events = _tag(events, key, event_ts, 0, event_payload)
     tagged_dim = dim_updates.select(
         F.col(key).alias("__k"),
         F.lit(None).cast("timestamp").alias("__t"),
@@ -137,22 +168,18 @@ def proctime_temporal_join(
 
     def fn(k: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         latest: str | None = state.get[0] if state.exists else None
-        rows = []
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                rows.append((int(r["__side"]), r["__t"], r["__payload"]))
+        evs, dims = _intake(batches)
+        # dim updates apply before events (micro-batch granularity of
+        # "processing time"; ties build-side-first)
+        if dims:
+            latest = dims[-1][1]
         out: list[dict] = []
-        # dim updates apply before events within a batch (micro-batch
-        # granularity of "processing time"; ties build-side-first)
-        for side, t, payload in sorted(rows, key=lambda x: -x[0]):
-            if side == 1:
-                latest = payload
-            else:
-                rec = {"__k": k[0], "ts": t.isoformat(), **json.loads(payload)}
-                dimvals = json.loads(latest) if latest else {}
-                for c in dim_payload:
-                    rec[c] = dimvals.get(c)
-                out.append(rec)
+        for t_iso, payload in evs:
+            rec = {"__k": k[0], "ts": t_iso, **json.loads(payload)}
+            dimvals = json.loads(latest) if latest else {}
+            for c in dim_payload:
+                rec[c] = dimvals.get(c)
+            out.append(rec)
         state.update((latest,))
         if out:
             pdf_out = pd.DataFrame(out).rename(columns={"__k": key})

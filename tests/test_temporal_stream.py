@@ -86,3 +86,45 @@ def test_proctime_temporal_join_latest_wins(spark, tmp_path):
         q.stop()
     got = {r["qty"]: r["price"] for r in rows}
     assert got == {3: 10.0, 5: 20.0}
+
+
+def test_temporal_join_watermark_late_dim(spark, tmp_path):
+    """Watermark mode (TemporalRowTimeJoinOperator.java:78 buffering):
+    an event whose matching dim version arrives one micro-batch LATER
+    must still enrich with that version — the event waits in state until
+    the watermark passes its timestamp."""
+    ev_dir, dim_dir = str(tmp_path / "ev3"), str(tmp_path / "dim3")
+    # batch 0: the event arrives BEFORE any dim version exists
+    _drop(ev_dir, 0, [{"k": 1, "ets": "2024-01-01T10:00:00", "qty": 3}])
+    os.makedirs(dim_dir, exist_ok=True)
+    _drop(dim_dir, 0, [])
+    events = file_source(spark, ev_dir, "k bigint, ets timestamp, qty bigint", fmt="json")
+    dim = file_source(spark, dim_dir, "k bigint, vts timestamp, price double", fmt="json")
+    out = temporal_join_stream(
+        events, dim,
+        key="k", event_ts="ets", dim_ts="vts",
+        event_payload=["qty"], dim_payload=["price"],
+        output_schema="k bigint, ts timestamp, qty bigint, price double",
+        watermark_delay="0 seconds",
+    )
+    q = run_to_memory(out, "tjw_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # watermark hasn't passed 10:00 yet → nothing emitted (the old
+        # in-order code would have emitted (3, null) here)
+        assert spark.table("tjw_out").count() == 0
+        # batch 1: the dim version the event needs arrives LATE
+        # (vts 09:55 < event ts), plus a later event to push time along
+        _drop(dim_dir, 1, [{"k": 1, "vts": "2024-01-01T09:55:00", "price": 10.0}])
+        _drop(ev_dir, 1, [{"k": 1, "ets": "2024-01-01T10:30:00", "qty": 5}])
+        q.processAllAvailable()
+        # batch 2: watermark (>= 10:30) passes both buffered events
+        _drop(ev_dir, 2, [{"k": 1, "ets": "2024-01-01T11:00:00", "qty": 7}])
+        q.processAllAvailable()
+        rows = spark.table("tjw_out").collect()
+    finally:
+        q.stop()
+    got = {r["qty"]: r["price"] for r in rows}
+    # qty=3 enriched by the LATE dim version; qty=5 by the same version;
+    # qty=7 still pending (watermark hasn't passed 11:00)
+    assert got == {3: 10.0, 5: 10.0}
