@@ -48,6 +48,8 @@ class _Step:
     strict: bool = False  # True = Flink `next`, False = `followedBy`
     negative: bool = False  # notNext / notFollowedBy — consumes no rows
     until: RowPredicate | None = None  # stop condition for looping steps
+    any_match: bool = False  # followedByAny — branch per occurrence
+    greedy: bool = True  # False = reluctant: enumerate every count
 
 
 @dataclass
@@ -74,6 +76,33 @@ class Pattern:
         """Relaxed contiguity — non-matching rows may intervene
         (Pattern.followedBy:356)."""
         self.steps.append(_Step(name, where, strict=False))
+        return self
+
+    def followed_by_any(self, name: str, where: RowPredicate) -> "Pattern":
+        """Non-deterministic relaxed contiguity (Pattern.followedByAny:387):
+        the step branches on EVERY later matching row, not just the first
+        — one match per alternative. Alternatives are enumerated under
+        `after_match_skip("NO_SKIP")`; the single-match strategies keep
+        only the earliest branch."""
+        self.steps.append(_Step(name, where, strict=False, any_match=True))
+        return self
+
+    def greedy(self) -> "Pattern":
+        """Make the last (looping) step greedy — consume the maximal run
+        (Quantifier.greedy). This is already the default here; provided
+        for parity with Flink's explicit `.greedy()`."""
+        self.steps[-1].greedy = True
+        return self
+
+    def reluctant(self) -> "Pattern":
+        """Make the last (looping) step reluctant (Flink's DEFAULT for
+        oneOrMore/times — Quantifier.java): under NO_SKIP every
+        repetition count from min to the run length produces its own
+        match ({a1}, {a1 a2}, …), where greedy emits only the maximal
+        one. Deviation note: our default is greedy because the
+        single-match skip strategies return one match per anchor;
+        reluctant is the opt-in enumeration toggle."""
+        self.steps[-1].greedy = False
         return self
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
@@ -139,7 +168,13 @@ class Pattern:
         TO_NEXT_ROW, SKIP_TO_FIRST/SKIP_TO_LAST (which require the step
         name to skip to — resume at that step's first/last matched
         row)."""
-        if strategy not in ("PAST_LAST_EVENT", "TO_NEXT_ROW", "SKIP_TO_FIRST", "SKIP_TO_LAST"):
+        if strategy not in (
+            "NO_SKIP",
+            "PAST_LAST_EVENT",
+            "TO_NEXT_ROW",
+            "SKIP_TO_FIRST",
+            "SKIP_TO_LAST",
+        ):
             raise ValueError(strategy)
         if strategy in ("SKIP_TO_FIRST", "SKIP_TO_LAST") and not step:
             raise ValueError(f"{strategy} requires the target step name")
@@ -241,6 +276,112 @@ def _match_at(
     return rec(0, start)
 
 
+def _match_all_at(
+    pat: Pattern, rows: pd.DataFrame, start: int, pre: tuple | None = None
+) -> list[list[tuple[str, int]]]:
+    """Enumerate ALL matches anchored at `start` — the NFA's full branch
+    set (NFA.java keeps one partial match per live branch):
+
+    - `next`: the single contiguous position;
+    - `followedBy`: the FIRST matching occurrence after the previous
+      step (one branch — Flink does not backtrack relaxed contiguity);
+    - `followedByAny`: one branch PER matching occurrence;
+    - looping steps: greedy → only the maximal run; reluctant → one
+      branch per count in min..run length;
+    - negative steps as in `_match_at`.
+
+    Emission order is deterministic: depth-first, positions then counts
+    ascending. Used by `after_match_skip("NO_SKIP")`.
+    """
+    n = len(rows)
+    sec, pmat, umat = pre if pre is not None else _precompute(pat, rows)
+    t0 = sec[start]
+    results: list[list[tuple[str, int]]] = []
+
+    def run_from(step_i: int, sp: int) -> list[int]:
+        """Maximal consecutive match run for step step_i starting at sp."""
+        step = pat.steps[step_i]
+        pm, um = pmat[step_i], umat[step_i]
+        matches: list[int] = []
+        j = sp
+        while j < n and (step.max_times == -1 or len(matches) < step.max_times):
+            if pat.within_seconds is not None and (sec[j] - t0) > pat.within_seconds:
+                break
+            if um is not None and um[j]:
+                break
+            if not pm[j]:
+                break
+            matches.append(j)
+            j += 1
+        return matches
+
+    def rec(step_i: int, pos: int, acc: list[tuple[str, int]], bound: int | None) -> None:
+        if step_i == len(pat.steps):
+            results.append(list(acc))
+            return
+        step = pat.steps[step_i]
+        pm = pmat[step_i]
+        if step.negative:
+            if step.strict:
+                if pos < n and pm[pos]:
+                    return
+                rec(step_i + 1, pos, acc, None)
+                return
+            if step_i == len(pat.steps) - 1:
+                if pat.within_seconds is None:
+                    raise ValueError("notFollowedBy cannot be the last step without within()")
+                for j in range(pos, n):
+                    if (sec[j] - t0) > pat.within_seconds:
+                        break
+                    if pm[j]:
+                        return
+                results.append(list(acc))
+                return
+            limit = next((j for j in range(pos, n) if pm[j]), n)
+            rec(step_i + 1, pos, acc, limit)
+            return
+
+        anchored = step_i == 0
+        hi = n if bound is None else min(n, bound + 1)
+        if anchored or step.strict:
+            start_positions: list[int] = [pos]
+        else:
+            feasible = (j for j in range(pos, hi) if pm[j])
+            if step.any_match:
+                start_positions = list(feasible)
+            else:
+                first = next(feasible, None)
+                start_positions = [] if first is None else [first]
+            if step.min_times == 0 and not start_positions:
+                start_positions = [pos]  # zero-occupancy only
+
+        for sp in start_positions:
+            if bound is not None and sp > bound:
+                continue
+            matches = run_from(step_i, sp) if sp < n else []
+            if step.greedy:
+                # maximal run first; stop at the largest count that
+                # completes a match (single branch per start position)
+                counts = range(len(matches), step.min_times - 1, -1)
+            else:
+                # reluctant: every count is its own branch
+                counts = range(step.min_times, len(matches) + 1)
+            for take in counts:
+                # zero-occupancy resumes at `pos`: rows between pos and
+                # sp stay available to the next step
+                nxt = sp + take if take > 0 else pos
+                before = len(results)
+                acc.extend((step.name, idx) for idx in matches[:take])
+                rec(step_i + 1, nxt, acc, None)
+                if take:
+                    del acc[-take:]
+                if step.greedy and len(results) > before:
+                    break
+
+    rec(0, start, [], None)
+    return results
+
+
 def match_recognize(
     df: DataFrame,
     keys: list[str],
@@ -271,6 +412,29 @@ def match_recognize(
         first = pattern.steps[0]
         can_anchor = None if (first.min_times == 0 or first.negative) else pre[1][0]
         out_rows: list[dict] = []
+
+        def render(m: list[tuple[str, int]]) -> dict:
+            groups: dict[str, list[int]] = {}
+            for name, idx in m:
+                groups.setdefault(name, []).append(idx)
+            rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
+            for k in keys:
+                rendered[k] = pdf[k].iloc[0]
+            return rendered
+
+        if pattern.skip == "NO_SKIP":
+            # emit EVERY branch at every anchor (AfterMatchSkipStrategy
+            # .noSkip + followedByAny/reluctant enumeration)
+            for i in range(len(pdf)):
+                if can_anchor is not None and not can_anchor[i]:
+                    continue
+                for m in _match_all_at(pattern, pdf, i, pre):
+                    if m:
+                        out_rows.append(render(m))
+            if not out_rows:
+                return pd.DataFrame(columns=out_cols)
+            return pd.DataFrame(out_rows)
+
         i = 0
         while i < len(pdf):
             if can_anchor is not None and not can_anchor[i]:

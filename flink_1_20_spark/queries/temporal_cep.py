@@ -185,3 +185,50 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_schema="burst_start timestamp, burst_end timestamp, n_errors bigint, user_id bigint",
         order_tiebreak=["event_id"],
     ).select("user_id", "burst_start", "burst_end", "n_errors")
+
+
+@register(
+    "cep_followed_by_any",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+           round(p.value, 4) AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+     AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup followedByAny purchase within 1h, NO_SKIP
+    (Pattern.followedByAny:387 + AfterMatchSkipStrategy.noSkip): every
+    (signup, later purchase) pair is its own NFA branch — which is
+    exactly a time-bounded self-join, so the oracle is the join. The
+    scalable declarative plan for THIS shape is indeed the join (one
+    user_id shuffle); the NFA run proves branch enumeration matches it
+    pair-for-pair."""
+    e = T(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("s", lambda r: r["event_type"] == "signup")
+        .followed_by_any("p", lambda r: r["event_type"] == "purchase")
+        .within(3600)
+        .after_match_skip("NO_SKIP")
+    )
+
+    def measures(g: dict[str, pd.DataFrame]) -> dict:
+        return {
+            "signup_event": int(g["s"]["event_id"].iloc[0]),
+            "purchase_event": int(g["p"]["event_id"].iloc[-1]),
+            "purchase_value": round(float(g["p"]["value"].iloc[-1]), 4),
+        }
+
+    return match_recognize(
+        e,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="signup_event bigint, purchase_event bigint,"
+        " purchase_value double, user_id bigint",
+        order_tiebreak=["event_id"],
+    ).select("user_id", "signup_event", "purchase_event", "purchase_value")

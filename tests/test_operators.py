@@ -344,3 +344,80 @@ def test_cep_skip_to_last_overlapping(spark):
         base().after_match_skip("TO_NEXT_ROW"), meas, FUNNEL_SCHEMA,
     ).collect()
     assert sorted(r["start_m"] for r in nxt) == [0, 2]
+
+
+def test_cep_followed_by_any_multiple_matches(spark):
+    """followedByAny (Pattern.followedByAny:387): the step branches on
+    EVERY later matching row — one emitted match per alternative under
+    NO_SKIP, where plain followedBy takes only the first occurrence."""
+    rows = [
+        (1, _ts(0), "click", 0.0),
+        (1, _ts(1), "view", 1.0),
+        (1, _ts(2), "view", 2.0),
+        (1, _ts(3), "view", 3.0),
+    ]
+    df = _events(spark, rows)
+
+    def measures():
+        return lambda g: {
+            "start_m": int(g["a"]["ts"].iloc[0].minute),
+            "end_m": int(g["b"]["ts"].iloc[-1].minute),
+        }
+
+    any_pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by_any("b", lambda r: r["event_type"] == "view")
+        .after_match_skip("NO_SKIP")
+    )
+    got = {(r["start_m"], r["end_m"]) for r in match_recognize(
+        df, ["user_id"], "ts", any_pat, measures(),
+        "start_m bigint, end_m bigint, user_id bigint").collect()}
+    # three branches from the single anchor — one per view
+    assert got == {(0, 1), (0, 2), (0, 3)}
+
+    first_only = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by("b", lambda r: r["event_type"] == "view")
+        .after_match_skip("NO_SKIP")
+    )
+    got_first = {(r["start_m"], r["end_m"]) for r in match_recognize(
+        df, ["user_id"], "ts", first_only, measures(),
+        "start_m bigint, end_m bigint, user_id bigint").collect()}
+    assert got_first == {(0, 1)}  # relaxed contiguity takes the first view
+
+
+def test_cep_greedy_vs_reluctant_counts(spark):
+    """Quantifier control (Quantifier.java): reluctant oneOrMore emits a
+    match per repetition count ({v1}, {v1 v2}, ...) — Flink's default —
+    while greedy emits only the maximal run."""
+    rows = [
+        (1, _ts(0), "view", 1.0),
+        (1, _ts(1), "view", 2.0),
+        (1, _ts(2), "view", 3.0),
+    ]
+    df = _events(spark, rows)
+
+    def measures():
+        return lambda g: {
+            "start_m": int(g["v"]["ts"].iloc[0].minute),
+            "n": int(len(g["v"])),
+        }
+
+    def run(pat):
+        return {(r["start_m"], r["n"]) for r in match_recognize(
+            df, ["user_id"], "ts", pat, measures(),
+            "start_m bigint, n bigint, user_id bigint").collect()}
+
+    reluctant = (
+        Pattern.begin("v", lambda r: r["event_type"] == "view")
+        .one_or_more().reluctant().after_match_skip("NO_SKIP")
+    )
+    # every (anchor, count) combination
+    assert run(reluctant) == {(0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (2, 1)}
+
+    greedy = (
+        Pattern.begin("v", lambda r: r["event_type"] == "view")
+        .one_or_more().greedy().after_match_skip("NO_SKIP")
+    )
+    # only the maximal run per anchor
+    assert run(greedy) == {(0, 3), (1, 2), (2, 1)}
