@@ -165,3 +165,71 @@ def time_minute(nanos: Column | str) -> Column:
 
 def time_second(nanos: Column | str) -> Column:
     return (F.floor(_c(nanos) / F.lit(1_000_000_000)) % 60).cast("int")
+
+
+# --- SQL/JSON path functions (BFD:2339 JSON_EXISTS, :2361 JSON_VALUE,
+# :2379 JSON_QUERY). Paths accept the standard 'lax $.a.b' / 'strict $.a'
+# prefix; extraction compiles to get_json_object (JVM-side Jackson).
+# Error handling: per-row raising isn't expressible in a JVM expression,
+# so BOTH modes use the functions' default ON ERROR behaviors (FALSE for
+# EXISTS, NULL for VALUE/QUERY) — which is exactly Flink's default; the
+# strict-mode THROW ON ERROR option is the one deviation.
+
+
+def _json_path(path: str) -> str:
+    p = path.strip()
+    if p.startswith("lax "):
+        return p[4:].strip()
+    if p.startswith("strict "):
+        return p[7:].strip()
+    return p
+
+
+def json_exists(col: Column | str, path: str) -> Column:
+    """JSON_EXISTS(col, path) — TRUE iff the path yields an item
+    (BFD:2339). Caveat vs the spec: a JSON null item reports FALSE
+    (get_json_object maps it to SQL NULL)."""
+    return F.get_json_object(_c(col), _json_path(path)).isNotNull()
+
+
+def json_value(
+    col: Column | str,
+    path: str,
+    returning: str | None = None,
+    default=None,
+) -> Column:
+    """JSON_VALUE(col, path [RETURNING type] [DEFAULT x ON EMPTY]) —
+    scalar extraction; structured items (object/array) yield NULL, as the
+    spec requires (BFD:2361)."""
+    raw = F.get_json_object(_c(col), _json_path(path))
+    first = F.substring(raw, 1, 1)
+    out = F.when(first.isin("{", "["), F.lit(None).cast("string")).otherwise(raw)
+    if default is not None:
+        out = F.coalesce(out, F.lit(default).cast("string"))
+    if returning is not None:
+        out = out.cast(returning)
+    return out
+
+
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+
+def json_query(col: Column | str, path: str, wrapper: str = "WITHOUT_ARRAY") -> Column:
+    """JSON_QUERY(col, path [WITH/WITHOUT ARRAY WRAPPER]) — returns JSON
+    text (BFD:2379). WITHOUT_ARRAY: only structured items, scalars →
+    NULL. WITH_UNCONDITIONAL_ARRAY: every item wrapped in a one-element
+    array; string scalars are re-quoted (get_json_object strips quotes),
+    numeric/boolean/null literals pass through."""
+    raw = F.get_json_object(_c(col), _json_path(path))
+    first = F.substring(raw, 1, 1)
+    structured = first.isin("{", "[")
+    if wrapper == "WITHOUT_ARRAY":
+        return F.when(structured, raw)
+    if wrapper != "WITH_UNCONDITIONAL_ARRAY":
+        raise ValueError("wrapper must be WITHOUT_ARRAY or WITH_UNCONDITIONAL_ARRAY")
+    literal = raw.rlike(_NUM_RE) | raw.isin("true", "false", "null")
+    wrapped_literal = F.concat(F.lit("["), raw, F.lit("]"))
+    wrapped_string = F.to_json(F.array(raw))
+    return F.when(
+        structured, F.concat(F.lit("["), raw, F.lit("]"))
+    ).otherwise(F.when(literal, wrapped_literal).otherwise(wrapped_string))

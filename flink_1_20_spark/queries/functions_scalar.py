@@ -654,3 +654,61 @@ def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_minute(nanos).alias("tod_minute"),
         time_second(nanos).alias("tod_second"),
     )
+
+
+@register(
+    "fn_json_path",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"user":{"id":' || user_id || ',"tags":["' || event_type ||
+             '","t2"]},"k":' || json_extract_string(props, '$.k') || '}' AS js
+      FROM events WHERE event_id <= 300)
+    SELECT event_id,
+           json_extract(js, '$.k') IS NOT NULL        AS ex_k,
+           json_extract(js, '$.missing') IS NOT NULL  AS ex_missing,
+           CAST(json_extract_string(js, '$.k') AS INT) AS v_k,
+           CASE WHEN json_type(js, '$.user') IN ('OBJECT', 'ARRAY') THEN NULL
+                ELSE json_extract_string(js, '$.user') END AS v_user,
+           json_extract_string(js, '$.user.tags[0]')  AS v_tag,
+           CASE WHEN json_type(js, '$.user') IN ('OBJECT', 'ARRAY')
+                THEN CAST(json_extract(js, '$.user') AS VARCHAR) END AS q_user,
+           '[' || json_extract_string(js, '$.k') || ']' AS q_k_wrap,
+           '["' || json_extract_string(js, '$.user.tags[0]') || '"]' AS q_tag_wrap,
+           CASE WHEN json_type(js, '$.k') IN ('OBJECT', 'ARRAY')
+                THEN CAST(json_extract(js, '$.k') AS VARCHAR) END AS q_scalar_without
+    FROM j
+    """,
+)
+def fn_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL/JSON path family (BFD:2339 JSON_EXISTS, :2361 JSON_VALUE,
+    :2379 JSON_QUERY) with lax/strict path prefixes, RETURNING casts,
+    scalar-vs-structured discipline, and array wrappers — the shims in
+    functions/compat.py compiled to get_json_object (JVM-side). The
+    oracle recomputes each behavior with DuckDB's json_extract/json_type
+    primitives."""
+    from flink_1_20_spark.functions.compat import json_exists, json_query, json_value
+
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    js = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"tags":["'),
+        F.col("event_type"),
+        F.lit('","t2"]},"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit("}"),
+    )
+    d = e.select("event_id", js.alias("js"))
+    return d.select(
+        "event_id",
+        json_exists("js", "lax $.k").alias("ex_k"),
+        json_exists("js", "$.missing").alias("ex_missing"),
+        json_value("js", "lax $.k", returning="int").alias("v_k"),
+        json_value("js", "lax $.user").alias("v_user"),
+        json_value("js", "strict $.user.tags[0]").alias("v_tag"),
+        json_query("js", "$.user").alias("q_user"),
+        json_query("js", "$.k", wrapper="WITH_UNCONDITIONAL_ARRAY").alias("q_k_wrap"),
+        json_query("js", "$.user.tags[0]", wrapper="WITH_UNCONDITIONAL_ARRAY").alias("q_tag_wrap"),
+        json_query("js", "$.k").alias("q_scalar_without"),
+    )

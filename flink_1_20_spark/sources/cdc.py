@@ -52,6 +52,37 @@ def parse_debezium(
     return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
 
 
+def parse_ogg(df: DataFrame, value_col: str, payload_ddl: str) -> DataFrame:
+    """Decode Oracle GoldenGate (Ogg) JSON change events into a RowKind
+    changelog (flink-formats/flink-json ogg/OggJsonFormatFactory.java:58,
+    OggJsonDeserializationSchema.java:169-189).
+
+    Envelope: {"before": {...}, "after": {...}, "op_type": "I|U|D",
+    "op_ts": "...", ...}. op_type I → +I (after image); U → -U (before)
+    and +U (after); D → -D (before image). The reference raises on
+    U/D with a null before image (REPLICA_IDENTITY_EXCEPTION) — here
+    such rows surface with null payload fields, visible downstream.
+    Output columns: row_kind, op_ts, then the payload fields."""
+    env_ddl = (
+        f"before struct<{payload_ddl}>, after struct<{payload_ddl}>, "
+        "op_type string, op_ts string"
+    )
+    base = df.withColumn("__env", F.from_json(F.col(value_col), env_ddl)).select("__env.*")
+    inserts = base.filter(F.col("op_type") == "I").select(
+        F.lit(INSERT).alias("row_kind"), "op_ts", "after.*"
+    )
+    upd_before = base.filter(F.col("op_type") == "U").select(
+        F.lit(UPDATE_BEFORE).alias("row_kind"), "op_ts", "before.*"
+    )
+    upd_after = base.filter(F.col("op_type") == "U").select(
+        F.lit(UPDATE_AFTER).alias("row_kind"), "op_ts", "after.*"
+    )
+    deletes = base.filter(F.col("op_type") == "D").select(
+        F.lit(DELETE).alias("row_kind"), "op_ts", "before.*"
+    )
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
 def _merged_old(fields: list[str], old_struct: str, new_struct: str) -> list[Column]:
     """Per-field before-image: Canal/Maxwell `old` carries only the
     CHANGED columns — unchanged ones are taken from the after image

@@ -107,3 +107,32 @@ def test_hybrid_source_no_gap_no_overlap(spark, tmp_path):
     assert live_rows == {6, 7, 8}          # > cutoff only
     assert hist_rows | live_rows == set(range(1, 9))
     assert hist_rows & live_rows == set()  # no double-count
+
+
+def test_ogg_envelope(spark):
+    """Ogg JSON (OggJsonFormatFactory.java:58): op_type I/U/D with
+    before/after images → +I / -U,+U / -D changelog."""
+    from flink_1_20_spark.sources.cdc import parse_ogg
+
+    def ogg(op, before, after, ts):
+        return json.dumps(
+            {"before": before, "after": after, "op_type": op, "op_ts": ts})
+
+    events = [
+        ogg("I", None, {"id": 1, "name": "alice"}, "2020-05-13 15:40:06.000000"),
+        ogg("I", None, {"id": 2, "name": "bob"}, "2020-05-13 15:40:07.000000"),
+        ogg("U", {"id": 1, "name": "alice"}, {"id": 1, "name": "alice2"},
+            "2020-05-13 15:40:08.000000"),
+        ogg("D", {"id": 2, "name": "bob"}, None, "2020-05-13 15:40:09.000000"),
+    ]
+    raw = spark.createDataFrame([(e,) for e in events], "value string")
+    log = parse_ogg(raw, "value", "id bigint, name string")
+    rows = sorted((r["row_kind"], r["id"], r["name"]) for r in log.collect())
+    assert rows == [
+        ("+I", 1, "alice"), ("+I", 2, "bob"), ("+U", 1, "alice2"),
+        ("-D", 2, "bob"), ("-U", 1, "alice"),
+    ]
+    final = materialize_changelog(
+        log, keys=["id"], seq_col="op_ts", op_col="row_kind")
+    got = {r["id"]: r["name"] for r in final.collect()}
+    assert got == {1: "alice2"}
