@@ -68,6 +68,11 @@ def upsert_foreach_batch(
         import os
         import shutil
 
+        old = f"{path}.__old__"
+        if not os.path.exists(path) and os.path.exists(old):
+            # crashed mid-swap last time (after path→old, before
+            # staging→path): roll the previous table back
+            os.rename(old, path)
         if os.path.exists(path):
             current = spark.read.parquet(path)
             merged = current.join(batch.select(*keys), on=keys, how="left_anti").unionByName(
@@ -76,12 +81,19 @@ def upsert_foreach_batch(
         else:
             merged = batch  # first batch — no table yet
         # Write-then-swap: can't overwrite the path being read. The write
-        # is fully distributed; the swap is a metadata rename.
+        # is fully distributed; the swap is two metadata renames with the
+        # previous table parked at `old` until the new one is in place —
+        # a crash at any point leaves a recoverable table (rmtree of the
+        # LIVE table never happens before its replacement is committed).
         tmp = f"{path}.__staging__"
         merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return df.writeStream.foreachBatch(merge).start()
 

@@ -421,3 +421,83 @@ def test_cep_greedy_vs_reluctant_counts(spark):
     )
     # only the maximal run per anchor
     assert run(greedy) == {(0, 3), (1, 2), (2, 1)}
+
+
+def test_refreshing_dim_full_cache_reload(spark):
+    """FULL-cache lookup (LookupFullCache + reload trigger): the dim
+    loads at most once per TTL window; expiry reloads a fresh
+    snapshot."""
+    from flink_1_20_spark.operators.lookup import RefreshingDim
+
+    loads = {"n": 0}
+
+    def loader():
+        loads["n"] += 1
+        return spark.createDataFrame([(1, f"v{loads['n']}")], "k bigint, dimval string")
+
+    clock = {"t": 0.0}
+    rd = RefreshingDim(loader, ttl_seconds=10.0, clock=lambda: clock["t"])
+    fact = spark.createDataFrame([(1, 100.0)], "k bigint, amount double")
+
+    # three "micro-batches" inside one TTL window → one load
+    for _ in range(3):
+        assert rd.join(fact, on=["k"]).collect()[0]["dimval"] == "v1"
+        clock["t"] += 3.0
+    assert rd.n_loads == 1
+    # cross the TTL boundary → reload, new version visible
+    clock["t"] = 11.0
+    assert rd.join(fact, on=["k"]).collect()[0]["dimval"] == "v2"
+    assert rd.n_loads == 2
+
+
+def test_partial_cache_ttl():
+    from flink_1_20_spark.operators.lookup import PartialCache
+
+    clock = {"t": 0.0}
+    c = PartialCache(ttl_seconds=5.0, clock=lambda: clock["t"])
+    assert not c.contains(("a",))
+    c.put(("a",), {"x": 1})
+    assert c.get(("a",)) == {"x": 1}
+    c.put(("gone",), {})  # cached empty result (missing-key caching)
+    assert c.contains(("gone",)) and c.get(("gone",)) == {}
+    clock["t"] = 5.0
+    assert not c.contains(("a",))  # expired
+
+
+def test_async_lookup_join_partial_cache(spark, tmp_path):
+    """PARTIAL-cache async lookup (AsyncLookupJoinRunner +
+    LookupCacheManager): within a batch, the external fetch runs once
+    per DISTINCT key (duplicates served from cache); unknown keys
+    null-pad (left-join semantics)."""
+    from flink_1_20_spark.operators.lookup import async_lookup_join
+
+    calls_log = str(tmp_path / "calls.log")
+
+    def make_fetch(path):
+        async def fetch(key):
+            with open(path, "a") as f:
+                f.write(f"{key[0]}\n")
+            if key[0] >= 100:
+                return None  # dim has no such key
+            return {"dimval": f"d{key[0]}"}
+        return fetch
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 30.0), (100, 40.0), (2, 50.0)],
+        "k bigint, amount double",
+    ).repartition(1)
+    out = async_lookup_join(
+        fact,
+        key_cols=["k"],
+        fetch=make_fetch(calls_log),
+        output_schema="k bigint, amount double, dimval string",
+        ttl_seconds=300.0,
+    )
+    rows = {(r["k"], r["amount"]): r["dimval"] for r in out.collect()}
+    assert rows == {
+        (1, 10.0): "d1", (2, 20.0): "d2", (1, 30.0): "d1",
+        (100, 40.0): None, (2, 50.0): "d2",
+    }
+    with open(calls_log) as f:
+        called = sorted(int(x) for x in f.read().split())
+    assert called == [1, 2, 100]  # one fetch per distinct key
