@@ -302,6 +302,143 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """,
     ),
     (
+        # TPC-DS q88: a grid of independent filtered-count subqueries
+        # cross-joined into one row.
+        "tpcds_q88_count_grid",
+        ["orders"],
+        """
+        SELECT h1.n AS n_urgent_open, h2.n AS n_urgent_done,
+               h3.n AS n_low_open, h4.n AS n_low_done
+        FROM (SELECT count(*) AS n FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O') h1,
+             (SELECT count(*) AS n FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F') h2,
+             (SELECT count(*) AS n FROM orders
+              WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'O') h3,
+             (SELECT count(*) AS n FROM orders
+              WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F') h4
+        """,
+    ),
+    (
+        # TPC-DS q90: ratio of two disjoint-window scalar subqueries.
+        "tpcds_q90_am_pm_ratio",
+        ["events"],
+        """
+        SELECT round(CAST(am.n AS DOUBLE) / pm.n, 6) AS am_pm_ratio,
+               am.n AS n_am, pm.n AS n_pm
+        FROM (SELECT count(*) AS n FROM events WHERE hour(ts) BETWEEN 6 AND 11) am,
+             (SELECT count(*) AS n FROM events WHERE hour(ts) BETWEEN 18 AND 23) pm
+        """,
+    ),
+    (
+        # TPC-DS q34/q73: per-group count HAVING a band, joined back to
+        # the detail rows.
+        "tpcds_q34_count_band",
+        ["orders", "customer"],
+        """
+        WITH busy AS (
+          SELECT o_custkey, count(*) AS cnt
+          FROM orders GROUP BY o_custkey
+          HAVING count(*) BETWEEN 15 AND 20)
+        SELECT c.c_custkey, c.c_name, b.cnt
+        FROM busy b JOIN customer c ON b.o_custkey = c.c_custkey
+        """,
+    ),
+    (
+        # TPC-DS q48/q85: disjunction of conjunctive band predicates
+        # (each arm pairs a category with its own numeric range).
+        "tpcds_q48_or_of_ands",
+        ["lineitem"],
+        """
+        SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        WHERE (l_returnflag = 'R' AND l_quantity BETWEEN 1 AND 15
+               AND l_discount BETWEEN 0.00 AND 0.04)
+           OR (l_returnflag = 'A' AND l_quantity BETWEEN 16 AND 35
+               AND l_discount BETWEEN 0.03 AND 0.07)
+           OR (l_returnflag = 'N' AND l_quantity BETWEEN 36 AND 50
+               AND l_discount BETWEEN 0.06 AND 0.10)
+        """,
+    ),
+    (
+        # TPC-DS q93: per-order sums adjusted by subtracting the joined
+        # returned quantity, then re-aggregated.
+        "tpcds_q93_adjusted_sales",
+        ["lineitem"],
+        """
+        WITH adj AS (
+          SELECT l.l_orderkey,
+                 sum(l.l_extendedprice) AS gross,
+                 sum(CASE WHEN l.l_returnflag = 'R' THEN l.l_extendedprice
+                          ELSE 0 END) AS returned
+          FROM lineitem l GROUP BY l.l_orderkey)
+        SELECT l_orderkey, round(gross - returned, 2) AS net
+        FROM adj WHERE returned > 0 AND gross - returned > 0
+        """,
+    ),
+    (
+        # TPC-DS q23: CTE computes a per-key statistic, a scalar
+        # subquery over the CTE sets the admission threshold.
+        "tpcds_q23_frequent_keys",
+        ["lineitem", "orders"],
+        """
+        WITH freq AS (
+          SELECT l_partkey, count(*) AS cnt
+          FROM lineitem GROUP BY l_partkey),
+        threshold AS (SELECT avg(cnt) * 1.5 AS lim FROM freq)
+        SELECT count(*) AS n_hot_lineitems,
+               round(sum(l.l_extendedprice), 2) AS hot_revenue
+        FROM lineitem l
+        JOIN freq f ON l.l_partkey = f.l_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE f.cnt > (SELECT lim FROM threshold)
+          AND year(o.o_orderdate) = 1997
+        """,
+    ),
+    (
+        # TPC-DS q31: two channels aggregated per (nation, year),
+        # self-joined across consecutive years, growth-rate compare.
+        "tpcds_q31_yoy_two_channels",
+        ["orders", "customer", "nation", "lineitem"],
+        """
+        WITH o_by AS (
+          SELECT n_name, year(o_orderdate) AS yr, sum(o_totalprice) AS s
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, year(o_orderdate)),
+        l_by AS (
+          SELECT n_name, year(l_shipdate) AS yr,
+                 sum(l_extendedprice * (1 - l_discount)) AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, year(l_shipdate))
+        SELECT o1.n_name, o2.yr AS yr,
+               round(o2.s / o1.s, 4) AS order_growth,
+               round(l2.s / l1.s, 4) AS lineitem_growth
+        FROM o_by o1 JOIN o_by o2 ON o1.n_name = o2.n_name AND o2.yr = o1.yr + 1
+        JOIN l_by l1 ON l1.n_name = o1.n_name AND l1.yr = o1.yr
+        JOIN l_by l2 ON l2.n_name = o1.n_name AND l2.yr = o2.yr
+        WHERE o2.s / o1.s > l2.s / l1.s
+        """,
+    ),
+    (
+        # TPC-DS q41: EXISTS against a dimension with nested OR bands,
+        # DISTINCT projection.
+        "tpcds_q41_distinct_exists_dim",
+        ["part", "lineitem"],
+        """
+        SELECT DISTINCT p.p_brand
+        FROM part p
+        WHERE p.p_size BETWEEN 10 AND 30
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey
+              AND ((l.l_quantity BETWEEN 1 AND 10 AND l.l_discount < 0.03)
+                OR (l.l_quantity BETWEEN 40 AND 50 AND l.l_discount > 0.07)))
+        """,
+    ),
+    (
         # TPC-DS q78: channel exclusion via left-join-null (orders with
         # no returned lineitem), aggregated per year.
         "tpcds_q78_no_return_by_year",
