@@ -282,6 +282,34 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Trained IVF centroids via distributed k-means (pyspark.ml.KMeans,
+    Lloyd's over the cluster — the real centroid source for IVF at
+    scale; the deterministic lowest-id stand-in in `ivf_topk` exists for
+    cross-engine oracle checks). Output matches the corpus shape
+    (id_col = centroid index, vec_col = centroid vector) so it drops
+    into `ivf_assign`/`ivf_topk` unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"{id_col} bigint, {vec_col} array<double>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -291,13 +319,15 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_to: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: nearest-centroid cells, probe
     the `n_probe` closest cells per query, exact cosine inside them.
 
-    Centroids here are the `n_centroids` lowest-id corpus vectors — a
-    deterministic, training-free stand-in (swap in k-means output at
-    scale; the plan shape is identical). Mirrors the role of Flink's
+    Default centroids are the `n_centroids` lowest-id corpus vectors —
+    a deterministic, training-free stand-in that cross-engine oracles
+    can replicate; pass `centroids=kmeans_centroids(...)` for trained
+    cells (same plan shape, better recall). Mirrors the role of Flink's
     lookup partitioning (SURVEY.md §2.3) applied to ANN: the cell id is
     the shuffle key, so candidate generation is an equi-join on `cell`
     instead of a full cross join — corpus_scan + one shuffle keyed by
@@ -306,7 +336,8 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, round_to)
 
     cent = centroids.select(

@@ -92,3 +92,39 @@ def test_frame_sampling():
 
     with pytest.raises(ValueError):
         sample_frame_offsets(10.0, 0, 1)
+
+
+def test_ivf_topk_kmeans_centroids_recall_and_balance(spark, sf_dir):
+    """Trained k-means centroids drop into the same IVF plan (same
+    shuffle key, same probe logic) and deliver meaningful recall, with
+    every cell non-degenerate. (Relative balance/recall vs the lowest-id
+    stand-in is data-dependent on these synthetic embeddings, so the
+    assertions stick to the properties that must always hold.)"""
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.limit(10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(q, e, "vec_id", "embedding", k=5).collect()}
+
+    cents = kmeans_centroids(e, "vec_id", "embedding", n_centroids=8)
+    assert cents.count() == 8
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(q, e, "vec_id", "embedding", k=5,
+                       n_centroids=8, n_probe=4, centroids=cents).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall > 0.6
+
+    sizes = (ivf_assign(e, cents, "vec_id", "embedding")
+             .groupBy("cell").agg(F.count("*").alias("n")).collect())
+    total = sum(r["n"] for r in sizes)
+    # all 8 trained cells are populated and none swallowed the corpus
+    assert len(sizes) == 8
+    assert max(r["n"] for r in sizes) < 0.8 * total
