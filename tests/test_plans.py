@@ -139,3 +139,30 @@ def test_embedding_dedup_no_driver_collect(spark, sf_dir, queries):
         for r in cosine_pairs_blocked(e, "vec_id", "embedding", threshold=0.35).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tpcds_correlated_subqueries_decorrelate(spark, sf_dir, queries):
+    """The TPC-DS-shape correlated scalar subqueries (q1/q32/q23) must
+    decorrelate into aggregate + join — NO per-row subquery execution,
+    no cartesian/nested-loop joins. At 100 TB a surviving correlated
+    subquery re-scans the inner table per outer row."""
+    for name in (
+        "tpcds_q1_returns_above_avg",
+        "tpcds_q32_excess_revenue",
+        "tpcds_q23_frequent_keys",
+    ):
+        plan = _final_plan(queries[name](spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, name
+        assert "BroadcastNestedLoopJoin" not in final, name
+        assert "SortMergeJoin" not in final, name  # dims/aggs broadcast
+
+
+def test_embedding_block_join_single_shuffle(spark, sf_dir, queries):
+    """The block-pair GEMM join's distributed claim: exactly ONE hash
+    exchange (on the block-pair key) — the replicate-explode is narrow,
+    and no second shuffle or broadcast of the corpus exists."""
+    plan = _final_plan(queries["dedup_embedding_cosine"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "BroadcastExchange" not in final, final
