@@ -172,4 +172,4 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(q, e, "vec_id", "embedding", k=_K, n_planes=_N_PLANES)
+    return lsh_topk(q, e, "vec_id", "embedding", k=_K, n_planes=_N_PLANES, dim=_DIM)
