@@ -29,6 +29,7 @@ _MODULES = [
     "json_aggs",
     "dedup_clusters",
     "tpcds_shapes",
+    "pipeline",
 ]
 
 _loaded = False
