@@ -455,6 +455,163 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         FROM nr GROUP BY yr
         """,
     ),
+    (
+        # TPC-DS q17: per-group dispersion stats (mean, stddev,
+        # coefficient of variation) with a cov HAVING gate.
+        "tpcds_q17_quantity_stats",
+        ["lineitem", "part", "orders"],
+        """
+        SELECT p.p_brand, count(*) AS n,
+               round(avg(l.l_quantity), 4) AS qty_mean,
+               round(stddev_samp(l.l_quantity), 4) AS qty_sd,
+               round(stddev_samp(l.l_quantity) / avg(l.l_quantity), 4) AS qty_cov
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY p.p_brand
+        HAVING stddev_samp(l.l_quantity) / avg(l.l_quantity) > 0.5
+        """,
+    ),
+    (
+        # TPC-DS q21: before/after-pivot-date conditional sums per
+        # supplier with a ratio band in HAVING.
+        "tpcds_q21_before_after_ratio",
+        ["lineitem", "supplier"],
+        """
+        SELECT s.s_name,
+               sum(CASE WHEN l.l_shipdate <  TIMESTAMP '1998-07-01' THEN l.l_quantity
+                        ELSE 0 END) AS qty_before,
+               sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-07-01' THEN l.l_quantity
+                        ELSE 0 END) AS qty_after
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        HAVING sum(CASE WHEN l.l_shipdate < TIMESTAMP '1998-07-01' THEN l.l_quantity
+                        ELSE 0 END) > 0
+           AND sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-07-01' THEN l.l_quantity
+                        ELSE 0 END)
+               / sum(CASE WHEN l.l_shipdate < TIMESTAMP '1998-07-01' THEN l.l_quantity
+                          ELSE 0 END) BETWEEN 0.8 AND 1.25
+        """,
+    ),
+    (
+        # TPC-DS q25/q29: fact-to-fact chain — returned item later
+        # re-ordered by the same customer, rolled up per nation.
+        "tpcds_q25_return_reorder_chain",
+        ["orders", "lineitem", "customer", "nation"],
+        """
+        SELECT n.n_name,
+               count(*) AS n_chains,
+               round(sum(l1.l_extendedprice), 2) AS returned_amt,
+               round(sum(l2.l_extendedprice), 2) AS reordered_amt
+        FROM orders o1
+        JOIN lineitem l1 ON l1.l_orderkey = o1.o_orderkey AND l1.l_returnflag = 'R'
+        JOIN orders o2 ON o2.o_custkey = o1.o_custkey
+                      AND o2.o_orderdate > o1.o_orderdate
+        JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+                        AND l2.l_partkey = l1.l_partkey
+        JOIN customer c ON o1.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+    ),
+    (
+        # TPC-DS q35: double-EXISTS + NOT EXISTS gate, then group
+        # statistics (count/avg/max/min) per segment.
+        "tpcds_q35_exists_stats",
+        ["customer", "orders", "lineitem"],
+        """
+        SELECT c.c_mktsegment, count(*) AS n,
+               round(avg(c.c_acctbal), 4) AS bal_avg,
+               round(max(c.c_acctbal), 2) AS bal_max,
+               round(min(c.c_acctbal), 2) AS bal_min
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND EXISTS (SELECT 1 FROM orders o
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                      WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        GROUP BY c.c_mktsegment
+        """,
+    ),
+    (
+        # TPC-DS q58: three per-period channel CTEs joined on the
+        # grouping key, kept only where every channel is within ±10%
+        # of the three-channel average.
+        "tpcds_q58_tolerance_band",
+        ["lineitem", "part"],
+        """
+        WITH y1 AS (SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS s
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE year(l_shipdate) = 1996 GROUP BY p_brand),
+        y2 AS (SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS s
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE year(l_shipdate) = 1997 GROUP BY p_brand),
+        y3 AS (SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS s
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE year(l_shipdate) = 1998 GROUP BY p_brand)
+        SELECT y1.p_brand,
+               round(y1.s, 2) AS s1996, round(y2.s, 2) AS s1997,
+               round(y3.s, 2) AS s1998
+        FROM y1 JOIN y2 ON y1.p_brand = y2.p_brand
+        JOIN y3 ON y1.p_brand = y3.p_brand
+        WHERE y1.s BETWEEN 0.9 * (y1.s + y2.s + y3.s) / 3
+                       AND 1.1 * (y1.s + y2.s + y3.s) / 3
+          AND y2.s BETWEEN 0.9 * (y1.s + y2.s + y3.s) / 3
+                       AND 1.1 * (y1.s + y2.s + y3.s) / 3
+          AND y3.s BETWEEN 0.9 * (y1.s + y2.s + y3.s) / 3
+                       AND 1.1 * (y1.s + y2.s + y3.s) / 3
+        """,
+    ),
+    (
+        # TPC-DS q66: wide month-pivot conditional aggregation (12
+        # CASE sums in one pass) per nation for one year.
+        "tpcds_q66_month_pivot",
+        ["orders", "customer", "nation"],
+        """
+        SELECT n.n_name,
+        """
+        + ",\n".join(
+            "               round(sum(CASE WHEN month(o.o_orderdate) = "
+            f"{m} THEN o.o_totalprice ELSE 0 END), 2) AS m{m:02d}"
+            for m in range(1, 13)
+        )
+        + """
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE year(o.o_orderdate) = 1997
+        GROUP BY n.n_name
+        """,
+    ),
+    (
+        # TPC-DS q75: union of signed channel rows (sales minus
+        # returns) → net per (brand, year) → consecutive-year self-join
+        # keeping >10% net-quantity declines.
+        "tpcds_q75_yoy_decline",
+        ["lineitem", "part"],
+        """
+        WITH net AS (
+          SELECT p_brand, yr, sum(qty) AS qty, sum(amt) AS amt FROM (
+            SELECT p.p_brand, year(l.l_shipdate) AS yr,
+                   l.l_quantity AS qty, l.l_extendedprice AS amt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT p.p_brand, year(l.l_shipdate) AS yr,
+                   -2 * l.l_quantity AS qty, -2 * l.l_extendedprice AS amt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_returnflag = 'R') u
+          GROUP BY p_brand, yr)
+        SELECT cur.p_brand, cur.yr,
+               round(prev.qty, 2) AS prev_qty, round(cur.qty, 2) AS cur_qty,
+               round(prev.amt - cur.amt, 2) AS amt_drop
+        FROM net cur JOIN net prev
+          ON cur.p_brand = prev.p_brand AND cur.yr = prev.yr + 1
+        WHERE cur.qty < prev.qty * 0.9
+        """,
+    ),
 ]
 
 
