@@ -30,6 +30,7 @@ _MODULES = [
     "dedup_clusters",
     "tpcds_shapes",
     "pipeline",
+    "approx_aggs",
 ]
 
 _loaded = False

@@ -1,0 +1,77 @@
+"""Approximate aggregates — APPROX_COUNT_DISTINCT (HLL) and
+approximate percentiles (SURVEY.md §2.4; BuiltInFunctionDefinitions'
+APPROX_COUNT_DISTINCT; reference runtime
+flink-table/flink-table-runtime/.../aggregate/hyperloglog/HllBuffer.java).
+
+At 100 TB these replace their exact forms: HyperLogLog counts in one
+pass with O(kB) state per group instead of a distinct shuffle, and
+GK/KLL quantile sketches replace per-group sorts.
+
+Oracle strategy: sketch OUTPUTS are engine-specific (Spark HLL++ vs
+DuckDB HLL differ by design), so the registered result exposes the
+exact value plus a deterministic BOOLEAN asserting the sketch met its
+error contract (|approx−exact|/exact ≤ bound, or approx inside an
+exact-percentile rank band). Both engines compute their own sketch
+against their own exact answer; the booleans agree — a value-hash-
+stable check of the *contract*, which is what an approximate operator
+promises."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.registry import register
+
+from ._util import T, money
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_exact,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 1.0
+             / count(DISTINCT l_partkey) <= 0.05 AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct count per group with a 5% error-contract check
+    (Spark HLL++ at rsd=0.01 — typical error ~1%). One pass, no
+    distinct shuffle: the scale path for count(DISTINCT) at 100 TB."""
+    l = T(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
+    return l.groupBy("l_returnflag").agg(
+        exact.alias("n_exact"),
+        ((F.abs(approx - exact) / exact) <= 0.05).alias("approx_ok"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+           approx_quantile(o_totalprice, 0.5)
+             BETWEEN quantile_cont(o_totalprice, 0.40)
+                 AND quantile_cont(o_totalprice, 0.60) AS approx_in_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median per group, contract-checked against the exact
+    p40–p60 band (rank-error form of the GK sketch guarantee; Spark
+    accuracy=10000 ⇒ rank error ≤ 0.01%)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        money(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+            " BETWEEN percentile(o_totalprice, 0.40)"
+            " AND percentile(o_totalprice, 0.60)"
+        ).alias("approx_in_band"),
+    )

@@ -158,6 +158,48 @@ def test_tpcds_correlated_subqueries_decorrelate(spark, sf_dir, queries):
         assert "SortMergeJoin" not in final, name  # dims/aggs broadcast
 
 
+def test_approx_count_distinct_no_expand(spark, sf_dir):
+    """An approx-only distinct count must plan as a plain two-phase
+    aggregate: NO Expand (the exact-distinct rewrite that doubles the
+    shuffled rows) and a partial phase before the exchange — HLL's whole
+    point at 100 TB is one pass with per-group sketch state."""
+    from pyspark.sql import functions as F
+
+    from flink_1_20_spark.catalog import read_table
+
+    l = read_table(spark, sf_dir, "lineitem")
+    df = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd")
+    )
+    plan = _final_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" not in final, final
+    # partial + final aggregate pair (ObjectHashAggregate carries HLL)
+    assert len(re.findall(r"(?:ObjectHash|Hash|Sort)Aggregate", final)) >= 2, final
+
+
+def test_pipeline_corpus_curation_scale_plan(spark, sf_dir, queries):
+    """The end-to-end curation funnel must stay join-shaped everywhere:
+    no cartesian/nested-loop in the staged joins, and the MinHash pair
+    generation it embeds is an equi-join on the banded key."""
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.operators.textdedup import minhash_lsh_pairs
+
+    pairs_plan = (
+        minhash_lsh_pairs(
+            read_table(spark, sf_dir, "documents"), "doc_id", "text",
+            jaccard_threshold=0.5,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan
+
+    plan = _final_plan(queries["pipeline_corpus_curation"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+
+
 def test_embedding_block_join_single_shuffle(spark, sf_dir, queries):
     """The block-pair GEMM join's distributed claim: exactly ONE hash
     exchange (on the block-pair key) — the replicate-explode is narrow,
