@@ -612,6 +612,91 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         WHERE cur.qty < prev.qty * 0.9
         """,
     ),
+    (
+        # TPC-DS q39: per-(key, month) dispersion, self-joined on
+        # consecutive months where BOTH sides exceed a cov threshold.
+        "tpcds_q39_consecutive_cov",
+        ["lineitem"],
+        """
+        WITH m AS (
+          SELECT l_suppkey, year(l_shipdate) * 12 + month(l_shipdate) AS mo,
+                 avg(l_quantity) AS mean, stddev_samp(l_quantity) AS sd
+          FROM lineitem
+          GROUP BY l_suppkey, year(l_shipdate) * 12 + month(l_shipdate)
+          HAVING count(*) >= 2)
+        SELECT m1.l_suppkey, m1.mo AS mo,
+               round(m1.sd / m1.mean, 4) AS cov1,
+               round(m2.sd / m2.mean, 4) AS cov2
+        FROM m m1 JOIN m m2
+          ON m1.l_suppkey = m2.l_suppkey AND m2.mo = m1.mo + 1
+        WHERE m1.sd / m1.mean > 0.7 AND m2.sd / m2.mean > 0.7
+        """,
+    ),
+    (
+        # TPC-DS q54: cohort follow-up — months-since-first-urgent-order
+        # histogram over a bounded follow-up window.
+        "tpcds_q54_followup_cohort",
+        ["orders"],
+        """
+        WITH first_buy AS (
+          SELECT o_custkey,
+                 min(year(o_orderdate) * 12 + month(o_orderdate)) AS mo0
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+          GROUP BY o_custkey)
+        SELECT months_after, count(*) AS n_orders FROM (
+          SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.mo0
+                   AS months_after
+          FROM orders o JOIN first_buy f ON o.o_custkey = f.o_custkey) t
+        WHERE months_after BETWEEN 1 AND 3
+        GROUP BY months_after
+        """,
+    ),
+    (
+        # TPC-DS q49: per-channel return-ratio ranking, channels
+        # unioned, top-10 per channel with a deterministic tiebreak.
+        "tpcds_q49_return_ratio_rank",
+        ["lineitem", "orders"],
+        """
+        WITH ratios AS (
+          SELECT o.o_orderstatus AS channel, l.l_suppkey AS suppkey,
+                 sum(CASE WHEN l.l_returnflag = 'R' THEN l.l_quantity
+                          ELSE 0 END) / sum(l.l_quantity) AS ret_ratio
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderstatus, l.l_suppkey
+          HAVING sum(l.l_quantity) > 0),
+        ranked AS (
+          SELECT channel, suppkey, round(ret_ratio, 6) AS ret_ratio,
+                 rank() OVER (PARTITION BY channel
+                              ORDER BY round(ret_ratio, 6) DESC, suppkey) AS rnk
+          FROM ratios)
+        SELECT channel, suppkey, ret_ratio, rnk FROM ranked WHERE rnk <= 10
+        """,
+    ),
+    (
+        # TPC-DS q14: brands present in ALL channels (INTERSECT tower)
+        # joined back, kept where revenue beats the channel average.
+        "tpcds_q14_cross_channel_common",
+        ["lineitem", "orders", "part"],
+        """
+        WITH ch AS (
+          SELECT o.o_orderstatus AS channel, p.p_brand,
+                 sum(l.l_extendedprice * (1 - l.l_discount)) AS s
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY o.o_orderstatus, p.p_brand),
+        common AS (
+          SELECT p_brand FROM ch WHERE channel = 'F'
+          INTERSECT SELECT p_brand FROM ch WHERE channel = 'O'
+          INTERSECT SELECT p_brand FROM ch WHERE channel = 'P'),
+        avgs AS (SELECT channel, avg(s) AS a FROM ch GROUP BY channel)
+        SELECT c.channel, c.p_brand, round(c.s, 2) AS revenue
+        FROM ch c
+        JOIN common USING (p_brand)
+        JOIN avgs a ON c.channel = a.channel
+        WHERE c.s > a.a
+        """,
+    ),
 ]
 
 
