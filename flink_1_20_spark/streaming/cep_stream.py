@@ -8,9 +8,11 @@ operator (CommonExecMatch.java:170).
 Spark mapping: `applyInPandasWithState`. Per key we keep the pending
 event buffer (the NFA's shared buffer, SharedBuffer.java) serialized in
 GroupState; each micro-batch appends its rows, re-sorts by event time,
-runs the same `_match_at` NFA used in batch, emits completed matches,
-and retains only rows after the last consumed event (after-match skip)
-bounded by `max_buffer` (Flink's within-pruning).
+runs the same NFA used in batch (`_match_at`, or `_match_all_at`
+branch enumeration under NO_SKIP / followedByAny), emits completed
+matches, and retains only rows after the last consumed event
+(PAST_LAST_EVENT / TO_NEXT_ROW / SKIP_TO_FIRST / SKIP_TO_LAST all
+supported), bounded by `max_buffer` and `within`-pruning.
 
 Contract/simplification vs Flink: matches are emitted at micro-batch
 granularity assuming per-key in-order arrival across batches (no
@@ -29,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from flink_1_20_spark.operators.cep import Pattern, _match_at, _precompute
+from flink_1_20_spark.operators.cep import Pattern, _match_all_at, _match_at, _precompute
 
 
 def _json_default(o):
@@ -71,6 +73,8 @@ def match_recognize_stream(
 
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         buf = json.loads(state.get[0]) if state.exists else []
+        n_old = len(buf)  # rows carried from previous batches (in-order
+        # contract: new rows sort strictly after them)
         for pdf in batches:
             buf.extend(_buffer_records(pdf, payload_cols, ts))
         if not buf:
@@ -83,25 +87,58 @@ def match_recognize_stream(
 
         out_rows: list[dict] = []
         consumed_until = -1
-        i = 0
-        while i < len(pdf):
-            m = _match_at(pattern, pdf, i, pre)
-            if m:
-                groups: dict[str, list[int]] = {}
-                for name, idx in m:
-                    groups.setdefault(name, []).append(idx)
-                rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
-                for kc, kv in zip(key_cols, key):
-                    rendered[kc] = kv
-                out_rows.append(rendered)
-                last_idx = max(idx for _, idx in m)
-                consumed_until = max(consumed_until, last_idx)
-                i = last_idx + 1 if pattern.skip == "PAST_LAST_EVENT" else i + 1
-            else:
-                i += 1
 
-        # retain the un-consumed tail (bounded) as the new buffer
-        tail = pdf.iloc[consumed_until + 1 :].tail(max_buffer)
+        def render(m: list[tuple[str, int]]) -> tuple[dict, dict]:
+            groups: dict[str, list[int]] = {}
+            for name, idx in m:
+                groups.setdefault(name, []).append(idx)
+            rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
+            for kc, kv in zip(key_cols, key):
+                rendered[kc] = kv
+            return rendered, groups
+
+        if pattern.skip == "NO_SKIP":
+            # full-branch enumeration (followedByAny / reluctant /
+            # NO_SKIP — CepOperator with AfterMatchSkipStrategy.noSkip).
+            # Nothing is consumed; a match is emitted exactly once by
+            # requiring its LAST event to be new this batch (matches
+            # ending in retained rows were emitted when those rows first
+            # arrived — same in-order contract as the module docstring).
+            for i in range(len(pdf)):
+                for m in _match_all_at(pattern, pdf, i, pre):
+                    if m and max(idx for _, idx in m) >= n_old:
+                        out_rows.append(render(m)[0])
+        else:
+            i = 0
+            while i < len(pdf):
+                m = _match_at(pattern, pdf, i, pre)
+                if m:
+                    rendered, groups = render(m)
+                    out_rows.append(rendered)
+                    last_idx = max(idx for _, idx in m)
+                    consumed_until = max(consumed_until, last_idx)
+                    if pattern.skip == "PAST_LAST_EVENT":
+                        i = last_idx + 1
+                    elif pattern.skip == "SKIP_TO_FIRST":
+                        tgt = groups.get(pattern.skip_step, [])
+                        i = tgt[0] if tgt and tgt[0] > i else i + 1
+                    elif pattern.skip == "SKIP_TO_LAST":
+                        tgt = groups.get(pattern.skip_step, [])
+                        i = tgt[-1] if tgt and tgt[-1] > i else i + 1
+                    else:  # TO_NEXT_ROW
+                        i += 1
+                else:
+                    i += 1
+
+        # retain the un-consumed tail as the new buffer: bounded by
+        # max_buffer, and when the pattern has `within`, pruned to rows
+        # still inside the window from the newest event (Flink's
+        # within-pruning — older rows can never join a future match)
+        tail = pdf.iloc[consumed_until + 1 :]
+        if pattern.within_seconds is not None and len(tail):
+            cutoff = pdf[ts].iloc[-1] - pd.Timedelta(seconds=pattern.within_seconds)
+            tail = tail[tail[ts] >= cutoff]
+        tail = tail.tail(max_buffer)
         new_buf = _buffer_records(tail, payload_cols, ts)
         state.update((json.dumps(new_buf, default=_json_default),))
         if out_rows:

@@ -64,6 +64,58 @@ def test_streaming_cep_match_spans_batches(spark, tmp_path):
     assert rows[0]["end_ts"] == "2024-01-01T10:05:00"
 
 
+def test_streaming_cep_followed_by_any_no_skip(spark, tmp_path):
+    """followedByAny + NO_SKIP in streaming: every branch is a match
+    (one per qualifying occurrence), and a match is emitted exactly once
+    across micro-batches — a later batch only adds the branches whose
+    last event is new."""
+    src = str(tmp_path / "in_fba")
+    _drop(src, 0, [
+        ("2024-01-01T10:00:00", 1, "click"),
+        ("2024-01-01T10:01:00", 1, "view"),
+        ("2024-01-01T10:02:00", 1, "view"),
+    ])
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .followed_by_any("b", lambda r: r["event_type"] == "view")
+        .after_match_skip("NO_SKIP")
+    )
+
+    def measures(g):
+        return {
+            "start_ts": g["a"]["ts"].iloc[0].isoformat(),
+            "end_ts": g["b"]["ts"].iloc[-1].isoformat(),
+        }
+
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="start_ts string, end_ts string, user_id bigint",
+        payload_cols=["event_type"],
+    )
+    q = run_to_memory(out, "cep_stream_fba", output_mode="update")
+    try:
+        q.processAllAvailable()
+        ends = sorted(r["end_ts"] for r in spark.table("cep_stream_fba").collect())
+        # one branch per view occurrence
+        assert ends == ["2024-01-01T10:01:00", "2024-01-01T10:02:00"]
+        # next batch: a third view — exactly ONE new branch, no re-emission
+        _drop(src, 1, [("2024-01-01T10:03:00", 1, "view")])
+        q.processAllAvailable()
+        ends = sorted(r["end_ts"] for r in spark.table("cep_stream_fba").collect())
+    finally:
+        q.stop()
+    assert ends == [
+        "2024-01-01T10:01:00",
+        "2024-01-01T10:02:00",
+        "2024-01-01T10:03:00",
+    ]
+
+
 def test_streaming_cep_int_bool_payload_state(spark, tmp_path):
     """Regression: int/bool payload columns reach state as numpy scalars
     (np.int64/np.bool_) — json.dumps must serialize them, and a partial
