@@ -31,6 +31,7 @@ _MODULES = [
     "tpcds_shapes",
     "pipeline",
     "approx_aggs",
+    "range_join",
 ]
 
 _loaded = False

@@ -200,6 +200,17 @@ def test_pipeline_corpus_curation_scale_plan(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in final, final
 
 
+def test_banded_range_join_no_nested_loop(spark, sf_dir, queries):
+    """The keyless range join must plan as a hash/broadcast EQUI join on
+    the band index — never BroadcastNestedLoopJoin/CartesianProduct
+    (O(n·m) compare at 100 TB)."""
+    plan = _final_plan(queries["join_range_banded"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final, final
+    assert "CartesianProduct" not in final, final
+    assert "Join" in final  # it IS still a join, on the band key
+
+
 def test_embedding_block_join_single_shuffle(spark, sf_dir, queries):
     """The block-pair GEMM join's distributed claim: exactly ONE hash
     exchange (on the block-pair key) — the replicate-explode is narrow,
