@@ -53,3 +53,37 @@ def banded_range_join(
         .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop(_BAND)
     )
+
+
+def banded_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    band: float,
+) -> DataFrame:
+    """Interval×interval overlap join (``l_lo <= r_hi AND r_lo <= l_hi``)
+    as a band equi join.
+
+    Both sides explode onto their covered bands; a qualifying pair
+    shares every band the overlap region touches, so to emit exactly
+    once the join keeps only the band containing the overlap's START
+    (``max(l_lo, r_lo)``) — the first shared band. No distinct pass.
+    Column names must be disjoint across the inputs."""
+
+    def b(c: Column) -> Column:
+        return F.floor(c / F.lit(band)).cast("bigint")
+
+    l = left.withColumn(_BAND, F.explode(F.sequence(b(F.col(l_lo)), b(F.col(l_hi)))))
+    r = right.withColumn(_BAND, F.explode(F.sequence(b(F.col(r_lo)), b(F.col(r_hi)))))
+    return (
+        l.join(r, _BAND)
+        .where(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (F.col(_BAND) == b(F.greatest(F.col(l_lo), F.col(r_lo))))
+        )
+        .drop(_BAND)
+    )

@@ -204,11 +204,12 @@ def test_banded_range_join_no_nested_loop(spark, sf_dir, queries):
     """The keyless range join must plan as a hash/broadcast EQUI join on
     the band index — never BroadcastNestedLoopJoin/CartesianProduct
     (O(n·m) compare at 100 TB)."""
-    plan = _final_plan(queries["join_range_banded"](spark, sf_dir))
-    final = plan.split("== Initial Plan ==")[0]
-    assert "BroadcastNestedLoopJoin" not in final, final
-    assert "CartesianProduct" not in final, final
-    assert "Join" in final  # it IS still a join, on the band key
+    for name in ("join_range_banded", "join_interval_overlap"):
+        plan = _final_plan(queries[name](spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in final, (name, final)
+        assert "CartesianProduct" not in final, (name, final)
+        assert "Join" in final  # it IS still a join, on the band key
 
 
 def test_embedding_block_join_single_shuffle(spark, sf_dir, queries):
