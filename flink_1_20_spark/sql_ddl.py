@@ -1,0 +1,291 @@
+"""Flink-SQL DDL surface: `CREATE TABLE ... WITH ('connector'=...)`.
+
+Reference parity: TableEnvironment.executeSql
+(flink-table/flink-table-api-java/.../internal/TableEnvironmentImpl.java:727)
+with the WITH-options connector contract resolved by factory discovery
+(flink-table/flink-table-common/.../factories/FactoryUtil.java:52). This
+module is the §3.1 "DDL/catalog glue we author" — a user's Flink DDL
+scripts (filesystem/datagen/print/blackhole connectors, Flink type
+names, computed columns, watermark clauses) run against Spark: tables
+register as temp views over the mapped connector, queries and DML go
+through `spark.sql` (Catalyst does the rest).
+
+Scope: CREATE [TEMPORARY] TABLE [IF NOT EXISTS] ... WITH (...),
+DROP TABLE [IF EXISTS], INSERT INTO <table> <query>, and passthrough of
+every other statement to `spark.sql`. PRIMARY KEY ... NOT ENFORCED is
+accepted and recorded (Flink also never enforces it). Unsupported
+connectors raise with the factory-style message rather than guessing.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ------------------------------------------------------------------ types
+
+_SIMPLE_TYPES = {
+    "STRING": "string",
+    "BYTES": "binary",
+    "VARBINARY": "binary",
+    "BINARY": "binary",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "DOUBLE PRECISION": "double",
+    "FLOAT": "float",
+    "REAL": "float",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+}
+
+
+def flink_type_to_spark(t: str) -> str:
+    """Map a Flink SQL type name to the Spark DDL type string."""
+    s = t.strip()
+    u = s.upper()
+    u = re.sub(r"\s+NOT\s+NULL$", "", u)
+    s = s[: len(u)]  # keep original casing for nested payloads
+    if u in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[u]
+    m = re.match(r"(?:TIMESTAMP|TIMESTAMP_LTZ)\s*(?:\(\d+\))?(?:\s+WITH(?:OUT)?\s+(?:LOCAL\s+)?TIME\s+ZONE)?$", u)
+    if m:
+        return "timestamp"
+    m = re.match(r"TIME\s*(?:\(\d+\))?$", u)
+    if m:  # no TimeType in Spark — nanos-of-day emulation (functions/compat.py)
+        return "bigint"
+    m = re.match(r"(?:DECIMAL|NUMERIC|DEC)\s*\((\d+)\s*,\s*(\d+)\)$", u)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    m = re.match(r"(?:CHAR|VARCHAR)\s*(?:\(\d+\))?$", u)
+    if m:
+        return "string"
+    m = re.match(r"ARRAY\s*<(.*)>$", u, re.S)
+    if m:
+        return f"array<{flink_type_to_spark(m.group(1))}>"
+    m = re.match(r"MAP\s*<(.*)>$", u, re.S)
+    if m:
+        k, v = _split_top(m.group(1), ",")
+        return f"map<{flink_type_to_spark(k)},{flink_type_to_spark(v)}>"
+    m = re.match(r"ROW\s*<(.*)>$", u, re.S)
+    if m:
+        fields = []
+        for f in _split_top_all(m.group(1), ","):
+            name, typ = f.strip().split(None, 1)
+            fields.append(f"{name.lower()}:{flink_type_to_spark(typ)}")
+        return "struct<" + ",".join(fields) + ">"
+    raise ValueError(f"unsupported Flink type: {t!r}")
+
+
+_GENERIC_HEADS = ("ARRAY", "MAP", "ROW", "MULTISET")
+
+
+def _split_top_all(s: str, sep: str) -> list[str]:
+    """Split on `sep` at paren/angle-bracket depth 0, quote-aware.
+
+    `<` opens a bracket only when it directly follows a generic type
+    head (ARRAY/MAP/ROW/MULTISET) — comparison operators in computed
+    column expressions (`a >= b`, `a < b`) stay literal; `>` closes
+    only while a generic is open."""
+    out, pdepth, adepth, cur, i, q = [], 0, 0, [], 0, None
+    while i < len(s):
+        ch = s[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            pdepth += 1
+            cur.append(ch)
+        elif ch == ")":
+            pdepth -= 1
+            cur.append(ch)
+        elif ch == "<":
+            head = re.search(r"(\w+)\s*$", "".join(cur))
+            if head and head.group(1).upper() in _GENERIC_HEADS or adepth > 0:
+                adepth += 1
+            cur.append(ch)
+        elif ch == ">":
+            if adepth > 0:
+                adepth -= 1
+            cur.append(ch)
+        elif ch == sep and pdepth == 0 and adepth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _split_top(s: str, sep: str) -> tuple[str, str]:
+    parts = _split_top_all(s, sep)
+    return parts[0], sep.join(parts[1:])
+
+
+# ------------------------------------------------------------------ model
+
+
+@dataclass
+class TableMeta:
+    name: str
+    connector: str
+    options: dict[str, str]
+    columns: list[tuple[str, str]] = field(default_factory=list)  # (name, spark type)
+    computed: list[tuple[str, str]] = field(default_factory=list)  # (name, sql expr)
+    watermark: tuple[str, str] | None = None  # (col, delay expr sql)
+    primary_key: list[str] = field(default_factory=list)
+    partitioned_by: list[str] = field(default_factory=list)
+
+
+class TableEnvironment:
+    """Minimal executeSql host: DDL → connector mapping, DQL/DML → Catalyst."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableMeta] = {}
+
+    # -- statement router ------------------------------------------------
+    def execute_sql(self, stmt: str) -> DataFrame | None:
+        s = stmt.strip().rstrip(";")
+        u = s.upper()
+        if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
+            return self._create_table(s)
+        if re.match(r"DROP\s+TABLE\b", u):
+            return self._drop_table(s)
+        m = re.match(r"INSERT\s+INTO\s+(\S+)\s+(.*)$", s, re.S | re.I)
+        if m:
+            return self._insert_into(m.group(1).strip("`"), m.group(2))
+        return self.spark.sql(s)
+
+    # -- CREATE TABLE ----------------------------------------------------
+    def _create_table(self, s: str) -> None:
+        m = re.match(
+            r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\S+)\s*\((.*)\)\s*(?:COMMENT\s+'[^']*'\s*)?"
+            r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            r"WITH\s*\((.*)\)\s*$",
+            s,
+            re.S | re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {s[:120]!r}")
+        name = m.group(1).strip("`")
+        body, part_by, with_body = m.group(2), m.group(3), m.group(4)
+        options = dict(
+            re.findall(r"'([^']+)'\s*=\s*'([^']*)'", with_body)
+        )
+        connector = options.pop("connector", None)
+        if connector is None:
+            raise ValueError("WITH options must include 'connector'")
+
+        meta = TableMeta(name=name, connector=connector, options=options)
+        if part_by:
+            meta.partitioned_by = [c.strip().strip("`") for c in part_by.split(",")]
+
+        for raw in _split_top_all(body, ","):
+            col = raw.strip()
+            if not col:
+                continue
+            cu = col.upper()
+            if cu.startswith("PRIMARY KEY"):
+                pk = re.search(r"\(([^)]*)\)", col)
+                meta.primary_key = [
+                    c.strip().strip("`") for c in pk.group(1).split(",")
+                ] if pk else []
+                continue  # NOT ENFORCED — recorded, never enforced (as in Flink)
+            if cu.startswith("WATERMARK"):
+                wm = re.match(
+                    r"WATERMARK\s+FOR\s+(\S+)\s+AS\s+(.*)$", col, re.S | re.I
+                )
+                meta.watermark = (wm.group(1).strip("`"), wm.group(2).strip())
+                continue
+            ac = re.match(r"`?(\w+)`?\s+AS\s+(.*)$", col, re.S | re.I)
+            if ac and not re.match(r"`?\w+`?\s+(ARRAY|MAP|ROW)\b", col, re.I):
+                meta.computed.append((ac.group(1), ac.group(2).strip()))
+                continue
+            cname, ctype = col.split(None, 1)
+            meta.columns.append((cname.strip("`"), flink_type_to_spark(ctype)))
+
+        self._register(meta)
+        self.tables[name] = meta
+
+    def _register(self, meta: TableMeta) -> None:
+        schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
+        if meta.connector == "filesystem":
+            from flink_1_20_spark.sources.connectors import read_file
+
+            fmt = meta.options.get("format", "parquet")
+            path = meta.options["path"]
+            try:
+                df = read_file(self.spark, path, fmt=fmt, schema=schema or None)
+            except Exception as ex:
+                # sink-only table: path not yet populated — register lazily
+                if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+                    df = self.spark.createDataFrame([], schema=schema)
+                else:
+                    raise
+        elif meta.connector == "datagen":
+            from flink_1_20_spark.streaming.sources import rate_source
+
+            rps = int(meta.options.get("rows-per-second", "10"))
+            df = rate_source(self.spark, rows_per_second=rps)
+        elif meta.connector in ("print", "blackhole"):
+            # pure sinks: no readable side; register an empty relation so
+            # SELECTs fail loudly at the semantic level, not with a KeyError
+            df = self.spark.createDataFrame([], schema=schema or "dummy string")
+        else:
+            raise ValueError(
+                f"Could not find any factory for connector '{meta.connector}' "
+                "(supported here: filesystem, datagen, print, blackhole)"
+            )
+        for cname, expr in meta.computed:
+            df = df.selectExpr("*", f"({expr}) AS {cname}")
+        if meta.watermark and df.isStreaming:
+            col, delay = meta.watermark
+            wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
+            if wm:
+                df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
+        df.createOrReplaceTempView(meta.name)
+
+    # -- DROP / INSERT ---------------------------------------------------
+    def _drop_table(self, s: str) -> None:
+        m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$", s, re.I)
+        name = m.group(1).strip("`")
+        existed = self.tables.pop(name, None)
+        if existed or not re.search(r"IF\s+EXISTS", s, re.I):
+            self.spark.catalog.dropTempView(name)
+
+    def _insert_into(self, name: str, query: str) -> None:
+        meta = self.tables.get(name)
+        if meta is None:
+            raise ValueError(f"unknown table {name!r}")
+        df = self.spark.sql(query)
+        if meta.connector == "filesystem":
+            from flink_1_20_spark.sources.connectors import write_file, write_partitioned
+
+            fmt = meta.options.get("format", "parquet")
+            if meta.partitioned_by:
+                write_partitioned(
+                    df, meta.options["path"], meta.partitioned_by, fmt=fmt, mode="append"
+                )
+            else:
+                write_file(df, meta.options["path"], fmt=fmt, mode="append")
+            self._register(meta)  # refresh the readable view
+        elif meta.connector == "print":
+            for row in df.collect():
+                print(f"+I[{', '.join(str(v) for v in row)}]")
+        elif meta.connector == "blackhole":
+            df.foreachPartition(lambda _: None)
+        else:
+            raise ValueError(f"connector {meta.connector!r} is not writable here")

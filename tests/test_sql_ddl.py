@@ -1,0 +1,114 @@
+"""Flink-SQL DDL surface: CREATE TABLE ... WITH (connector) executes
+against the mapped Spark connectors (TableEnvironmentImpl.executeSql
+parity for the §3.1 glue layer)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_1_20_spark.sql_ddl import TableEnvironment, flink_type_to_spark
+
+
+def test_flink_type_mapping():
+    assert flink_type_to_spark("STRING") == "string"
+    assert flink_type_to_spark("TIMESTAMP(3)") == "timestamp"
+    assert flink_type_to_spark("TIMESTAMP_LTZ(3)") == "timestamp"
+    assert flink_type_to_spark("TIMESTAMP(3) WITH LOCAL TIME ZONE") == "timestamp"
+    assert flink_type_to_spark("DECIMAL(10, 2)") == "decimal(10,2)"
+    assert flink_type_to_spark("VARCHAR(255)") == "string"
+    assert flink_type_to_spark("BYTES") == "binary"
+    assert flink_type_to_spark("ARRAY<INT>") == "array<int>"
+    assert flink_type_to_spark("MAP<STRING, DOUBLE>") == "map<string,double>"
+    assert flink_type_to_spark("ROW<a INT, b STRING>") == "struct<a:int,b:string>"
+    assert flink_type_to_spark("INT NOT NULL") == "int"
+    with pytest.raises(ValueError):
+        flink_type_to_spark("GEOMETRY")
+
+
+def test_create_filesystem_table_and_query(spark, tmp_path):
+    src = tmp_path / "users.csv"
+    src.write_text("uid,name,score\n1,ada,9.5\n2,bob,7.25\n3,eve,8.0\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE users (
+            uid BIGINT,
+            name STRING,
+            score DOUBLE,
+            grade AS CASE WHEN score >= 8 THEN 'A' ELSE 'B' END,
+            PRIMARY KEY (uid) NOT ENFORCED
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{src}',
+            'format' = 'csv'
+        )
+    """)
+    rows = env.execute_sql(
+        "SELECT grade, count(*) AS n FROM users GROUP BY grade ORDER BY grade"
+    ).collect()
+    assert [(r["grade"], r["n"]) for r in rows] == [("A", 2), ("B", 1)]
+    assert env.tables["users"].primary_key == ["uid"]
+
+
+def test_insert_into_filesystem_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("k,v\n1,10\n2,20\n")
+    out = str(tmp_path / "out_parquet")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE src (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    env.execute_sql(
+        f"CREATE TABLE dst (k BIGINT, doubled BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{out}','format'='parquet')"
+    )
+    env.execute_sql("INSERT INTO dst SELECT k, v * 2 AS doubled FROM src")
+    rows = env.execute_sql("SELECT k, doubled FROM dst ORDER BY k").collect()
+    assert [(r.k, r.doubled) for r in rows] == [(1, 20), (2, 40)]
+    assert os.path.isdir(out)
+
+
+def test_datagen_and_watermark(spark):
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen (
+            WATERMARK FOR timestamp AS timestamp - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'datagen', 'rows-per-second' = '5')
+    """)
+    df = spark.table("gen")
+    assert df.isStreaming
+
+
+def test_blackhole_and_print_sinks(spark, tmp_path, capsys):
+    src = tmp_path / "s.csv"
+    src.write_text("x\n1\n2\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE s (x BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    env.execute_sql("CREATE TABLE sink_bh (x BIGINT) WITH ('connector'='blackhole')")
+    env.execute_sql("CREATE TABLE sink_p (x BIGINT) WITH ('connector'='print')")
+    env.execute_sql("INSERT INTO sink_bh SELECT x FROM s")
+    env.execute_sql("INSERT INTO sink_p SELECT x FROM s ORDER BY x")
+    assert "+I[1]" in capsys.readouterr().out
+
+    with pytest.raises(ValueError, match="factory"):
+        env.execute_sql(
+            "CREATE TABLE k (x INT) WITH ('connector'='kafka')"
+        )
+
+
+def test_drop_table(spark, tmp_path):
+    src = tmp_path / "d.csv"
+    src.write_text("x\n1\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE dropme (x BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    env.execute_sql("DROP TABLE dropme")
+    assert "dropme" not in env.tables
+    env.execute_sql("DROP TABLE IF EXISTS dropme")  # no error
