@@ -200,6 +200,24 @@ def test_pipeline_corpus_curation_scale_plan(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in final, final
 
 
+def test_tpc_suite_no_accidental_nested_loops(spark, sf_dir, queries):
+    """Sweep EVERY TPC-H and TPC-DS-shape query: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where it joins single-row
+    scalar-aggregate sides (q88/q90's 1×1 grid assembly — the right
+    plan). A new shape that accidentally loses its equi key gets caught
+    here before it ships."""
+    # BNLJ of single-row aggregates is O(1) work — structurally fine
+    single_row_bnlj_ok = {"tpcds_q88_count_grid", "tpcds_q90_am_pm_ratio"}
+    for name, fn in sorted(queries.items()):
+        if not name.startswith(("tpch_", "tpcds_")):
+            continue
+        plan = _final_plan(fn(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, name
+        if name not in single_row_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in final, name
+
+
 def test_banded_range_join_no_nested_loop(spark, sf_dir, queries):
     """The keyless range join must plan as a hash/broadcast EQUI join on
     the band index — never BroadcastNestedLoopJoin/CartesianProduct
