@@ -266,11 +266,33 @@ class TableEnvironment:
         if existed or not re.search(r"IF\s+EXISTS", s, re.I):
             self.spark.catalog.dropTempView(name)
 
-    def _insert_into(self, name: str, query: str) -> None:
+    def _insert_into(self, name: str, query: str):
         meta = self.tables.get(name)
         if meta is None:
             raise ValueError(f"unknown table {name!r}")
         df = self.spark.sql(query)
+        if df.isStreaming:
+            # streaming INSERT: start a continuous query into the sink
+            # (TableEnvironment.executeSql returns a TableResult whose
+            # job keeps running — here, the StreamingQuery handle)
+            if meta.connector == "print":
+                return df.writeStream.format("console").start()
+            if meta.connector == "blackhole":
+                return df.writeStream.format("noop").start()
+            if meta.connector == "filesystem":
+                fmt = meta.options.get("format", "parquet")
+                return (
+                    df.writeStream.format(fmt)
+                    .option("path", meta.options["path"])
+                    .option(
+                        "checkpointLocation",
+                        meta.options.get(
+                            "checkpoint", meta.options["path"] + "/_checkpoint"
+                        ),
+                    )
+                    .start()
+                )
+            raise ValueError(f"connector {meta.connector!r} is not stream-writable")
         if meta.connector == "filesystem":
             from flink_1_20_spark.sources.connectors import write_file, write_partitioned
 

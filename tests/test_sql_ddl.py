@@ -101,6 +101,23 @@ def test_blackhole_and_print_sinks(spark, tmp_path, capsys):
         )
 
 
+def test_streaming_insert_into_blackhole(spark):
+    """INSERT INTO a sink from a streaming (datagen) table starts a
+    continuous query — executeSql's TableResult-with-running-job
+    behavior."""
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TABLE g2 (x BIGINT) WITH "
+        "('connector'='datagen','rows-per-second'='50')"
+    )
+    env.execute_sql("CREATE TABLE bh2 (x BIGINT) WITH ('connector'='blackhole')")
+    q = env.execute_sql("INSERT INTO bh2 SELECT value AS x FROM g2")
+    try:
+        assert q is not None and q.isActive
+    finally:
+        q.stop()
+
+
 def test_drop_table(spark, tmp_path):
     src = tmp_path / "d.csv"
     src.write_text("x\n1\n")
