@@ -258,6 +258,43 @@ class TableEnvironment:
                 df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
         df.createOrReplaceTempView(meta.name)
 
+    # -- STATEMENT SET ---------------------------------------------------
+    def execute_statement_set(self, statements: list[str]) -> None:
+        """EXECUTE STATEMENT SET parity (multi-sink pipelines,
+        TableEnvironmentImpl.createStatementSetOperation): run several
+        INSERT INTO statements as one logical job, materializing each
+        SOURCE table referenced more than once so its scan (and any
+        computed columns) is evaluated one time, not per sink —
+        Flink's CommonSubGraphBasedOptimizer shared-scan behavior,
+        expressed as `.persist()` for the set's duration."""
+        inserts = []
+        for stmt in statements:
+            m = re.match(
+                r"\s*INSERT\s+INTO\s+(\S+)\s+(.*?);?\s*$", stmt, re.S | re.I
+            )
+            if not m:
+                raise ValueError(f"statement set accepts only INSERT INTO: {stmt[:80]!r}")
+            inserts.append((m.group(1).strip("`"), m.group(2)))
+
+        refs: dict[str, int] = {}
+        for _, query in inserts:
+            for tbl in re.findall(r"\b(?:FROM|JOIN)\s+`?(\w+)`?", query, re.I):
+                if tbl in self.tables:
+                    refs[tbl] = refs.get(tbl, 0) + 1
+        shared = [t for t, n in refs.items() if n > 1]
+        cached = []
+        for t in shared:
+            df = self.spark.table(t)
+            if not df.isStreaming:
+                df.persist()
+                cached.append(df)
+        try:
+            for name, query in inserts:
+                self._insert_into(name, query)
+        finally:
+            for df in cached:
+                df.unpersist()
+
     # -- DROP / INSERT ---------------------------------------------------
     def _drop_table(self, s: str) -> None:
         m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$", s, re.I)

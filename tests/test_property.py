@@ -142,3 +142,69 @@ def test_asof_join_matches_bruteforce(spark):
             assert r["rval"] is None
         else:
             assert r["rval"] in exp
+
+
+def test_banded_range_join_matches_bruteforce(spark):
+    """Banded range join == naive filter-join on random points/intervals
+    spanning NEGATIVE and positive domains, with zero-width intervals
+    and points landing exactly on band boundaries."""
+    import random
+
+    from flink_1_20_spark.operators.rangejoin import banded_range_join
+
+    rnd = random.Random(7)
+    points = [(i, float(rnd.randint(-200, 200))) for i in range(120)]
+    # include exact band-boundary points (band=32 below)
+    points += [(1000 + j, float(v)) for j, v in enumerate((-64, -32, 0, 32, 64))]
+    intervals = []
+    for i in range(40):
+        lo = float(rnd.randint(-220, 200))
+        intervals.append((i, lo, lo + float(rnd.choice([0, 1, 7, 40, 90]))))
+    pdf = spark.createDataFrame(points, "pid bigint, x double")
+    idf = spark.createDataFrame(intervals, "iid bigint, lo double, hi double")
+
+    got = {
+        (r.pid, r.iid)
+        for r in banded_range_join(pdf, idf, "x", "lo", "hi", band=32.0).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, x in points
+        for iid, lo, hi in intervals
+        if lo <= x <= hi
+    }
+    assert got == want and len(want) > 0
+
+
+def test_banded_overlap_join_matches_bruteforce(spark):
+    """Banded overlap join == naive overlap filter, exactly once per
+    qualifying pair (the first-shared-band filter), negative domains and
+    touching endpoints included."""
+    import random
+
+    from flink_1_20_spark.operators.rangejoin import banded_overlap_join
+
+    rnd = random.Random(11)
+
+    def mk(n, tag):
+        out = []
+        for i in range(n):
+            lo = float(rnd.randint(-150, 150))
+            out.append((tag * 1000 + i, lo, lo + float(rnd.choice([0, 3, 17, 60]))))
+        return out
+
+    left, right = mk(50, 1), mk(50, 2)
+    ldf = spark.createDataFrame(left, "lid bigint, a_lo double, a_hi double")
+    rdf = spark.createDataFrame(right, "rid bigint, b_lo double, b_hi double")
+    rows = banded_overlap_join(
+        ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", band=25.0
+    ).collect()
+    got = [(r.lid, r.rid) for r in rows]
+    want = {
+        (lid, rid)
+        for lid, alo, ahi in left
+        for rid, blo, bhi in right
+        if alo <= bhi and blo <= ahi
+    }
+    assert set(got) == want and len(want) > 0
+    assert len(got) == len(set(got)), "pair emitted more than once"

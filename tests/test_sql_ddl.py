@@ -118,6 +118,34 @@ def test_streaming_insert_into_blackhole(spark):
         q.stop()
 
 
+def test_statement_set_multi_sink(spark, tmp_path):
+    """One source fanned out to two filesystem sinks in a statement set
+    (EXECUTE STATEMENT SET): both sinks written, source scanned once
+    (persisted for the set's duration)."""
+    src = tmp_path / "ss.csv"
+    src.write_text("k,v\n1,5\n2,50\n3,500\n")
+    out_a, out_b = str(tmp_path / "a_pq"), str(tmp_path / "b_pq")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE ss_src (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    env.execute_sql(
+        f"CREATE TABLE ss_a (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{out_a}','format'='parquet')"
+    )
+    env.execute_sql(
+        f"CREATE TABLE ss_b (k BIGINT, big BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{out_b}','format'='parquet')"
+    )
+    env.execute_statement_set([
+        "INSERT INTO ss_a SELECT k, v FROM ss_src WHERE v < 100",
+        "INSERT INTO ss_b SELECT k, v AS big FROM ss_src WHERE v >= 100",
+    ])
+    assert env.execute_sql("SELECT count(*) AS n FROM ss_a").collect()[0].n == 2
+    assert env.execute_sql("SELECT count(*) AS n FROM ss_b").collect()[0].n == 1
+
+
 def test_drop_table(spark, tmp_path):
     src = tmp_path / "d.csv"
     src.write_text("x\n1\n")
