@@ -32,6 +32,7 @@ _MODULES = [
     "pipeline",
     "approx_aggs",
     "range_join",
+    "text_curation",
 ]
 
 _loaded = False
