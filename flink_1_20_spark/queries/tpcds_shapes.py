@@ -613,6 +613,23 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """,
     ),
     (
+        # TPC-DS q72: equi-join chain with a RESIDUAL inequality on the
+        # joined rows (ship lag bound) — the planner must keep the hash
+        # join and apply the inequality as a post-join filter.
+        "tpcds_q72_residual_inequality",
+        ["lineitem", "orders", "customer"],
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_lagged,
+               round(sum(l.l_extendedprice), 2) AS lagged_value
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY c.c_mktsegment
+        """,
+    ),
+    (
         # TPC-DS q39: per-(key, month) dispersion, self-joined on
         # consecutive months where BOTH sides exceed a cov threshold.
         "tpcds_q39_consecutive_cov",
