@@ -38,12 +38,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing physical-format quirks.
 
-    `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects (Flink's TIMESTAMP(9) supports
-    nanos; Spark's TimestampType is µs — SURVEY.md §1.2). We read nanos
-    as long (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable)
-    and truncate to µs — the same truncation DuckDB applies — keeping the
-    scan fully vectorized.
+    `events.ts` is parquet `timestamp[us]` without a timezone at every
+    scale factor, which Spark reads as TIMESTAMP_NTZ — the same naive
+    micros DuckDB sees, so cross-engine hashes line up and the dtype is
+    left as-is. (A legacy INT64 TIMESTAMP(NANOS) encoding is also
+    handled: read nanos as long and truncate to µs, DuckDB's own
+    truncation, keeping the scan vectorized.) Functions that require
+    TIMESTAMP (e.g. `unix_micros`) cast at the call site — exact under
+    the UTC session — rather than here, so projected schemas stay
+    oracle-compatible.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -150,7 +150,9 @@ def parse_url(col: Column | str, part: str, key: str | None = None) -> Column:
 def time_of_day_nanos(ts: Column | str) -> Column:
     """TIME value of a timestamp as nanos since midnight (DataTypes.TIME;
     LocalTimeConverter uses the same nano-of-day long internally)."""
-    t = _c(ts)
+    # Defensive cast: unix_micros rejects TIMESTAMP_NTZ (how parquet
+    # timestamp[us] columns read); exact under the pinned UTC session.
+    t = _c(ts).cast("timestamp")
     return (F.unix_micros(t) - F.unix_micros(F.date_trunc("day", t))) * F.lit(1000)
 
 

@@ -305,7 +305,10 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    ts_us = F.unix_micros(F.col("ts"))
+    # events.ts reads as TIMESTAMP_NTZ (parquet timestamp[us], no tz);
+    # unix_micros requires TIMESTAMP — cast is exact under the pinned UTC
+    # session and keeps the projected schema untouched elsewhere.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.lag(ts_us).over(w_order)
     new_session = F.when(
         prev_us.isNull() | (ts_us - prev_us > 1_800_000_000), 1

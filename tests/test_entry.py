@@ -27,6 +27,23 @@ def test_queries_and_oracles_consistent():
         assert callable(fn), name
 
 
+def test_driver_priority_window():
+    """The driver checks the first 50 registered queries; the curated
+    prefix must be exactly 50 names, all registered, all oracle-backed,
+    and must lead iteration order of queries() AND oracle_sql()."""
+    from flink_1_20_spark.registry import DRIVER_PRIORITY
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    missing = [n for n in DRIVER_PRIORITY if n not in qs]
+    assert not missing, f"priority names not registered: {missing}"
+    no_oracle = [n for n in DRIVER_PRIORITY if n not in oracles]
+    assert not no_oracle, f"priority names without oracle: {no_oracle}"
+    assert tuple(list(qs)[:50]) == DRIVER_PRIORITY
+    assert tuple(list(oracles)[:50]) == DRIVER_PRIORITY
+
+
 def test_all_queries_run_at_smoke_sf(spark, sf_dir):
     qs = e.queries()
     for name, fn in sorted(qs.items()):
