@@ -166,7 +166,13 @@ class TableEnvironment:
         m = re.match(r"INSERT\s+INTO\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
             return self._insert_into(m.group(1).strip("`"), m.group(2))
-        return self.spark.sql(s)
+        # Flink dialect → Spark SQL (window TVFs, MATCH_RECOGNIZE);
+        # plain statements pass through to Catalyst untouched.
+        from flink_1_20_spark.sql_flink import rewrite_window_tvfs, run_match_recognize
+
+        if re.search(r"\bMATCH_RECOGNIZE\b", u):
+            return run_match_recognize(self.spark, rewrite_window_tvfs(s))
+        return self.spark.sql(rewrite_window_tvfs(s))
 
     # -- CREATE TABLE ----------------------------------------------------
     def _create_table(self, s: str) -> None:

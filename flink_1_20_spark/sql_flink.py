@@ -1,0 +1,492 @@
+"""Flink-SQL dialect rewrites: window TVFs and MATCH_RECOGNIZE.
+
+Reference parity: the Flink-specific SQL syntax every Flink SQL script
+uses but Catalyst cannot parse —
+
+- window TVFs `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))`
+  (FlinkSqlOperatorTable.java:1296-1299: TUMBLE/HOP/CUMULATE/SESSION;
+  exec node stream/StreamExecWindowTableFunction.java:73)
+- `MATCH_RECOGNIZE` row-pattern matching
+  (stream/StreamExecMatch.java:59, CommonExecMatch.java:84; grammar in
+  flink-table/flink-sql-parser/src/main/codegen/)
+
+Spark-first lowering (no new operators — the library implementations
+already exist and are oracle-verified):
+
+- TUMBLE/HOP  → a derived table projecting Spark's `window()` expression
+  (valid in projection context; HOP expands each row to size/slide
+  windows JVM-side — the batch analogue of slice sharing).
+- CUMULATE    → `window(ts, max).start` bucket + `explode(sequence(...))`
+  candidate ends, as in queries/window_tvf.py::wtvf_cumulate. Pure JVM
+  generators, stays in whole-stage codegen.
+- SESSION     → gaps-and-islands per-row rewrite (lag → new-session flag
+  → running sum → min/max over the session id). Spark's session_window
+  is aggregation-only, so the TVF's per-row window_start/window_end
+  columns need the analytic form; semantics match MergingWindowSet
+  (half-open [first, last+gap)).
+- MATCH_RECOGNIZE → parsed into an operators.cep.Pattern and run through
+  match_recognize (applyInPandas NFA); the clause is replaced by a temp
+  view so the outer SELECT stays on Catalyst.
+
+Every TVF adds the standard window_start / window_end / window_time
+columns (window_time = window_end - 1ms, Flink's rowtime convention).
+
+Scale: the rewrites produce the same plans as the hand-written library
+queries — one shuffle on the grouping keys for window aggs, one
+shuffle+sort per key for MATCH_RECOGNIZE (keys never cross partitions).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ------------------------------------------------------------- intervals
+
+_UNIT_SECONDS = {
+    "SECOND": 1,
+    "SECONDS": 1,
+    "MINUTE": 60,
+    "MINUTES": 60,
+    "HOUR": 3600,
+    "HOURS": 3600,
+    "DAY": 86400,
+    "DAYS": 86400,
+}
+
+
+def _parse_interval(text: str) -> tuple[str, str, float]:
+    """`INTERVAL '15' MINUTE(S)` → (duration string for window(),
+    canonical Spark INTERVAL literal, seconds)."""
+    m = re.match(r"INTERVAL\s+'([\d.]+)'\s+(\w+)\s*$", text.strip(), re.I)
+    if not m:
+        raise ValueError(f"cannot parse interval: {text!r}")
+    n, unit = m.group(1), m.group(2).upper()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported interval unit: {unit}")
+    base = unit.rstrip("S") if unit.endswith("S") else unit
+    dur = f"{n} {base.lower()}{'' if float(n) == 1 else 's'}"
+    lit = f"INTERVAL '{n}' {base}"
+    return dur, lit, float(n) * _UNIT_SECONDS[unit]
+
+
+def _split_args(s: str) -> list[str]:
+    """Split TVF arguments on top-level commas (quote/paren aware)."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _find_close(s: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (quote aware)."""
+    depth, q = 0, None
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses")
+
+
+# ----------------------------------------------------------- window TVFs
+
+_TVF_HEAD = re.compile(r"\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(", re.I)
+
+
+def _parse_source(arg: str) -> tuple[str, list[str]]:
+    """`TABLE t [PARTITION BY a, b]` → (t, [a, b])."""
+    m = re.match(r"TABLE\s+(\S+?)(?:\s+PARTITION\s+BY\s+(.+))?$", arg.strip(), re.S | re.I)
+    if not m:
+        raise ValueError(f"window TVF source must be `TABLE name`: {arg!r}")
+    keys = [c.strip().strip("`") for c in m.group(2).split(",")] if m.group(2) else []
+    return m.group(1).strip("`"), keys
+
+
+def _parse_descriptor(arg: str) -> str:
+    m = re.match(r"DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)$", arg.strip(), re.I)
+    if not m:
+        raise ValueError(f"expected DESCRIPTOR(col): {arg!r}")
+    return m.group(1)
+
+
+def _tvf_subquery(kind: str, args: list[str]) -> str:
+    """Render one window TVF call as a Spark-SQL derived table emitting
+    the source columns + window_start / window_end / window_time."""
+    kind = kind.upper()
+    table, pby = _parse_source(args[0])
+    ts = _parse_descriptor(args[1])
+    win_time = "window_end - INTERVAL '0.001' SECOND AS window_time"
+
+    if kind == "TUMBLE":
+        dur, _, _ = _parse_interval(args[2])
+        return (
+            f"(SELECT * EXCEPT(__w), __w.start AS window_start, "
+            f"__w.end AS window_end, __w.end - INTERVAL '0.001' SECOND AS window_time "
+            f"FROM (SELECT *, window(`{ts}`, '{dur}') AS __w FROM {table}))"
+        )
+    if kind == "HOP":
+        # HOP(TABLE t, DESCRIPTOR(ts), slide, size)
+        slide, _, _ = _parse_interval(args[2])
+        size, _, _ = _parse_interval(args[3])
+        return (
+            f"(SELECT * EXCEPT(__w), __w.start AS window_start, "
+            f"__w.end AS window_end, __w.end - INTERVAL '0.001' SECOND AS window_time "
+            f"FROM (SELECT *, window(`{ts}`, '{size}', '{slide}') AS __w FROM {table}))"
+        )
+    if kind == "CUMULATE":
+        # CUMULATE(TABLE t, DESCRIPTOR(ts), step, max)
+        _, step_lit, _ = _parse_interval(args[2])
+        max_dur, max_lit, _ = _parse_interval(args[3])
+        return (
+            f"(SELECT * EXCEPT(__b, __we), __b AS window_start, __we AS window_end, "
+            f"__we - INTERVAL '0.001' SECOND AS window_time "
+            f"FROM (SELECT *, window(`{ts}`, '{max_dur}').start AS __b FROM {table}) "
+            f"LATERAL VIEW explode(sequence(__b + {step_lit}, __b + {max_lit}, {step_lit})) "
+            f"__cum AS __we WHERE `{ts}` < __we)"
+        )
+    if kind == "SESSION":
+        # SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)
+        _, gap_lit, _ = _parse_interval(args[2])
+        part = ("PARTITION BY " + ", ".join(f"`{k}`" for k in pby) + " ") if pby else ""
+        w_ord = f"({part}ORDER BY `{ts}`)"
+        w_run = f"({part}ORDER BY `{ts}` ROWS UNBOUNDED PRECEDING)"
+        sid_part = (
+            "PARTITION BY " + ", ".join([*(f"`{k}`" for k in pby), "__sid"])
+        )
+        return (
+            f"(SELECT * EXCEPT(__new_s, __sid), "
+            f"min(`{ts}`) OVER ({sid_part}) AS window_start, "
+            f"max(`{ts}`) OVER ({sid_part}) + {gap_lit} AS window_end, "
+            f"max(`{ts}`) OVER ({sid_part}) + {gap_lit} - INTERVAL '0.001' SECOND AS window_time "
+            f"FROM (SELECT *, sum(__new_s) OVER {w_run} AS __sid "
+            f"FROM (SELECT *, CASE WHEN lag(`{ts}`) OVER {w_ord} IS NULL "
+            f"OR `{ts}` - lag(`{ts}`) OVER {w_ord} >= {gap_lit} "
+            f"THEN 1 ELSE 0 END AS __new_s FROM {table})))"
+        )
+    raise ValueError(f"unknown window TVF: {kind}")  # pragma: no cover
+
+
+def rewrite_window_tvfs(sql: str) -> str:
+    """Replace every `TABLE(TUMBLE/HOP/CUMULATE/SESSION(...))` clause
+    with its Spark-SQL derived-table lowering. Text outside the TVF
+    (SELECT list, GROUP BY window_start/window_end, ...) is untouched —
+    the TVF contract is purely additive columns."""
+    while True:
+        m = _TVF_HEAD.search(sql)
+        if not m:
+            return sql
+        inner_open = sql.index("(", m.end() - 1)  # the TVF's own '('
+        inner_close = _find_close(sql, inner_open)
+        outer_close = _find_close(sql, sql.index("(", m.start()))
+        args = _split_args(sql[inner_open + 1 : inner_close])
+        sub = _tvf_subquery(m.group(1), args)
+        sql = sql[: m.start()] + sub + sql[outer_close + 1 :]
+
+
+# -------------------------------------------------------- MATCH_RECOGNIZE
+
+_SQL_TO_PY = [
+    (re.compile(r"\bAND\b", re.I), " and "),
+    (re.compile(r"\bOR\b", re.I), " or "),
+    (re.compile(r"\bNOT\s+IN\b", re.I), " not in "),
+    (re.compile(r"\bNOT\b(?!\s+in)", re.I), " not "),
+    (re.compile(r"\bTRUE\b", re.I), "True"),
+    (re.compile(r"\bFALSE\b", re.I), "False"),
+    (re.compile(r"\bNULL\b", re.I), "None"),
+    (re.compile(r"<>"), "!="),
+    (re.compile(r"(?<![<>!=])=(?!=)"), "=="),
+]
+
+
+def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
+    """Compile a DEFINE condition into a row predicate.
+
+    Supported subset (Flink's "simple conditions"): references to the
+    variable being defined (current row) or bare columns, comparisons,
+    AND/OR/NOT, IN lists, arithmetic, IS [NOT] NULL. Cross-variable
+    references (e.g. `B.price > A.price`) need NFA context our batch
+    predicates don't carry — rejected loudly, as is LAST()/FIRST()
+    inside DEFINE."""
+    others = [v for v in all_vars if v != var]
+    for o in others:
+        if re.search(rf"\b{re.escape(o)}\s*\.", expr):
+            raise ValueError(
+                f"DEFINE {var}: cross-variable reference to {o!r} is not "
+                "supported (simple conditions only)"
+            )
+    if re.search(r"\b(FIRST|LAST)\s*\(", expr, re.I):
+        raise ValueError(f"DEFINE {var}: FIRST()/LAST() in DEFINE is not supported")
+    py = expr
+    # X IS NOT NULL / X IS NULL on a simple term
+    py = re.sub(
+        r"([\w.'\"]+)\s+IS\s+NOT\s+NULL", r"(not pd.isna(\1))", py, flags=re.I
+    )
+    py = re.sub(r"([\w.'\"]+)\s+IS\s+NULL", r"pd.isna(\1)", py, flags=re.I)
+    # own-variable column refs → row lookups; then bare identifiers
+    py = re.sub(rf"\b{re.escape(var)}\s*\.\s*`?(\w+)`?", r"r['\1']", py)
+    for pat, rep in _SQL_TO_PY:
+        py = pat.sub(rep, py)
+    # bare column identifiers (not already r['..'], not literals/keywords)
+    def bare(mm: re.Match) -> str:
+        w = mm.group(0)
+        if w in ("and", "or", "not", "in", "True", "False", "None", "r", "pd", "isna"):
+            return w
+        return f"r['{w}']"
+
+    py = re.sub(r"(?<!')(?<!\[')\b[A-Za-z_]\w*\b(?!'\])(?!\s*\()(?!')", bare, py)
+    code = compile(f"lambda r: bool({py})", f"<define {var}>", "eval")
+    return eval(code, {"pd": pd})  # noqa: S307 — restricted, self-built source
+
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "FIRST", "LAST"}
+
+
+def _parse_measure(expr: str) -> tuple[str, str, str]:
+    """Measure expr → (agg, var, col). Bare `A.col` means FINAL LAST
+    (Flink default in ONE ROW PER MATCH)."""
+    m = re.match(r"(\w+)\s*\(\s*(\w+)\s*\.\s*`?(\w+|\*)`?\s*\)$", expr.strip(), re.I)
+    if m and m.group(1).upper() in _AGGS:
+        return m.group(1).upper(), m.group(2), m.group(3)
+    m = re.match(r"COUNT\s*\(\s*\*\s*\)$", expr.strip(), re.I)
+    if m:
+        return "COUNT", "*", "*"
+    m = re.match(r"(\w+)\s*\.\s*`?(\w+)`?$", expr.strip())
+    if m:
+        return "LAST", m.group(1), m.group(2)
+    raise ValueError(f"unsupported MEASURES expression: {expr!r}")
+
+
+def _measure_value(groups: dict[str, pd.DataFrame], agg: str, var: str, col: str):
+    if agg == "COUNT":
+        if var == "*":
+            return sum(len(g) for g in groups.values())
+        g = groups.get(var)
+        return 0 if g is None else len(g)
+    g = groups.get(var)
+    if g is None or len(g) == 0:
+        return None
+    if agg == "FIRST":
+        return g[col].iloc[0]
+    if agg == "LAST":
+        return g[col].iloc[-1]
+    if agg == "SUM":
+        return g[col].sum()
+    if agg == "MIN":
+        return g[col].min()
+    if agg == "MAX":
+        return g[col].max()
+    if agg == "AVG":
+        return float(g[col].mean())
+    raise ValueError(agg)  # pragma: no cover
+
+
+_QUANT = re.compile(r"(\w+)(\{(\d+)(?:\s*,\s*(\d*))?\}|[+*?])?(\?)?")
+
+
+def _build_pattern(pattern_text: str, defines: dict[str, str], skip: tuple, within_s):
+    """PATTERN (A B+ C{2,4}? D?) + DEFINE → operators.cep.Pattern.
+    MATCH_RECOGNIZE contiguity is strict by construction (the pattern
+    describes consecutive rows — StreamExecMatch semantics), so every
+    step after the first uses `next`."""
+    from flink_1_20_spark.operators.cep import Pattern
+
+    tokens = pattern_text.strip().strip("()").split()
+    var_names = [
+        _QUANT.fullmatch(t).group(1) for t in tokens if _QUANT.fullmatch(t)
+    ]
+    pat: Pattern | None = None
+    for tok in tokens:
+        m = _QUANT.fullmatch(tok)
+        if not m:
+            raise ValueError(f"cannot parse pattern token: {tok!r}")
+        var, quant, n, mx, reluct = m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+        cond = defines.get(var)
+        pred = (
+            _compile_predicate(cond, var, var_names) if cond else (lambda r: True)
+        )
+        if pat is None:
+            pat = Pattern.begin(var, pred)
+        else:
+            pat = pat.next(var, pred)
+        if quant == "+":
+            pat = pat.one_or_more().strict_repeat()
+        elif quant == "*":
+            pat = pat.times(0, -1).strict_repeat()
+        elif quant == "?":
+            pat = pat.optional()
+        elif quant and quant.startswith("{"):
+            lo = int(n)
+            hi = lo if mx is None else (-1 if mx == "" else int(mx))
+            pat = pat.times(lo, hi).strict_repeat()
+        if reluct:
+            pat = pat.reluctant()
+    strategy, step = skip
+    pat = pat.after_match_skip(strategy, step)
+    if within_s is not None:
+        pat = pat.within(within_s)
+    return pat
+
+
+_MR_RE = re.compile(
+    r"(\S+)\s+MATCH_RECOGNIZE\s*\(", re.I
+)
+
+
+def _infer_measure_type(df: DataFrame, agg: str, var: str, col: str) -> str:
+    src = dict(df.dtypes)
+    if agg == "COUNT":
+        return "bigint"
+    if agg == "AVG":
+        return "double"
+    t = src.get(col, "string")
+    if agg == "SUM" and t in ("int", "smallint", "tinyint"):
+        return "bigint"
+    return t
+
+
+def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute a statement containing `<table> MATCH_RECOGNIZE (...)`:
+    lower the clause onto operators.cep.match_recognize, register the
+    result as a temp view, and hand the rewritten outer statement to
+    Catalyst."""
+    from flink_1_20_spark.operators.cep import match_recognize
+
+    m = _MR_RE.search(sql)
+    if not m:
+        raise ValueError("no MATCH_RECOGNIZE clause found")
+    table = m.group(1).strip("`")
+    open_idx = sql.index("(", m.end() - 1)
+    close_idx = _find_close(sql, open_idx)
+    body = sql[open_idx + 1 : close_idx]
+    # optional alias after the clause
+    rest = sql[close_idx + 1 :]
+    alias_m = re.match(r"\s+(?:AS\s+)?(\w+)", rest, re.I)
+
+    def clause(name: str, pat: str) -> str | None:
+        mm = re.search(pat, body, re.I | re.S)
+        return mm.group(1).strip() if mm else None
+
+    part_txt = clause("partition", r"PARTITION\s+BY\s+(.+?)(?=ORDER\s+BY|MEASURES|\Z)")
+    order_txt = clause("order", r"ORDER\s+BY\s+(.+?)(?=MEASURES|\Z)")
+    measures_txt = clause(
+        "measures", r"MEASURES\s+(.+?)(?=\bONE\s+ROW|\bALL\s+ROWS|\bAFTER\s+MATCH|\bPATTERN\b)"
+    )
+    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.I):
+        raise ValueError("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    skip_m = re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))",
+        body,
+        re.I,
+    )
+    if skip_m:
+        txt = skip_m.group(1).upper()
+        if txt.startswith("PAST"):
+            skip = ("PAST_LAST_EVENT", None)
+        elif txt.startswith("TO NEXT"):
+            skip = ("TO_NEXT_ROW", None)
+        elif txt.startswith("TO FIRST"):
+            skip = ("SKIP_TO_FIRST", skip_m.group(2))
+        else:
+            skip = ("SKIP_TO_LAST", skip_m.group(3))
+    else:
+        skip = ("PAST_LAST_EVENT", None)  # SQL-standard default
+    pattern_m = re.search(r"PATTERN\s*(\([^)]*\))", body, re.I)
+    if not pattern_m:
+        raise ValueError("MATCH_RECOGNIZE requires a PATTERN clause")
+    within_m = re.search(r"\)\s*WITHIN\s+(INTERVAL\s+'[\d.]+'\s+\w+)", body, re.I)
+    within_s = _parse_interval(within_m.group(1))[2] if within_m else None
+    define_txt = clause("define", r"DEFINE\s+(.+)\Z")
+
+    keys = [c.strip().strip("`") for c in (part_txt or "").split(",") if c.strip()]
+    order_cols = [
+        re.sub(r"\s+(ASC|DESC)$", "", c.strip(), flags=re.I).strip("`")
+        for c in (order_txt or "").split(",")
+        if c.strip()
+    ]
+    if not order_cols:
+        raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+    ts_col, tiebreak = order_cols[0], order_cols[1:]
+
+    defines: dict[str, str] = {}
+    if define_txt:
+        for item in _split_args(define_txt):
+            dm = re.match(r"(\w+)\s+AS\s+(.+)$", item.strip(), re.S | re.I)
+            if not dm:
+                raise ValueError(f"cannot parse DEFINE item: {item!r}")
+            defines[dm.group(1)] = dm.group(2).strip()
+
+    measures: list[tuple[str, str, str, str]] = []  # (out_name, agg, var, col)
+    if measures_txt:
+        for item in _split_args(measures_txt):
+            mm = re.match(r"(.+?)\s+AS\s+`?(\w+)`?$", item.strip(), re.S | re.I)
+            if not mm:
+                raise ValueError(f"MEASURES items need `expr AS name`: {item!r}")
+            agg, var, col = _parse_measure(mm.group(1))
+            measures.append((mm.group(2), agg, var, col))
+
+    df = spark.table(table)
+    pat = _build_pattern(pattern_m.group(1), defines, skip, within_s)
+
+    def measure_fn(groups: dict[str, pd.DataFrame]) -> dict:
+        return {
+            name: _measure_value(groups, agg, var, col)
+            for name, agg, var, col in measures
+        }
+
+    key_types = dict(df.dtypes)
+    schema = ", ".join(
+        [
+            *(f"{name} {_infer_measure_type(df, agg, var, col)}"
+              for name, agg, var, col in measures),
+            *(f"{k} {key_types[k]}" for k in keys),
+        ]
+    )
+    out = match_recognize(
+        df,
+        keys=keys,
+        ts=ts_col,
+        pattern=pat,
+        measures=measure_fn,
+        output_schema=schema,
+        order_tiebreak=tiebreak,
+    ).select(*keys, *(name for name, *_ in measures))
+
+    view = f"__mr_{abs(hash(sql)) % 10**8}"
+    out.createOrReplaceTempView(view)
+    alias = f" {alias_m.group(1)}" if alias_m else ""
+    rewritten = (
+        sql[: m.start()] + view + alias + (rest[alias_m.end():] if alias_m else rest)
+    )
+    return spark.sql(rewritten)

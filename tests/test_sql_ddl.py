@@ -157,3 +157,147 @@ def test_drop_table(spark, tmp_path):
     env.execute_sql("DROP TABLE dropme")
     assert "dropme" not in env.tables
     env.execute_sql("DROP TABLE IF EXISTS dropme")  # no error
+
+
+# ---------------------------------------------------------------- dialect
+# Flink-SQL window TVFs + MATCH_RECOGNIZE parsed onto the library
+# operators (FlinkSqlOperatorTable.java:1296-1299, StreamExecMatch.java:59).
+# Each statement's result must match the hand-written, oracle-verified
+# library query on the same data.
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def fixture_env(spark, sf_dir):
+    from flink_1_20_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return TableEnvironment(spark)
+
+
+def test_sql_tumble_tvf(fixture_env, spark, sf_dir):
+    from flink_1_20_spark.queries.window_tvf import wtvf_tumble
+
+    got = fixture_env.execute_sql("""
+        SELECT window_start, window_end, event_type,
+               count(*) AS n_events,
+               round(sum(`value`), 4) AS total_value
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end, event_type
+    """)
+    want = wtvf_tumble(spark, sf_dir)
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sql_hop_tvf(fixture_env, spark, sf_dir):
+    from flink_1_20_spark.queries.window_tvf import wtvf_hop
+
+    got = fixture_env.execute_sql("""
+        SELECT window_start, window_end,
+               count(*) AS n_events, round(sum(`value`), 4) AS total_value
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTES, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    want = wtvf_hop(spark, sf_dir)
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sql_cumulate_tvf(fixture_env, spark, sf_dir):
+    from flink_1_20_spark.queries.window_tvf import wtvf_cumulate
+
+    got = fixture_env.execute_sql("""
+        SELECT window_start, window_end,
+               count(*) AS n_events, round(sum(`value`), 4) AS total_value
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTES, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    want = wtvf_cumulate(spark, sf_dir)
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sql_session_tvf(fixture_env, spark, sf_dir):
+    from flink_1_20_spark.queries.window_tvf import wtvf_session
+
+    got = fixture_env.execute_sql("""
+        SELECT user_id, window_start AS session_start, window_end AS session_end,
+               count(*) AS n_events, round(sum(`value`), 4) AS total_value
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+        GROUP BY user_id, window_start, window_end
+    """)
+    want = wtvf_session(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sql_window_time_column(fixture_env):
+    rows = fixture_env.execute_sql("""
+        SELECT DISTINCT window_end, window_time
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        LIMIT 5
+    """).collect()
+    for r in rows:  # rowtime convention: window_time = window_end - 1ms
+        assert (r.window_end - r.window_time).total_seconds() == 0.001
+
+
+def test_sql_match_recognize_funnel(fixture_env, spark, sf_dir):
+    from flink_1_20_spark.queries.temporal_cep import cep_funnel_strict
+
+    got = fixture_env.execute_sql("""
+        SELECT user_id, start_ts, end_ts, round(purchase_value, 4) AS purchase_value
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                FIRST(A.ts) AS start_ts,
+                C.ts AS end_ts,
+                C.`value` AS purchase_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B C)
+            DEFINE
+                A AS A.event_type = 'click',
+                B AS B.event_type = 'view',
+                C AS C.event_type = 'purchase'
+        ) AS m
+    """)
+    want = cep_funnel_strict(spark, sf_dir)
+    cols = ["user_id", "start_ts", "end_ts", "purchase_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sql_match_recognize_quantified(fixture_env):
+    """B+ with WITHIN and COUNT measure parses and runs (error-burst
+    shape: >=2 consecutive errors; strict_repeat + within pruning)."""
+    rows = fixture_env.execute_sql("""
+        SELECT user_id, n_err
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(E.*) AS n_err
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (E{2,}) WITHIN INTERVAL '30' MINUTES
+            DEFINE E AS E.event_type = 'error'
+        )
+    """).collect()
+    for r in rows:
+        assert r.n_err >= 2
+
+
+def test_sql_match_recognize_rejects_cross_var(fixture_env):
+    with pytest.raises(ValueError, match="cross-variable"):
+        fixture_env.execute_sql("""
+            SELECT * FROM events MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY ts
+                MEASURES A.ts AS t ONE ROW PER MATCH
+                PATTERN (A B)
+                DEFINE A AS A.event_type = 'click',
+                       B AS B.`value` > A.`value`
+            )
+        """)
