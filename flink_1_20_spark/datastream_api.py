@@ -42,6 +42,69 @@ class StreamExecutionEnvironment:
         return DataStream(df)
 
 
+# -- window assigners (flink-streaming-java/.../windowing/assigners/) --
+
+
+class WindowAssigner:
+    """Base: carries the Spark window expression for a time column."""
+
+    def expr(self, ts_col: str):
+        raise NotImplementedError
+
+    is_global = False
+
+
+class TumblingEventTimeWindows(WindowAssigner):
+    def __init__(self, size: str):
+        self.size = size
+
+    @staticmethod
+    def of(size: str) -> "TumblingEventTimeWindows":
+        return TumblingEventTimeWindows(size)
+
+    def expr(self, ts_col: str):
+        return F.window(ts_col, self.size)
+
+
+class SlidingEventTimeWindows(WindowAssigner):
+    def __init__(self, size: str, slide: str):
+        self.size, self.slide = size, slide
+
+    @staticmethod
+    def of(size: str, slide: str) -> "SlidingEventTimeWindows":
+        return SlidingEventTimeWindows(size, slide)
+
+    def expr(self, ts_col: str):
+        return F.window(ts_col, self.size, self.slide)
+
+
+class EventTimeSessionWindows(WindowAssigner):
+    def __init__(self, gap: str):
+        self.gap = gap
+
+    @staticmethod
+    def with_gap(gap: str) -> "EventTimeSessionWindows":
+        return EventTimeSessionWindows(gap)
+
+    def expr(self, ts_col: str):
+        return F.session_window(ts_col, self.gap)
+
+
+class GlobalWindows(WindowAssigner):
+    """One window per key (GlobalWindows.java — only meaningful with a
+    trigger in Flink; the batch/declarative analog is a plain keyed
+    aggregation over all rows)."""
+
+    is_global = True
+
+    @staticmethod
+    def create() -> "GlobalWindows":
+        return GlobalWindows()
+
+    def expr(self, ts_col: str):  # pragma: no cover — never windowed
+        raise ValueError("GlobalWindows has no window expression")
+
+
 class DataStream:
     def __init__(self, df: DataFrame):
         self._df = df
@@ -74,6 +137,13 @@ class DataStream:
         for o in others:
             df = df.unionByName(o._df)
         return DataStream(df)
+
+    # -- two-stream ops (DataStream.join:756, coGroup:748) ---------------
+    def join(self, other: "DataStream") -> "JoinedStreams":
+        return JoinedStreams(self, other, cogroup=False)
+
+    def co_group(self, other: "DataStream") -> "JoinedStreams":
+        return JoinedStreams(self, other, cogroup=True)
 
     # -- partitioning family (DataStream.java:321-512) ------------------
     def key_by(self, *cols: str) -> "KeyedStream":
@@ -113,8 +183,35 @@ class KeyedStream(DataStream):
             self._df.groupBy(*self._keys).agg(*[F.expr(e) for e in agg_exprs])
         )
 
-    def window(self, ts_col: str, size: str) -> "WindowedStream":
-        return WindowedStream(self._df, self._keys, ts_col, size)
+    def window(
+        self, assigner_or_ts: "WindowAssigner | str", size_or_ts: str | None = None
+    ) -> "WindowedStream":
+        """`window(TumblingEventTimeWindows.of('1 hour'), 'ts')` with any
+        assigner (sliding/session/global — windowing/assigners/), or the
+        legacy shorthand `window('ts', '1 hour')` for tumbling."""
+        if isinstance(assigner_or_ts, WindowAssigner):
+            if size_or_ts is None and not assigner_or_ts.is_global:
+                raise ValueError("window(assigner, ts_col) needs the time column")
+            return WindowedStream(self._df, self._keys, size_or_ts, assigner_or_ts)
+        return WindowedStream(
+            self._df,
+            self._keys,
+            assigner_or_ts,
+            TumblingEventTimeWindows.of(size_or_ts),
+        )
+
+    def count_window(self, n: int, ts_col: str | None = None) -> "DataStream":
+        """KeyedStream.countWindow:745 — delegated to the library count
+        windows (queries/changelog_count.py documents the semantics)."""
+        from pyspark.sql import Window as W
+
+        order = ts_col or self._keys[0]
+        w = W.partitionBy(*self._keys).orderBy(order)
+        return DataStream(
+            self._df.withColumn("__rn", F.row_number().over(w)).withColumn(
+                "window_id", ((F.col("__rn") - 1) / n).cast("bigint")
+            ).drop("__rn")
+        )
 
     def process(
         self,
@@ -142,18 +239,119 @@ class KeyedStream(DataStream):
 
 
 class WindowedStream:
-    """WindowedStream.aggregate over a tumbling event-time window."""
+    """WindowedStream.aggregate (WindowedStream.java:302) over any
+    event-time assigner — tumbling, sliding, session, or global."""
 
-    def __init__(self, df: DataFrame, keys: list[str], ts_col: str, size: str):
-        self._df, self._keys, self._ts, self._size = df, keys, ts_col, size
+    def __init__(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        ts_col: str | None,
+        assigner: WindowAssigner,
+    ):
+        self._df, self._keys, self._ts, self._assigner = df, keys, ts_col, assigner
 
     def aggregate(self, *agg_exprs: str) -> DataStream:
+        aggs = [F.expr(e) for e in agg_exprs]
+        if self._assigner.is_global:
+            return DataStream(self._df.groupBy(*self._keys).agg(*aggs))
         g = self._df.groupBy(
-            F.window(self._ts, self._size).alias("w"), *self._keys
-        ).agg(*[F.expr(e) for e in agg_exprs])
+            self._assigner.expr(self._ts).alias("w"), *self._keys
+        ).agg(*aggs)
         return DataStream(
             g.select(
                 F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
                 *[c for c in g.columns if c != "w"],
             )
         )
+
+    reduce = aggregate  # WindowedStream.reduce:179 — associative fold
+
+
+class JoinedStreams:
+    """DataStream.join(other).where(...).equal_to(...).window(assigner,
+    lts, rts).apply(...) — the windowed join/coGroup builder
+    (DataStream.java:756 join, :748 coGroup; JoinedStreams.java).
+
+    join  → equi-join on (key, window): rows pair iff same key AND same
+            window — exactly WindowJoinOperator semantics, expressed as
+            a Catalyst equi-join on the window struct (one shuffle per
+            side, bounded state under watermark on streams).
+    coGroup → per (key, window) the full groups from both sides as
+            arrays (left_rows / right_rows), via two window aggs and a
+            full-outer equi-join — declarative, no Python in the path.
+    """
+
+    def __init__(self, left: DataStream, right: DataStream, cogroup: bool):
+        self._l, self._r, self._cogroup = left._df, right._df, cogroup
+        self._lkeys: list[str] = []
+        self._rkeys: list[str] = []
+
+    def where(self, *cols: str) -> "JoinedStreams":
+        self._lkeys = list(cols)
+        return self
+
+    def equal_to(self, *cols: str) -> "JoinedStreams":
+        self._rkeys = list(cols)
+        return self
+
+    def window(
+        self, assigner: WindowAssigner, left_ts: str, right_ts: str | None = None
+    ) -> "WindowedJoin":
+        if not self._lkeys or not self._rkeys:
+            raise ValueError("call .where(...).equal_to(...) before .window()")
+        return WindowedJoin(
+            self._l, self._r, self._lkeys, self._rkeys,
+            assigner, left_ts, right_ts or left_ts, self._cogroup,
+        )
+
+
+class WindowedJoin:
+    def __init__(self, l, r, lkeys, rkeys, assigner, lts, rts, cogroup):
+        self._l, self._r = l, r
+        self._lk, self._rk = lkeys, rkeys
+        self._assigner, self._lts, self._rts = assigner, lts, rts
+        self._cogroup = cogroup
+
+    def apply(self, *select_exprs: str, how: str = "inner") -> DataStream:
+        w = self._assigner
+        if self._cogroup:
+            lg = (
+                self._l.groupBy(w.expr(self._lts).alias("__w"), *self._lk)
+                .agg(F.collect_list(F.struct(*self._l.columns)).alias("left_rows"))
+            )
+            rg = (
+                self._r.groupBy(w.expr(self._rts).alias("__w"), *self._rk)
+                .agg(F.collect_list(F.struct(*self._r.columns)).alias("right_rows"))
+            )
+            cond = [lg["__w"] == rg["__w"]] + [
+                lg[a] == rg[b] for a, b in zip(self._lk, self._rk)
+            ]
+            joined = lg.join(rg, cond, "full_outer")
+            out = joined.select(
+                F.coalesce(lg["__w.start"], rg["__w.start"]).alias("window_start"),
+                F.coalesce(lg["__w.end"], rg["__w.end"]).alias("window_end"),
+                *[
+                    F.coalesce(lg[a], rg[b]).alias(a)
+                    for a, b in zip(self._lk, self._rk)
+                ],
+                F.coalesce(lg["left_rows"], F.array()).alias("left_rows"),
+                F.coalesce(rg["right_rows"], F.array()).alias("right_rows"),
+            )
+        else:
+            l = self._l.withColumn("__w", w.expr(self._lts))
+            r = self._r.withColumn("__w", w.expr(self._rts))
+            cond = [l["__w"] == r["__w"]] + [
+                l[a] == r[b] for a, b in zip(self._lk, self._rk)
+            ]
+            wcol = F.coalesce(l["__w"], r["__w"])  # outer-join safe
+            out = (
+                l.join(r, cond, how)
+                .withColumn("window_start", wcol.getField("start"))
+                .withColumn("window_end", wcol.getField("end"))
+                .drop(l["__w"])
+                .drop(r["__w"])
+            )
+        if select_exprs:
+            out = out.selectExpr(*select_exprs)
+        return DataStream(out)

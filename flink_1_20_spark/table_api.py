@@ -139,6 +139,19 @@ class Table:
     def as_(self, *new_names: str) -> "Table":
         return Table(self._df.toDF(*new_names))
 
+    # -- windows ---------------------------------------------------------
+    def window(self, w: "GroupWindow") -> "GroupWindowedTable":
+        """Declare a group window (Table.window:731; Tumble.java:42,
+        Slide.java, Session.java builders). Continue with
+        `.group_by(w_alias, keys...).select(...)`."""
+        return GroupWindowedTable(self._df, w)
+
+    def over_window(self, w: "OverWindow") -> "OverWindowedTable":
+        """Declare an over window (Table.window(OverWindow...) /
+        Over.java builder). Continue with `.select("value.sum OVER w AS
+        total", ...)`."""
+        return OverWindowedTable(self._df, w)
+
     # -- execution -------------------------------------------------------
     def execute(self) -> "TableResult":
         return TableResult(self._df)
@@ -185,3 +198,224 @@ def _grouped_select(df: DataFrame, group_cols: list[str], cols: list[str]):
 def from_data_frame(df: DataFrame) -> Table:
     """StreamTableEnvironment.fromDataStream analogue."""
     return Table(df)
+
+
+# ------------------------------------------------------- group windows
+# Tumble/Slide/Session builder classes (Tumble.java:42, Slide.java,
+# Session.java; Table.window:731). Durations accept Flink's string DSL
+# ("10.minutes") or plain SQL ("10 minutes").
+
+
+def _duration(s: str) -> str:
+    m = re.match(r"\s*(\d+)[.\s](\w+)\s*$", s)
+    if not m:
+        raise ValueError(f"cannot parse duration: {s!r}")
+    n, unit = m.group(1), m.group(2).lower().rstrip("s")
+    if unit == "milli":
+        return f"{n} milliseconds"
+    return f"{n} {unit}{'' if n == '1' else 's'}"
+
+
+class GroupWindow:
+    """Resolved group-window spec: kind + size/slide/gap + ts + alias."""
+
+    def __init__(self, kind: str, ts: str, alias: str, size: str | None = None,
+                 slide: str | None = None, gap: str | None = None):
+        self.kind, self.ts, self.alias_ = kind, ts, alias
+        self.size, self.slide, self.gap = size, slide, gap
+
+    def to_spark(self):
+        from pyspark.sql import functions as F
+
+        if self.kind == "tumble":
+            return F.window(self.ts, self.size)
+        if self.kind == "slide":
+            return F.window(self.ts, self.size, self.slide)
+        return F.session_window(self.ts, self.gap)
+
+
+class _GW:
+    """Shared fluent tail: .on(ts).alias(name)."""
+
+    def __init__(self, kind: str, size: str | None = None,
+                 slide: str | None = None, gap: str | None = None):
+        self._kind, self._size, self._slide, self._gap = kind, size, slide, gap
+        self._ts: str | None = None
+
+    def on(self, ts: str) -> "_GW":
+        self._ts = ts.strip("$()\"' ")
+        return self
+
+    def alias(self, name: str) -> GroupWindow:
+        if self._ts is None:
+            raise ValueError("call .on(time_col) before .alias()")
+        return GroupWindow(self._kind, self._ts, name, self._size, self._slide, self._gap)
+
+    as_ = alias
+
+
+class Tumble:
+    @staticmethod
+    def over(size: str) -> _GW:
+        return _GW("tumble", size=_duration(size))
+
+
+class Slide:
+    @staticmethod
+    def over(size: str) -> "_SlideBuilder":
+        return _SlideBuilder(_duration(size))
+
+
+class _SlideBuilder:
+    def __init__(self, size: str):
+        self._size = size
+
+    def every(self, slide: str) -> _GW:
+        return _GW("slide", size=self._size, slide=_duration(slide))
+
+
+class Session:
+    @staticmethod
+    def with_gap(gap: str) -> _GW:
+        return _GW("session", gap=_duration(gap))
+
+
+class GroupWindowedTable:
+    def __init__(self, df: DataFrame, w: GroupWindow):
+        self._df, self._w = df, w
+
+    def group_by(self, *cols: str) -> "WindowGroupedTable":
+        keys = [c for c in cols if c != self._w.alias_]
+        if len(keys) == len(cols):
+            raise ValueError(
+                f"group_by must include the window alias {self._w.alias_!r}"
+            )
+        return WindowGroupedTable(self._df, self._w, keys)
+
+
+class WindowGroupedTable:
+    """Post-window group_by: select() resolves w.start / w.end /
+    w.rowtime plus aggregates, exactly like Flink's windowed
+    `groupBy(w, keys).select(...)` (Table.java:731 examples)."""
+
+    def __init__(self, df: DataFrame, w: GroupWindow, keys: list[str]):
+        self._df, self._w, self._keys = df, w, keys
+
+    def select(self, *exprs: str) -> Table:
+        from pyspark.sql import functions as F
+
+        alias = self._w.alias_
+        grouped = self._df.groupBy(
+            self._w.to_spark().alias(alias), *[F_expr(k) for k in self._keys]
+        )
+        aggs, finals = [], []
+        for e in exprs:
+            t = _translate(e)
+            nm = re.search(r"(?:AS\s+)?`?(\w+)`?\s*$", t, re.I)
+            body = re.sub(r"\s+AS\s+`?\w+`?\s*$", "", t, flags=re.I).strip()
+            ref = re.match(rf"{re.escape(alias)}\.(start|end|rowtime)$", body)
+            if ref:
+                part = ref.group(1)
+                name = nm.group(1) if " AS " in t.upper() else f"window_{part}"
+                src = (
+                    f"`{alias}`.end - INTERVAL '0.001' SECOND"
+                    if part == "rowtime"
+                    else f"`{alias}`.{part}"
+                )
+                finals.append((src, name))
+            elif body in self._keys:
+                finals.append((f"`{body}`", body))
+            else:
+                name = nm.group(1)
+                aggs.append(F_expr(body).alias(name))
+                finals.append((f"`{name}`", name))
+        if not aggs:
+            raise ValueError("windowed select needs at least one aggregate")
+        out = grouped.agg(*aggs)
+        return Table(out.selectExpr(*[f"{b} AS {n}" for b, n in finals]))
+
+
+# -------------------------------------------------------- over windows
+# Over builder (Over.java; Table.java over-window select). Frames:
+# N.rows / UNBOUNDED_ROW → ROWS, time durations / UNBOUNDED_RANGE →
+# RANGE (time ranges order by epoch seconds — the Spark rangeBetween
+# contract for intervals).
+
+
+class OverWindow:
+    def __init__(self, partition: list[str], order: str, preceding: str, alias: str):
+        self.partition, self.order, self.preceding, self.alias_ = (
+            partition, order, preceding, alias,
+        )
+
+    def to_sql(self) -> str:
+        """Render as a SQL window specification — substituted for the
+        alias in `... OVER w ...`, so frames compose with any enclosing
+        expression (round(sum(x) OVER w, 4) etc.)."""
+        part = (
+            "PARTITION BY " + ", ".join(f"`{c}`" for c in self.partition) + " "
+            if self.partition
+            else ""
+        )
+        p = self.preceding.strip()
+        if p.upper() == "UNBOUNDED_ROW":
+            frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        elif p.upper() == "UNBOUNDED_RANGE":
+            frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        else:
+            m = re.match(r"(\d+)\.rows?$", p, re.I)
+            if m:
+                frame = f"ROWS BETWEEN {m.group(1)} PRECEDING AND CURRENT ROW"
+            else:
+                n, unit = _duration(p).split()
+                frame = (
+                    f"RANGE BETWEEN INTERVAL '{n}' {unit.rstrip('s').upper()} "
+                    "PRECEDING AND CURRENT ROW"
+                )
+        return f"({part}ORDER BY `{self.order}` {frame})"
+
+
+class Over:
+    @staticmethod
+    def partition_by(*cols: str) -> "_OverBuilder":
+        return _OverBuilder(list(cols))
+
+    @staticmethod
+    def order_by(col: str) -> "_OverBuilder":
+        return _OverBuilder([]).order_by(col)
+
+
+class _OverBuilder:
+    def __init__(self, partition: list[str]):
+        self._partition = partition
+        self._order: str | None = None
+        self._preceding = "UNBOUNDED_ROW"
+
+    def order_by(self, col: str) -> "_OverBuilder":
+        self._order = col
+        return self
+
+    def preceding(self, spec: str) -> "_OverBuilder":
+        self._preceding = spec
+        return self
+
+    def alias(self, name: str) -> OverWindow:
+        if self._order is None:
+            raise ValueError("Over window requires order_by")
+        return OverWindow(self._partition, self._order, self._preceding, name)
+
+    as_ = alias
+
+
+class OverWindowedTable:
+    def __init__(self, df: DataFrame, w: OverWindow):
+        self._df, self._w = df, w
+
+    def select(self, *exprs: str) -> Table:
+        spec = self._w.to_sql()
+        alias = self._w.alias_
+        cols = [
+            re.sub(rf"\bOVER\s+{re.escape(alias)}\b", f"OVER {spec}", _translate(e), flags=re.I)
+            for e in exprs
+        ]
+        return Table(self._df.selectExpr(*cols))

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+from datetime import datetime
 
 import pandas as pd
 import pytest
@@ -117,3 +118,145 @@ def test_keyed_process_on_stream(spark, tmp_path):
     for r in rows:  # update mode: last emit per key wins
         latest[r.k] = max(latest.get(r.k, 0), r.n)
     assert latest == {"a": 3, "b": 1}
+
+
+# ----------------------------------------------- window assigner family
+# windowing/assigners/: sliding, session, global; DataStream.join:756 /
+# coGroup:748 windowed two-stream ops.
+
+
+def test_sliding_window_assigner(spark):
+    from flink_1_20_spark.datastream_api import (
+        SlidingEventTimeWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    s = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 7), 1.0), ("a", datetime(2024, 1, 1, 10, 20), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = (
+        s.key_by("k")
+        .window(SlidingEventTimeWindows.of("30 minutes", "15 minutes"), "ts")
+        .aggregate("sum(v) AS total")
+        .execute_and_collect()
+    )
+    # each row lands in 2 sliding windows; 10:07 and 10:20 share one
+    by_start = {r.w_start.strftime("%H:%M"): r.total for r in rows}
+    assert by_start == {"09:45": 1.0, "10:00": 3.0, "10:15": 2.0}
+
+
+def test_session_window_assigner(spark):
+    from flink_1_20_spark.datastream_api import (
+        EventTimeSessionWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    s = env.from_collection(
+        [
+            ("a", datetime(2024, 1, 1, 10, 0), 1.0),
+            ("a", datetime(2024, 1, 1, 10, 4), 2.0),  # same session (gap 5m)
+            ("a", datetime(2024, 1, 1, 11, 0), 4.0),  # new session
+        ],
+        "k string, ts timestamp, v double",
+    )
+    rows = (
+        s.key_by("k")
+        .window(EventTimeSessionWindows.with_gap("5 minutes"), "ts")
+        .aggregate("sum(v) AS total", "count(*) AS n")
+        .execute_and_collect()
+    )
+    assert sorted((r.total, r.n) for r in rows) == [(3.0, 2), (4.0, 1)]
+
+
+def test_global_window_assigner(spark):
+    from flink_1_20_spark.datastream_api import (
+        GlobalWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    s = env.from_collection(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+    rows = (
+        s.key_by("k")
+        .window(GlobalWindows.create())
+        .aggregate("sum(v) AS total")
+        .execute_and_collect()
+    )
+    assert sorted((r.k, r.total) for r in rows) == [("a", 3.0), ("b", 5.0)]
+
+
+def test_windowed_join(spark):
+    from flink_1_20_spark.datastream_api import (
+        StreamExecutionEnvironment,
+        TumblingEventTimeWindows,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    l = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 5), 1), ("a", datetime(2024, 1, 1, 11, 5), 2)],
+        "k string, lts timestamp, lv bigint",
+    )
+    r = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 40), 10), ("b", datetime(2024, 1, 1, 10, 10), 20)],
+        "rk string, rts timestamp, rv bigint",
+    )
+    rows = (
+        l.join(r)
+        .where("k")
+        .equal_to("rk")
+        .window(TumblingEventTimeWindows.of("1 hour"), "lts", "rts")
+        .apply("k", "lv", "rv", "window_start")
+        .execute_and_collect()
+    )
+    # only ('a', 10:05) × ('a', 10:40) share key AND hour window
+    assert [(x.k, x.lv, x.rv) for x in rows] == [("a", 1, 10)]
+
+
+def test_windowed_cogroup(spark):
+    from flink_1_20_spark.datastream_api import (
+        StreamExecutionEnvironment,
+        TumblingEventTimeWindows,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    l = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 5), 1), ("a", datetime(2024, 1, 1, 10, 6), 2)],
+        "k string, lts timestamp, lv bigint",
+    )
+    r = env.from_collection(
+        [("b", datetime(2024, 1, 1, 10, 10), 20)],
+        "rk string, rts timestamp, rv bigint",
+    )
+    rows = (
+        l.co_group(r)
+        .where("k")
+        .equal_to("rk")
+        .window(TumblingEventTimeWindows.of("1 hour"), "lts", "rts")
+        .apply("k", "size(left_rows) AS nl", "size(right_rows) AS nr")
+        .execute_and_collect()
+    )
+    got = sorted((x.k, x.nl, x.nr) for x in rows)
+    assert got == [("a", 2, 0), ("b", 0, 1)]  # outer: both lone groups emit
+
+
+def test_count_window(spark):
+    from flink_1_20_spark.datastream_api import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment(spark)
+    s = env.from_collection(
+        [("a", i) for i in range(5)], "k string, seq bigint"
+    )
+    rows = (
+        s.key_by("k")
+        .count_window(2, "seq")
+        .to_data_frame()
+        .groupBy("window_id")
+        .count()
+        .collect()
+    )
+    assert sorted((r.window_id, r["count"]) for r in rows) == [(0, 2), (1, 2), (2, 1)]

@@ -63,3 +63,153 @@ def test_add_rename_drop_columns(spark):
         .collect()
     )
     assert out[0].asDict() == {"x": 2, "c": 5}
+
+
+# ------------------------------------------------------- group windows
+# Tumble/Slide/Session builders (Tumble.java:42, Table.window:731):
+# results must match the oracle-verified wtvf_* library queries.
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumble_group_window(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.queries.window_tvf import wtvf_tumble
+    from flink_1_20_spark.table_api import Tumble
+
+    e = from_data_frame(read_table(spark, sf_dir, "events"))
+    got = (
+        e.window(Tumble.over("1.hour").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .select(
+            "w.start AS window_start",
+            "w.end AS window_end",
+            "event_type",
+            "count(*) AS n_events",
+            "round(sum(`value`), 4) AS total_value",
+        )
+        .to_data_frame()
+    )
+    want = wtvf_tumble(spark, sf_dir)
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_slide_group_window(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.queries.window_tvf import wtvf_hop
+    from flink_1_20_spark.table_api import Slide
+
+    e = from_data_frame(read_table(spark, sf_dir, "events"))
+    got = (
+        e.window(Slide.over("1.hour").every("15.minutes").on("ts").alias("w"))
+        .group_by("w")
+        .select(
+            "w.start AS window_start",
+            "w.end AS window_end",
+            "count(*) AS n_events",
+            "round(sum(`value`), 4) AS total_value",
+        )
+        .to_data_frame()
+    )
+    want = wtvf_hop(spark, sf_dir)
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_group_window(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.queries.window_tvf import wtvf_session
+    from flink_1_20_spark.table_api import Session
+
+    e = from_data_frame(read_table(spark, sf_dir, "events"))
+    got = (
+        e.window(Session.with_gap("10.minutes").on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select(
+            "user_id",
+            "w.start AS session_start",
+            "w.end AS session_end",
+            "count(*) AS n_events",
+            "round(sum(`value`), 4) AS total_value",
+        )
+        .to_data_frame()
+    )
+    want = wtvf_session(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_window_rowtime_attribute(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.table_api import Tumble
+
+    e = from_data_frame(read_table(spark, sf_dir, "events"))
+    rows = (
+        e.window(Tumble.over("1.hour").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.end AS window_end", "w.rowtime AS rt", "count(*) AS n")
+        .to_data_frame()
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:  # rowtime = window_end - 1ms (Flink convention)
+        assert (r.window_end - r.rt).total_seconds() == 0.001
+
+
+# -------------------------------------------------------- over windows
+
+
+def test_over_window_rows(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_1_20_spark.table_api import Over
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0), (2, 2, 15.0)],
+        "k bigint, seq bigint, v double",
+    )
+    got = (
+        from_data_frame(df)
+        .over_window(
+            Over.partition_by("k").order_by("seq").preceding("1.rows").alias("w")
+        )
+        .select("k", "seq", "sum(v) OVER w AS s2", "count(*) OVER w AS c2")
+        .to_data_frame()
+    )
+    spec = W.partitionBy("k").orderBy("seq").rowsBetween(-1, 0)
+    want = df.select(
+        "k", "seq",
+        F.sum("v").over(spec).alias("s2"),
+        F.count(F.lit(1)).over(spec).alias("c2"),
+    )
+    cols = ["k", "seq", "s2", "c2"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_over_window_unbounded_and_time_range(spark, sf_dir):
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.queries.over_windows import over_range_time
+    from flink_1_20_spark.table_api import Over
+
+    e = from_data_frame(read_table(spark, sf_dir, "events"))
+    got = (
+        e.over_window(
+            Over.partition_by("user_id").order_by("ts").preceding("1.hours").alias("w")
+        )
+        .select(
+            "event_id", "user_id", "ts",
+            "count(*) OVER w AS n_1h",
+            "round(sum(`value`) OVER w, 4) AS sum_1h",
+        )
+        .to_data_frame()
+    )
+    want = over_range_time(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "n_1h", "sum_1h"
+    )
+    cols = ["event_id", "user_id", "ts", "n_1h", "sum_1h"]
+    assert _rows(got, cols) == _rows(want, cols)
