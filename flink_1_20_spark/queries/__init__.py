@@ -29,6 +29,7 @@ _MODULES = [
     "json_aggs",
     "dedup_clusters",
     "tpcds_shapes",
+    "tpcds_shapes_ext",
     "pipeline",
     "approx_aggs",
     "range_join",

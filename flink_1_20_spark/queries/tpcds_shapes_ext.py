@@ -1,0 +1,355 @@
+"""TPC-DS-shape battery, long-tail extension.
+
+Continues queries/tpcds_shapes.py toward the reference's 103-query gate
+(flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/): the plan
+families the first 35 shapes left unexercised — q64-style multi-join
+spines with a reused CTE self-joined across years, q95/q94-style
+EXISTS over a self-joined subquery plus NOT EXISTS anti chains,
+q80-style channel union with returns netting under ROLLUP, q2/q4-style
+reused-CTE period comparisons, q10/q69-style multi-EXISTS customer
+filtering, correlated-average gates (q24/q65), deep rollups (q27),
+IN-dim unions (q33), banded dimension scans (q37/q85), shipping-bucket
+grids (q99), disjunctive IN (q45), and revenue-share windows over
+aggregates (q98).
+
+Same contract as the base module: one dialect-neutral SQL string per
+shape, executed verbatim on Spark and DuckDB — value-exact by
+construction. Scale notes: every EXISTS/NOT EXISTS decorrelates to
+semi/anti hash joins (guarded by tests/test_plans.py no-NLJ sweep);
+the reused CTEs materialize once per consumer under Catalyst (CTE
+inlining) with partial aggs before every shuffle; the q98-style window
+runs partitioned by its grouping key, never globally over raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_20_spark.registry import register
+
+from ._util import V
+
+_SHAPES: list[tuple[str, list[str], str]] = [
+    (
+        # q64: wide join spine (6 tables) aggregated into a CTE, then
+        # self-joined across two years on the retained keys.
+        "tpcds_q64_spine_reused_cte",
+        ["lineitem", "orders", "customer", "nation", "supplier", "part"],
+        """
+        WITH spine AS (
+          SELECT p.p_partkey AS partkey, p.p_brand AS brand, n.n_name AS nation,
+                 year(o.o_orderdate) AS yr,
+                 sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6))) AS revenue,
+                 count(*) AS cnt
+          FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN part p     ON l.l_partkey = p.p_partkey
+          WHERE p.p_size <= 20
+          GROUP BY p.p_partkey, p.p_brand, n.n_name, year(o.o_orderdate))
+        SELECT s1.partkey, s1.brand, s1.nation,
+               round(s1.revenue, 2) AS rev_a, round(s2.revenue, 2) AS rev_b,
+               s1.cnt AS cnt_a, s2.cnt AS cnt_b
+        FROM spine s1
+        JOIN spine s2 ON s1.partkey = s2.partkey AND s1.nation = s2.nation
+                     AND s1.brand = s2.brand
+        WHERE s1.yr = 1995 AND s2.yr = 1996 AND s2.revenue >= s1.revenue
+        """,
+    ),
+    (
+        # q95: EXISTS over a self-joined subquery (two lines, different
+        # suppliers) AND NOT EXISTS returns — semi + anti on one scan.
+        "tpcds_q95_exists_self_join",
+        ["orders", "lineitem"],
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1
+                      FROM lineitem l1 JOIN lineitem l2
+                        ON l1.l_orderkey = l2.l_orderkey
+                       AND l1.l_suppkey <> l2.l_suppkey
+                      WHERE l1.l_orderkey = o.o_orderkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = o.o_orderkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+        """,
+    ),
+    (
+        # q94: late-but-unreturned orders — EXISTS(receipt>commit) AND
+        # NOT EXISTS(return), global distinct-count + sum.
+        "tpcds_q94_late_unreturned",
+        ["orders", "lineitem"],
+        """
+        SELECT count(DISTINCT o.o_custkey) AS n_cust,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND year(l.l_shipdate) > year(o.o_orderdate))
+          AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                          WHERE lr.l_orderkey = o.o_orderkey
+                            AND lr.l_returnflag = 'R')
+        """,
+    ),
+    (
+        # q80: three channels unioned, per-channel sales vs returns
+        # netting, totals via ROLLUP (grand-total row included).
+        "tpcds_q80_channel_returns_rollup",
+        ["lineitem"],
+        """
+        WITH ch AS (
+          SELECT CASE WHEN l_linenumber <= 2 THEN 'A'
+                      WHEN l_linenumber <= 4 THEN 'B' ELSE 'C' END AS channel,
+                 l_extendedprice * (1 - l_discount) AS sales,
+                 CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END
+                   AS returns_amt
+          FROM lineitem)
+        SELECT channel,
+               round(sum(sales), 2) AS sales,
+               round(sum(returns_amt), 2) AS returns_amt,
+               round(sum(sales - returns_amt), 2) AS profit
+        FROM ch
+        GROUP BY ROLLUP(channel)
+        """,
+    ),
+    (
+        # q2: periodic totals in a CTE consumed twice (adjacent-year
+        # share comparison keyed by day-of-month).
+        "tpcds_q2_period_share",
+        ["orders"],
+        """
+        WITH pe AS (
+          SELECT day(o_orderdate) AS dom, year(o_orderdate) AS yr,
+                 sum(o_totalprice) AS t
+          FROM orders
+          GROUP BY day(o_orderdate), year(o_orderdate))
+        SELECT p1.dom, round(p1.t, 2) AS t_a, round(p2.t, 2) AS t_b,
+               round(p2.t / p1.t, 4) AS ratio
+        FROM pe p1 JOIN pe p2 ON p1.dom = p2.dom
+        WHERE p1.yr = 1995 AND p2.yr = 1996
+        """,
+    ),
+    (
+        # q4: three status channels as CTEs, inner-chained on the first
+        # two with a LEFT join to the third, ratio-gated.
+        "tpcds_q4_tri_channel_ratio",
+        ["orders"],
+        """
+        WITH tf AS (SELECT o_custkey, sum(o_totalprice) AS t FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+             to2 AS (SELECT o_custkey, sum(o_totalprice) AS t FROM orders
+                     WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+             tp AS (SELECT o_custkey, sum(o_totalprice) AS t FROM orders
+                    WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        SELECT tf.o_custkey AS custkey,
+               round(tf.t, 2) AS t_f, round(to2.t, 2) AS t_o,
+               round(coalesce(tp.t, 0), 2) AS t_p
+        FROM tf
+        JOIN to2 ON tf.o_custkey = to2.o_custkey
+        LEFT JOIN tp ON tf.o_custkey = tp.o_custkey
+        WHERE to2.t > tf.t
+        """,
+    ),
+    (
+        # q10: customers active in a year AND matching either of two
+        # behavioral predicates — EXISTS + IN decorrelation mix.
+        "tpcds_q10_active_customer_profile",
+        ["customer", "nation", "orders"],
+        """
+        SELECT c.c_mktsegment, n.n_name, count(*) AS cnt,
+               round(avg(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1995)
+          AND c.c_custkey IN (SELECT o2.o_custkey FROM orders o2
+                              WHERE o2.o_orderpriority = '1-URGENT'
+                                 OR o2.o_orderstatus = 'F')
+        GROUP BY c.c_mktsegment, n.n_name
+        """,
+    ),
+    (
+        # q69: semi on one channel, anti on another, grouped counts.
+        "tpcds_q69_semi_anti_profile",
+        ["customer", "orders"],
+        """
+        SELECT c.c_mktsegment, count(*) AS cnt
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        GROUP BY c.c_mktsegment
+        """,
+    ),
+    (
+        # q24: reused per-customer CTE gated by a scalar subquery over
+        # itself (spend > 1.5x the global average spend).
+        "tpcds_q24_above_global_avg",
+        ["lineitem", "orders", "customer"],
+        """
+        WITH per_cust AS (
+          SELECT c.c_custkey AS custkey, c.c_name AS name,
+                 sum(l.l_extendedprice * (1 - l.l_discount)) AS amt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey, c.c_name)
+        SELECT custkey, name, round(amt, 2) AS amt
+        FROM per_cust
+        WHERE amt > (SELECT 1.5 * avg(amt) FROM per_cust)
+        """,
+    ),
+    (
+        # q65: supplier-item revenue at most 10% of the supplier's
+        # average item revenue — agg-over-agg join chain.
+        "tpcds_q65_low_revenue_items",
+        ["lineitem", "supplier"],
+        """
+        WITH si AS (SELECT l_suppkey AS supp, l_partkey AS item,
+                           sum(l_extendedprice) AS rev
+                    FROM lineitem GROUP BY l_suppkey, l_partkey),
+             sa AS (SELECT supp, avg(rev) AS avg_rev FROM si GROUP BY supp)
+        SELECT s.s_name, si.item, round(si.rev, 2) AS rev
+        FROM si
+        JOIN sa ON si.supp = sa.supp
+        JOIN supplier s ON si.supp = s.s_suppkey
+        WHERE si.rev <= 0.1 * sa.avg_rev
+        """,
+    ),
+    (
+        # q27: three-level ROLLUP hierarchy with grouping counts.
+        "tpcds_q27_rollup_three_dims",
+        ["lineitem", "orders", "customer", "nation"],
+        """
+        SELECT n.n_name, o.o_orderpriority, l.l_returnflag,
+               count(*) AS cnt, round(avg(l.l_quantity), 2) AS avg_qty
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP(n.n_name, o.o_orderpriority, l.l_returnflag)
+        """,
+    ),
+    (
+        # q33/q56/q60: three channel aggregates over an IN-subquery dim
+        # restriction, unioned then re-aggregated.
+        "tpcds_q33_union_in_dim",
+        ["lineitem", "part"],
+        """
+        WITH dim AS (SELECT p_partkey FROM part WHERE p_type LIKE '%ECO%'),
+        a AS (SELECT p.p_type AS mfgr, sum(l.l_extendedprice) AS s
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_partkey IN (SELECT p_partkey FROM dim)
+                AND l.l_linenumber = 1 GROUP BY p.p_type),
+        b AS (SELECT p.p_type AS mfgr, sum(l.l_extendedprice) AS s
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_partkey IN (SELECT p_partkey FROM dim)
+                AND l.l_linenumber = 2 GROUP BY p.p_type),
+        c AS (SELECT p.p_type AS mfgr, sum(l.l_extendedprice) AS s
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_partkey IN (SELECT p_partkey FROM dim)
+                AND l.l_linenumber >= 3 GROUP BY p.p_type)
+        SELECT mfgr, round(sum(s), 2) AS total
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c) u
+        GROUP BY mfgr
+        """,
+    ),
+    (
+        # q37/q82: banded dimension scan (price range + size IN list)
+        # joined to the fact for existence, per-brand minimum.
+        "tpcds_q37_banded_dim_scan",
+        ["part", "lineitem"],
+        """
+        SELECT p.p_brand, round(min(p.p_retailprice), 2) AS min_price,
+               count(DISTINCT p.p_partkey) AS n_parts
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_retailprice BETWEEN 900 AND 1400
+          AND p.p_size IN (5, 10, 15, 20, 25)
+        GROUP BY p.p_brand
+        """,
+    ),
+    (
+        # q85: OR of conjunctive band predicates across the join.
+        "tpcds_q85_or_of_band_pairs",
+        ["lineitem", "orders"],
+        """
+        SELECT o.o_orderpriority, count(*) AS cnt,
+               round(avg(l.l_quantity), 2) AS avg_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE (l.l_quantity BETWEEN 1 AND 10
+               AND o.o_totalprice BETWEEN 0 AND 100000)
+           OR (l.l_quantity BETWEEN 20 AND 30
+               AND o.o_totalprice BETWEEN 100000 AND 300000)
+        GROUP BY o.o_orderpriority
+        """,
+    ),
+    (
+        # q99/q62: shipping-interval bucket grid per ship mode.
+        "tpcds_q99_ship_bucket_grid",
+        ["lineitem"],
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CASE WHEN month(l_shipdate) <= 3 THEN 1 ELSE 0 END) AS s_q1,
+               sum(CASE WHEN month(l_shipdate) BETWEEN 4 AND 6
+                        THEN 1 ELSE 0 END) AS s_q2,
+               sum(CASE WHEN month(l_shipdate) BETWEEN 7 AND 9
+                        THEN 1 ELSE 0 END) AS s_q3,
+               sum(CASE WHEN month(l_shipdate) >= 10 THEN 1 ELSE 0 END) AS s_q4
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    (
+        # q45: plain-IN on a dim attribute OR uncorrelated IN-subquery.
+        "tpcds_q45_disjunctive_in",
+        ["orders", "customer", "nation"],
+        """
+        SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE substr(c.c_name, length(c.c_name) - 1, 2) IN ('13', '31', '23')
+           OR c.c_custkey IN (SELECT o2.o_custkey FROM orders o2
+                              WHERE o2.o_totalprice > 400000)
+        GROUP BY n.n_name
+        """,
+    ),
+    (
+        # q98/q89: revenue share within group via a window over the
+        # aggregate output (partitioned — never a global window on rows).
+        "tpcds_q98_revenue_share_window",
+        ["lineitem", "part"],
+        """
+        WITH s AS (SELECT p.p_type AS ptype, p.p_brand AS brand,
+                          sum(l.l_extendedprice) AS rev
+                   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                   GROUP BY p.p_type, p.p_brand)
+        SELECT ptype, brand, round(rev, 2) AS rev,
+               round(rev / sum(rev) OVER (PARTITION BY ptype), 4) AS share
+        FROM s
+        """,
+    ),
+]
+
+
+def _make(name: str, tables: list[str], sql: str) -> None:
+    @register(name, oracle=sql)
+    def q(spark: SparkSession, sf_dir: str, _tables=tables, _sql=sql) -> DataFrame:
+        V(spark, sf_dir, *_tables)
+        return spark.sql(_sql)
+
+    q.__name__ = name
+    q.__doc__ = (
+        f"TPC-DS long-tail shape battery: dialect-shared SQL, see "
+        f"_SHAPES['{name}']."
+    )
+
+
+for _name, _tables, _sql in _SHAPES:
+    _make(_name, _tables, _sql)
