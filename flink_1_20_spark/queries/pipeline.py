@@ -146,3 +146,60 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("stage") == "kept", F.col("toks"))), F.lit(0).cast("long")
         ).alias("kept_tokens"),
     )
+
+
+_BUDGET = 20_000  # per-language token budget for the sampling demo
+
+_SAMPLE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+per_lang AS (SELECT lang, sum(toks) AS total FROM tok GROUP BY lang),
+rated AS (
+  SELECT t.doc_id, t.lang, t.toks,
+         CASE WHEN p.total <= {_BUDGET} THEN 1.0
+              ELSE {_BUDGET} * 1.0 / p.total END AS rate
+  FROM tok t JOIN per_lang p ON t.lang = p.lang)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS sampled_tokens
+FROM rated
+WHERE (doc_id * 2654435761) % 1000000 < rate * 1000000
+GROUP BY lang
+"""
+
+
+@register("pipeline_token_budget_sample", oracle=_SAMPLE_ORACLE)
+def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language token-budget sampling — the standard
+    mixture-weighting step of a pre-training data build: each language
+    is downsampled to ~a fixed token budget with a reproducible
+    keep-decision per document (Knuth multiplicative hash of doc_id, so
+    reruns and both engines agree row-for-row; no rand()).
+
+    Scale: one aggregate for per-language totals (tiny — #languages
+    rows, broadcast back), one stateless filter over the corpus — no
+    extra shuffle of the documents themselves, no sort, no sampling
+    collect. At 100 TB the filter is pure codegen against a broadcast
+    map of rates."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    ).cast("long")
+    tok = docs.select("doc_id", "lang", toks.alias("toks"))
+    per_lang = tok.groupBy("lang").agg(F.sum("toks").alias("total"))
+    rated = tok.join(F.broadcast(per_lang), "lang").withColumn(
+        "rate",
+        F.when(F.col("total") <= _BUDGET, F.lit(1.0)).otherwise(
+            F.lit(float(_BUDGET)) / F.col("total")
+        ),
+    )
+    kept = rated.filter(
+        (F.col("doc_id") * F.lit(2654435761)) % 1_000_000
+        < F.col("rate") * 1_000_000
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("sampled_tokens"),
+    )

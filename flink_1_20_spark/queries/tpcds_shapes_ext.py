@@ -321,6 +321,211 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """,
     ),
     (
+        # q28: a bag of independent global aggregates over disjoint
+        # bands, assembled as a union (six scans collapse to one under
+        # column pruning; each band is a single-row aggregate).
+        "tpcds_q28_band_agg_union",
+        ["lineitem"],
+        """
+        SELECT band, n, avg_price, n_distinct FROM (
+          SELECT 'b1' AS band, count(*) AS n,
+                 round(avg(l_extendedprice), 2) AS avg_price,
+                 count(DISTINCT l_partkey) AS n_distinct
+          FROM lineitem WHERE l_quantity BETWEEN 1 AND 10
+          UNION ALL
+          SELECT 'b2', count(*), round(avg(l_extendedprice), 2),
+                 count(DISTINCT l_partkey)
+          FROM lineitem WHERE l_quantity BETWEEN 11 AND 20
+          UNION ALL
+          SELECT 'b3', count(*), round(avg(l_extendedprice), 2),
+                 count(DISTINCT l_partkey)
+          FROM lineitem WHERE l_quantity BETWEEN 21 AND 30
+          UNION ALL
+          SELECT 'b4', count(*), round(avg(l_extendedprice), 2),
+                 count(DISTINCT l_partkey)
+          FROM lineitem WHERE l_quantity BETWEEN 31 AND 40
+        ) u
+        """,
+    ),
+    (
+        # q61: ratio of two single-row scalar aggregates (promo share)
+        # — a 1x1 cross join of two aggregate subqueries.
+        "tpcds_q61_promo_share_ratio",
+        ["lineitem", "part"],
+        """
+        SELECT round(promo.s, 2) AS promo_sales,
+               round(total.s, 2) AS total_sales,
+               round(promo.s / total.s, 6) AS share
+        FROM (SELECT sum(l.l_extendedprice) AS s
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_type = 'PROMO') promo,
+             (SELECT sum(l_extendedprice) AS s FROM lineitem) total
+        """,
+    ),
+    (
+        # q70: rank computed in a subquery drives membership of the
+        # outer rollup (top-5 nations by revenue, then rollup inside).
+        "tpcds_q70_rank_gated_rollup",
+        ["lineitem", "orders", "customer", "nation"],
+        """
+        WITH nat_rev AS (
+          SELECT n.n_name AS nation, n.n_nationkey AS nk,
+                 sum(l.l_extendedprice) AS rev
+          FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, n.n_nationkey),
+        top5 AS (
+          SELECT nk FROM (
+            SELECT nk, rank() OVER (ORDER BY rev DESC, nk) AS rnk
+            FROM nat_rev) r
+          WHERE rnk <= 5)
+        SELECT n.n_name, o.o_orderpriority,
+               round(sum(l.l_extendedprice), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_nationkey IN (SELECT nk FROM top5)
+        GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+        """,
+    ),
+    (
+        # q76: channel union where each branch NULLs out the columns the
+        # other channels lack, counted per (channel, year).
+        "tpcds_q76_null_channel_union",
+        ["orders", "lineitem"],
+        """
+        SELECT channel, yr, count(*) AS cnt, round(sum(amt), 2) AS amt
+        FROM (
+          SELECT 'ord' AS channel, year(o_orderdate) AS yr,
+                 o_totalprice AS amt, o_orderpriority AS detail,
+                 CAST(NULL AS STRING) AS flag
+          FROM orders
+          UNION ALL
+          SELECT 'line', year(l_shipdate), l_extendedprice,
+                 CAST(NULL AS STRING), l_returnflag
+          FROM lineitem) u
+        GROUP BY channel, yr
+        """,
+    ),
+    (
+        # q77: per-channel profit CTEs combined with FULL OUTER JOIN +
+        # COALESCE into one keyed report (the tri-channel coalesce
+        # chain family).
+        "tpcds_q77_channel_profit_full_outer",
+        ["lineitem", "orders"],
+        """
+        WITH a AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS t
+                   FROM orders WHERE o_orderstatus = 'F' GROUP BY year(o_orderdate)),
+             b AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS t
+                   FROM orders WHERE o_orderstatus = 'O' GROUP BY year(o_orderdate)),
+             c AS (SELECT year(l_shipdate) AS yr, sum(l_extendedprice) AS t
+                   FROM lineitem WHERE l_returnflag = 'R' GROUP BY year(l_shipdate))
+        SELECT coalesce(a.yr, b.yr, c.yr) AS yr,
+               round(coalesce(a.t, 0), 2) AS t_f,
+               round(coalesce(b.t, 0), 2) AS t_o,
+               round(coalesce(c.t, 0), 2) AS t_r
+        FROM a
+        FULL OUTER JOIN b ON a.yr = b.yr
+        FULL OUTER JOIN c ON coalesce(a.yr, b.yr) = c.yr
+        """,
+    ),
+    (
+        # q97: matched/unmatched counting via FULL OUTER on two keyed
+        # aggregates (customers with orders only / lines only / both).
+        "tpcds_q97_matched_unmatched",
+        ["orders", "lineitem"],
+        """
+        WITH o AS (SELECT DISTINCT o_orderkey FROM orders
+                   WHERE o_orderstatus = 'F'),
+             l AS (SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_returnflag = 'R')
+        SELECT sum(CASE WHEN o.o_orderkey IS NOT NULL
+                         AND l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS only_f,
+               sum(CASE WHEN o.o_orderkey IS NULL
+                         AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS only_r,
+               sum(CASE WHEN o.o_orderkey IS NOT NULL
+                         AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS bth
+        FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        """,
+    ),
+    (
+        # q46/q68: change-detection across consecutive facts per
+        # customer — lag over a joined fact stream, keep change points.
+        "tpcds_q46_lag_change_points",
+        ["orders"],
+        """
+        WITH seq AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                 lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_prio
+          FROM orders)
+        SELECT o_custkey AS custkey, count(*) AS n_changes
+        FROM seq
+        WHERE prev_prio IS NOT NULL AND prev_prio <> o_orderpriority
+        GROUP BY o_custkey
+        HAVING count(*) >= 3
+        """,
+    ),
+    (
+        # q59: wide period pivot in a reused CTE, self-joined across
+        # years, column-by-column ratio comparison.
+        "tpcds_q59_period_pivot_compare",
+        ["orders"],
+        """
+        WITH p AS (
+          SELECT year(o_orderdate) AS yr,
+                 round(sum(CASE WHEN month(o_orderdate) <= 4
+                                THEN o_totalprice ELSE 0 END), 2) AS t1,
+                 round(sum(CASE WHEN month(o_orderdate) BETWEEN 5 AND 8
+                                THEN o_totalprice ELSE 0 END), 2) AS t2,
+                 round(sum(CASE WHEN month(o_orderdate) >= 9
+                                THEN o_totalprice ELSE 0 END), 2) AS t3
+          FROM orders GROUP BY year(o_orderdate))
+        SELECT a.yr AS yr_a,
+               round(b.t1 / a.t1, 4) AS r1,
+               round(b.t2 / a.t2, 4) AS r2,
+               round(b.t3 / a.t3, 4) AS r3
+        FROM p a JOIN p b ON a.yr + 1 = b.yr
+        """,
+    ),
+    (
+        # q43: bucket pivot — wide CASE sums per group key.
+        "tpcds_q43_bucket_pivot",
+        ["lineitem"],
+        """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN day(l_shipdate) <= 10
+                              THEN l_extendedprice ELSE 0 END), 2) AS early,
+               round(sum(CASE WHEN day(l_shipdate) BETWEEN 11 AND 20
+                              THEN l_extendedprice ELSE 0 END), 2) AS mid,
+               round(sum(CASE WHEN day(l_shipdate) >= 21
+                              THEN l_extendedprice ELSE 0 END), 2) AS late
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    ),
+    (
+        # q89/q63: deviation from the group average via a window over
+        # the aggregate output, band-filtered.
+        "tpcds_q89_deviation_from_avg",
+        ["lineitem", "part"],
+        """
+        WITH m AS (
+          SELECT p.p_brand AS brand, month(l.l_shipdate) AS mon,
+                 sum(l.l_extendedprice) AS rev
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand, month(l.l_shipdate))
+        SELECT brand, mon, round(rev, 2) AS rev,
+               round(avg_rev, 2) AS avg_rev
+        FROM (SELECT m.*, avg(rev) OVER (PARTITION BY brand) AS avg_rev
+              FROM m) x
+        WHERE abs(rev - avg_rev) > 0.05 * avg_rev
+        """,
+    ),
+    (
         # q98/q89: revenue share within group via a window over the
         # aggregate output (partitioned — never a global window on rows).
         "tpcds_q98_revenue_share_window",

@@ -163,16 +163,36 @@ class TableEnvironment:
             return self._create_table(s)
         if re.match(r"DROP\s+TABLE\b", u):
             return self._drop_table(s)
+        # CREATE [TEMPORARY] VIEW → Spark temp view (Flink views are
+        # catalog-scoped; session-scoped is the right mapping here)
+        m = re.match(
+            r"CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+AS\s+(.*)$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            body = self.execute_sql(m.group(2))
+            body.createOrReplaceTempView(m.group(1).strip("`"))
+            return None
+        if re.match(r"DROP\s+(?:TEMPORARY\s+)?VIEW\b", u):
+            name = s.split()[-1].strip("`")
+            self.spark.catalog.dropTempView(name)
+            return None
         m = re.match(r"INSERT\s+INTO\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
             return self._insert_into(m.group(1).strip("`"), m.group(2))
-        # Flink dialect → Spark SQL (window TVFs, MATCH_RECOGNIZE);
-        # plain statements pass through to Catalyst untouched.
-        from flink_1_20_spark.sql_flink import rewrite_window_tvfs, run_match_recognize
+        # Flink dialect → Spark SQL (window TVFs, legacy group windows,
+        # MATCH_RECOGNIZE); plain statements pass through to Catalyst.
+        from flink_1_20_spark.sql_flink import (
+            rewrite_legacy_group_windows,
+            rewrite_window_tvfs,
+            run_match_recognize,
+        )
 
+        s = rewrite_legacy_group_windows(rewrite_window_tvfs(s))
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
-            return run_match_recognize(self.spark, rewrite_window_tvfs(s))
-        return self.spark.sql(rewrite_window_tvfs(s))
+            return run_match_recognize(self.spark, s)
+        return self.spark.sql(s)
 
     # -- CREATE TABLE ----------------------------------------------------
     def _create_table(self, s: str) -> None:

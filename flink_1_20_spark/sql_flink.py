@@ -215,6 +215,59 @@ def rewrite_window_tvfs(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[outer_close + 1 :]
 
 
+# ------------------------------------------------ legacy group windows
+# Generation-1 window syntax (`GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)` +
+# TUMBLE_START/TUMBLE_END auxiliary functions — SURVEY.md §2.5,
+# FlinkSqlOperatorTable.java:1003 $TUMBLE family). Most Flink 1.x
+# scripts still use this spelling; the lowering targets Spark's
+# window()/session_window() grouping expressions, whose output struct
+# columns ("window" / "session_window") supply the *_START/*_END fields.
+
+_LEGACY_GW = re.compile(r"\b(TUMBLE|HOP|SESSION)(_START|_END)?\s*\(", re.I)
+
+
+def _legacy_window_expr(kind: str, args: list[str]) -> tuple[str, str]:
+    """(grouping expr, output struct column name) for one legacy call."""
+    ts = args[0].strip().strip("`")
+    if kind == "TUMBLE":
+        size, _, _ = _parse_interval(args[1])
+        return f"window(`{ts}`, '{size}')", "window"
+    if kind == "HOP":
+        # HOP(ts, slide, size) — Flink's legacy argument order
+        slide, _, _ = _parse_interval(args[1])
+        size, _, _ = _parse_interval(args[2])
+        return f"window(`{ts}`, '{size}', '{slide}')", "window"
+    gap, _, _ = _parse_interval(args[1])
+    return f"session_window(`{ts}`, '{gap}')", "session_window"
+
+
+def rewrite_legacy_group_windows(sql: str) -> str:
+    """Rewrite gen-1 group windows: the GROUP BY call becomes the Spark
+    window expression; TUMBLE_START/HOP_END/SESSION_START/... become
+    struct-field accesses on the grouping output column."""
+    if not re.search(r"GROUP\s+BY[^;]*\b(TUMBLE|HOP|SESSION)\s*\(", sql, re.I):
+        return sql
+    out, pos = [], 0
+    while True:
+        m = _LEGACY_GW.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        kind, aux = m.group(1).upper(), (m.group(2) or "").upper()
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_close(sql, open_idx)
+        args = _split_args(sql[open_idx + 1 : close_idx])
+        expr, struct_col = _legacy_window_expr(kind, args)
+        out.append(sql[pos : m.start()])
+        if aux == "_START":
+            out.append(f"{struct_col}.start")
+        elif aux == "_END":
+            out.append(f"{struct_col}.end")
+        else:
+            out.append(expr)
+        pos = close_idx + 1
+
+
 # -------------------------------------------------------- MATCH_RECOGNIZE
 
 _SQL_TO_PY = [

@@ -87,6 +87,19 @@ class Table:
     def distinct(self) -> "Table":
         return Table(self._df.distinct())
 
+    def flat_aggregate(self, fn, output_schema: str) -> "Table":
+        """Table.flatAggregate:903 (TableAggregateFunction — emits any
+        number of rows per group, e.g. top-2). `fn(pdf) -> pdf` runs per
+        group, Arrow-batched; group key columns must be produced by fn
+        (the applyInPandas contract)."""
+        if self._group_cols is None:
+            raise ValueError("flat_aggregate requires a preceding group_by")
+        return Table(
+            self._df.groupBy(*[F_expr(g) for g in self._group_cols]).applyInPandas(
+                fn, output_schema
+            )
+        )
+
     # -- joins / set ops -------------------------------------------------
     def join(self, other: "Table", on: str | None = None) -> "Table":
         if on is None:

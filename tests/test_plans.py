@@ -207,7 +207,11 @@ def test_tpc_suite_no_accidental_nested_loops(spark, sf_dir, queries):
     plan). A new shape that accidentally loses its equi key gets caught
     here before it ships."""
     # BNLJ of single-row aggregates is O(1) work — structurally fine
-    single_row_bnlj_ok = {"tpcds_q88_count_grid", "tpcds_q90_am_pm_ratio"}
+    single_row_bnlj_ok = {
+        "tpcds_q88_count_grid",
+        "tpcds_q90_am_pm_ratio",
+        "tpcds_q61_promo_share_ratio",  # 1x1 scalar-aggregate ratio
+    }
     for name, fn in sorted(queries.items()):
         if not name.startswith(("tpch_", "tpcds_")):
             continue

@@ -301,3 +301,69 @@ def test_sql_match_recognize_rejects_cross_var(fixture_env):
                        B AS B.`value` > A.`value`
             )
         """)
+
+
+def test_sql_legacy_group_windows(fixture_env, spark, sf_dir):
+    """Gen-1 syntax: GROUP BY TUMBLE(ts, ...) + TUMBLE_START/END
+    (FlinkSqlOperatorTable.java:1003) — same results as the TVF form."""
+    from flink_1_20_spark.queries.window_tvf import wtvf_session, wtvf_tumble
+
+    got = fixture_env.execute_sql("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(`value`), 4) AS total_value
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+    """)
+    want = wtvf_tumble(spark, sf_dir)
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+    got_s = fixture_env.execute_sql("""
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '10' MINUTES) AS session_start,
+               SESSION_END(ts, INTERVAL '10' MINUTES) AS session_end,
+               count(*) AS n_events,
+               round(sum(`value`), 4) AS total_value
+        FROM events
+        GROUP BY SESSION(ts, INTERVAL '10' MINUTES), user_id
+    """)
+    want_s = wtvf_session(spark, sf_dir)
+    cols_s = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _rows(got_s, cols_s) == _rows(want_s, cols_s)
+
+
+def test_sql_legacy_hop_window(fixture_env, spark, sf_dir):
+    from flink_1_20_spark.queries.window_tvf import wtvf_hop
+
+    got = fixture_env.execute_sql("""
+        SELECT HOP_START(ts, INTERVAL '15' MINUTES, INTERVAL '1' HOUR) AS window_start,
+               HOP_END(ts, INTERVAL '15' MINUTES, INTERVAL '1' HOUR) AS window_end,
+               count(*) AS n_events,
+               round(sum(`value`), 4) AS total_value
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '15' MINUTES, INTERVAL '1' HOUR)
+    """)
+    want = wtvf_hop(spark, sf_dir)
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sql_create_view_with_dialect(fixture_env):
+    """CREATE VIEW over a Flink-dialect body, queried downstream."""
+    fixture_env.execute_sql("""
+        CREATE VIEW hourly AS
+        SELECT window_start, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """)
+    total = fixture_env.execute_sql(
+        "SELECT sum(n) AS total FROM hourly"
+    ).collect()[0].total
+    n_events = fixture_env.execute_sql(
+        "SELECT count(*) AS c FROM events"
+    ).collect()[0].c
+    assert total == n_events
+    fixture_env.execute_sql("DROP VIEW hourly")

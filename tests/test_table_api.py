@@ -213,3 +213,24 @@ def test_over_window_unbounded_and_time_range(spark, sf_dir):
     )
     cols = ["event_id", "user_id", "ts", "n_1h", "sum_1h"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_flat_aggregate_top2(spark):
+    """Table.flatAggregate parity: emit top-2 rows per group (the
+    canonical TableAggregateFunction example)."""
+
+    def top2(pdf):
+        return pdf.nlargest(2, "v")
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 3.0), ("b", 7.0)], "k string, v double"
+    )
+    rows = (
+        from_data_frame(df)
+        .group_by("k")
+        .flat_aggregate(top2, "k string, v double")
+        .order_by("k", "v.desc")
+        .execute()
+        .collect()
+    )
+    assert [(r.k, r.v) for r in rows] == [("a", 5.0), ("a", 3.0), ("b", 7.0)]
