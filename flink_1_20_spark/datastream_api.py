@@ -200,6 +200,11 @@ class KeyedStream(DataStream):
             TumblingEventTimeWindows.of(size_or_ts),
         )
 
+    def interval_join(self, other: "KeyedStream") -> "IntervalJoined":
+        """KeyedStream.intervalJoin:440 — continue with
+        `.between(lower, upper).on(left_ts, right_ts[, *select])`."""
+        return IntervalJoined(self, other)
+
     def count_window(self, n: int, ts_col: str | None = None) -> "DataStream":
         """KeyedStream.countWindow:745 — delegated to the library count
         windows (queries/changelog_count.py documents the semantics)."""
@@ -266,6 +271,47 @@ class WindowedStream:
         )
 
     reduce = aggregate  # WindowedStream.reduce:179 — associative fold
+
+
+class IntervalJoined:
+    """intervalJoin builder (KeyedStream.intervalJoin:440, between:505 —
+    TimeIntervalJoin semantics: right_ts ∈ [left_ts + lower, left_ts +
+    upper]). Lowered onto streaming/joins.interval_join — a plain
+    time-range equi-join Catalyst executes with watermark-bounded state
+    on streams."""
+
+    def __init__(self, left: "KeyedStream", right: "KeyedStream"):
+        if len(left._keys) != len(right._keys):
+            raise ValueError("intervalJoin requires matching key arity")
+        self._l, self._r = left, right
+        self._lower: str | None = None
+        self._upper: str | None = None
+
+    def between(self, lower: str, upper: str) -> "IntervalJoined":
+        """Bounds as interval strings; `lower` is the reach *backwards*
+        (Flink's lowerBound is negative — here pass its magnitude)."""
+        self._lower, self._upper = lower, upper
+        return self
+
+    def on(
+        self, left_ts: str, right_ts: str, *select_exprs: str,
+        watermark: str | None = None,
+    ) -> DataStream:
+        from flink_1_20_spark.streaming.joins import interval_join
+
+        if self._lower is None:
+            raise ValueError("call .between(lower, upper) before .on()")
+        cond = None
+        for a, b in zip(self._l._keys, self._r._keys):
+            c = self._l._df[a] == self._r._df[b]
+            cond = c if cond is None else (cond & c)
+        out = interval_join(
+            self._l._df, self._r._df, cond, left_ts, right_ts,
+            self._lower, self._upper, watermark=watermark,
+        )
+        if select_exprs:
+            out = out.selectExpr(*select_exprs)
+        return DataStream(out)
 
 
 class JoinedStreams:

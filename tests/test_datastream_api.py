@@ -260,3 +260,26 @@ def test_count_window(spark):
         .collect()
     )
     assert sorted((r.window_id, r["count"]) for r in rows) == [(0, 2), (1, 2), (2, 1)]
+
+
+def test_interval_join_facade(spark):
+    from flink_1_20_spark.datastream_api import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment(spark)
+    l = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 0), 1), ("a", datetime(2024, 1, 1, 12, 0), 2)],
+        "k string, lts timestamp, lv bigint",
+    )
+    r = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 20), 10),  # within +30m of 10:00
+         ("a", datetime(2024, 1, 1, 11, 0), 20)],  # outside both bounds
+        "rk string, rts timestamp, rv bigint",
+    )
+    rows = (
+        l.key_by("k")
+        .interval_join(r.key_by("rk"))
+        .between("5 minutes", "30 minutes")
+        .on("lts", "rts", "k", "lv", "rv")
+        .execute_and_collect()
+    )
+    assert [(x.k, x.lv, x.rv) for x in rows] == [("a", 1, 10)]

@@ -367,3 +367,40 @@ def test_sql_create_view_with_dialect(fixture_env):
     ).collect()[0].c
     assert total == n_events
     fixture_env.execute_sql("DROP VIEW hourly")
+
+
+def test_sql_tumble_tvf_on_streaming_table(spark):
+    """The dialect surface is streaming-capable: a TVF window over a
+    datagen (rate) table produces a streaming aggregation that runs
+    (StreamExecWindowTableFunction parity on the unbounded side)."""
+    import time
+
+    from flink_1_20_spark.streaming.sinks import run_to_memory
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE rates (x BIGINT) WITH (
+            'connector' = 'datagen', 'rows-per-second' = '200')
+    """)
+    df = env.execute_sql("""
+        SELECT window_start, window_end, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE rates, DESCRIPTOR(timestamp), INTERVAL '1' SECOND))
+        GROUP BY window_start, window_end
+    """)
+    assert df.isStreaming
+    q = run_to_memory(df, "tvf_stream_out", output_mode="update")
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and not rows:
+            q.processAllAvailable()
+            rows = spark.table("tvf_stream_out").collect()
+            if not rows:
+                time.sleep(0.5)
+    finally:
+        q.stop()
+    assert rows, "streaming TVF window produced no rows"
+    for r in rows:
+        assert (r.window_end - r.window_start).total_seconds() == 1.0
+        assert r.n >= 1
+    env.execute_sql("DROP TABLE rates")
