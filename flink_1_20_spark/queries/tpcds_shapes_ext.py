@@ -540,6 +540,194 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         FROM s
         """,
     ),
+    (
+        # q3: the canonical dim-filtered fact aggregate with rank-gated
+        # output (ORDER BY + LIMIT replaced by rank for total order).
+        "tpcds_q3_brand_year_topn",
+        ["lineitem", "part"],
+        """
+        WITH agg AS (
+          SELECT year(l.l_shipdate) AS yr, p.p_brand,
+                 sum(l.l_extendedprice) AS rev
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'STANDARD'
+          GROUP BY year(l.l_shipdate), p.p_brand)
+        SELECT yr, p_brand, round(rev, 2) AS rev
+        FROM (SELECT agg.*, rank() OVER (PARTITION BY yr
+                     ORDER BY rev DESC, p_brand) AS rnk FROM agg) r
+        WHERE rnk <= 5
+        """,
+    ),
+    (
+        # q7/q26: demographic average grid — one pass, several avgs.
+        "tpcds_q7_avg_grid",
+        ["lineitem", "orders", "customer"],
+        """
+        SELECT c.c_mktsegment,
+               round(avg(l.l_quantity), 2) AS avg_qty,
+               round(avg(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                 AS avg_price,
+               round(avg(CAST(l.l_discount AS DECIMAL(18,6))), 4) AS avg_disc
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+    ),
+    (
+        # q8: name-suffix band (zip-prefix analog) semi-joined against
+        # an aggregate-derived set.
+        "tpcds_q8_suffix_band_semi",
+        ["customer", "orders"],
+        """
+        WITH busy AS (SELECT o_custkey FROM orders
+                      GROUP BY o_custkey HAVING count(*) >= 10)
+        SELECT substr(c.c_name, length(c.c_name) - 0, 1) AS last_digit,
+               count(*) AS cnt,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_custkey IN (SELECT o_custkey FROM busy)
+        GROUP BY substr(c.c_name, length(c.c_name) - 0, 1)
+        """,
+    ),
+    (
+        # q13: averages under an OR of demographic band conjunctions.
+        "tpcds_q13_or_band_averages",
+        ["orders", "customer"],
+        """
+        SELECT round(avg(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                 AS avg_price,
+               count(*) AS cnt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE (c.c_mktsegment = 'BUILDING' AND o.o_totalprice < 100000)
+           OR (c.c_mktsegment = 'MACHINERY'
+               AND o.o_totalprice BETWEEN 100000 AND 250000)
+           OR (c.c_mktsegment = 'HOUSEHOLD' AND o.o_totalprice > 250000)
+        """,
+    ),
+    (
+        # q15: per-nation totals restricted by a value OR membership
+        # disjunction.
+        "tpcds_q15_disjunctive_restriction",
+        ["orders", "customer", "nation"],
+        """
+        SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9000
+           OR n.n_name IN ('FRANCE', 'GERMANY', 'CHINA')
+        GROUP BY n.n_name
+        """,
+    ),
+    (
+        # q18: decimal-exact averages under a two-level ROLLUP.
+        "tpcds_q18_rollup_decimal_avgs",
+        ["lineitem", "orders", "customer", "nation"],
+        """
+        SELECT n.n_name, c.c_mktsegment,
+               round(avg(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS avg_qty,
+               round(avg(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                 AS avg_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+        """,
+    ),
+    (
+        # q19: join with an OR of (brand, quantity-band) pairs across
+        # the join boundary.
+        "tpcds_q19_or_join_bands",
+        ["lineitem", "part"],
+        """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15)
+           OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25)
+           OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 35)
+        """,
+    ),
+    (
+        # q22: inventory-style rollup of quantity-on-hand averages.
+        "tpcds_q22_inventory_rollup",
+        ["lineitem", "part", "supplier"],
+        """
+        SELECT p.p_brand, s.s_name,
+               round(avg(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS avg_qoh
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size <= 10
+        GROUP BY ROLLUP(p.p_brand, s.s_name)
+        """,
+    ),
+    (
+        # q42/q52/q55: the simple dim-grouped fact aggregate.
+        "tpcds_q42_dim_group_agg",
+        ["lineitem", "part"],
+        """
+        SELECT year(l.l_shipdate) AS yr, p.p_type,
+               round(sum(l.l_extendedprice), 2) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) = 1995
+        GROUP BY year(l.l_shipdate), p.p_type
+        """,
+    ),
+    (
+        # q50: latency buckets (order→ship gap in 30-day bands) per
+        # period — the returns-latency grid.
+        "tpcds_q50_latency_buckets",
+        ["lineitem", "orders"],
+        """
+        WITH j AS (
+          SELECT year(o.o_orderdate) AS yr,
+                 CAST(l.l_shipdate AS DATE) AS ship,
+                 CAST(o.o_orderdate AS DATE) AS ord
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT yr,
+               sum(CASE WHEN ship <= ord + 30 THEN 1 ELSE 0 END) AS d30,
+               sum(CASE WHEN ship > ord + 30 AND ship <= ord + 60
+                        THEN 1 ELSE 0 END) AS d60,
+               sum(CASE WHEN ship > ord + 60 AND ship <= ord + 90
+                        THEN 1 ELSE 0 END) AS d90,
+               sum(CASE WHEN ship > ord + 90 THEN 1 ELSE 0 END) AS d_more
+        FROM j
+        GROUP BY yr
+        """,
+    ),
+    (
+        # q71: per-period breakdown union re-aggregated by dim
+        # (three sub-periods of the year unioned, grouped by brand).
+        "tpcds_q71_period_breakdown_union",
+        ["lineitem", "part"],
+        """
+        SELECT p_brand, period, round(sum(rev), 2) AS rev
+        FROM (
+          SELECT p.p_brand, 'h1' AS period, l.l_extendedprice AS rev
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE month(l.l_shipdate) <= 6
+          UNION ALL
+          SELECT p.p_brand, 'h2', l.l_extendedprice
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE month(l.l_shipdate) >= 7) u
+        GROUP BY p_brand, period
+        """,
+    ),
+    (
+        # q96: the bare multi-predicate count.
+        "tpcds_q96_filtered_count",
+        ["lineitem"],
+        """
+        SELECT count(*) AS cnt
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_discount BETWEEN 0.02 AND 0.08
+          AND l_returnflag = 'N'
+        """,
+    ),
 ]
 
 

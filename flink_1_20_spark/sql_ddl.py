@@ -333,7 +333,19 @@ class TableEnvironment:
         meta = self.tables.get(name)
         if meta is None:
             raise ValueError(f"unknown table {name!r}")
-        df = self.spark.sql(query)
+        # INSERT bodies get the same dialect treatment as top-level
+        # SELECTs (window TVFs, legacy group windows, MATCH_RECOGNIZE)
+        from flink_1_20_spark.sql_flink import (
+            rewrite_legacy_group_windows,
+            rewrite_window_tvfs,
+            run_match_recognize,
+        )
+
+        query = rewrite_legacy_group_windows(rewrite_window_tvfs(query))
+        if re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
+            df = run_match_recognize(self.spark, query)
+        else:
+            df = self.spark.sql(query)
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose

@@ -404,3 +404,26 @@ def test_sql_tumble_tvf_on_streaming_table(spark):
         assert (r.window_end - r.window_start).total_seconds() == 1.0
         assert r.n >= 1
     env.execute_sql("DROP TABLE rates")
+
+
+def test_sql_insert_with_dialect_body(fixture_env, spark, tmp_path):
+    """INSERT INTO a filesystem sink with a window-TVF body — the full
+    Flink script shape: DDL sink + dialect DML in one statement."""
+    out = str(tmp_path / "hourly_pq")
+    fixture_env.execute_sql(f"""
+        CREATE TABLE hourly_sink (window_start TIMESTAMP(3), n BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{out}',
+              'format' = 'parquet')
+    """)
+    fixture_env.execute_sql("""
+        INSERT INTO hourly_sink
+        SELECT window_start, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """)
+    total = fixture_env.execute_sql(
+        "SELECT sum(n) AS t FROM hourly_sink"
+    ).collect()[0].t
+    n_events = spark.table("events").count()
+    assert total == n_events
+    fixture_env.execute_sql("DROP TABLE hourly_sink")
