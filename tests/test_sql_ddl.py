@@ -427,3 +427,26 @@ def test_sql_insert_with_dialect_body(fixture_env, spark, tmp_path):
     n_events = spark.table("events").count()
     assert total == n_events
     fixture_env.execute_sql("DROP TABLE hourly_sink")
+
+
+def test_sql_tvf_plan_no_extra_shuffle(fixture_env, spark, sf_dir):
+    """The TUMBLE TVF rewrite must produce the same shuffle count as the
+    hand-written library query — the lowering is a pure syntax
+    transform, not a plan regression (one exchange on the grouping
+    key)."""
+    from flink_1_20_spark.queries.window_tvf import wtvf_tumble
+
+    def final_plan(df):
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    got = fixture_env.execute_sql("""
+        SELECT window_start, window_end, event_type,
+               count(*) AS n_events
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end, event_type
+    """)
+    want = wtvf_tumble(spark, sf_dir)
+    n_got = final_plan(got).count("Exchange")
+    n_want = final_plan(want).count("Exchange")
+    assert n_got <= n_want, (n_got, n_want)
