@@ -173,3 +173,62 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_topk(q, e, "vec_id", "embedding", k=_K, n_planes=_N_PLANES, dim=_DIM)
+
+
+_QUANT_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (SELECT vec_id, emb,
+             CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(emb, x -> abs(x))) / 127 END AS scale
+      FROM v),
+e AS (SELECT vec_id, scale,
+             list_transform(emb, x -> abs(x - floor(x / scale + 0.5) * scale)) AS errs,
+             list_aggregate(list_transform(emb,
+                 x -> CAST(floor(x / scale + 0.5) AS BIGINT)), 'sum') AS checksum,
+             len(emb) AS dim
+      FROM s)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(list_max(errs), 6) AS max_err,
+       round(list_aggregate(errs, 'sum') / dim, 6) AS mean_err,
+       checksum
+FROM e
+"""
+
+
+@register("embed_quantize_int8", oracle=_QUANT_ORACLE)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column —
+    the storage/serving compression step of an embedding pipeline:
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit half-up,
+    bit-identical on both engines), plus reconstruction-error stats and
+    an integer checksum over the quantized codes.
+
+    Scale: pure higher-order array expressions (transform/aggregate) —
+    JVM-side, no Python, no shuffle; at 100 TB this is a stateless
+    map over the scan."""
+    e = T(spark, sf_dir, "embeddings")
+    emb = F.expr("transform(cast(embedding AS array<double>), x -> x)")
+    out = e.select("vec_id", emb.alias("emb"))
+    out = out.withColumn(
+        "scale",
+        F.expr(
+            "CASE WHEN array_max(transform(emb, x -> abs(x))) = 0 THEN 1.0D "
+            "ELSE array_max(transform(emb, x -> abs(x))) / 127 END"
+        ),
+    ).withColumn(
+        "errs",
+        F.expr("transform(emb, x -> abs(x - floor(x / scale + 0.5) * scale))"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.expr("array_max(errs)"), 6).alias("max_err"),
+        F.round(
+            F.expr("aggregate(errs, 0D, (acc, x) -> acc + x) / size(errs)"), 6
+        ).alias("mean_err"),
+        F.expr(
+            "aggregate(transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("checksum"),
+    )

@@ -349,11 +349,18 @@ class TableEnvironment:
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose
-            # job keeps running — here, the StreamingQuery handle)
+            # job keeps running — here, the StreamingQuery handle).
+            # Debug sinks run in update mode: Flink's unbounded
+            # aggregations emit an updating changelog (+I/-U/+U) to
+            # print sinks, which is Spark's update output mode; append
+            # there would additionally demand watermarked window
+            # grouping. Filesystem stays append (as in Flink, where
+            # file sinks require append-only input).
+            mode = "update" if meta.connector in ("print", "blackhole") else "append"
             if meta.connector == "print":
-                return df.writeStream.format("console").start()
+                return df.writeStream.format("console").outputMode(mode).start()
             if meta.connector == "blackhole":
-                return df.writeStream.format("noop").start()
+                return df.writeStream.format("noop").outputMode(mode).start()
             if meta.connector == "filesystem":
                 fmt = meta.options.get("format", "parquet")
                 return (

@@ -450,3 +450,28 @@ def test_sql_tvf_plan_no_extra_shuffle(fixture_env, spark, sf_dir):
     n_got = final_plan(got).count("Exchange")
     n_want = final_plan(want).count("Exchange")
     assert n_got <= n_want, (n_got, n_want)
+
+
+def test_sql_streaming_insert_with_tvf_body(spark):
+    """Full Flink streaming script shape: datagen source, window-TVF
+    aggregation, INSERT INTO a blackhole sink — the statement returns a
+    running StreamingQuery (TableResult.getJobClient analogue)."""
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE r2 (x BIGINT) WITH (
+            'connector' = 'datagen', 'rows-per-second' = '100')
+    """)
+    env.execute_sql("CREATE TABLE bh_tvf (ws TIMESTAMP(3), n BIGINT) WITH ('connector'='blackhole')")
+    q = env.execute_sql("""
+        INSERT INTO bh_tvf
+        SELECT window_start AS ws, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE r2, DESCRIPTOR(timestamp), INTERVAL '1' SECOND))
+        GROUP BY window_start
+    """)
+    try:
+        assert q.isActive
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    env.execute_sql("DROP TABLE bh_tvf")
+    env.execute_sql("DROP TABLE r2")
