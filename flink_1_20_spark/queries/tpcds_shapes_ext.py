@@ -717,6 +717,51 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """,
     ),
     (
+        # q74: year-over-year with MAX (not SUM) per customer, joined
+        # across years with a growth-ratio gate on the pair.
+        "tpcds_q74_yoy_max_ratio",
+        ["orders"],
+        """
+        WITH y AS (SELECT o_custkey, year(o_orderdate) AS yr,
+                          max(o_totalprice) AS m
+                   FROM orders GROUP BY o_custkey, year(o_orderdate))
+        SELECT a.o_custkey AS custkey,
+               round(a.m, 2) AS max_a, round(b.m, 2) AS max_b
+        FROM y a JOIN y b ON a.o_custkey = b.o_custkey AND a.yr + 1 = b.yr
+        WHERE a.yr = 1995 AND b.m > a.m * 1.5
+        """,
+    ),
+    (
+        # q84: projection-shaped multi-dim lookup with string assembly
+        # (customer || location chain), no aggregation.
+        "tpcds_q84_concat_lookup",
+        ["customer", "nation", "region"],
+        """
+        SELECT c.c_custkey AS custkey,
+               c.c_name || ' : ' || n.n_name || ' / ' || r.r_name AS customer_loc
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_acctbal < 0
+        """,
+    ),
+    (
+        # q91: the narrow loss-funnel — multi-dim join chain collapsing
+        # to a small two-dim grouped total of returned revenue.
+        "tpcds_q91_two_dim_loss",
+        ["lineitem", "orders", "customer", "nation"],
+        """
+        SELECT n.n_name, o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS returned_loss
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R' AND c.c_acctbal < 1000
+        GROUP BY n.n_name, o.o_orderpriority
+        """,
+    ),
+    (
         # q96: the bare multi-predicate count.
         "tpcds_q96_filtered_count",
         ["lineitem"],
