@@ -36,7 +36,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
-RowPredicate = Callable[[pd.Series], bool]
+# One-argument predicates `fn(row)` are vectorized over the frame.
+# Two-argument predicates `fn(row, groups)` are Flink IterativeConditions
+# (Pattern.where(IterativeCondition), ctx.getEventsForPattern): `groups`
+# maps each step name to the DataFrame of rows bound so far (for the
+# step being evaluated: its previous rows), evaluated lazily per
+# candidate row.
+RowPredicate = Callable[..., bool]
 
 
 @dataclass
@@ -183,17 +189,49 @@ class Pattern:
         return self
 
 
+def _is_ctx(fn) -> bool:
+    """True for two-argument predicates `fn(row, groups)` — they see the
+    partial match (Flink's IterativeCondition, Pattern.where with
+    Context) and cannot be vectorized."""
+    code = getattr(fn, "__code__", None)
+    return code is not None and code.co_argcount >= 2
+
+
 def _precompute(pat: Pattern, pdf: pd.DataFrame) -> tuple:
-    """Vectorize the per-row work once: each step's predicate evaluated
-    over the whole frame (one pandas apply per step, not one Python call
-    per NFA probe), and event-time as an epoch-seconds numpy array."""
+    """Vectorize the per-row work once: each simple (one-argument) step
+    predicate evaluated over the whole frame (one pandas apply per step,
+    not one Python call per NFA probe), and event-time as epoch-seconds.
+    Context predicates (IterativeCondition analog) get an all-True mask
+    and are evaluated lazily per candidate with the bindings so far."""
+    import numpy as np
+
     sec = pdf["__ts"].astype("int64").to_numpy() / 1e9
-    pmat = [pdf.apply(step.predicate, axis=1).to_numpy() for step in pat.steps]
+    pmat, cmat = [], []
+    for step in pat.steps:
+        if _is_ctx(step.predicate):
+            pmat.append(np.ones(len(pdf), dtype=bool))
+            cmat.append(step.predicate)
+        else:
+            pmat.append(pdf.apply(step.predicate, axis=1).to_numpy())
+            cmat.append(None)
     umat = [
         pdf.apply(step.until, axis=1).to_numpy() if step.until is not None else None
         for step in pat.steps
     ]
-    return sec, pmat, umat
+    return sec, pmat, umat, cmat
+
+
+def _ctx_eval(cm, pdf: pd.DataFrame, j: int, bindings) -> bool:
+    """Evaluate a context predicate for row j given [(step, idx), ...]
+    bindings. Errors (e.g. comparisons against an unbound/empty group,
+    Flink's NULL semantics) count as non-matching."""
+    groups: dict[str, list[int]] = {}
+    for name, idx in bindings:
+        groups.setdefault(name, []).append(idx)
+    try:
+        return bool(cm(pdf.iloc[j], {k: pdf.iloc[v] for k, v in groups.items()}))
+    except (TypeError, IndexError, KeyError):
+        return False
 
 
 def _match_at(
@@ -207,20 +245,38 @@ def _match_at(
     `_precompute` when scanning many anchors over one frame.
     """
     n = len(rows)
-    sec, pmat, umat = pre if pre is not None else _precompute(pat, rows)
+    sec, pmat, umat, cmat = pre if pre is not None else _precompute(pat, rows)
     t0 = sec[start]
 
-    def rec(step_i: int, pos: int, bound: int | None = None) -> list[tuple[str, int]] | None:
+    def rec(
+        step_i: int,
+        pos: int,
+        acc: list[tuple[str, int]],
+        bound: int | None = None,
+    ) -> list[tuple[str, int]] | None:
         if step_i == len(pat.steps):
             return []
         step = pat.steps[step_i]
-        pm = pmat[step_i]
+        pm, cm = pmat[step_i], cmat[step_i]
+
+        def test(j: int, run: list[int]) -> bool:
+            # mask pre-filter, then the lazy context predicate with the
+            # bindings so far (incl. this step's own rows taken so far,
+            # so LAST(B.x) inside B's own DEFINE sees the previous B)
+            if not pm[j]:
+                return False
+            if cm is None:
+                return True
+            return _ctx_eval(
+                cm, rows, j, acc + [(step.name, i) for i in run]
+            )
+
         if step.negative:
             if step.strict:
                 # notNext: the immediately-following row must not match
-                if pos < n and pm[pos]:
+                if pos < n and test(pos, []):
                     return None
-                return rec(step_i + 1, pos)
+                return rec(step_i + 1, pos, acc)
             if step_i == len(pat.steps) - 1:
                 # final notFollowedBy — only valid with within (Flink's
                 # restriction): no match until the pattern window closes
@@ -229,13 +285,13 @@ def _match_at(
                 for j in range(pos, n):
                     if (sec[j] - t0) > pat.within_seconds:
                         break
-                    if pm[j]:
+                    if test(j, []):
                         return None
                 return []
             # non-final notFollowedBy: the NEXT step's first row must
             # come no later than the first forbidden row
-            limit = next((j for j in range(pos, n) if pm[j]), n)
-            return rec(step_i + 1, pos, bound=limit)
+            limit = next((j for j in range(pos, n) if test(j, [])), n)
+            return rec(step_i + 1, pos, acc, bound=limit)
         # Candidate row positions where this step may begin.
         anchored = step_i == 0
         hi = n if bound is None else min(n, bound + 1)
@@ -256,24 +312,25 @@ def _match_at(
                     break
                 if um is not None and um[j]:
                     break
-                if pm[j]:
+                if test(j, matches):
                     matches.append(j)
                     j += 1
                 else:
                     break
             for take in range(len(matches), step.min_times - 1, -1):
                 nxt = sp + take if take > 0 else sp
-                rest = rec(step_i + 1, nxt)
+                taken = [(step.name, idx) for idx in matches[:take]]
+                rest = rec(step_i + 1, nxt, acc + taken)
                 if rest is not None:
-                    return [(step.name, idx) for idx in matches[:take]] + rest
+                    return taken + rest
             if anchored or step.strict:
                 break
         if pos >= n and step.min_times == 0:
             # zero-occupancy attempt when no rows remain (optional tail)
-            return rec(step_i + 1, pos)
+            return rec(step_i + 1, pos, acc)
         return None
 
-    return rec(0, start)
+    return rec(0, start, [])
 
 
 def _match_all_at(
@@ -294,14 +351,23 @@ def _match_all_at(
     ascending. Used by `after_match_skip("NO_SKIP")`.
     """
     n = len(rows)
-    sec, pmat, umat = pre if pre is not None else _precompute(pat, rows)
+    sec, pmat, umat, cmat = pre if pre is not None else _precompute(pat, rows)
     t0 = sec[start]
     results: list[list[tuple[str, int]]] = []
 
-    def run_from(step_i: int, sp: int) -> list[int]:
+    def test(step_i: int, j: int, acc, run: list[int]) -> bool:
+        pm, cm = pmat[step_i], cmat[step_i]
+        if not pm[j]:
+            return False
+        if cm is None:
+            return True
+        step = pat.steps[step_i]
+        return _ctx_eval(cm, rows, j, acc + [(step.name, i) for i in run])
+
+    def run_from(step_i: int, sp: int, acc) -> list[int]:
         """Maximal consecutive match run for step step_i starting at sp."""
         step = pat.steps[step_i]
-        pm, um = pmat[step_i], umat[step_i]
+        um = umat[step_i]
         matches: list[int] = []
         j = sp
         while j < n and (step.max_times == -1 or len(matches) < step.max_times):
@@ -309,7 +375,7 @@ def _match_all_at(
                 break
             if um is not None and um[j]:
                 break
-            if not pm[j]:
+            if not test(step_i, j, acc, matches):
                 break
             matches.append(j)
             j += 1
@@ -320,10 +386,9 @@ def _match_all_at(
             results.append(list(acc))
             return
         step = pat.steps[step_i]
-        pm = pmat[step_i]
         if step.negative:
             if step.strict:
-                if pos < n and pm[pos]:
+                if pos < n and test(step_i, pos, acc, []):
                     return
                 rec(step_i + 1, pos, acc, None)
                 return
@@ -333,11 +398,11 @@ def _match_all_at(
                 for j in range(pos, n):
                     if (sec[j] - t0) > pat.within_seconds:
                         break
-                    if pm[j]:
+                    if test(step_i, j, acc, []):
                         return
                 results.append(list(acc))
                 return
-            limit = next((j for j in range(pos, n) if pm[j]), n)
+            limit = next((j for j in range(pos, n) if test(step_i, j, acc, [])), n)
             rec(step_i + 1, pos, acc, limit)
             return
 
@@ -346,7 +411,7 @@ def _match_all_at(
         if anchored or step.strict:
             start_positions: list[int] = [pos]
         else:
-            feasible = (j for j in range(pos, hi) if pm[j])
+            feasible = (j for j in range(pos, hi) if test(step_i, j, acc, []))
             if step.any_match:
                 start_positions = list(feasible)
             else:
@@ -358,7 +423,7 @@ def _match_all_at(
         for sp in start_positions:
             if bound is not None and sp > bound:
                 continue
-            matches = run_from(step_i, sp) if sp < n else []
+            matches = run_from(step_i, sp, acc) if sp < n else []
             if step.greedy:
                 # maximal run first; stop at the largest count that
                 # completes a match (single branch per start position)

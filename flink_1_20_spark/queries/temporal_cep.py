@@ -232,3 +232,64 @@ def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         " purchase_value double, user_id bigint",
         order_tiebreak=["event_id"],
     ).select("user_id", "signup_event", "purchase_event", "purchase_value")
+
+
+@register(
+    "cep_vshape_iterative",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               lead(value, 1) OVER w AS v1,
+               lead(value, 2) OVER w AS v2,
+               lead(ts, 2)    OVER w AS end_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts AS start_ts, end_ts,
+           round(value, 4) AS anchor_value,
+           round(v1, 4) AS dip_value,
+           round(v2, 4) AS rebound_value
+    FROM seq
+    WHERE event_type = 'click' AND v1 < value AND v2 > v1
+    """,
+)
+def cep_vshape_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-shape with ITERATIVE conditions (Flink IterativeCondition /
+    ctx.getEventsForPattern — flink-cep Pattern.where(IterativeCondition),
+    SQL DEFINE with LAST(...) refs): B dips below the row bound to A,
+    C rebounds above the row bound to B. Two-argument predicates see
+    the partial match; the NFA evaluates them lazily per candidate
+    (simple one-argument conditions stay vectorized). Strict 3-step +
+    SKIP TO NEXT ROW makes the lead() rewrite an exact oracle."""
+    e = T(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .next("b", lambda r, g: r["value"] < g["a"]["value"].iloc[-1])
+        .next("c", lambda r, g: r["value"] > g["b"]["value"].iloc[-1])
+        .after_match_skip("TO_NEXT_ROW")
+    )
+
+    def measures(g: dict[str, pd.DataFrame]) -> dict:
+        return {
+            "start_ts": g["a"]["ts"].iloc[0],
+            "end_ts": g["c"]["ts"].iloc[-1],
+            "anchor_value": round(float(g["a"]["value"].iloc[0]), 4),
+            "dip_value": round(float(g["b"]["value"].iloc[-1]), 4),
+            "rebound_value": round(float(g["c"]["value"].iloc[-1]), 4),
+        }
+
+    return match_recognize(
+        e,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema=(
+            "start_ts timestamp, end_ts timestamp, anchor_value double, "
+            "dip_value double, rebound_value double, user_id bigint"
+        ),
+        order_tiebreak=["event_id"],
+    ).select(
+        "user_id", "start_ts", "end_ts", "anchor_value", "dip_value",
+        "rebound_value",
+    )

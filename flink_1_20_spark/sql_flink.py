@@ -286,40 +286,52 @@ _SQL_TO_PY = [
 def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
     """Compile a DEFINE condition into a row predicate.
 
-    Supported subset (Flink's "simple conditions"): references to the
-    variable being defined (current row) or bare columns, comparisons,
-    AND/OR/NOT, IN lists, arithmetic, IS [NOT] NULL. Cross-variable
-    references (e.g. `B.price > A.price`) need NFA context our batch
-    predicates don't carry — rejected loudly, as is LAST()/FIRST()
-    inside DEFINE."""
+    Simple conditions (references to the variable being defined, bare
+    columns, comparisons, AND/OR/NOT, IN lists, arithmetic, IS [NOT]
+    NULL) compile to a one-argument predicate the NFA vectorizes.
+    Cross-variable references — `B.price > A.price`, `LAST(B.price)`,
+    `FIRST(A.ts)` — compile to a two-argument context predicate
+    (Flink's IterativeCondition) evaluated against the partial match:
+    a bare other-variable reference means its LAST bound row (the SQL
+    default); `LAST(var.x)` on the variable being defined means the
+    previous row bound to it."""
     others = [v for v in all_vars if v != var]
-    for o in others:
-        if re.search(rf"\b{re.escape(o)}\s*\.", expr):
-            raise ValueError(
-                f"DEFINE {var}: cross-variable reference to {o!r} is not "
-                "supported (simple conditions only)"
-            )
-    if re.search(r"\b(FIRST|LAST)\s*\(", expr, re.I):
-        raise ValueError(f"DEFINE {var}: FIRST()/LAST() in DEFINE is not supported")
     py = expr
+    # FIRST(X.col) / LAST(X.col) → partial-match group lookups
+    def agg_ref(mm: re.Match) -> str:
+        which = mm.group(1).upper()
+        pos = "0" if which == "FIRST" else "-1"
+        return f"g['{mm.group(2)}']['{mm.group(3)}'].iloc[{pos}]"
+
+    py = re.sub(r"\b(FIRST|LAST)\s*\(\s*(\w+)\s*\.\s*`?(\w+)`?\s*\)", agg_ref, py, flags=re.I)
     # X IS NOT NULL / X IS NULL on a simple term
     py = re.sub(
         r"([\w.'\"]+)\s+IS\s+NOT\s+NULL", r"(not pd.isna(\1))", py, flags=re.I
     )
     py = re.sub(r"([\w.'\"]+)\s+IS\s+NULL", r"pd.isna(\1)", py, flags=re.I)
-    # own-variable column refs → row lookups; then bare identifiers
+    # own-variable column refs → current-row lookups
     py = re.sub(rf"\b{re.escape(var)}\s*\.\s*`?(\w+)`?", r"r['\1']", py)
+    # other-variable refs → LAST row bound to that variable
+    for o in others:
+        py = re.sub(
+            rf"\b{re.escape(o)}\s*\.\s*`?(\w+)`?",
+            lambda mm, o=o: f"g['{o}']['{mm.group(1)}'].iloc[-1]",
+            py,
+        )
     for pat, rep in _SQL_TO_PY:
         py = pat.sub(rep, py)
     # bare column identifiers (not already r['..'], not literals/keywords)
     def bare(mm: re.Match) -> str:
         w = mm.group(0)
-        if w in ("and", "or", "not", "in", "True", "False", "None", "r", "pd", "isna"):
+        if w in ("and", "or", "not", "in", "True", "False", "None", "r", "g",
+                 "pd", "isna", "iloc"):
             return w
         return f"r['{w}']"
 
     py = re.sub(r"(?<!')(?<!\[')\b[A-Za-z_]\w*\b(?!'\])(?!\s*\()(?!')", bare, py)
-    code = compile(f"lambda r: bool({py})", f"<define {var}>", "eval")
+    ctx = "g[" in py
+    args = "r, g" if ctx else "r"
+    code = compile(f"lambda {args}: bool({py})", f"<define {var}>", "eval")
     return eval(code, {"pd": pd})  # noqa: S307 — restricted, self-built source
 
 

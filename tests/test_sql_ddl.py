@@ -290,17 +290,41 @@ def test_sql_match_recognize_quantified(fixture_env):
         assert r.n_err >= 2
 
 
-def test_sql_match_recognize_rejects_cross_var(fixture_env):
-    with pytest.raises(ValueError, match="cross-variable"):
-        fixture_env.execute_sql("""
-            SELECT * FROM events MATCH_RECOGNIZE (
-                PARTITION BY user_id ORDER BY ts
-                MEASURES A.ts AS t ONE ROW PER MATCH
-                PATTERN (A B)
-                DEFINE A AS A.event_type = 'click',
-                       B AS B.`value` > A.`value`
-            )
-        """)
+def test_sql_match_recognize_cross_var_define(fixture_env, spark):
+    """Cross-variable DEFINE (IterativeCondition): B compares against
+    the row bound to A — the canonical V-shape CEP condition. Verified
+    against the strict-contiguity lead() rewrite."""
+    got = fixture_env.execute_sql("""
+        SELECT user_id, start_ts, dip, rebound
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS start_ts,
+                     B.`value` AS dip,
+                     C.`value` AS rebound
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B C)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.`value` < A.`value`,
+                   C AS C.`value` > LAST(B.`value`)
+        ) AS m
+    """)
+    want = spark.sql("""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type, `value`,
+                   lead(`value`, 1) OVER w AS v1,
+                   lead(`value`, 2) OVER w AS v2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, ts AS start_ts, v1 AS dip, v2 AS rebound
+        FROM seq
+        WHERE event_type = 'click' AND v1 < `value` AND v2 > v1
+    """)
+    cols = ["user_id", "start_ts", "dip", "rebound"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0  # non-vacuous on the fixture
 
 
 def test_sql_legacy_group_windows(fixture_env, spark, sf_dir):
