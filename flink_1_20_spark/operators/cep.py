@@ -455,12 +455,22 @@ def match_recognize(
     measures: Callable[[dict[str, pd.DataFrame]], dict],
     output_schema: StructType | str,
     order_tiebreak: list[str] | None = None,
+    all_rows: bool = False,
+    classifier_col: str = "classifier",
+    match_number_col: str = "match_number",
 ) -> DataFrame:
-    """Batch MATCH_RECOGNIZE: one output row per match.
+    """Batch MATCH_RECOGNIZE: one output row per match (default), or —
+    with `all_rows=True` — SQL's ALL ROWS PER MATCH: every matched
+    input row is emitted carrying its CLASSIFIER() (the step that bound
+    it), a per-key 1-based MATCH_NUMBER(), and the measures evaluated
+    with RUNNING semantics (over the bindings up to and including the
+    row — the ALL ROWS default; StreamExecMatch.java emits the same).
+    In all-rows mode `output_schema` must list the source columns plus
+    `classifier_col`, `match_number_col`, and the measure columns.
 
     `measures(groups) -> dict` receives {step_name: DataFrame of its
-    rows} (Flink's MEASURES clause with FINAL semantics) and returns the
-    output row; `keys` columns are prepended automatically.
+    rows} (FINAL semantics in one-row mode, running prefix in all-rows
+    mode); in one-row mode `keys` columns are appended automatically.
     """
     tiebreak = order_tiebreak or []
     # Resolve output column names on the driver — schema parsing needs an
@@ -477,6 +487,7 @@ def match_recognize(
         first = pattern.steps[0]
         can_anchor = None if (first.min_times == 0 or first.negative) else pre[1][0]
         out_rows: list[dict] = []
+        match_no = 0
 
         def render(m: list[tuple[str, int]]) -> dict:
             groups: dict[str, list[int]] = {}
@@ -487,6 +498,25 @@ def match_recognize(
                 rendered[k] = pdf[k].iloc[0]
             return rendered
 
+        def emit(m: list[tuple[str, int]]) -> None:
+            nonlocal match_no
+            match_no += 1
+            if not all_rows:
+                out_rows.append(render(m))
+                return
+            # ALL ROWS PER MATCH: one output row per bound input row,
+            # measures with RUNNING semantics (prefix up to this row)
+            prefix: dict[str, list[int]] = {}
+            for name, idx in m:
+                prefix.setdefault(name, []).append(idx)
+                src = pdf.iloc[idx].drop(labels="__ts").to_dict()
+                src[classifier_col] = name
+                src[match_number_col] = match_no
+                src.update(
+                    measures({k: pdf.iloc[v] for k, v in prefix.items()})
+                )
+                out_rows.append(src)
+
         if pattern.skip == "NO_SKIP":
             # emit EVERY branch at every anchor (AfterMatchSkipStrategy
             # .noSkip + followedByAny/reluctant enumeration)
@@ -495,7 +525,7 @@ def match_recognize(
                     continue
                 for m in _match_all_at(pattern, pdf, i, pre):
                     if m:
-                        out_rows.append(render(m))
+                        emit(m)
             if not out_rows:
                 return pd.DataFrame(columns=out_cols)
             return pd.DataFrame(out_rows)
@@ -510,10 +540,7 @@ def match_recognize(
                 groups: dict[str, list[int]] = {}
                 for name, idx in m:
                     groups.setdefault(name, []).append(idx)
-                rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
-                for k in keys:
-                    rendered[k] = pdf[k].iloc[0]
-                out_rows.append(rendered)
+                emit(m)
                 last_idx = max(idx for _, idx in m)
                 if pattern.skip == "PAST_LAST_EVENT":
                     i = last_idx + 1

@@ -468,8 +468,7 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
     measures_txt = clause(
         "measures", r"MEASURES\s+(.+?)(?=\bONE\s+ROW|\bALL\s+ROWS|\bAFTER\s+MATCH|\bPATTERN\b)"
     )
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.I):
-        raise ValueError("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.I))
     skip_m = re.search(
         r"AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))",
         body,
@@ -513,13 +512,25 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
             defines[dm.group(1)] = dm.group(2).strip()
 
     measures: list[tuple[str, str, str, str]] = []  # (out_name, agg, var, col)
+    classifier_name, match_number_name = None, None
     if measures_txt:
         for item in _split_args(measures_txt):
             mm = re.match(r"(.+?)\s+AS\s+`?(\w+)`?$", item.strip(), re.S | re.I)
             if not mm:
                 raise ValueError(f"MEASURES items need `expr AS name`: {item!r}")
-            agg, var, col = _parse_measure(mm.group(1))
+            body_expr = mm.group(1).strip()
+            if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", body_expr, re.I):
+                classifier_name = mm.group(2)
+                continue
+            if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", body_expr, re.I):
+                match_number_name = mm.group(2)
+                continue
+            agg, var, col = _parse_measure(body_expr)
             measures.append((mm.group(2), agg, var, col))
+    if not all_rows and (classifier_name or match_number_name):
+        raise ValueError(
+            "CLASSIFIER()/MATCH_NUMBER() measures require ALL ROWS PER MATCH"
+        )
 
     df = spark.table(table)
     pat = _build_pattern(pattern_m.group(1), defines, skip, within_s)
@@ -531,22 +542,49 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
         }
 
     key_types = dict(df.dtypes)
-    schema = ", ".join(
-        [
-            *(f"{name} {_infer_measure_type(df, agg, var, col)}"
-              for name, agg, var, col in measures),
-            *(f"{k} {key_types[k]}" for k in keys),
-        ]
-    )
-    out = match_recognize(
-        df,
-        keys=keys,
-        ts=ts_col,
-        pattern=pat,
-        measures=measure_fn,
-        output_schema=schema,
-        order_tiebreak=tiebreak,
-    ).select(*keys, *(name for name, *_ in measures))
+    if all_rows:
+        # ALL ROWS PER MATCH: every source column + classifier +
+        # match_number + measures (RUNNING semantics in the operator)
+        c_col = classifier_name or "classifier"
+        n_col = match_number_name or "match_number"
+        schema = ", ".join(
+            [
+                *(f"{c} {t}" for c, t in df.dtypes),
+                f"{c_col} string",
+                f"{n_col} bigint",
+                *(f"{name} {_infer_measure_type(df, agg, var, col)}"
+                  for name, agg, var, col in measures),
+            ]
+        )
+        out = match_recognize(
+            df,
+            keys=keys,
+            ts=ts_col,
+            pattern=pat,
+            measures=measure_fn,
+            output_schema=schema,
+            order_tiebreak=tiebreak,
+            all_rows=True,
+            classifier_col=c_col,
+            match_number_col=n_col,
+        )
+    else:
+        schema = ", ".join(
+            [
+                *(f"{name} {_infer_measure_type(df, agg, var, col)}"
+                  for name, agg, var, col in measures),
+                *(f"{k} {key_types[k]}" for k in keys),
+            ]
+        )
+        out = match_recognize(
+            df,
+            keys=keys,
+            ts=ts_col,
+            pattern=pat,
+            measures=measure_fn,
+            output_schema=schema,
+            order_tiebreak=tiebreak,
+        ).select(*keys, *(name for name, *_ in measures))
 
     view = f"__mr_{abs(hash(sql)) % 10**8}"
     out.createOrReplaceTempView(view)

@@ -499,3 +499,45 @@ def test_sql_streaming_insert_with_tvf_body(spark):
         q.stop()
     env.execute_sql("DROP TABLE bh_tvf")
     env.execute_sql("DROP TABLE r2")
+
+
+def test_sql_match_recognize_all_rows(fixture_env, spark):
+    """ALL ROWS PER MATCH: every matched row is emitted with
+    CLASSIFIER() / MATCH_NUMBER() and RUNNING-semantics measures."""
+    got = fixture_env.execute_sql("""
+        SELECT user_id, event_id, cls, mno, run_last
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                CLASSIFIER() AS cls,
+                MATCH_NUMBER() AS mno,
+                LAST(B.`value`) AS run_last
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'view'
+        )
+    """).collect()
+    assert got, "no matched rows"
+    by_match = {}
+    for r in got:
+        by_match.setdefault((r.user_id, r.mno), []).append(r)
+    for (_, _), rows in by_match.items():
+        assert [r.cls for r in rows] == ["A", "B"]  # strict 2-step match
+        a, b = rows
+        assert a.run_last is None  # RUNNING: B unbound at the A row
+        assert b.run_last is not None
+
+    # one-row mode count must equal the number of distinct matches
+    one = fixture_env.execute_sql("""
+        SELECT user_id FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES A.ts AS t ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view'
+        )
+    """).count()
+    assert one == len(by_match)
