@@ -223,13 +223,18 @@ def _precompute(pat: Pattern, pdf: pd.DataFrame) -> tuple:
 
 def _ctx_eval(cm, pdf: pd.DataFrame, j: int, bindings) -> bool:
     """Evaluate a context predicate for row j given [(step, idx), ...]
-    bindings. Errors (e.g. comparisons against an unbound/empty group,
-    Flink's NULL semantics) count as non-matching."""
+    bindings. `groups['__pdf__']` exposes the whole ordered frame so
+    physical-offset functions (SQL PREV/NEXT — the candidate row's
+    position is `row.name`) can be compiled. Errors (comparisons
+    against an unbound/empty group or an out-of-range offset — Flink's
+    NULL semantics) count as non-matching."""
     groups: dict[str, list[int]] = {}
     for name, idx in bindings:
         groups.setdefault(name, []).append(idx)
+    ctx = {k: pdf.iloc[v] for k, v in groups.items()}
+    ctx["__pdf__"] = pdf
     try:
-        return bool(cm(pdf.iloc[j], {k: pdf.iloc[v] for k, v in groups.items()}))
+        return bool(cm(pdf.iloc[j], ctx))
     except (TypeError, IndexError, KeyError):
         return False
 

@@ -297,6 +297,24 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
     previous row bound to it."""
     others = [v for v in all_vars if v != var]
     py = expr
+    # PREV(X.col[, n]) / NEXT(X.col[, n]) → physical row offsets over
+    # the ordered frame (the SQL navigation functions; candidate-row
+    # position is row.name). Out-of-range offsets evaluate NULL →
+    # non-match, matching the standard.
+    def nav_ref(mm: re.Match) -> str:
+        n = mm.group(4) or "1"
+        sign = "-" if mm.group(1).upper() == "PREV" else "+"
+        return (
+            f"g['__pdf__']['{mm.group(3)}'].iloc[_ofs(r.name {sign} {n}, "
+            f"len(g['__pdf__']))]"
+        )
+
+    py = re.sub(
+        r"\b(PREV|NEXT)\s*\(\s*(\w+)\s*\.\s*`?(\w+)`?\s*(?:,\s*(\d+)\s*)?\)",
+        nav_ref,
+        py,
+        flags=re.I,
+    )
     # FIRST(X.col) / LAST(X.col) → partial-match group lookups
     def agg_ref(mm: re.Match) -> str:
         which = mm.group(1).upper()
@@ -324,7 +342,7 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
     def bare(mm: re.Match) -> str:
         w = mm.group(0)
         if w in ("and", "or", "not", "in", "True", "False", "None", "r", "g",
-                 "pd", "isna", "iloc"):
+                 "pd", "isna", "iloc", "_ofs", "len", "name"):
             return w
         return f"r['{w}']"
 
@@ -332,7 +350,12 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
     ctx = "g[" in py
     args = "r, g" if ctx else "r"
     code = compile(f"lambda {args}: bool({py})", f"<define {var}>", "eval")
-    return eval(code, {"pd": pd})  # noqa: S307 — restricted, self-built source
+    def _ofs(i: int, n: int) -> int:
+        if i < 0 or i >= n:
+            raise IndexError(i)  # out-of-range PREV/NEXT → NULL → no match
+        return int(i)
+
+    return eval(code, {"pd": pd, "_ofs": _ofs})  # noqa: S307 — restricted, self-built source
 
 
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "FIRST", "LAST"}

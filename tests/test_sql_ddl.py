@@ -541,3 +541,29 @@ def test_sql_match_recognize_all_rows(fixture_env, spark):
         )
     """).count()
     assert one == len(by_match)
+
+
+def test_sql_match_recognize_prev_navigation(fixture_env, spark):
+    """PREV() physical-offset navigation (the tick-decline idiom):
+    D+ where each D is strictly below the previous physical row."""
+    spark.createDataFrame(
+        [("x", 1, 10.0), ("x", 2, 9.0), ("x", 3, 8.0), ("x", 4, 11.0),
+         ("y", 1, 5.0), ("y", 2, 7.0)],
+        "sym string, seq bigint, price double",
+    ).createOrReplaceTempView("ticks")
+    rows = fixture_env.execute_sql("""
+        SELECT sym, p0, p1, n
+        FROM ticks MATCH_RECOGNIZE (
+            PARTITION BY sym
+            ORDER BY seq
+            MEASURES FIRST(D.price) AS p0,
+                     LAST(D.price) AS p1,
+                     COUNT(D.price) AS n
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D{2,})
+            DEFINE D AS D.price < PREV(D.price)
+        )
+    """).collect()
+    # only x has a >=2-row strict decline: 9 (below 10), 8 (below 9)
+    assert [(r.sym, r.p0, r.p1, r.n) for r in rows] == [("x", 9.0, 8.0, 2)]
