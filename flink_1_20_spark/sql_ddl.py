@@ -178,9 +178,26 @@ class TableEnvironment:
             name = s.split()[-1].strip("`")
             self.spark.catalog.dropTempView(name)
             return None
-        m = re.match(r"INSERT\s+INTO\s+(\S+)\s+(.*)$", s, re.S | re.I)
+        m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
-            return self._insert_into(m.group(1).strip("`"), m.group(2))
+            return self._insert_into(
+                m.group(2).strip("`"),
+                m.group(3),
+                overwrite=m.group(1).upper() == "OVERWRITE",
+            )
+        # EXPLAIN [PLAN FOR] <stmt> — Flink's EXPLAIN surface; the body
+        # gets the dialect rewrites, the EXPLAIN itself goes to Catalyst
+        m = re.match(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", s, re.S | re.I)
+        if m and not re.match(r"EXPLAIN\s+(FORMATTED|EXTENDED|CODEGEN|COST)\b", s, re.I):
+            from flink_1_20_spark.sql_flink import (
+                rewrite_legacy_group_windows,
+                rewrite_window_tvfs,
+            )
+
+            return self.spark.sql(
+                "EXPLAIN "
+                + rewrite_legacy_group_windows(rewrite_window_tvfs(m.group(1)))
+            )
         # Flink dialect → Spark SQL (window TVFs, legacy group windows,
         # MATCH_RECOGNIZE); plain statements pass through to Catalyst.
         from flink_1_20_spark.sql_flink import (
@@ -329,7 +346,7 @@ class TableEnvironment:
         if existed or not re.search(r"IF\s+EXISTS", s, re.I):
             self.spark.catalog.dropTempView(name)
 
-    def _insert_into(self, name: str, query: str):
+    def _insert_into(self, name: str, query: str, overwrite: bool = False):
         meta = self.tables.get(name)
         if meta is None:
             raise ValueError(f"unknown table {name!r}")
@@ -379,12 +396,13 @@ class TableEnvironment:
             from flink_1_20_spark.sources.connectors import write_file, write_partitioned
 
             fmt = meta.options.get("format", "parquet")
+            mode = "overwrite" if overwrite else "append"
             if meta.partitioned_by:
                 write_partitioned(
-                    df, meta.options["path"], meta.partitioned_by, fmt=fmt, mode="append"
+                    df, meta.options["path"], meta.partitioned_by, fmt=fmt, mode=mode
                 )
             else:
-                write_file(df, meta.options["path"], fmt=fmt, mode="append")
+                write_file(df, meta.options["path"], fmt=fmt, mode=mode)
             self._register(meta)  # refresh the readable view
         elif meta.connector == "print":
             for row in df.collect():

@@ -567,3 +567,28 @@ def test_sql_match_recognize_prev_navigation(fixture_env, spark):
     """).collect()
     # only x has a >=2-row strict decline: 9 (below 10), 8 (below 9)
     assert [(r.sym, r.p0, r.p1, r.n) for r in rows] == [("x", 9.0, 8.0, 2)]
+
+
+def test_sql_insert_overwrite_and_explain(fixture_env, spark, tmp_path):
+    out = str(tmp_path / "ow_pq")
+    fixture_env.execute_sql(f"""
+        CREATE TABLE ow (k BIGINT, v BIGINT) WITH (
+            'connector'='filesystem', 'path'='{out}', 'format'='parquet')
+    """)
+    fixture_env.execute_sql("INSERT INTO ow SELECT 1 AS k, 10 AS v")
+    fixture_env.execute_sql("INSERT INTO ow SELECT 2 AS k, 20 AS v")
+    assert fixture_env.execute_sql("SELECT count(*) AS n FROM ow").collect()[0].n == 2
+    # OVERWRITE replaces the table contents (Flink batch INSERT OVERWRITE)
+    fixture_env.execute_sql("INSERT OVERWRITE ow SELECT 3 AS k, 30 AS v")
+    rows = fixture_env.execute_sql("SELECT k, v FROM ow").collect()
+    assert [(r.k, r.v) for r in rows] == [(3, 30)]
+    fixture_env.execute_sql("DROP TABLE ow")
+
+    # EXPLAIN over a dialect body parses and returns a plan row
+    plan = fixture_env.execute_sql("""
+        EXPLAIN PLAN FOR
+        SELECT window_start, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """).collect()
+    assert plan and "Aggregate" in plan[0][0]
