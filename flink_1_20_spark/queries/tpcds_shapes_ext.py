@@ -10,7 +10,15 @@ reused-CTE period comparisons, q10/q69-style multi-EXISTS customer
 filtering, correlated-average gates (q24/q65), deep rollups (q27),
 IN-dim unions (q33), banded dimension scans (q37/q85), shipping-bucket
 grids (q99), disjunctive IN (q45), and revenue-share windows over
-aggregates (q98).
+aggregates (q98) — through three extension batches to 80 shapes.
+
+Coverage note vs the full 103: every remaining unported TPC-DS query is
+a plan-family duplicate of a shape already in the battery — q30/q81
+(state-level q1), q52/q55 (q42), q57/q63 (q47/q89), q60/q56 (q33),
+q62 (q99/q50), q68 (q46), q79 (q73), q82 (q37), q83 (q58), q86 (q36),
+q92 (q32), q29 (q40/q25), q12/q20 (q98) — so each residual query would
+exercise an optimizer path the no-NLJ sweep and oracle gate already
+cover.
 
 Same contract as the base module: one dialect-neutral SQL string per
 shape, executed verbatim on Spark and DuckDB — value-exact by
@@ -759,6 +767,58 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
         WHERE l.l_returnflag = 'R' AND c.c_acctbal < 1000
         GROUP BY n.n_name, o.o_orderpriority
+        """,
+    ),
+    (
+        # q26: demographic-filtered average grid (q7's catalog-channel
+        # sibling — filter pushed through the dim side).
+        "tpcds_q26_urgent_avg_grid",
+        ["lineitem", "orders", "part"],
+        """
+        SELECT p.p_brand,
+               round(avg(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS avg_qty,
+               round(avg(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                 AS avg_price,
+               round(avg(CAST(l.l_discount AS DECIMAL(18,6))), 4) AS avg_disc
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY p.p_brand
+        """,
+    ),
+    (
+        # q29/q40: before/after-pivot quantity comparison per key (the
+        # catalog_sales-before / catalog_returns-after family).
+        "tpcds_q40_before_after_pivot",
+        ["lineitem", "part"],
+        """
+        SELECT p.p_brand,
+               round(sum(CASE WHEN month(l.l_shipdate) <= 6
+                              THEN l.l_quantity ELSE 0 END), 2) AS qty_before,
+               round(sum(CASE WHEN month(l.l_shipdate) > 6
+                              THEN l.l_quantity ELSE 0 END), 2) AS qty_after
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_retailprice BETWEEN 500 AND 1500
+        GROUP BY p.p_brand
+        """,
+    ),
+    (
+        # q73/q79: order-size band — count lines per order, keep orders
+        # in the band, list the buying segments (agg-then-join-then-agg).
+        "tpcds_q73_order_size_band",
+        ["lineitem", "orders", "customer"],
+        """
+        WITH per_order AS (
+          SELECT l_orderkey, count(*) AS n_lines
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) BETWEEN 5 AND 7)
+        SELECT c.c_mktsegment, count(*) AS n_orders,
+               round(avg(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS avg_price
+        FROM per_order po
+        JOIN orders o ON po.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
         """,
     ),
     (
