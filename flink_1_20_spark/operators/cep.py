@@ -267,7 +267,9 @@ def _match_at(
         def test(j: int, run: list[int]) -> bool:
             # mask pre-filter, then the lazy context predicate with the
             # bindings so far (incl. this step's own rows taken so far,
-            # so LAST(B.x) inside B's own DEFINE sees the previous B)
+            # so LAST(B.x) inside B's own DEFINE sees the previous B).
+            # Callers on the hot path inline the cm-is-None case — this
+            # closure only runs for context steps or cold paths.
             if not pm[j]:
                 return False
             if cm is None:
@@ -308,7 +310,8 @@ def _match_at(
                 break
             if bound is not None and sp > bound:
                 break
-            # run of consecutive (strict) matches from sp
+            # run of consecutive (strict) matches from sp — mask check
+            # inlined (hot loop); context predicate evaluated lazily
             matches: list[int] = []
             j = sp
             um = umat[step_i]
@@ -317,7 +320,7 @@ def _match_at(
                     break
                 if um is not None and um[j]:
                     break
-                if test(j, matches):
+                if pm[j] and (cm is None or test(j, matches)):
                     matches.append(j)
                     j += 1
                 else:
@@ -372,7 +375,7 @@ def _match_all_at(
     def run_from(step_i: int, sp: int, acc) -> list[int]:
         """Maximal consecutive match run for step step_i starting at sp."""
         step = pat.steps[step_i]
-        um = umat[step_i]
+        pm, cm, um = pmat[step_i], cmat[step_i], umat[step_i]
         matches: list[int] = []
         j = sp
         while j < n and (step.max_times == -1 or len(matches) < step.max_times):
@@ -380,7 +383,9 @@ def _match_all_at(
                 break
             if um is not None and um[j]:
                 break
-            if not test(step_i, j, acc, matches):
+            if not pm[j]:  # hot path: mask first, lazy context second
+                break
+            if cm is not None and not test(step_i, j, acc, matches):
                 break
             matches.append(j)
             j += 1
@@ -566,7 +571,17 @@ def match_recognize(
             return pd.DataFrame(columns=out_cols)
         return pd.DataFrame(out_rows)
 
-    return df.groupBy(*keys).applyInPandas(run, schema=output_schema)
+    # Pin the key partitioning explicitly: the shuffled bytes are small,
+    # so AQE would coalesce this exchange to a handful of partitions —
+    # starving the CPU-bound Python NFA stage (the cost here is per-row
+    # Python work, not bytes). An explicit repartition is exempt from
+    # AQE coalescing and the groupBy reuses its distribution.
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parts, *keys)
+        .groupBy(*keys)
+        .applyInPandas(run, schema=output_schema)
+    )
 
 
 def _schema_fields(schema: StructType | str):

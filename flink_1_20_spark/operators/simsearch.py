@@ -242,7 +242,13 @@ def cosine_pairs_block_join(
             ia, ib = np.minimum(xa, xb), np.maximum(xa, xb)
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": np.round(cs, round_to)})
 
-    return rep.groupBy("pa", "pb").applyInPandas(gemm, out_schema)
+    # Pin the block-pair partitioning — the shuffle is small (vectors
+    # replicated B×) so AQE would coalesce it under the BLAS-bound GEMM
+    # stage; explicit repartition keeps one task per available core.
+    parts = rep.sparkSession.sparkContext.defaultParallelism
+    return rep.repartition(parts, "pa", "pb").groupBy("pa", "pb").applyInPandas(
+        gemm, out_schema
+    )
 
 
 def ivf_assign(

@@ -281,12 +281,13 @@ def cogroup_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative plan you'd prefer when the logic IS expressible; cogroup
     earns its keep when it isn't (custom pairing, ordered merges).
 
-    Cost, measured (local[8], bare session, 2026-08): cogroup runs ONE
-    Python call per key — full keys take ~26 s for 15k keys at sf0.1
-    (~1.7 ms/key, Python/Arrow round-trip dominated; sf0.01's 1.5k keys
-    ~10 s mostly session warmup), where the declarative full-outer-agg
-    plan is <1 s at either SF. That per-key overhead is inherent to the
-    operator (it is why Flink, too, pushes users toward joins/aggs when
+    Cost, measured (local[32], 2026-08): cogroup runs ONE Python call
+    per key — 15k full keys at sf0.1 take ~3.1 s with the key
+    partitioning pinned to all cores (~0.2 ms/key wall; it was 21.8 s
+    when AQE coalesced the tiny shuffle to 2 tasks — see the pinning
+    note below), where the declarative full-outer-agg plan is <1 s.
+    The per-key Python/Arrow overhead is inherent to the operator (it
+    is why Flink, too, pushes users toward joins/aggs when
     expressible); budget group counts accordingly before reaching for
     cogroup."""
     import pandas as pd
@@ -308,9 +309,16 @@ def cogroup_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    # Pin both sides' key partitioning: the shuffled bytes are tiny, so
+    # AQE would coalesce the cogroup exchanges to a couple of partitions
+    # and starve the per-key Python stage (measured 21.8 s on 2 tasks vs
+    # 3.6 s on 32 at sf0.1). Explicit repartition is AQE-coalesce-exempt
+    # and the cogroup reuses the distribution.
+    parts = spark.sparkContext.defaultParallelism
     return (
-        c.groupby("c_custkey")
-        .cogroup(o.groupby("o_custkey"))
+        c.repartition(parts, "c_custkey")
+        .groupby("c_custkey")
+        .cogroup(o.repartition(parts, "o_custkey").groupby("o_custkey"))
         .applyInPandas(
             fn,
             "custkey bigint, n_cust bigint, acctbal double, n_orders bigint, total_price double",

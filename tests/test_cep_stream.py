@@ -165,3 +165,65 @@ def test_streaming_cep_int_bool_payload_state(spark, tmp_path):
         q.stop()
     assert len(rows) == 1
     assert rows[0]["small"] == 5 and rows[0]["big"] == 500
+
+
+def test_streaming_cep_iterative_condition_spans_batches(spark, tmp_path):
+    """Iterative (cross-variable) conditions in the streaming NFA: the
+    dip/rebound comparison evaluates against rows buffered in state
+    from an EARLIER micro-batch."""
+    src = str(tmp_path / "in_iter")
+
+    def drop(n, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, f"b{n}.json"), "w") as f:
+            for ts, uid, et, v in rows:
+                f.write(json.dumps(
+                    {"ts": ts, "user_id": uid, "event_type": et, "value": v}
+                ) + "\n")
+
+    drop(0, [
+        ("2024-01-01T10:00:00", 1, "click", 10.0),
+        ("2024-01-01T10:01:00", 1, "view", 7.0),    # dip below 10
+        ("2024-01-01T10:00:00", 2, "click", 5.0),
+        ("2024-01-01T10:01:00", 2, "view", 6.0),    # NOT a dip — dead
+    ])
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .next("b", lambda r, g: r["value"] < g["a"]["value"].iloc[-1])
+        .next("c", lambda r, g: r["value"] > g["b"]["value"].iloc[-1])
+    )
+
+    def measures(g):
+        return {
+            "anchor": float(g["a"]["value"].iloc[0]),
+            "dip": float(g["b"]["value"].iloc[-1]),
+            "rebound": float(g["c"]["value"].iloc[-1]),
+        }
+
+    stream = file_source(
+        spark, src, SCHEMA + ", value double", fmt="json"
+    )
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="anchor double, dip double, rebound double, user_id bigint",
+        payload_cols=["event_type", "value"],
+    )
+    q = run_to_memory(out, "cep_iter_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert spark.table("cep_iter_out").count() == 0  # rebound pending
+        drop(1, [
+            ("2024-01-01T10:02:00", 1, "purchase", 9.0),   # > dip 7 -> match
+            ("2024-01-01T10:02:00", 2, "purchase", 100.0),  # chain already dead
+        ])
+        q.processAllAvailable()
+        rows = spark.table("cep_iter_out").collect()
+    finally:
+        q.stop()
+    assert [(r.user_id, r.anchor, r.dip, r.rebound) for r in rows] == [
+        (1, 10.0, 7.0, 9.0)
+    ]
