@@ -94,10 +94,16 @@ class Table:
         (the applyInPandas contract)."""
         if self._group_cols is None:
             raise ValueError("flat_aggregate requires a preceding group_by")
+        # UDTAF stages are Python-bound: pin the key partitioning so AQE
+        # doesn't coalesce the (usually tiny) shuffle under the
+        # per-group Python work (see operators/cep.py for the measured
+        # rationale).
+        parts = self._df.sparkSession.sparkContext.defaultParallelism
+        keys = [F_expr(g) for g in self._group_cols]
         return Table(
-            self._df.groupBy(*[F_expr(g) for g in self._group_cols]).applyInPandas(
-                fn, output_schema
-            )
+            self._df.repartition(parts, *keys)
+            .groupBy(*keys)
+            .applyInPandas(fn, output_schema)
         )
 
     # -- joins / set ops -------------------------------------------------
