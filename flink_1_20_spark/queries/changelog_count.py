@@ -58,7 +58,7 @@ def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            round(sum(value * CASE WHEN op IN ('+I', '+U') THEN 1 ELSE -1 END), 4) AS net_value,
-           sum(CASE WHEN op IN ('+I', '+U') THEN 1 ELSE -1 END) AS live_rows
+           CAST(sum(CASE WHEN op IN ('+I', '+U') THEN 1 ELSE -1 END) AS BIGINT) AS live_rows
     FROM log GROUP BY user_id
     """,
 )

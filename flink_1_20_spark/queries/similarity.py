@@ -191,7 +191,7 @@ SELECT vec_id,
        round(scale, 6) AS scale,
        round(list_max(errs), 6) AS max_err,
        round(list_aggregate(errs, 'sum') / dim, 6) AS mean_err,
-       checksum
+       CAST(checksum AS BIGINT) AS checksum
 FROM e
 """
 

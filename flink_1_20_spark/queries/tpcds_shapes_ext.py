@@ -59,7 +59,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
           WHERE p.p_size <= 20
           GROUP BY p.p_partkey, p.p_brand, n.n_name, year(o.o_orderdate))
         SELECT s1.partkey, s1.brand, s1.nation,
-               round(s1.revenue, 2) AS rev_a, round(s2.revenue, 2) AS rev_b,
+               CAST(round(s1.revenue, 2) AS DECIMAL(18,2)) AS rev_a,
+               CAST(round(s2.revenue, 2) AS DECIMAL(18,2)) AS rev_b,
                s1.cnt AS cnt_a, s2.cnt AS cnt_b
         FROM spine s1
         JOIN spine s2 ON s1.partkey = s2.partkey AND s1.nation = s2.nation
@@ -303,12 +304,14 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem"],
         """
         SELECT l_returnflag, l_linestatus,
-               sum(CASE WHEN month(l_shipdate) <= 3 THEN 1 ELSE 0 END) AS s_q1,
-               sum(CASE WHEN month(l_shipdate) BETWEEN 4 AND 6
-                        THEN 1 ELSE 0 END) AS s_q2,
-               sum(CASE WHEN month(l_shipdate) BETWEEN 7 AND 9
-                        THEN 1 ELSE 0 END) AS s_q3,
-               sum(CASE WHEN month(l_shipdate) >= 10 THEN 1 ELSE 0 END) AS s_q4
+               CAST(sum(CASE WHEN month(l_shipdate) <= 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_q1,
+               CAST(sum(CASE WHEN month(l_shipdate) BETWEEN 4 AND 6
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_q2,
+               CAST(sum(CASE WHEN month(l_shipdate) BETWEEN 7 AND 9
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_q3,
+               CAST(sum(CASE WHEN month(l_shipdate) >= 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_q4
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         """,
@@ -450,12 +453,15 @@ _SHAPES: list[tuple[str, list[str], str]] = [
                    WHERE o_orderstatus = 'F'),
              l AS (SELECT DISTINCT l_orderkey FROM lineitem
                    WHERE l_returnflag = 'R')
-        SELECT sum(CASE WHEN o.o_orderkey IS NOT NULL
-                         AND l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS only_f,
-               sum(CASE WHEN o.o_orderkey IS NULL
-                         AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS only_r,
-               sum(CASE WHEN o.o_orderkey IS NOT NULL
-                         AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS bth
+        SELECT CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                              AND l.l_orderkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS only_f,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL
+                              AND l.l_orderkey IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS only_r,
+               CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                              AND l.l_orderkey IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS bth
         FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
         """,
     ),
@@ -696,12 +702,14 @@ _SHAPES: list[tuple[str, list[str], str]] = [
                  CAST(o.o_orderdate AS DATE) AS ord
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
         SELECT yr,
-               sum(CASE WHEN ship <= ord + 30 THEN 1 ELSE 0 END) AS d30,
-               sum(CASE WHEN ship > ord + 30 AND ship <= ord + 60
-                        THEN 1 ELSE 0 END) AS d60,
-               sum(CASE WHEN ship > ord + 60 AND ship <= ord + 90
-                        THEN 1 ELSE 0 END) AS d90,
-               sum(CASE WHEN ship > ord + 90 THEN 1 ELSE 0 END) AS d_more
+               CAST(sum(CASE WHEN ship <= ord + 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+               CAST(sum(CASE WHEN ship > ord + 30 AND ship <= ord + 60
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+               CAST(sum(CASE WHEN ship > ord + 60 AND ship <= ord + 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+               CAST(sum(CASE WHEN ship > ord + 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d_more
         FROM j
         GROUP BY yr
         """,

@@ -32,8 +32,8 @@ _QUERIES: dict[str, str] = {
     "tpch_q2_min_cost_supplier": """
     WITH costs AS (
         SELECT l_partkey, l_suppkey,
-               ROUND(CAST(MIN(l_extendedprice / l_quantity) AS DECIMAL(18,8)), 4)
-                 AS unit_cost
+               CAST(ROUND(CAST(MIN(l_extendedprice / l_quantity) AS DECIMAL(18,8)), 4)
+                    AS DECIMAL(18,4)) AS unit_cost
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cost
@@ -126,10 +126,10 @@ _QUERIES: dict[str, str] = {
     # q12: shipping modes and order priority (mode → linestatus adapted)
     "tpch_q12_priority_by_status": """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
