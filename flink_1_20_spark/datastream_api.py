@@ -22,6 +22,7 @@ underlying Spark op supports it.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -359,8 +360,133 @@ class WindowedJoin:
         self._assigner, self._lts, self._rts = assigner, lts, rts
         self._cogroup = cogroup
 
+    def _session_map(self) -> DataFrame:
+        """Merged session windows over the UNION of both inputs per key.
+
+        Flink's windowed join/coGroup runs the assigner over the tagged
+        union of the two streams (CoGroupedStreams union semantics), so
+        with a session assigner the sessions MERGE across sides — a left
+        row and a right row within `gap` of each other share a session
+        even if neither side alone would sustain it. Spark's
+        `session_window` is groupBy-only and per-input, so the merged
+        assignment is computed as gaps-and-islands over the distinct
+        (key, ts) union: two window passes on one (key, ts) sort, then
+        each side equi-joins its window back on (key, ts)."""
+        from pyspark.sql.window import Window as W
+
+        gap = f"INTERVAL {self._assigner.gap}"
+        kcols = [f"__k{i}" for i in range(len(self._lk))]
+        lu = self._l.select(
+            *[F.col(a).alias(k) for a, k in zip(self._lk, kcols)],
+            F.col(self._lts).alias("__ts"),
+        )
+        ru = self._r.select(
+            *[F.col(b).alias(k) for b, k in zip(self._rk, kcols)],
+            F.col(self._rts).alias("__ts"),
+        )
+        u = lu.unionByName(ru).dropDuplicates([*kcols, "__ts"])
+        order = W.partitionBy(*kcols).orderBy("__ts")
+        run = order.rowsBetween(W.unboundedPreceding, 0)
+        prev = F.lag("__ts").over(order)
+        new_s = F.when(
+            prev.isNull() | (F.col("__ts") > prev + F.expr(gap)), 1
+        ).otherwise(0)
+        sess = F.sum(new_s).over(run)
+        per = W.partitionBy(*kcols, "__sid")
+        return (
+            u.withColumn("__sid", sess)
+            .withColumn("__start", F.min("__ts").over(per))
+            .withColumn("__end", F.max("__ts").over(per) + F.expr(gap))
+            .select(
+                *kcols,
+                "__ts",
+                F.struct(
+                    F.col("__start").alias("start"), F.col("__end").alias("end")
+                ).alias("__w"),
+            )
+        )
+
+    def _with_session_window(self, df, keys, ts, smap, out_col) -> DataFrame:
+        # smap derives from the UNION of both inputs, so this back-join
+        # is a self-join — alias both sides and use qualified names so
+        # the analyzer never sees a shared attribute id; the window
+        # column is renamed per side for the same reason.
+        kcols = smap.columns[:-2]
+        d, m = df.alias("__side"), smap.alias("__smap")
+        cond = [
+            F.col(f"__side.`{a}`") == F.col(f"__smap.`{k}`")
+            for a, k in zip(keys, kcols)
+        ]
+        cond.append(F.col(f"__side.`{ts}`") == F.col("__smap.`__ts`"))
+        joined = d.join(m, functools.reduce(lambda x, y: x & y, cond), "left")
+        return joined.select(
+            *[F.col(f"__side.`{c}`") for c in df.columns],
+            F.col("__smap.`__w`").alias(out_col),
+        )
+
     def apply(self, *select_exprs: str, how: str = "inner") -> DataStream:
         w = self._assigner
+        if isinstance(w, EventTimeSessionWindows):
+            smap = self._session_map()
+            l = self._with_session_window(self._l, self._lk, self._lts, smap, "__wl")
+            r = self._with_session_window(self._r, self._rk, self._rts, smap, "__wr")
+            if self._cogroup:
+                lg = l.groupBy(F.col("__wl").alias("__w"), *self._lk).agg(
+                    F.collect_list(
+                        F.struct(*[c for c in self._l.columns])
+                    ).alias("left_rows")
+                )
+                rg = r.groupBy(F.col("__wr").alias("__w"), *self._rk).agg(
+                    F.collect_list(
+                        F.struct(*[c for c in self._r.columns])
+                    ).alias("right_rows")
+                )
+                lgx, rgx = lg.alias("__lg"), rg.alias("__rg")
+                lw, rw = F.col("__lg.__w"), F.col("__rg.__w")
+                cond = [lw == rw] + [
+                    F.col(f"__lg.`{a}`") == F.col(f"__rg.`{b}`")
+                    for a, b in zip(self._lk, self._rk)
+                ]
+                joined = lgx.join(
+                    rgx, functools.reduce(lambda x, y: x & y, cond), "full_outer"
+                )
+                out = joined.select(
+                    F.coalesce(
+                        lw.getField("start"), rw.getField("start")
+                    ).alias("window_start"),
+                    F.coalesce(lw.getField("end"), rw.getField("end")).alias(
+                        "window_end"
+                    ),
+                    *[
+                        F.coalesce(
+                            F.col(f"__lg.`{a}`"), F.col(f"__rg.`{b}`")
+                        ).alias(a)
+                        for a, b in zip(self._lk, self._rk)
+                    ],
+                    F.coalesce(F.col("__lg.left_rows"), F.array()).alias(
+                        "left_rows"
+                    ),
+                    F.coalesce(F.col("__rg.right_rows"), F.array()).alias(
+                        "right_rows"
+                    ),
+                )
+            else:
+                lx, rx = l.alias("__ljn"), r.alias("__rjn")
+                lw, rw = F.col("__ljn.__wl"), F.col("__rjn.__wr")
+                cond = [lw == rw] + [
+                    F.col(f"__ljn.`{a}`") == F.col(f"__rjn.`{b}`")
+                    for a, b in zip(self._lk, self._rk)
+                ]
+                wcol = F.coalesce(lw, rw)
+                out = (
+                    lx.join(rx, functools.reduce(lambda x, y: x & y, cond), how)
+                    .withColumn("window_start", wcol.getField("start"))
+                    .withColumn("window_end", wcol.getField("end"))
+                    .drop("__wl", "__wr")
+                )
+            if select_exprs:
+                out = out.selectExpr(*select_exprs)
+            return DataStream(out)
         if self._cogroup:
             lg = (
                 self._l.groupBy(w.expr(self._lts).alias("__w"), *self._lk)

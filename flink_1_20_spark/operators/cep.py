@@ -221,22 +221,44 @@ def _precompute(pat: Pattern, pdf: pd.DataFrame) -> tuple:
     return sec, pmat, umat, cmat
 
 
+class _Groups(dict):
+    """Partial-match groups; an unbound variable reads as an EMPTY slice
+    of the frame (all columns present, zero rows) so `g['B'][col]
+    .iloc[-1]` raises IndexError — the intended NULL → non-match path —
+    while a typo'd COLUMN name still raises KeyError loudly."""
+
+    def __init__(self, pdf: pd.DataFrame, items):
+        super().__init__(items)
+        self._pdf = pdf
+
+    def __missing__(self, key):
+        return self._pdf.iloc[0:0]
+
+
 def _ctx_eval(cm, pdf: pd.DataFrame, j: int, bindings) -> bool:
     """Evaluate a context predicate for row j given [(step, idx), ...]
     bindings. `groups['__pdf__']` exposes the whole ordered frame so
     physical-offset functions (SQL PREV/NEXT — the candidate row's
-    position is `row.name`) can be compiled. Errors (comparisons
-    against an unbound/empty group or an out-of-range offset — Flink's
-    NULL semantics) count as non-matching."""
+    position is `row.name`) can be compiled.
+
+    Only IndexError counts as non-matching (out-of-range PREV/NEXT or an
+    unbound/empty group — Flink's NULL semantics). A typo'd column name
+    (KeyError) or an unsupported construct (TypeError) raises, wrapped
+    with the predicate, instead of silently producing an empty result."""
     groups: dict[str, list[int]] = {}
     for name, idx in bindings:
         groups.setdefault(name, []).append(idx)
-    ctx = {k: pdf.iloc[v] for k, v in groups.items()}
+    ctx = _Groups(pdf, {k: pdf.iloc[v] for k, v in groups.items()})
     ctx["__pdf__"] = pdf
     try:
         return bool(cm(pdf.iloc[j], ctx))
-    except (TypeError, IndexError, KeyError):
+    except IndexError:
         return False
+    except (TypeError, KeyError) as exc:
+        label = getattr(cm, "_define_text", None) or repr(cm)
+        raise ValueError(
+            f"error evaluating CEP condition {label}: {exc!r}"
+        ) from exc
 
 
 def _match_at(

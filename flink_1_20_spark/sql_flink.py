@@ -297,6 +297,32 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
     previous row bound to it."""
     others = [v for v in all_vars if v != var]
     py = expr
+    # Mask string literals FIRST so no rewrite pass can touch their
+    # interior (a literal like 'add to cart' must not have 'to'
+    # rewritten to a column ref). SQL '' escaping is unfolded; the
+    # sentinel uses control chars no identifier/keyword regex matches.
+    literals: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        literals.append(mm.group(0)[1:-1].replace("''", "'"))
+        return f"\x00{len(literals) - 1}\x01"
+
+    py = re.sub(r"'(?:[^']|'')*'", _mask, py)
+    # IS [NOT] NULL — before the navigation/aggregate rewrites so the
+    # operand is still compact SQL (`LAST(B.price) IS NULL` works); the
+    # operand pattern accepts a call form or a simple term. The operand
+    # is wrapped in a deferred lambda so an unbound group / out-of-range
+    # offset (IndexError) reads as NULL → True, per SQL semantics.
+    _null_operand = r"((?:\w+\s*\([^()]*\))|[\w.\x00\x01]+)"
+    py = re.sub(
+        _null_operand + r"\s+IS\s+NOT\s+NULL",
+        r"(not _isnull(lambda: \1))",
+        py,
+        flags=re.I,
+    )
+    py = re.sub(
+        _null_operand + r"\s+IS\s+NULL", r"_isnull(lambda: \1)", py, flags=re.I
+    )
     # PREV(X.col[, n]) / NEXT(X.col[, n]) → physical row offsets over
     # the ordered frame (the SQL navigation functions; candidate-row
     # position is row.name). Out-of-range offsets evaluate NULL →
@@ -322,11 +348,6 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
         return f"g['{mm.group(2)}']['{mm.group(3)}'].iloc[{pos}]"
 
     py = re.sub(r"\b(FIRST|LAST)\s*\(\s*(\w+)\s*\.\s*`?(\w+)`?\s*\)", agg_ref, py, flags=re.I)
-    # X IS NOT NULL / X IS NULL on a simple term
-    py = re.sub(
-        r"([\w.'\"]+)\s+IS\s+NOT\s+NULL", r"(not pd.isna(\1))", py, flags=re.I
-    )
-    py = re.sub(r"([\w.'\"]+)\s+IS\s+NULL", r"pd.isna(\1)", py, flags=re.I)
     # own-variable column refs → current-row lookups
     py = re.sub(rf"\b{re.escape(var)}\s*\.\s*`?(\w+)`?", r"r['\1']", py)
     # other-variable refs → LAST row bound to that variable
@@ -342,11 +363,24 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
     def bare(mm: re.Match) -> str:
         w = mm.group(0)
         if w in ("and", "or", "not", "in", "True", "False", "None", "r", "g",
-                 "pd", "isna", "iloc", "_ofs", "len", "name"):
+                 "pd", "isna", "iloc", "_ofs", "len", "name", "lambda",
+                 "_isnull"):
             return w
         return f"r['{w}']"
 
     py = re.sub(r"(?<!')(?<!\[')\b[A-Za-z_]\w*\b(?!'\])(?!\s*\()(?!')", bare, py)
+    # restore masked string literals as Python literals (repr escapes)
+    py = re.sub(r"\x00(\d+)\x01", lambda mm: repr(literals[int(mm.group(1))]), py)
+    # Reject any function-call token the rewrites did not produce: the
+    # reference's MATCH_RECOGNIZE surface is pure SQL with no
+    # code-execution path, so unknown calls (`__import__(...)`,
+    # `SOME_UDF(...)`) are a parse error, not Python to run.
+    _allowed_calls = {"isna", "_ofs", "len", "_isnull"}
+    for mm in re.finditer(r"([A-Za-z_]\w*)\s*\(", py):
+        if mm.group(1) not in _allowed_calls:
+            raise ValueError(
+                f"unsupported function {mm.group(1)!r} in DEFINE condition: {expr!r}"
+            )
     ctx = "g[" in py
     args = "r, g" if ctx else "r"
     code = compile(f"lambda {args}: bool({py})", f"<define {var}>", "eval")
@@ -355,7 +389,26 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
             raise IndexError(i)  # out-of-range PREV/NEXT → NULL → no match
         return int(i)
 
-    return eval(code, {"pd": pd, "_ofs": _ofs})  # noqa: S307 — restricted, self-built source
+    def _isnull(thunk) -> bool:
+        try:
+            v = thunk()
+        except IndexError:  # unbound group / out-of-range offset = NULL
+            return True
+        return bool(pd.isna(v))
+
+    # Empty __builtins__: the eval'd lambda sees ONLY the names the
+    # translator emits — no import machinery, no open(), nothing.
+    globs = {
+        "__builtins__": {},
+        "pd": pd,
+        "_ofs": _ofs,
+        "_isnull": _isnull,
+        "len": len,
+        "bool": bool,
+    }
+    fn = eval(code, globs)  # noqa: S307 — restricted, self-built source
+    fn._define_text = expr  # surfaced by cep._ctx_eval error wrapping
+    return fn
 
 
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "FIRST", "LAST"}

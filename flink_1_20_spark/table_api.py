@@ -345,13 +345,21 @@ class WindowGroupedTable:
             elif body in self._keys:
                 finals.append((f"`{body}`", body))
             else:
-                name = nm.group(1)
+                # Alias-less aggregates ("value.sum" with no AS) are
+                # idiomatic Flink — the nm regex can't match a trailing
+                # ')', so fall back to Flink's positional default EXPR$n.
+                if nm is not None and " AS " in t.upper():
+                    name = nm.group(1)
+                elif nm is not None and re.fullmatch(r"`?\w+`?", t.strip()):
+                    name = nm.group(1)
+                else:
+                    name = f"EXPR${len(aggs)}"
                 aggs.append(F_expr(body).alias(name))
                 finals.append((f"`{name}`", name))
         if not aggs:
             raise ValueError("windowed select needs at least one aggregate")
         out = grouped.agg(*aggs)
-        return Table(out.selectExpr(*[f"{b} AS {n}" for b, n in finals]))
+        return Table(out.selectExpr(*[f"{b} AS `{n}`" for b, n in finals]))
 
 
 # -------------------------------------------------------- over windows

@@ -283,3 +283,73 @@ def test_interval_join_facade(spark):
         .execute_and_collect()
     )
     assert [(x.k, x.lv, x.rv) for x in rows] == [("a", 1, 10)]
+
+
+def test_windowed_join_session_assigner(spark):
+    """Session-window join: sessions MERGE across the two inputs (Flink
+    runs the assigner over the tagged union), so a left row and a right
+    row within the gap share a session even when either side alone
+    would have split."""
+    from flink_1_20_spark.datastream_api import (
+        EventTimeSessionWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    l = env.from_collection(
+        [
+            ("a", datetime(2024, 1, 1, 10, 0), 1),
+            ("a", datetime(2024, 1, 1, 10, 8), 2),   # bridged by right 10:04
+            ("a", datetime(2024, 1, 1, 12, 0), 3),   # own session, no right row
+        ],
+        "k string, lts timestamp, lv bigint",
+    )
+    r = env.from_collection(
+        [
+            ("a", datetime(2024, 1, 1, 10, 4), 10),  # bridges 10:00 and 10:08
+            ("b", datetime(2024, 1, 1, 10, 0), 20),  # other key
+        ],
+        "rk string, rts timestamp, rv bigint",
+    )
+    rows = (
+        l.join(r)
+        .where("k")
+        .equal_to("rk")
+        .window(EventTimeSessionWindows.with_gap("5 minutes"), "lts", "rts")
+        .apply("k", "lv", "rv", "window_start", "window_end")
+        .execute_and_collect()
+    )
+    # merged session {10:00, 10:04, 10:08}: both left rows pair with rv=10
+    assert sorted((x.k, x.lv, x.rv) for x in rows) == [("a", 1, 10), ("a", 2, 10)]
+    # window_end = last ts + gap
+    assert all(x.window_end == datetime(2024, 1, 1, 10, 13) for x in rows)
+
+
+def test_windowed_cogroup_session_assigner(spark):
+    from flink_1_20_spark.datastream_api import (
+        EventTimeSessionWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    l = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 0), 1), ("a", datetime(2024, 1, 1, 12, 0), 3)],
+        "k string, lts timestamp, lv bigint",
+    )
+    r = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 4), 10)],
+        "rk string, rts timestamp, rv bigint",
+    )
+    rows = (
+        l.co_group(r)
+        .where("k")
+        .equal_to("rk")
+        .window(EventTimeSessionWindows.with_gap("5 minutes"), "lts", "rts")
+        .apply()
+        .execute_and_collect()
+    )
+    by_start = {x.window_start: (len(x.left_rows), len(x.right_rows)) for x in rows}
+    assert by_start == {
+        datetime(2024, 1, 1, 10, 0): (1, 1),
+        datetime(2024, 1, 1, 12, 0): (1, 0),
+    }

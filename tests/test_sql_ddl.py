@@ -592,3 +592,55 @@ def test_sql_insert_overwrite_and_explain(fixture_env, spark, tmp_path):
         GROUP BY window_start
     """).collect()
     assert plan and "Aggregate" in plan[0][0]
+
+
+def test_sql_match_recognize_multiword_literal(fixture_env):
+    """A DEFINE condition with a multi-word string literal must not have
+    its interior rewritten to column refs (literals are masked before
+    the SQL->predicate translation)."""
+    rows = fixture_env.execute_sql("""
+        SELECT user_id FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS t
+            ONE ROW PER MATCH
+            PATTERN (A)
+            DEFINE A AS A.event_type = 'add to cart'
+        )
+    """).collect()
+    assert rows == []  # no such event type, but it parses and runs
+
+
+def test_sql_match_recognize_last_is_null(fixture_env):
+    """LAST(X.col) IS NULL is valid Flink SQL: the IS NULL rewrite runs
+    before navigation rewrites so call-form operands translate."""
+    rows = fixture_env.execute_sql("""
+        SELECT user_id, n FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(A.*) AS n
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS LAST(B.`value`) IS NULL OR B.`value` >= 0
+        )
+    """).collect()
+    assert len(rows) > 0
+
+
+def test_sql_match_recognize_rejects_function_calls(fixture_env):
+    """The reference's MATCH_RECOGNIZE surface is pure SQL with no
+    code-execution path — an unknown function call in DEFINE is a parse
+    error, never Python that runs."""
+    with pytest.raises(Exception, match="unsupported function"):
+        fixture_env.execute_sql("""
+            SELECT user_id FROM events MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                MEASURES A.ts AS t
+                ONE ROW PER MATCH
+                PATTERN (A)
+                DEFINE A AS __import__('os').getpid() = 0
+            )
+        """).collect()

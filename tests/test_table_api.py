@@ -234,3 +234,31 @@ def test_flat_aggregate_top2(spark):
         .collect()
     )
     assert [(r.k, r.v) for r in rows] == [("a", 5.0), ("a", 3.0), ("b", 7.0)]
+
+
+def test_windowed_select_aliasless_aggregate(spark):
+    """Alias-less aggregates in a windowed select get Flink's positional
+    default name EXPR$0 instead of crashing (Table API idiom:
+    select('w.start', 'value.sum'))."""
+    from datetime import datetime
+
+    from flink_1_20_spark.table_api import Tumble, from_data_frame
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 10, 5), 1.0),
+            ("a", datetime(2024, 1, 1, 10, 20), 2.0),
+            ("a", datetime(2024, 1, 1, 11, 5), 4.0),
+        ],
+        "k string, ts timestamp, value double",
+    )
+    t = (
+        from_data_frame(df)
+        .window(Tumble.over("1.hour").on("ts").alias("w"))
+        .group_by("w", "k")
+        .select("w.start", "k", "value.sum")
+        .to_data_frame()
+    )
+    assert "EXPR$0" in t.columns
+    got = sorted((r["window_start"].hour, r["EXPR$0"]) for r in t.collect())
+    assert got == [(10, 3.0), (11, 4.0)]
