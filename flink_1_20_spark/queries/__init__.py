@@ -30,6 +30,7 @@ _MODULES = [
     "dedup_clusters",
     "tpcds_shapes",
     "tpcds_shapes_ext",
+    "tpcds_residual",
     "pipeline",
     "approx_aggs",
     "range_join",
