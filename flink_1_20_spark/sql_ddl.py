@@ -154,6 +154,7 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, TableMeta] = {}
+        self.functions: dict[str, str] = {}  # name -> python path
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -178,6 +179,56 @@ class TableEnvironment:
             name = s.split()[-1].strip("`")
             self.spark.catalog.dropTempView(name)
             return None
+        # CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'target' — Flink
+        # registers a class by fully-qualified name
+        # (SqlNodeToOperationConversion CREATE FUNCTION path,
+        # flink-table-common/.../functions/); here the target is a
+        # Python path `module.attr` resolving to a pyspark UDF/UDTF, a
+        # Flink-style class with .eval, or a plain callable.
+        m = re.match(
+            r"CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s+AS\s+'([^']+)'"
+            r"(?:\s+LANGUAGE\s+(\w+))?$",
+            s,
+            re.I,
+        )
+        if m:
+            return self._create_function(
+                m.group(1).strip("`"), m.group(2), (m.group(3) or "PYTHON")
+            )
+        m = re.match(
+            r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?:IF\s+EXISTS\s+)?(\S+)$",
+            s,
+            re.I,
+        )
+        if m:
+            self.functions.pop(m.group(1).strip("`"), None)
+            return None
+        if re.match(r"SHOW\s+TABLES$", u):
+            names = sorted(
+                set(self.tables)
+                | {t.name for t in self.spark.catalog.listTables()}
+            )
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "table_name string"
+            )
+        if re.match(r"SHOW\s+VIEWS$", u):
+            names = sorted(
+                t.name
+                for t in self.spark.catalog.listTables()
+                if t.tableType == "TEMPORARY" and t.name not in self.tables
+            )
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "view_name string"
+            )
+        if re.match(r"SHOW\s+(?:USER\s+)?FUNCTIONS$", u):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.functions)], "function_name string"
+            )
+        m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\S+)$", s, re.I)
+        if m and not re.match(r"(?:DESCRIBE|DESC)\s+(?:SELECT|WITH|VALUES)\b", s, re.I):
+            return self._describe(m.group(1).strip("`"))
         m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
             return self._insert_into(
@@ -210,6 +261,78 @@ class TableEnvironment:
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
         return self.spark.sql(s)
+
+    # -- CREATE FUNCTION / SHOW / DESCRIBE -------------------------------
+    def _create_function(self, name: str, path: str, language: str):
+        """Resolve `module.attr` and register it under `name`.
+
+        Accepted targets, mirroring Flink's ScalarFunction/TableFunction
+        registration surface onto Spark's:
+          * a pyspark UDF object (`@udf` / `@pandas_udf` result),
+          * a pyspark UDTF object (`@udtf` result) — registered as a
+            table function usable in LATERAL / TABLE(...),
+          * a Flink-style class exposing ``eval`` (instantiated; the
+            optional ``result_type`` attribute pins the return type),
+          * a plain callable (optional ``result_type``, default string).
+        """
+        import importlib
+
+        if language.upper() not in ("PYTHON", "SQL"):
+            raise ValueError(f"unsupported function language: {language}")
+        mod_path, _, attr = path.rpartition(".")
+        if not mod_path:
+            raise ValueError(f"function target must be module.attr: {path!r}")
+        obj = getattr(importlib.import_module(mod_path), attr)
+        # a @udf/@pandas_udf product (pyspark's own register() detects
+        # wrapped UDFs the same way)
+        if hasattr(obj, "asNondeterministic"):
+            self.spark.udf.register(name, obj)
+        elif type(obj).__name__ == "UserDefinedTableFunction":
+            self.spark.udtf.register(name, obj)
+        elif isinstance(obj, type) and hasattr(obj, "eval"):
+            inst = obj()
+            rt = getattr(obj, "result_type", "string")
+            self.spark.udf.register(name, inst.eval, rt)
+        elif callable(obj):
+            rt = getattr(obj, "result_type", "string")
+            self.spark.udf.register(name, obj, rt)
+        else:
+            raise ValueError(f"cannot register {path!r} as a function")
+        self.functions[name] = path
+        return None
+
+    def _describe(self, name: str) -> DataFrame:
+        """Flink DESCRIBE: (name, type, null, key, extras, watermark)."""
+        meta = self.tables.get(name)
+        rows = []
+        if meta is not None:
+            pk = set(meta.primary_key)
+            wm_col = meta.watermark[0] if meta.watermark else None
+            for col, typ in meta.columns:
+                rows.append(
+                    (
+                        col,
+                        typ,
+                        True,
+                        "PRI(NOT ENFORCED)" if col in pk else None,
+                        None,
+                        meta.watermark[1] if col == wm_col else None,
+                    )
+                )
+            for col, expr in meta.computed:
+                rows.append((col, "COMPUTED", True, None, f"AS {expr}", None))
+        else:
+            df = self.spark.table(name)
+            for f_ in df.schema.fields:
+                rows.append(
+                    (f_.name, f_.dataType.simpleString(), f_.nullable,
+                     None, None, None)
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, `null` boolean, key string, "
+            "extras string, watermark string",
+        )
 
     # -- CREATE TABLE ----------------------------------------------------
     def _create_table(self, s: str) -> None:

@@ -644,3 +644,83 @@ def test_sql_match_recognize_rejects_function_calls(fixture_env):
                 DEFINE A AS __import__('os').getpid() = 0
             )
         """).collect()
+
+
+# ----------------------------------------- CREATE FUNCTION / SHOW / DESCRIBE
+
+
+def test_create_function_pandas_udf(fixture_env, spark, sf_dir):
+    """CREATE TEMPORARY FUNCTION registering a pandas UDF by python
+    path, used from SQL — result matches the udx_pandas_scalar oracle
+    expression evaluated inline."""
+    fixture_env.execute_sql(
+        "CREATE TEMPORARY FUNCTION my_score AS "
+        "'flink_1_20_spark.functions.udfs.score_udf'"
+    )
+    got = fixture_env.execute_sql("""
+        SELECT event_id, my_score(`value`, event_type) AS score
+        FROM events WHERE event_id <= 200
+    """)
+    want = fixture_env.execute_sql("""
+        SELECT event_id, round(`value` * 0.5 + length(event_type), 6) AS score
+        FROM events WHERE event_id <= 200
+    """)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_create_function_eval_class_and_callable(fixture_env):
+    fixture_env.execute_sql(
+        "CREATE FUNCTION tagged_len AS "
+        "'flink_1_20_spark.functions.udfs.TaggedLength'"
+    )
+    fixture_env.execute_sql(
+        "CREATE TEMPORARY SYSTEM FUNCTION clip AS "
+        "'flink_1_20_spark.functions.udfs.clip_value' LANGUAGE PYTHON"
+    )
+    rows = fixture_env.execute_sql(
+        "SELECT tagged_len(event_type) AS n, clip(`value` * 1000) AS c "
+        "FROM events WHERE event_id = 1"
+    ).collect()
+    assert len(rows) == 1
+    assert isinstance(rows[0]["n"], int) and rows[0]["n"] > 0
+    assert 0.0 <= rows[0]["c"] <= 100.0
+
+
+def test_create_function_udtf(fixture_env):
+    fixture_env.execute_sql(
+        "CREATE TEMPORARY FUNCTION split_words AS "
+        "'flink_1_20_spark.functions.udfs.SplitWords'"
+    )
+    rows = fixture_env.execute_sql(
+        "SELECT * FROM split_words('a bb ccc')"
+    ).collect()
+    assert [(r.word, r.idx) for r in rows] == [("a", 0), ("bb", 1), ("ccc", 2)]
+
+
+def test_show_and_describe(fixture_env, spark, tmp_path):
+    src = tmp_path / "t.csv"
+    src.write_text("a,b\n1,2\n")
+    fixture_env.execute_sql(f"""
+        CREATE TABLE show_me (
+            a BIGINT, b BIGINT,
+            c AS a + b,
+            PRIMARY KEY (a) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    tables = [r.table_name for r in fixture_env.execute_sql("SHOW TABLES").collect()]
+    assert "show_me" in tables and "events" in tables
+    fixture_env.execute_sql(
+        "CREATE TEMPORARY FUNCTION fn_one AS "
+        "'flink_1_20_spark.functions.udfs.clip_value'"
+    )
+    fns = [r.function_name for r in fixture_env.execute_sql("SHOW FUNCTIONS").collect()]
+    assert "fn_one" in fns
+    fixture_env.execute_sql("DROP FUNCTION fn_one")
+    fns = [r.function_name for r in fixture_env.execute_sql("SHOW FUNCTIONS").collect()]
+    assert "fn_one" not in fns
+    desc = {r.name: r for r in fixture_env.execute_sql("DESCRIBE show_me").collect()}
+    assert desc["a"].key == "PRI(NOT ENFORCED)"
+    assert desc["c"].type == "COMPUTED" and desc["c"].extras == "AS a + b"
+    # DESCRIBE of a plain registered view falls back to the Spark schema
+    desc2 = {r.name: r.type for r in fixture_env.execute_sql("DESCRIBE events").collect()}
+    assert desc2["event_id"] == "bigint"
