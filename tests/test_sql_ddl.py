@@ -724,3 +724,25 @@ def test_show_and_describe(fixture_env, spark, tmp_path):
     # DESCRIBE of a plain registered view falls back to the Spark schema
     desc2 = {r.name: r.type for r in fixture_env.execute_sql("DESCRIBE events").collect()}
     assert desc2["event_id"] == "bigint"
+
+
+def test_sql_window_join_two_tvfs(fixture_env, spark, sf_dir):
+    """Window join through the dialect (StreamExecWindowJoin.java:69):
+    two TVF-windowed tables joined on (key, window_start, window_end) in
+    ONE executeSql statement — result equals the join_window library
+    oracle (same per-hour view x purchase pairing)."""
+    from flink_1_20_spark.queries.joins import join_window
+
+    got = fixture_env.execute_sql("""
+        SELECT l.window_start AS w_start, l.user_id,
+               count(*) AS n_pairs
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) l
+        JOIN TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) r
+        ON l.user_id = r.user_id AND l.window_start = r.window_start
+           AND l.window_end = r.window_end
+        WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+        GROUP BY l.window_start, l.user_id
+    """)
+    want = join_window(spark, sf_dir)
+    cols = ["w_start", "user_id", "n_pairs"]
+    assert _rows(got, cols) == _rows(want, cols)
