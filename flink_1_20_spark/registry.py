@@ -50,56 +50,62 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # TPC-DS shapes). Remaining queries follow in registration order and
 # keep full local-oracle coverage via scripts/verify_local.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # 5 bench headliners (every round)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "join_full_outer",
-    "join_left_anti",
-    "join_nonequi_range",
-    "join_window",
-    "join_interval",
-    "asof_join_backward",
-    "lookup_join_dims",
+    # the 10 dtype-drift fixes (3 driver-red in r4 + 7 latent) — kept in
+    # window to prove the oracle-dtype sweep closed the class
     "join_range_banded",
-    "cogroup_custkey",
-    "setop_intersect_all",
-    "sort_multicol_nulls",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_cube",
-    "agg_pivot",
-    "table_agg_top2_per_group",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "over_range_time",
-    "over_rank_functions",
-    "rank_topn_per_group",
-    "window_topn",
-    "dedup_keep_last",
     "sessionization_gap",
-    "correlate_lateral_topn",
-    "subquery_exists_correlated",
-    "fn_string_advanced",
-    "fn_json_path",
-    "fn_time_type",
-    "wtvf_tumble",
-    "wtvf_session",
-    "cep_funnel_strict",
-    "cep_followed_by_any",
-    "changelog_join_semi",
     "cdc_retract_agg",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "simsearch_lsh_topk",
-    "text_quality",
-    "pipeline_corpus_curation",
-    "udx_grouped_agg",
-    "tpcds_q36_rollup_rank",
-    "tpcds_q78_no_return_by_year",
-    "tpcds_q72_residual_inequality",
+    "tpch_q12_priority_by_status",
+    "tpch_q2_min_cost_supplier",
+    "embed_quantize_int8",
+    "tpcds_q99_ship_bucket_grid",
+    "tpcds_q97_matched_unmatched",
+    "tpcds_q50_latency_buckets",
+    "tpcds_q64_spine_reused_cte",
+    # never-driver-confirmed families (r5 rotation)
+    "changelog_join_incremental",
+    "changelog_join_anti",
+    "dedup_simhash",
+    "join_interval_overlap",
+    "simsearch_ivf_topk",
+    "wtvf_cumulate",
+    "wtvf_hop",
+    "cep_vshape_iterative",
+    "pipeline_token_budget_sample",
+    "script_transform_pipe",
+    "temporal_sort",
+    # new residual TPC-DS ports (103/103 coverage proof)
+    "tpcds_q57_lag_lead_self_join",
+    "tpcds_q30_returns_above_nation_avg",
+    "tpcds_q86_rollup_rank_within_parent",
+    # breadth fill, all never-confirmed
+    "fn_string_basic",
+    "fn_math_misc",
+    "fn_temporal_arith",
+    "fn_array_higher_order",
+    "fn_map",
+    "subquery_not_in",
+    "multimodal_features",
+    "values_inline",
+    "wtvf_session_dynamic_gap",
+    "wtvf_window_rank",
+    "asof_join_tolerance",
+    "dedup_ngram_jaccard",
+    "dedup_connected_clusters",
+    "text_langid",
+    "text_tokens",
+    "text_repetition",
+    "simsearch_topk_bruteforce",
+    "cdc_upsert_materialize",
+    "count_window_tumble",
+    "udx_pandas_scalar",
+    "udx_table_function",
 )
 
 
