@@ -31,6 +31,7 @@ _MODULES = [
     "tpcds_shapes",
     "tpcds_shapes_ext",
     "tpcds_residual",
+    "governance",
     "pipeline",
     "approx_aggs",
     "range_join",

@@ -1,0 +1,206 @@
+"""Data-governance operators for a training-data pipeline: PII
+scrubbing, benchmark-contamination detection, and exact stratified
+sampling (beyond-reference, BASELINE.json north star).
+
+These are the governance stages a 100 TB corpus pipeline runs between
+dedup and training: redact contact information, drop documents that
+leak evaluation benchmarks, and draw reproducible per-language samples.
+
+Scale notes:
+  * `text_pii_scrub` is a stateless map (regexp_replace chains compile
+    into whole-stage codegen) — zero shuffle at any scale.
+  * `text_contamination_ngram` explodes 3-gram shingles only on the
+    DOCUMENT side; the benchmark side collapses to a DISTINCT gram set
+    first (tiny — benchmarks are ~10^5 grams) so AQE broadcasts it and
+    the probe is a map-side hash lookup, never a shuffle of the corpus.
+  * `sample_stratified_exact` ranks inside each stratum by a
+    content-independent deterministic key (md5 of the id), one shuffle
+    on the stratum key; k rows per stratum are reproducible across
+    engines, runs and cluster sizes — unlike `TABLESAMPLE`/`rand()`,
+    which are neither stratified nor stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.registry import register
+
+from ._util import T
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_IP_RE = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# The fixture corpus is synthetic word-soup with no real PII, so the
+# query derives a deterministic "dirty" column from fixture ids first —
+# the operator's redaction is then provable: every planted email/phone/
+# IP is counted before and gone after.
+_DIRTY_SQL = (
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@example.com'"
+    " || ' tel +1-555-' || CAST(1000 + doc_id % 9000 AS STRING)"
+    " || ' host 10.0.' || CAST(doc_id % 256 AS STRING) || '.7'"
+)
+
+_PII_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id, lang, {_DIRTY_SQL} AS text
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g'),
+           '{_IP_RE}', '<IP>', 'g')) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(
+           regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g'),
+           '{_IP_RE}', '<IP>', 'g'), '{_EMAIL_RE}')) AS BIGINT) AS residual_pii
+FROM dirty
+"""
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, phones and IPv4 literals from `text_col` in place
+    (returns the DataFrame with the column replaced). Pure
+    regexp_replace chain — codegen, no Python, no shuffle."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, _IP_RE, "<IP>")
+    return df.withColumn(text_col, c)
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with a built-in audit: plant deterministic
+    contact strings derived from doc_id, count them, scrub, prove the
+    residual count is zero and emit the scrubbed-text digest (both
+    engines agree byte-for-byte)."""
+    d = T(spark, sf_dir, "documents")
+    dirty = d.select("doc_id", "lang", F.expr(_DIRTY_SQL).alias("text"))
+
+    def n_matches(col, pat):
+        # backslashes double inside a Spark SQL string literal
+        sql_pat = pat.replace("\\", "\\\\")
+        return F.size(
+            F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)")
+        ).cast("long")
+
+    scrubbed = scrub_pii(dirty).select(
+        F.col("doc_id"), F.col("lang"), F.col("text").alias("clean")
+    )
+    counted = dirty.select(
+        "doc_id",
+        "lang",
+        n_matches("text", _EMAIL_RE).alias("n_emails"),
+        n_matches("text", _PHONE_RE).alias("n_phones"),
+        n_matches("text", _IP_RE).alias("n_ips"),
+    )
+    return counted.join(scrubbed, ["doc_id", "lang"]).select(
+        "doc_id",
+        "lang",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("clean").alias("scrubbed_md5"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(clean, '"
+                + _EMAIL_RE.replace("\\", "\\\\")
+                + "', 0)"
+            )
+        )
+        .cast("long")
+        .alias("residual_pii"),
+    )
+
+
+_CONTAM_ORACLE = """
+WITH bench AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           AS gram
+  FROM documents WHERE doc_id % 97 = 0),
+doc_grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           AS gram
+  FROM documents WHERE doc_id % 97 <> 0)
+SELECT d.doc_id,
+       CAST(count(DISTINCT d.gram) AS BIGINT) AS n_hit_grams
+FROM doc_grams d JOIN bench b ON d.gram = b.gram
+GROUP BY d.doc_id
+"""
+
+
+@register("text_contamination_ngram", oracle=_CONTAM_ORACLE)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detector: 3-gram word shingles of every
+    corpus document probed against the distinct shingle set of a
+    benchmark partition (doc_id % 97 — the stand-in eval set), emitting
+    per-document hit counts.
+
+    Plan: the benchmark set is DISTINCT-collapsed before the join so it
+    broadcasts; the corpus side streams through explode + hash probe —
+    at 100 TB this is one scan with a map-side semi-probe, no shuffle
+    of raw text."""
+    d = T(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    docs = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        docs.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+# One shared SQL string (md5 is byte-identical on both engines, so the
+# per-stratum selection is too).
+_STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+           AS rn
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM ranked WHERE rn <= 20
+GROUP BY lang
+"""
+
+
+@register("sample_stratified_exact", oracle=_STRATIFIED_SQL)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: k=20 documents per language, chosen
+    by ranking on md5(doc_id) — deterministic, engine-independent and
+    cluster-size-independent (TABLESAMPLE and rand() are neither
+    stratified nor reproducible). The checksum columns prove both
+    engines selected the SAME rows, not just the same count."""
+    from ._util import V
+
+    V(spark, sf_dir, "documents")
+    return spark.sql(_STRATIFIED_SQL)

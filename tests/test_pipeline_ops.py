@@ -128,3 +128,20 @@ def test_ivf_topk_kmeans_centroids_recall_and_balance(spark, sf_dir):
     # all 8 trained cells are populated and none swallowed the corpus
     assert len(sizes) == 8
     assert max(r["n"] for r in sizes) < 0.8 * total
+
+
+def test_scrub_pii_redacts_all_kinds(spark):
+    from flink_1_20_spark.queries.governance import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.co.uk today"),
+            (2, "call +1-555-0199 or ping 10.12.0.255 now"),
+            (3, "clean row with no contact info"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.text for r in scrub_pii(df).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "call <PHONE> or ping <IP> now"
+    assert out[3] == "clean row with no contact info"

@@ -242,3 +242,13 @@ def test_embedding_block_join_single_shuffle(spark, sf_dir, queries):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
     assert "BroadcastExchange" not in final, final
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir, queries):
+    """The benchmark gram set must BROADCAST; the corpus side must not
+    shuffle its exploded grams for the join (a 100 TB corpus cannot
+    afford a gram-shuffle — the probe is map-side)."""
+    plan = _final_plan(queries["text_contamination_ngram"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
