@@ -229,6 +229,12 @@ class TableEnvironment:
         m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\S+)$", s, re.I)
         if m and not re.match(r"(?:DESCRIBE|DESC)\s+(?:SELECT|WITH|VALUES)\b", s, re.I):
             return self._describe(m.group(1).strip("`"))
+        m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(\S+)$", s, re.I)
+        if m:
+            return self._show_create_table(m.group(1).strip("`"))
+        m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+(.*)$", s, re.S | re.I)
+        if m and m.group(1).strip("`") in self.tables:
+            return self._alter_table(m.group(1).strip("`"), m.group(2).strip())
         m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
             return self._insert_into(
@@ -257,6 +263,14 @@ class TableEnvironment:
             run_match_recognize,
         )
 
+        # Flink-only hints: OPTIONS('k'='v') dynamic table options and
+        # LOOKUP(...) tuning have no Spark analog (the lookup path
+        # broadcasts already) and their quoted-key syntax breaks Spark's
+        # hint parser — strip them. BROADCAST / SHUFFLE_HASH /
+        # SHUFFLE_MERGE hints share Spark's names and pass through.
+        s = re.sub(
+            r"/\*\+\s*(?:OPTIONS|LOOKUP)\s*\(\s*'[^)]*\)\s*\*/", "", s, flags=re.I
+        )
         s = rewrite_legacy_group_windows(rewrite_window_tvfs(s))
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
@@ -333,6 +347,80 @@ class TableEnvironment:
             "name string, type string, `null` boolean, key string, "
             "extras string, watermark string",
         )
+
+    # -- SHOW CREATE TABLE / ALTER TABLE ---------------------------------
+    def _show_create_table(self, name: str) -> DataFrame:
+        """Reconstruct the CREATE TABLE DDL from the stored TableMeta
+        (Flink's SHOW CREATE TABLE surface)."""
+        meta = self.tables.get(name)
+        if meta is None:
+            raise ValueError(f"table not found: {name}")
+        lines = [f"  `{c}` {t.upper()}" for c, t in meta.columns]
+        lines += [f"  `{c}` AS {e}" for c, e in meta.computed]
+        if meta.watermark:
+            lines.append(
+                f"  WATERMARK FOR `{meta.watermark[0]}` AS {meta.watermark[1]}"
+            )
+        if meta.primary_key:
+            cols = ", ".join(f"`{c}`" for c in meta.primary_key)
+            lines.append(f"  PRIMARY KEY ({cols}) NOT ENFORCED")
+        opts = {"connector": meta.connector, **meta.options}
+        with_clause = ",\n".join(f"  '{k}' = '{v}'" for k, v in opts.items())
+        part = (
+            "PARTITIONED BY ("
+            + ", ".join(f"`{c}`" for c in meta.partitioned_by)
+            + ")\n"
+            if meta.partitioned_by
+            else ""
+        )
+        ddl = (
+            f"CREATE TABLE `{name}` (\n"
+            + ",\n".join(lines)
+            + f"\n) {part}WITH (\n{with_clause}\n)"
+        )
+        return self.spark.createDataFrame([(ddl,)], "result string")
+
+    def _alter_table(self, name: str, action: str):
+        """ALTER TABLE: RENAME TO / SET (options) / ADD col / DROP col —
+        the mutations Flink's AlterTableOperation family supports; the
+        table is re-registered so subsequent reads see the change."""
+        meta = self.tables[name]
+        m = re.match(r"RENAME\s+TO\s+(\S+)$", action, re.I)
+        if m:
+            new = m.group(1).strip("`")
+            self.spark.catalog.dropTempView(name)
+            meta.name = new
+            self.tables[new] = self.tables.pop(name)
+            self._register(meta)
+            return None
+        m = re.match(r"SET\s*\((.*)\)$", action, re.S | re.I)
+        if m:
+            for kv in _split_top_all(m.group(1), ","):
+                km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", kv)
+                if not km:
+                    raise ValueError(f"cannot parse option: {kv!r}")
+                meta.options[km.group(1)] = km.group(2)
+            self._register(meta)
+            return None
+        m = re.match(r"ADD\s*\(?\s*(.*?)\)?$", action, re.S | re.I)
+        if m and m.group(1) and not action.upper().startswith("ADD CONSTRAINT"):
+            for coldef in _split_top_all(m.group(1), ","):
+                cm = re.match(r"\s*`?(\w+)`?\s+(.+?)\s*$", coldef, re.S)
+                if not cm:
+                    raise ValueError(f"cannot parse column: {coldef!r}")
+                meta.columns.append(
+                    (cm.group(1), flink_type_to_spark(cm.group(2)))
+                )
+            self._register(meta)
+            return None
+        m = re.match(r"DROP\s*\(?\s*`?(\w+)`?\s*\)?$", action, re.I)
+        if m:
+            col = m.group(1)
+            meta.columns = [(c, t) for c, t in meta.columns if c != col]
+            meta.computed = [(c, e) for c, e in meta.computed if c != col]
+            self._register(meta)
+            return None
+        raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
 
     # -- CREATE TABLE ----------------------------------------------------
     def _create_table(self, s: str) -> None:

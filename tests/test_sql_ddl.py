@@ -746,3 +746,49 @@ def test_sql_window_join_two_tvfs(fixture_env, spark, sf_dir):
     want = join_window(spark, sf_dir)
     cols = ["w_start", "user_id", "n_pairs"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_show_create_and_alter_table(spark, tmp_path):
+    src = tmp_path / "alter.csv"
+    src.write_text("a,b\n1,2\n3,4\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE alt (a BIGINT, b BIGINT, PRIMARY KEY (a) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    ddl = env.execute_sql("SHOW CREATE TABLE alt").collect()[0].result
+    assert "`a` BIGINT" in ddl and "PRIMARY KEY (`a`) NOT ENFORCED" in ddl
+    assert "'connector' = 'filesystem'" in ddl
+    # SET an option
+    env.execute_sql("ALTER TABLE alt SET ('csv.ignore-parse-errors'='true')")
+    assert env.tables["alt"].options["csv.ignore-parse-errors"] == "true"
+    # RENAME
+    env.execute_sql("ALTER TABLE alt RENAME TO alt2")
+    assert "alt2" in env.tables and "alt" not in env.tables
+    assert env.execute_sql("SELECT count(*) AS n FROM alt2").collect()[0].n == 2
+    # ADD / DROP a column
+    env.execute_sql("ALTER TABLE alt2 ADD (c STRING)")
+    assert ("c", "string") in env.tables["alt2"].columns
+    env.execute_sql("ALTER TABLE alt2 DROP c")
+    assert all(c != "c" for c, _ in env.tables["alt2"].columns)
+
+
+def test_flink_only_hints_are_stripped(fixture_env):
+    """OPTIONS(...) dynamic-table-option and LOOKUP(...) hints are
+    Flink-only syntax — the dialect strips them; Spark-shared hint
+    names (BROADCAST) pass through untouched."""
+    rows = fixture_env.execute_sql("""
+        SELECT /*+ OPTIONS('scan.startup.mode'='earliest-offset') */
+               count(*) AS n FROM events
+    """).collect()
+    assert rows[0].n > 0
+    rows2 = fixture_env.execute_sql("""
+        SELECT /*+ LOOKUP('table'='n') */ count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """).collect()
+    assert rows2[0].n > 0
+    rows3 = fixture_env.execute_sql("""
+        SELECT /*+ BROADCAST(c) */ count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """).collect()
+    assert rows3[0].n == rows2[0].n
