@@ -161,6 +161,29 @@ class TableEnvironment:
         s = stmt.strip().rstrip(";")
         u = s.upper()
         if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
+            # LIKE form first, guarded hard (base must be a KNOWN table
+            # and the trailing parens must hold only feature clauses) so
+            # a LIKE inside a computed-column expression can't match
+            m = re.match(
+                r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(\S+)\s*(?:\((.*?)\)\s*)?(?:WITH\s*\((.*?)\)\s*)?"
+                r"LIKE\s+(\S+)\s*(?:\((.*)\))?\s*$",
+                s,
+                re.S | re.I,
+            )
+            _feats_ok = m and re.fullmatch(
+                r"\s*(?:(?:INCLUDING|EXCLUDING|OVERWRITING)\s+\w+\s*,?\s*)*",
+                m.group(5) or "",
+                re.I,
+            )
+            if m and m.group(4).strip("`") in self.tables and _feats_ok:
+                return self._create_table_like(
+                    m.group(1).strip("`"),
+                    m.group(2) or "",
+                    m.group(3) or "",
+                    m.group(4).strip("`"),
+                    m.group(5) or "",
+                )
             return self._create_table(s)
         if re.match(r"DROP\s+TABLE\b", u):
             return self._drop_table(s)
@@ -347,6 +370,60 @@ class TableEnvironment:
             "name string, type string, `null` boolean, key string, "
             "extras string, watermark string",
         )
+
+    # -- CREATE TABLE ... LIKE -------------------------------------------
+    def _create_table_like(
+        self, name: str, extra_cols: str, with_body: str, base: str, feats: str
+    ) -> None:
+        """CREATE TABLE new (extra...) WITH (...) LIKE base (feature
+        clauses) — Flink's table-inheritance DDL (SqlCreateTableLike):
+        the new table copies the base's schema/watermark/constraints/
+        options, with INCLUDING/EXCLUDING/OVERWRITING feature clauses
+        and local additions merged on top."""
+        import copy
+
+        src = self.tables.get(base)
+        if src is None:
+            raise ValueError(f"LIKE base table not found: {base}")
+        meta = copy.deepcopy(src)
+        meta.name = name
+        fu = feats.upper()
+        if "EXCLUDING ALL" in fu:
+            meta.options = {}
+            meta.watermark = None
+            meta.primary_key = []
+            meta.computed = []
+        if "EXCLUDING OPTIONS" in fu:
+            meta.options = {}
+        if "EXCLUDING WATERMARKS" in fu:
+            meta.watermark = None
+        if "EXCLUDING CONSTRAINTS" in fu:
+            meta.primary_key = []
+        if "EXCLUDING GENERATED" in fu:
+            meta.computed = []
+        new_opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", with_body))
+        if "connector" in new_opts:
+            meta.connector = new_opts.pop("connector")
+        if "OVERWRITING OPTIONS" in fu or new_opts:
+            meta.options.update(new_opts)
+        for raw in _split_top_all(extra_cols, ","):
+            col = raw.strip()
+            if not col:
+                continue
+            if re.match(r"WATERMARK\b", col, re.I):
+                wm = re.match(
+                    r"WATERMARK\s+FOR\s+(\S+)\s+AS\s+(.*)$", col, re.S | re.I
+                )
+                meta.watermark = (wm.group(1).strip("`"), wm.group(2).strip())
+                continue
+            ac = re.match(r"`?(\w+)`?\s+AS\s+(.*)$", col, re.S | re.I)
+            if ac and not re.match(r"`?\w+`?\s+(ARRAY|MAP|ROW)\b", col, re.I):
+                meta.computed.append((ac.group(1), ac.group(2).strip()))
+                continue
+            cname, ctype = col.split(None, 1)
+            meta.columns.append((cname.strip("`"), flink_type_to_spark(ctype)))
+        self._register(meta)
+        self.tables[name] = meta
 
     # -- SHOW CREATE TABLE / ALTER TABLE ---------------------------------
     def _show_create_table(self, name: str) -> DataFrame:

@@ -792,3 +792,35 @@ def test_flink_only_hints_are_stripped(fixture_env):
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """).collect()
     assert rows3[0].n == rows2[0].n
+
+
+def test_create_table_like(spark, tmp_path):
+    src = tmp_path / "like.csv"
+    src.write_text("a,b\n1,2\n3,4\n")
+    src2 = tmp_path / "like2.csv"
+    src2.write_text("a,b\n5,6\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE base (
+            a BIGINT, b BIGINT,
+            c AS a + b,
+            PRIMARY KEY (a) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    # inherit schema + computed + pk, overwrite the path option
+    env.execute_sql(f"""
+        CREATE TABLE derived WITH ('path'='{src2}')
+        LIKE base (OVERWRITING OPTIONS)
+    """)
+    meta = env.tables["derived"]
+    assert meta.primary_key == ["a"] and meta.computed == [("c", "a + b")]
+    rows = env.execute_sql("SELECT a, b, c FROM derived").collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [(5, 6, 11)]
+    # EXCLUDING strips the copied features; extra column appends
+    env.execute_sql(f"""
+        CREATE TABLE bare (d BIGINT) WITH ('path'='{src2}')
+        LIKE base (EXCLUDING CONSTRAINTS, EXCLUDING GENERATED)
+    """)
+    m2 = env.tables["bare"]
+    assert m2.primary_key == [] and m2.computed == []
+    assert ("d", "bigint") in m2.columns
