@@ -48,11 +48,20 @@ def main() -> None:
         if warm in queries:
             queries[warm](spark, sf_dir).collect()
 
+    # Two timed executions per query, MIN reported: the second run hits
+    # the same plan with codegen compiled and page cache warm, so min
+    # measures the engine's steady-state cost rather than the host's
+    # scheduler/GC noise of one sample (JMH-style; single-run totals
+    # swung 5.3-10.0 s on an otherwise-idle 32-core box).
+    runs = 2
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            queries[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -67,6 +76,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": runs,
+                "agg": "min",
             }
         )
     )
