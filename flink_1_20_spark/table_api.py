@@ -106,7 +106,73 @@ class Table:
             .applyInPandas(fn, output_schema)
         )
 
+    def aggregate(self, fn, output_schema: str) -> "Table":
+        """Table.aggregate:880 (AggregateFunction — ONE row per group):
+        `fn(pdf) -> pdf` per group, Arrow-batched, must emit exactly one
+        row including the group key columns. Same contract as
+        flat_aggregate restricted to a single output row; same key
+        partitioning pin for the Python-bound stage."""
+        if self._group_cols is None:
+            raise ValueError("aggregate requires a preceding group_by")
+
+        # single-parameter closure: applyInPandas passes (key, pdf) to
+        # TWO-parameter functions, so a defaulted second arg would
+        # swallow the pdf
+        def one_row(pdf):
+            out = fn(pdf)
+            if len(out) != 1:
+                raise ValueError(
+                    f"aggregate fn must emit exactly one row, got {len(out)}"
+                )
+            return out
+
+        parts = self._df.sparkSession.sparkContext.defaultParallelism
+        keys = [F_expr(g) for g in self._group_cols]
+        return Table(
+            self._df.repartition(parts, *keys)
+            .groupBy(*keys)
+            .applyInPandas(one_row, output_schema)
+        )
+
+    def map(self, fn, output_schema: str) -> "Table":
+        """Table.map:822 (row-based map with a ScalarFunction producing
+        a row): `fn(pdf) -> pdf` over Arrow batches (mapInPandas) — the
+        vectorized form of Flink's per-row call."""
+        return Table(self._df.mapInPandas(fn, output_schema))
+
+    def flat_map(self, fn, output_schema: str) -> "Table":
+        """Table.flatMap:846 (TableFunction — 0..N rows per input row).
+        Identical engine path to map (mapInPandas); the contract
+        difference is that fn may change the row count."""
+        return Table(self._df.mapInPandas(fn, output_schema))
+
     # -- joins / set ops -------------------------------------------------
+    def join_lateral(self, udtf_call: str, on: str | None = None) -> "Table":
+        """Table.joinLateral:262 — correlate each row with a registered
+        table function (CommonExecCorrelate): INNER semantics, rows with
+        no UDTF output dropped. `udtf_call` is SQL text, e.g.
+        ``"split_words(text)"`` for a function registered via
+        spark.udtf.register / CREATE FUNCTION."""
+        return self._lateral(udtf_call, on, outer=False)
+
+    def left_outer_join_lateral(
+        self, udtf_call: str, on: str | None = None
+    ) -> "Table":
+        """Table.leftOuterJoinLateral:287 — rows with no UDTF output are
+        kept with NULL-padded function columns."""
+        return self._lateral(udtf_call, on, outer=True)
+
+    def _lateral(self, udtf_call: str, on: str | None, outer: bool) -> "Table":
+        spark = self._df.sparkSession
+        view = f"__lateral_src_{id(self._df) & 0xFFFFFF:x}"
+        self._df.createOrReplaceTempView(view)
+        join_kw = "LEFT JOIN LATERAL" if outer else "JOIN LATERAL"
+        on_sql = f" ON {_translate(on)}" if on else (" ON TRUE" if outer else "")
+        out = spark.sql(
+            f"SELECT * FROM {view} {join_kw} {udtf_call} __l{on_sql}"
+        )
+        return Table(out)
+
     def join(self, other: "Table", on: str | None = None) -> "Table":
         if on is None:
             return Table(self._df.crossJoin(other._df))

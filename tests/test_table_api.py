@@ -262,3 +262,80 @@ def test_windowed_select_aliasless_aggregate(spark):
     assert "EXPR$0" in t.columns
     got = sorted((r["window_start"].hour, r["EXPR$0"]) for r in t.collect())
     assert got == [(10, 3.0), (11, 4.0)]
+
+
+def test_map_flat_map_aggregate(spark):
+    import pandas as pd
+
+    from flink_1_20_spark.table_api import from_data_frame
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("b", 6.0)], "k string, v double"
+    )
+
+    def double_v(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["v"] = pdf["v"] * 2
+            yield pdf
+
+    rows = (
+        from_data_frame(df).map(double_v, "k string, v double").execute().collect()
+    )
+    assert sorted((r.k, r.v) for r in rows) == [("a", 4.0), ("a", 8.0), ("b", 12.0)]
+
+    def explode_twice(batches):
+        for pdf in batches:
+            yield pd.concat([pdf, pdf])
+
+    rows = (
+        from_data_frame(df)
+        .flat_map(explode_twice, "k string, v double")
+        .execute()
+        .collect()
+    )
+    assert len(rows) == 6
+
+    def mean_row(pdf):
+        return pd.DataFrame([{"k": pdf["k"].iloc[0], "mean_v": pdf["v"].mean()}])
+
+    rows = (
+        from_data_frame(df)
+        .group_by("k")
+        .aggregate(mean_row, "k string, mean_v double")
+        .execute()
+        .collect()
+    )
+    assert sorted((r.k, r.mean_v) for r in rows) == [("a", 3.0), ("b", 6.0)]
+
+
+def test_join_lateral_udtf(spark):
+    from pyspark.sql.functions import udtf
+
+    from flink_1_20_spark.table_api import from_data_frame
+
+    @udtf(returnType="word string, idx int")
+    class Words:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("tbl_words", Words)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c"), (3, "")], "id long, text string"
+    )
+    rows = (
+        from_data_frame(df).join_lateral("tbl_words(text)").execute().collect()
+    )
+    assert sorted((r.id, r.word, r.idx) for r in rows) == [
+        (1, "a", 0), (1, "b", 1), (2, "c", 0),
+    ]
+    rows = (
+        from_data_frame(df)
+        .left_outer_join_lateral("tbl_words(text)")
+        .execute()
+        .collect()
+    )
+    assert sorted([(r.id, r.word) for r in rows], key=str) == sorted(
+        [(1, "a"), (1, "b"), (2, "c"), (3, None)], key=str
+    )
