@@ -148,17 +148,78 @@ class TableMeta:
     partitioned_by: list[str] = field(default_factory=list)
 
 
+def _db_view_name(db: str, table: str) -> str:
+    """Flat temp-view alias for a qualified `db.table` reference."""
+    return f"__cat_{db}__{table}"
+
+
 class TableEnvironment:
     """Minimal executeSql host: DDL → connector mapping, DQL/DML → Catalyst."""
 
+    DEFAULT_DB = "default_database"  # Flink's default database name
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        self.tables: dict[str, TableMeta] = {}
+        # databases (GenericInMemoryCatalog.java:52): db -> {table: meta};
+        # self.tables aliases the CURRENT database's dict so unqualified
+        # statements keep operating on it directly
+        self._dbs: dict[str, dict[str, TableMeta]] = {self.DEFAULT_DB: {}}
+        self.current_db = self.DEFAULT_DB
+        self.tables: dict[str, TableMeta] = self._dbs[self.DEFAULT_DB]
         self.functions: dict[str, str] = {}  # name -> python path
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
+        u = s.upper()
+        # -- database statements (CatalogManager.java:80 surface) --------
+        m = re.match(
+            r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)"
+            r"(?:\s+COMMENT\s+'[^']*')?$",
+            s,
+            re.I,
+        )
+        if m:
+            self._dbs.setdefault(m.group(1).strip("`"), {})
+            return None
+        m = re.match(
+            r"DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\S+?)"
+            r"\s*(CASCADE|RESTRICT)?$",
+            s,
+            re.I,
+        )
+        if m:
+            db = m.group(1).strip("`")
+            if db == self.current_db:
+                raise ValueError("cannot drop the current database")
+            held = self._dbs.get(db, {})
+            if held and (m.group(2) or "RESTRICT").upper() == "RESTRICT":
+                raise ValueError(f"database {db} is not empty (use CASCADE)")
+            self._dbs.pop(db, None)
+            return None
+        m = re.match(r"USE\s+(\S+)$", s, re.I)
+        if m and m.group(1).strip("`") in self._dbs:
+            return self._use_database(m.group(1).strip("`"))
+        if re.match(r"SHOW\s+DATABASES$", u):
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(self._dbs)], "database_name string"
+            )
+        if re.match(r"SHOW\s+CURRENT\s+DATABASE$", u):
+            return self.spark.createDataFrame(
+                [(self.current_db,)], "current_database_name string"
+            )
+        # cross-database references `db.table` → the mangled per-db view
+        # (temp view names cannot contain dots); known pairs only, so a
+        # same-shaped string inside a literal is never touched by
+        # accident beyond registered tables
+        for db, tbls in self._dbs.items():
+            for t in tbls:
+                if f"{db}.{t}" in s:
+                    s = re.sub(
+                        rf"\b{re.escape(db)}\.{re.escape(t)}\b",
+                        _db_view_name(db, t),
+                        s,
+                    )
         u = s.upper()
         if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
             # LIKE form first, guarded hard (base must be a KNOWN table
@@ -588,6 +649,24 @@ class TableEnvironment:
             if wm:
                 df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
         df.createOrReplaceTempView(meta.name)
+        # mangled alias so `db.table` references resolve from any
+        # database (see the qualified-name rewrite in execute_sql)
+        df.createOrReplaceTempView(_db_view_name(self.current_db, meta.name))
+
+    def _use_database(self, db: str) -> None:
+        """USE <db>: unqualified names now resolve in <db> — the previous
+        database's flat temp views are dropped and the target's tables
+        re-registered under their bare names (the mangled per-db views
+        stay, so qualified references keep working everywhere)."""
+        if db == self.current_db:
+            return None
+        for name in self.tables:
+            self.spark.catalog.dropTempView(name)
+        self.current_db = db
+        self.tables = self._dbs[db]
+        for meta in self.tables.values():
+            self._register(meta)
+        return None
 
     # -- STATEMENT SET ---------------------------------------------------
     def execute_statement_set(self, statements: list[str]) -> None:

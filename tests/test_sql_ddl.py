@@ -824,3 +824,41 @@ def test_create_table_like(spark, tmp_path):
     m2 = env.tables["bare"]
     assert m2.primary_key == [] and m2.computed == []
     assert ("d", "bigint") in m2.columns
+
+
+def test_databases_use_and_qualified_names(spark, tmp_path):
+    a = tmp_path / "a.csv"
+    a.write_text("x\n1\n2\n")
+    b = tmp_path / "b.csv"
+    b.write_text("x\n10\n")
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE marketing")
+    dbs = [r.database_name for r in env.execute_sql("SHOW DATABASES").collect()]
+    assert dbs == ["default_database", "marketing"]
+    env.execute_sql(f"""
+        CREATE TABLE t (x BIGINT)
+        WITH ('connector'='filesystem','path'='{a}','format'='csv')
+    """)
+    env.execute_sql("USE marketing")
+    assert env.execute_sql("SHOW CURRENT DATABASE").collect()[0][0] == "marketing"
+    env.execute_sql(f"""
+        CREATE TABLE t (x BIGINT)
+        WITH ('connector'='filesystem','path'='{b}','format'='csv')
+    """)
+    # same unqualified name, two databases: current resolves to marketing
+    assert env.execute_sql("SELECT sum(x) AS s FROM t").collect()[0].s == 10
+    # qualified reference reaches the other database
+    got = env.execute_sql(
+        "SELECT sum(x) AS s FROM default_database.t"
+    ).collect()[0].s
+    assert got == 3
+    env.execute_sql("USE default_database")
+    assert env.execute_sql("SELECT sum(x) AS s FROM t").collect()[0].s == 3
+    assert env.execute_sql("SELECT sum(x) AS s FROM marketing.t").collect()[0].s == 10
+    # RESTRICT refuses to drop a non-empty db; CASCADE drops it
+    with pytest.raises(ValueError, match="not empty"):
+        env.execute_sql("DROP DATABASE marketing")
+    env.execute_sql("DROP DATABASE marketing CASCADE")
+    assert [r.database_name for r in env.execute_sql("SHOW DATABASES").collect()] == [
+        "default_database"
+    ]
