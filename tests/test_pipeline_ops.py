@@ -145,3 +145,36 @@ def test_scrub_pii_redacts_all_kinds(spark):
     assert out[1] == "mail me at <EMAIL> today"
     assert out[2] == "call <PHONE> or ping <IP> now"
     assert out[3] == "clean row with no contact info"
+
+
+def test_scrub_pii_idempotent(spark):
+    """Scrubbing twice equals scrubbing once (redaction tokens contain
+    no PII-shaped substrings)."""
+    from flink_1_20_spark.queries.governance import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com then +1-555-1234 then 10.0.0.1 mixed a@b.com")],
+        "id long, text string",
+    )
+    once = scrub_pii(df).collect()[0].text
+    twice = scrub_pii(scrub_pii(df)).collect()[0].text
+    assert once == twice
+    assert "<EMAIL>" in once and "<PHONE>" in once and "<IP>" in once
+
+
+def test_stratified_sample_invariants(spark, sf_dir):
+    """Per-stratum size == min(k, stratum size); selection is a subset
+    of the stratum; rerun is identical (determinism)."""
+    from flink_1_20_spark.queries.governance import sample_stratified_exact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stratum_sizes = {
+        r.lang: r.n for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    out1 = {r.lang: (r.n_sampled, r.id_checksum)
+            for r in sample_stratified_exact(spark, sf_dir).collect()}
+    out2 = {r.lang: (r.n_sampled, r.id_checksum)
+            for r in sample_stratified_exact(spark, sf_dir).collect()}
+    assert out1 == out2  # deterministic across runs
+    for lang, (n, _) in out1.items():
+        assert n == min(20, stratum_sizes[lang])
