@@ -72,3 +72,38 @@ def salted_count_distinct(
         .agg(F.count_distinct(F.col(distinct_col)).alias("__pd"))
     )
     return partial.groupBy(*keys).agg(F.sum("__pd").alias("n_distinct"))
+
+
+def salted_skew_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Deterministic skew-join: salt the SKEWED side, replicate the
+    other side once per salt, equi-join on (key, salt).
+
+    AQE's skew-join split (spark.sql.adaptive.skewJoin.enabled) handles
+    this at runtime by splitting oversized partitions — prefer it when
+    available. The explicit salt remains the tool when (a) the plan must
+    be deterministic across runs (benchmarked pipelines), (b) the engine
+    runs with AQE off, or (c) a single key is SO hot that even a split
+    partition's build side overflows (the salt also spreads the build
+    rows). Replication cost: other × num_salts rows through the shuffle,
+    so keep the replicated side the SMALLER one.
+
+    Output columns: both sides' columns (salt dropped). Supported how:
+    inner / left (left = the skewed side preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_skew_join supports how='inner'|'left'")
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts))
+    s = skewed.withColumn("__salt", salt)
+    r = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    cond = (s[skewed_key] == r[other_key]) & (s["__salt"] == r["__salt"])
+    out = s.join(r, cond, how)
+    return out.drop(s["__salt"]).drop(r["__salt"])

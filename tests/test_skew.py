@@ -53,3 +53,32 @@ def test_tumble_offset_alignment(spark):
     out = tumble_window_agg(df, "ts", "15 minutes", aggs={"n": F.count("*")}, offset="5 minutes")
     got = sorted(r["window_start"].isoformat() for r in out.collect())
     assert got == ["2024-01-01T10:05:00", "2024-01-01T10:20:00"]
+
+
+def test_salted_skew_join_matches_plain(spark):
+    """Salted join == plain join row set (inner + left), including a
+    very hot key, and the join stays an equi join on (key, salt)."""
+    import pandas as pd
+
+    from flink_1_20_spark.operators.skew import salted_skew_join
+
+    hot = [(1, f"h{i}") for i in range(500)] + [(2, "x"), (3, "y"), (5, "only_left")]
+    left = spark.createDataFrame(hot, "k long, lv string")
+    right = spark.createDataFrame(
+        [(1, "dim1"), (2, "dim2"), (4, "only_right")], "rk long, rv string"
+    )
+    plain = left.join(right, left.k == right.rk, "inner").select("k", "lv", "rv")
+    salted = salted_skew_join(left, right, "k", "rk", num_salts=8).select(
+        "k", "lv", "rv"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_l = left.join(right, left.k == right.rk, "left").select("k", "lv", "rv")
+    salted_l = salted_skew_join(left, right, "k", "rk", num_salts=8, how="left").select(
+        "k", "lv", "rv"
+    )
+    assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
