@@ -612,8 +612,36 @@ class TableEnvironment:
         self._register(meta)
         self.tables[name] = meta
 
+    _CDC_FORMATS = {
+        "debezium-json": "parse_debezium",
+        "canal-json": "parse_canal",
+        "maxwell-json": "parse_maxwell",
+        "ogg-json": "parse_ogg",
+    }
+
     def _register(self, meta: TableMeta) -> None:
         schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
+        if (
+            meta.connector == "filesystem"
+            and meta.options.get("format") in self._CDC_FORMATS
+        ):
+            # CDC-JSON table formats (flink-formats/flink-json Debezium/
+            # Canal/Maxwell/Ogg factories): the declared columns are the
+            # PAYLOAD schema; the decoded changelog adds row_kind (+I/
+            # -U/+U/-D) and the envelope timestamp — exactly what the
+            # Deserialization schemas emit into Flink's RowData.
+            import flink_1_20_spark.sources.cdc as cdc
+
+            raw = self.spark.read.text(meta.options["path"])
+            fn = getattr(cdc, self._CDC_FORMATS[meta.options["format"]])
+            df = fn(raw, "value", schema)
+            for cname, expr in meta.computed:
+                df = df.selectExpr("*", f"({expr}) AS {cname}")
+            df.createOrReplaceTempView(meta.name)
+            df.createOrReplaceTempView(
+                _db_view_name(self.current_db, meta.name)
+            )
+            return
         if meta.connector == "filesystem":
             from flink_1_20_spark.sources.connectors import read_file
 

@@ -862,3 +862,30 @@ def test_databases_use_and_qualified_names(spark, tmp_path):
     assert [r.database_name for r in env.execute_sql("SHOW DATABASES").collect()] == [
         "default_database"
     ]
+
+
+def test_create_table_cdc_format(spark, tmp_path):
+    """CREATE TABLE ... WITH ('format'='debezium-json') decodes the CDC
+    envelope into a RowKind changelog — the DDL wiring of Flink's
+    DebeziumJsonFormatFactory onto the sources/cdc.py decoder."""
+    src = tmp_path / "cdc"
+    src.mkdir()
+    (src / "events.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":{"id":1,"name":"a"}}\n'
+        '{"op":"u","ts_ms":2,"before":{"id":1,"name":"a"},"after":{"id":1,"name":"b"}}\n'
+        '{"op":"d","ts_ms":3,"before":{"id":1,"name":"b"},"after":null}\n'
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE changes (id BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{src}','format'='debezium-json')
+    """)
+    rows = env.execute_sql(
+        "SELECT row_kind, id, name FROM changes ORDER BY ts_ms, row_kind"
+    ).collect()
+    assert [(r.row_kind, r.id, r.name) for r in rows] == [
+        ("+I", 1, "a"),
+        ("+U", 1, "b"),
+        ("-U", 1, "a"),
+        ("-D", 1, "b"),
+    ]
