@@ -632,7 +632,11 @@ class TableEnvironment:
             # Deserialization schemas emit into Flink's RowData.
             import flink_1_20_spark.sources.cdc as cdc
 
-            raw = self.spark.read.text(meta.options["path"])
+            streaming = meta.options.get("scan.streaming", "false") == "true"
+            if streaming:  # monitored directory → unbounded changelog
+                raw = self.spark.readStream.text(meta.options["path"])
+            else:
+                raw = self.spark.read.text(meta.options["path"])
             fn = getattr(cdc, self._CDC_FORMATS[meta.options["format"]])
             df = fn(raw, "value", schema)
             for cname, expr in meta.computed:

@@ -889,3 +889,36 @@ def test_create_table_cdc_format(spark, tmp_path):
         ("-U", 1, "a"),
         ("-D", 1, "b"),
     ]
+
+
+def test_create_table_cdc_streaming(spark, tmp_path):
+    """'scan.streaming'='true' turns the CDC table into a monitored-
+    directory changelog stream (FileSource continuous-monitoring mode +
+    the CDC decoder)."""
+    from flink_1_20_spark.streaming import run_to_memory
+
+    src = tmp_path / "cdcs"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":{"id":1,"name":"a"}}\n'
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE live_changes (id BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='debezium-json','scan.streaming'='true')
+    """)
+    stream = spark.table("live_changes")
+    assert stream.isStreaming
+    q = run_to_memory(stream, "cdc_stream_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        (src / "b1.jsonl").write_text(
+            '{"op":"d","ts_ms":2,"before":{"id":1,"name":"a"},"after":null}\n'
+        )
+        q.processAllAvailable()
+        rows = spark.table("cdc_stream_out").collect()
+        kinds = sorted((r.row_kind, r.id) for r in rows)
+        assert kinds == [("+I", 1), ("-D", 1)]
+    finally:
+        q.stop()
