@@ -153,12 +153,65 @@ def cep_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "start_ts", "end_ts", "purchase_value")
 
 
-@register("cep_error_burst")  # rows-only: greedy oneOrMore + skip-past-last isn't ANSI-SQL
+_ERROR_BURST_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+errs AS (
+  SELECT user_id, ts, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+  FROM ordered WHERE event_type = 'error'),
+island AS (
+  SELECT user_id, isl, ts,
+         row_number() OVER (PARTITION BY user_id, isl ORDER BY rn) AS k
+  FROM errs),
+sizes AS (SELECT user_id, isl, max(k) AS n FROM island GROUP BY user_id, isl),
+-- NFA anchor scan: from anchor p, m = greedy prefix within 30min of
+-- t(p); success (m>=2) advances PAST the match (skip-past-last-event),
+-- failure advances one row — exactly the greedy-within-split loop.
+scan AS (
+  SELECT user_id, isl, 1 AS p FROM sizes
+  UNION ALL
+  SELECT sc.user_id, sc.isl,
+         CASE WHEN mm.m >= 2 THEN sc.p + mm.m ELSE sc.p + 1 END AS p
+  FROM scan sc
+  JOIN sizes z ON z.user_id = sc.user_id AND z.isl = sc.isl,
+  LATERAL (SELECT count(*) AS m
+           FROM island i, island a
+           WHERE a.user_id = sc.user_id AND a.isl = sc.isl AND a.k = sc.p
+             AND i.user_id = sc.user_id AND i.isl = sc.isl AND i.k >= sc.p
+             AND epoch(i.ts) <= epoch(a.ts) + 1800) mm
+  WHERE (CASE WHEN mm.m >= 2 THEN sc.p + mm.m ELSE sc.p + 1 END) <= z.n),
+matches AS (
+  SELECT sc.user_id, sc.isl, sc.p, mm.m
+  FROM scan sc,
+  LATERAL (SELECT count(*) AS m
+           FROM island i, island a
+           WHERE a.user_id = sc.user_id AND a.isl = sc.isl AND a.k = sc.p
+             AND i.user_id = sc.user_id AND i.isl = sc.isl AND i.k >= sc.p
+             AND epoch(i.ts) <= epoch(a.ts) + 1800) mm
+  WHERE mm.m >= 2)
+SELECT m.user_id, a.ts AS burst_start, b.ts AS burst_end,
+       CAST(m.m AS BIGINT) AS n_errors
+FROM matches m
+JOIN island a ON a.user_id = m.user_id AND a.isl = m.isl AND a.k = m.p
+JOIN island b ON b.user_id = m.user_id AND b.isl = m.isl AND b.k = m.p + m.m - 1
+"""
+
+
+@register("cep_error_burst", oracle=_ERROR_BURST_ORACLE)
 def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bursts of >= 2 strictly-consecutive errors within 30 minutes per
     user (Pattern.oneOrMore:415 + within:272, AFTER MATCH SKIP PAST LAST
     EVENT — AfterMatchSkipStrategy.java:44). Non-overlapping greedy
-    matches; verified by construction tests (tests/test_operators.py)."""
+    matches.
+
+    Long rows-only (greedy within-split "isn't ANSI-expressible"), now
+    oracle-checked: the DuckDB recursive CTE above replays the NFA's
+    anchor loop itself — islands of consecutive errors, greedy
+    within-window prefix per anchor, skip-past-last advance — so every
+    registered query is value-verified cross-engine."""
     e = T(spark, sf_dir, "events")
     pat = (
         Pattern.begin("e", lambda r: r["event_type"] == "error")
