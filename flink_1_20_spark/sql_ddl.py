@@ -339,6 +339,8 @@ class TableEnvironment:
                 "EXPLAIN "
                 + rewrite_legacy_group_windows(rewrite_window_tvfs(m.group(1)))
             )
+        if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", s, re.I):
+            return self._temporal_join(s)
         # Flink dialect → Spark SQL (window TVFs, legacy group windows,
         # MATCH_RECOGNIZE); plain statements pass through to Catalyst.
         from flink_1_20_spark.sql_flink import (
@@ -359,6 +361,86 @@ class TableEnvironment:
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
         return self.spark.sql(s)
+
+    # -- temporal (versioned) join ---------------------------------------
+    def _temporal_join(self, s: str):
+        """`JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d ON ...` — the SQL
+        spelling of the temporal/as-of join (StreamExecTemporalJoin.java,
+        SqlSnapshot in the Calcite parser), lowered onto
+        operators/asof.asof_join. The versioned side's event-time column
+        is its DECLARED watermark column (Flink requires a rowtime +
+        primary key on the versioned table; here the watermark in the
+        CREATE TABLE metadata plays that role)."""
+        m = re.match(
+            r"SELECT\s+(.*?)\s+FROM\s+(\S+)(?:\s+AS)?\s+(\w+)\s+"
+            r"(LEFT\s+)?JOIN\s+(\S+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+            r"(\w+)\.`?(\w+)`?(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)"
+            r"(\s+WHERE\s+.+)?$",
+            s,
+            re.S | re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse temporal join: {s[:120]!r}")
+        sel, fact, fa, left_kw, dim, ts_ref, ts_col, da, on, where = m.groups()
+        dim = dim.strip("`")
+        if ts_ref != fa:
+            raise ValueError("AS OF must reference the fact side's time column")
+        meta = self.tables.get(dim)
+        if meta is None or meta.watermark is None:
+            raise ValueError(
+                f"versioned table {dim!r} needs a declared WATERMARK "
+                "(its rowtime) in CREATE TABLE"
+            )
+        dim_ts = meta.watermark[0]
+        # equi keys from the ON conjunction, either side order
+        fact_keys, dim_keys = [], []
+        for clause in re.split(r"\bAND\b", on, flags=re.I):
+            em = re.match(
+                r"\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*$", clause
+            )
+            if not em:
+                raise ValueError(f"temporal join ON must be equi: {clause!r}")
+            a_al, a_c, b_al, b_c = em.groups()
+            if a_al == fa and b_al == da:
+                fact_keys.append(a_c)
+                dim_keys.append(b_c)
+            elif a_al == da and b_al == fa:
+                fact_keys.append(b_c)
+                dim_keys.append(a_c)
+            else:
+                raise ValueError(f"ON clause references unknown alias: {clause!r}")
+        from pyspark.sql import functions as F
+
+        from flink_1_20_spark.operators.asof import asof_join
+
+        fact_df = self.spark.table(fact.strip("`"))
+        dim_df = self.spark.table(dim)
+        for dk, fk in zip(dim_keys, fact_keys):
+            if dk != fk:
+                dim_df = dim_df.withColumnRenamed(dk, fk)
+        dim_df = dim_df.withColumn("__version_ts", F.col(dim_ts))
+        payload = [
+            c
+            for c in dim_df.columns
+            if c not in fact_keys and c not in (dim_ts, "__version_ts")
+        ]
+        joined = asof_join(
+            fact_df,
+            dim_df,
+            on=fact_keys,
+            left_ts=ts_col,
+            right_ts=dim_ts,
+            right_cols=[*payload, "__version_ts"],
+        )
+        if not left_kw:  # plain JOIN = INNER: drop rows with no version
+            joined = joined.filter(F.col("__version_ts").isNotNull())
+        joined = joined.drop("__version_ts")
+        view = "__temporal_join_out"
+        joined.createOrReplaceTempView(view)
+        # strip alias qualifiers — the joined view is flat
+        body = re.sub(rf"\b(?:{fa}|{da})\.", "", sel)
+        tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
+        return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
     # -- CREATE FUNCTION / SHOW / DESCRIBE -------------------------------
     def _create_function(self, name: str, path: str, language: str):

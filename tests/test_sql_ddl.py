@@ -922,3 +922,54 @@ def test_create_table_cdc_streaming(spark, tmp_path):
         assert kinds == [("+I", 1), ("-D", 1)]
     finally:
         q.stop()
+
+
+def test_temporal_join_for_system_time(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF through executeSql: each order joins the
+    rate version valid at its timestamp (versioned side's rowtime =
+    its declared WATERMARK column); INNER drops rows before the first
+    version, LEFT keeps them with NULLs."""
+    rates = tmp_path / "rates.csv"
+    rates.write_text(
+        "cur,rate,valid_from\n"
+        "EUR,1.0,2024-01-01T00:00:00\n"
+        "EUR,2.0,2024-01-02T00:00:00\n"
+        "USD,5.0,2024-01-01T12:00:00\n"
+    )
+    orders = tmp_path / "ords.csv"
+    orders.write_text(
+        "oid,cur,amount,ots\n"
+        "1,EUR,10.0,2024-01-01T06:00:00\n"
+        "2,EUR,10.0,2024-01-03T00:00:00\n"
+        "3,USD,10.0,2024-01-01T00:00:00\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE rates (
+            cur STRING, rate DOUBLE, valid_from TIMESTAMP,
+            WATERMARK FOR valid_from AS valid_from - INTERVAL '0' SECOND,
+            PRIMARY KEY (cur) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{rates}','format'='csv')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE ords (oid BIGINT, cur STRING, amount DOUBLE, ots TIMESTAMP)
+        WITH ('connector'='filesystem','path'='{orders}','format'='csv')
+    """)
+    got = env.execute_sql("""
+        SELECT o.oid, o.amount * r.rate AS converted
+        FROM ords o
+        JOIN rates FOR SYSTEM_TIME AS OF o.ots AS r
+        ON o.cur = r.cur
+    """).collect()
+    # order 1: EUR rate 1.0; order 2: EUR rate 2.0; order 3: USD has no
+    # version yet at 00:00 -> dropped by INNER
+    assert sorted((r.oid, r.converted) for r in got) == [(1, 10.0), (2, 20.0)]
+    got_left = env.execute_sql("""
+        SELECT o.oid, r.rate
+        FROM ords o
+        LEFT JOIN rates FOR SYSTEM_TIME AS OF o.ots AS r
+        ON o.cur = r.cur
+    """).collect()
+    assert sorted([(r.oid, r.rate) for r in got_left], key=str) == sorted(
+        [(1, 1.0), (2, 2.0), (3, None)], key=str
+    )
