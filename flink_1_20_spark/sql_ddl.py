@@ -332,12 +332,15 @@ class TableEnvironment:
         if m and not re.match(r"EXPLAIN\s+(FORMATTED|EXTENDED|CODEGEN|COST)\b", s, re.I):
             from flink_1_20_spark.sql_flink import (
                 rewrite_legacy_group_windows,
+                rewrite_unnest,
                 rewrite_window_tvfs,
             )
 
             return self.spark.sql(
                 "EXPLAIN "
-                + rewrite_legacy_group_windows(rewrite_window_tvfs(m.group(1)))
+                + rewrite_unnest(
+                    rewrite_legacy_group_windows(rewrite_window_tvfs(m.group(1)))
+                )
             )
         if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", s, re.I):
             return self._temporal_join(s)
@@ -345,6 +348,7 @@ class TableEnvironment:
         # MATCH_RECOGNIZE); plain statements pass through to Catalyst.
         from flink_1_20_spark.sql_flink import (
             rewrite_legacy_group_windows,
+            rewrite_unnest,
             rewrite_window_tvfs,
             run_match_recognize,
         )
@@ -357,7 +361,7 @@ class TableEnvironment:
         s = re.sub(
             r"/\*\+\s*(?:OPTIONS|LOOKUP)\s*\(\s*'[^)]*\)\s*\*/", "", s, flags=re.I
         )
-        s = rewrite_legacy_group_windows(rewrite_window_tvfs(s))
+        s = rewrite_unnest(rewrite_legacy_group_windows(rewrite_window_tvfs(s)))
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
         return self.spark.sql(s)
@@ -835,6 +839,7 @@ class TableEnvironment:
         # SELECTs (window TVFs, legacy group windows, MATCH_RECOGNIZE)
         from flink_1_20_spark.sql_flink import (
             rewrite_legacy_group_windows,
+            rewrite_unnest,
             rewrite_window_tvfs,
             run_match_recognize,
         )

@@ -669,3 +669,64 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
         sql[: m.start()] + view + alias + (rest[alias_m.end():] if alias_m else rest)
     )
     return spark.sql(rewritten)
+
+
+# ------------------------------------------------------------- UNNEST
+# Flink spells array/map expansion `CROSS JOIN UNNEST(expr) AS a(c1..)`
+# (Calcite SqlUnnestOperator; $UNNEST_ROWS$1 in
+# BuiltInFunctionDefinitions.java:446). Spark's parser has no UNNEST —
+# the equivalent is LATERAL VIEW explode/inline/posexplode.
+
+_UNNEST = re.compile(
+    r"(CROSS\s+JOIN|LEFT\s+JOIN|,)\s*UNNEST\s*\(", re.I
+)
+
+
+def rewrite_unnest(sql: str) -> str:
+    """Rewrite every `[CROSS|LEFT] JOIN UNNEST(expr) [WITH ORDINALITY]
+    AS alias(c1, c2...)` onto LATERAL VIEW:
+
+      1 output column             -> explode(expr) alias AS c1
+      2+ columns                  -> inline(expr)  alias AS c1, c2...
+         (array-of-row expansion; for maps Spark's explode already
+          yields key,value — also the 2-column case)
+      WITH ORDINALITY             -> posexplode (ordinality column LAST,
+                                     matching Flink's column order)
+      LEFT JOIN ... ON TRUE       -> LATERAL VIEW OUTER
+    """
+    while True:
+        m = _UNNEST.search(sql)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_close(sql, open_idx)
+        expr = sql[open_idx + 1 : close_idx]
+        rest = sql[close_idx + 1 :]
+        tail = re.match(
+            r"\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?"
+            r"(\s+ON\s+TRUE)?",
+            rest,
+            re.I,
+        )
+        ordinality = bool(tail.group(1))
+        alias = tail.group(2)
+        cols = [c.strip() for c in (tail.group(3) or "").split(",") if c.strip()]
+        outer = "OUTER " if m.group(1).upper().startswith("LEFT") else ""
+        if ordinality:
+            # Flink: (value cols..., ordinality) — posexplode emits
+            # (pos, col); reorder via the alias list
+            data_cols = cols[:-1] or ["__unnest_col"]
+            ord_col = cols[-1] if cols else "__ord"
+            gen = (
+                f"LATERAL VIEW {outer}posexplode({expr}) {alias} AS "
+                f"{ord_col}, {', '.join(data_cols)}"
+            )
+        elif len(cols) >= 2:
+            gen = (
+                f"LATERAL VIEW {outer}inline({expr}) {alias} AS "
+                f"{', '.join(cols)}"
+            )
+        else:
+            col = cols[0] if cols else alias
+            gen = f"LATERAL VIEW {outer}explode({expr}) {alias} AS {col}"
+        sql = sql[: m.start()] + " " + gen + rest[tail.end() :]

@@ -973,3 +973,32 @@ def test_temporal_join_for_system_time(spark, tmp_path):
     assert sorted([(r.oid, r.rate) for r in got_left], key=str) == sorted(
         [(1, 1.0), (2, 2.0), (3, None)], key=str
     )
+
+
+def test_unnest_rewrite(fixture_env, spark):
+    """Flink CROSS JOIN UNNEST forms lower onto LATERAL VIEW: scalar
+    arrays (explode), WITH ORDINALITY (posexplode), arrays of rows
+    (inline), and LEFT JOIN ... ON TRUE (OUTER)."""
+    spark.createDataFrame(
+        [(1, ["a", "b"], [(10, "x")]), (2, [], [])],
+        "id long, tags array<string>, pairs array<struct<n:long,s:string>>",
+    ).createOrReplaceTempView("unnest_src")
+    rows = fixture_env.execute_sql("""
+        SELECT id, tag FROM unnest_src CROSS JOIN UNNEST(tags) AS u(tag)
+    """).collect()
+    assert sorted((r.id, r.tag) for r in rows) == [(1, "a"), (1, "b")]
+    rows = fixture_env.execute_sql("""
+        SELECT id, tag, ord
+        FROM unnest_src CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, ord)
+    """).collect()
+    assert sorted((r.id, r.tag, r.ord) for r in rows) == [(1, "a", 0), (1, "b", 1)]
+    rows = fixture_env.execute_sql("""
+        SELECT id, n, s FROM unnest_src CROSS JOIN UNNEST(pairs) AS p(n, s)
+    """).collect()
+    assert [(r.id, r.n, r.s) for r in rows] == [(1, 10, "x")]
+    rows = fixture_env.execute_sql("""
+        SELECT id, tag FROM unnest_src LEFT JOIN UNNEST(tags) AS u(tag) ON TRUE
+    """).collect()
+    assert sorted([(r.id, r.tag) for r in rows], key=str) == sorted(
+        [(1, "a"), (1, "b"), (2, None)], key=str
+    )
