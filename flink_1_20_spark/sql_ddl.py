@@ -347,6 +347,7 @@ class TableEnvironment:
         # Flink dialect → Spark SQL (window TVFs, legacy group windows,
         # MATCH_RECOGNIZE); plain statements pass through to Catalyst.
         from flink_1_20_spark.sql_flink import (
+            rewrite_flink_builtins,
             rewrite_legacy_group_windows,
             rewrite_unnest,
             rewrite_window_tvfs,
@@ -362,6 +363,7 @@ class TableEnvironment:
             r"/\*\+\s*(?:OPTIONS|LOOKUP)\s*\(\s*'[^)]*\)\s*\*/", "", s, flags=re.I
         )
         s = rewrite_unnest(rewrite_legacy_group_windows(rewrite_window_tvfs(s)))
+        s = rewrite_flink_builtins(s)
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
         return self.spark.sql(s)
@@ -838,6 +840,7 @@ class TableEnvironment:
         # INSERT bodies get the same dialect treatment as top-level
         # SELECTs (window TVFs, legacy group windows, MATCH_RECOGNIZE)
         from flink_1_20_spark.sql_flink import (
+            rewrite_flink_builtins,
             rewrite_legacy_group_windows,
             rewrite_unnest,
             rewrite_window_tvfs,

@@ -730,3 +730,110 @@ def rewrite_unnest(sql: str) -> str:
             col = cols[0] if cols else alias
             gen = f"LATERAL VIEW {outer}explode({expr}) {alias} AS {col}"
         sql = sql[: m.start()] + " " + gen + rest[tail.end() :]
+
+
+# ------------------------------------------------- Flink builtin names
+# Flink SQL function names with no Spark builtin of the same name
+# (BuiltInFunctionDefinitions.java; library forms in functions/compat.py)
+# rewritten to the equivalent Spark SQL expression — pure text, so the
+# result stays inside whole-stage codegen (never a Python UDF).
+
+
+def _strip_json_mode(arg: str) -> str:
+    m = re.match(r"^'\s*(?:lax|strict)\s+(.*)'$", arg.strip(), re.I | re.S)
+    return f"'{m.group(1)}'" if m else arg
+
+
+def _bi_split_index(a):
+    return f"get(split({a[0]}, {a[1]}, -1), {a[2]})"
+
+
+def _bi_to_base64(a):
+    return f"base64({a[0]})"
+
+
+def _bi_from_base64(a):
+    return f"unbase64({a[0]})"
+
+
+def _bi_truncate(a):
+    x = a[0]
+    n = a[1] if len(a) > 1 else "0"
+    return (
+        f"((CASE WHEN ({x}) >= 0 THEN floor(({x}) * pow(10, {n})) "
+        f"ELSE ceil(({x}) * pow(10, {n})) END) / pow(10, {n}))"
+    )
+
+
+def _bi_rand_integer(a):
+    if len(a) == 2:  # RAND_INTEGER(seed, bound)
+        return f"CAST(floor(rand({a[0]}) * ({a[1]})) AS INT)"
+    return f"CAST(floor(rand() * ({a[0]})) AS INT)"
+
+
+def _bi_convert_tz(a):
+    return f"from_utc_timestamp(to_utc_timestamp({a[0]}, {a[1]}), {a[2]})"
+
+
+def _bi_json_exists(a):
+    p = _strip_json_mode(a[1])
+    return f"(get_json_object({a[0]}, {p}) IS NOT NULL)"
+
+
+def _bi_json_value(a):
+    if len(a) != 2:
+        raise ValueError(
+            "JSON_VALUE rewrite supports the 2-arg form; use "
+            "functions/compat.json_value for RETURNING/DEFAULT clauses"
+        )
+    p = _strip_json_mode(a[1])
+    g = f"get_json_object({a[0]}, {p})"
+    return (
+        f"(CASE WHEN substring({g}, 1, 1) IN ('{{', '[') "
+        f"THEN CAST(NULL AS STRING) ELSE {g} END)"
+    )
+
+
+def _bi_json_query(a):
+    if len(a) != 2:
+        raise ValueError(
+            "JSON_QUERY rewrite supports the 2-arg WITHOUT-ARRAY form; "
+            "use functions/compat.json_query for array wrappers"
+        )
+    p = _strip_json_mode(a[1])
+    g = f"get_json_object({a[0]}, {p})"
+    return f"(CASE WHEN substring({g}, 1, 1) IN ('{{', '[') THEN {g} END)"
+
+
+_BUILTIN_REWRITES: dict[str, Callable[[list[str]], str]] = {
+    "SPLIT_INDEX": _bi_split_index,
+    "TO_BASE64": _bi_to_base64,
+    "FROM_BASE64": _bi_from_base64,
+    "TRUNCATE": _bi_truncate,
+    "RAND_INTEGER": _bi_rand_integer,
+    "CONVERT_TZ": _bi_convert_tz,
+    "JSON_EXISTS": _bi_json_exists,
+    "JSON_VALUE": _bi_json_value,
+    "JSON_QUERY": _bi_json_query,
+}
+
+_BUILTIN_HEAD = re.compile(
+    r"\b(" + "|".join(_BUILTIN_REWRITES) + r")\s*\(", re.I
+)
+
+
+def rewrite_flink_builtins(sql: str) -> str:
+    """Replace Flink-named builtin calls with Spark SQL equivalents
+    (innermost-first so nested calls resolve)."""
+    while True:
+        matches = list(_BUILTIN_HEAD.finditer(sql))
+        if not matches:
+            return sql
+        # innermost first: take the LAST match (deepest in left-to-right
+        # nesting the earlier ones re-scan next iteration)
+        m = matches[-1]
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_close(sql, open_idx)
+        args = _split_args(sql[open_idx + 1 : close_idx])
+        repl = _BUILTIN_REWRITES[m.group(1).upper()](args)
+        sql = sql[: m.start()] + repl + sql[close_idx + 1 :]

@@ -1002,3 +1002,31 @@ def test_unnest_rewrite(fixture_env, spark):
     assert sorted([(r.id, r.tag) for r in rows], key=str) == sorted(
         [(1, "a"), (1, "b"), (2, None)], key=str
     )
+
+
+def test_flink_builtin_name_rewrites(fixture_env):
+    """Flink function names Spark lacks rewrite to codegen-pure Spark
+    SQL: SPLIT_INDEX, TO/FROM_BASE64, TRUNCATE, RAND_INTEGER,
+    CONVERT_TZ, JSON_EXISTS/VALUE/QUERY (2-arg, lax/strict prefixes)."""
+    r = fixture_env.execute_sql("""
+        SELECT SPLIT_INDEX('a,b,c', ',', 1) AS s1,
+               SPLIT_INDEX('a,b,c', ',', 9) AS s_oob,
+               TO_BASE64(CAST('x' AS BINARY)) AS b64,
+               CAST(FROM_BASE64('eA==') AS STRING) AS x,
+               TRUNCATE(3.14159, 2) AS t2,
+               TRUNCATE(-2.79, 1) AS tn,
+               RAND_INTEGER(10) AS ri,
+               CONVERT_TZ(TIMESTAMP '2024-06-01 12:00:00',
+                          'UTC', 'America/New_York') AS ctz,
+               JSON_EXISTS('{"a": 1}', 'lax $.a') AS je,
+               JSON_VALUE('{"a": {"b": 2}}', '$.a.b') AS jv,
+               JSON_VALUE('{"a": {"b": 2}}', '$.a') AS jv_struct,
+               JSON_QUERY('{"a": [1, 2]}', 'strict $.a') AS jq
+    """).collect()[0]
+    assert r.s1 == "b" and r.s_oob is None
+    assert r.b64 == "eA==" and r.x == "x"
+    assert abs(r.t2 - 3.14) < 1e-9 and abs(r.tn - (-2.7)) < 1e-9
+    assert 0 <= r.ri < 10
+    assert str(r.ctz).startswith("2024-06-01 08:00:00")
+    assert r.je is True and r.jv == "2" and r.jv_struct is None
+    assert r.jq == "[1, 2]" or r.jq == "[1,2]"
