@@ -734,7 +734,22 @@ class TableEnvironment:
                 _db_view_name(self.current_db, meta.name)
             )
             return
-        if meta.connector == "filesystem":
+        if (
+            meta.connector == "filesystem"
+            and meta.options.get("scan.streaming", "false") == "true"
+        ):
+            # continuous directory monitoring for regular formats
+            # (FileSource.forRecordStreamFormat().monitorContinuously());
+            # streaming reads require the DECLARED schema
+            from flink_1_20_spark.streaming.sources import file_source
+
+            if not schema:
+                raise ValueError(
+                    "'scan.streaming'='true' requires declared columns"
+                )
+            fmt = meta.options.get("format", "parquet")
+            df = file_source(self.spark, meta.options["path"], schema, fmt=fmt)
+        elif meta.connector == "filesystem":
             from flink_1_20_spark.sources.connectors import read_file
 
             fmt = meta.options.get("format", "parquet")
@@ -847,7 +862,10 @@ class TableEnvironment:
             run_match_recognize,
         )
 
-        query = rewrite_legacy_group_windows(rewrite_window_tvfs(query))
+        query = rewrite_unnest(
+            rewrite_legacy_group_windows(rewrite_window_tvfs(query))
+        )
+        query = rewrite_flink_builtins(query)
         if re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
             df = run_match_recognize(self.spark, query)
         else:

@@ -1030,3 +1030,38 @@ def test_flink_builtin_name_rewrites(fixture_env):
     assert str(r.ctz).startswith("2024-06-01 08:00:00")
     assert r.je is True and r.jv == "2" and r.jv_struct is None
     assert r.jq == "[1, 2]" or r.jq == "[1,2]"
+
+
+def test_filesystem_scan_streaming(spark, tmp_path):
+    """'scan.streaming'='true' on a plain filesystem table gives the
+    continuous-monitoring FileSource for any format, with the declared
+    schema and WATERMARK applied."""
+    import json as _json
+
+    from flink_1_20_spark.streaming import run_to_memory
+
+    src = tmp_path / "mon"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"ts": "2024-01-01T10:00:00", "v": 1.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE monitored (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    stream = spark.table("monitored")
+    assert stream.isStreaming
+    q = run_to_memory(stream, "mon_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"ts": "2024-01-01T10:01:00", "v": 2.0}) + "\n"
+        )
+        q.processAllAvailable()
+        assert spark.table("mon_out").count() == 2
+    finally:
+        q.stop()
