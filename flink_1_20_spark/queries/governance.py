@@ -204,3 +204,87 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     V(spark, sf_dir, "documents")
     return spark.sql(_STRATIFIED_SQL)
+
+
+_BOILERPLATE_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string((string_split(text, ' '))[(i*8+1):(i*8+8)], ' ') AS chunk
+  FROM documents,
+       LATERAL (SELECT unnest(range(0,
+                CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT))) AS i)
+  WHERE array_to_string((string_split(text, ' '))[(i*8+1):(i*8+8)], ' ') <> ''),
+freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY chunk),
+boiler AS (SELECT chunk FROM freq WHERE n_docs > 2),
+kept AS (
+  SELECT c.doc_id, c.idx, c.chunk
+  FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+  WHERE b.chunk IS NULL)
+SELECT d.doc_id,
+       CAST(count(k.idx) AS BIGINT) AS kept_chunks,
+       CAST((SELECT count(*) FROM chunks c2 WHERE c2.doc_id = d.doc_id)
+            - count(k.idx) AS BIGINT) AS removed_chunks,
+       md5(coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), '')) AS clean_md5
+FROM (SELECT DISTINCT doc_id FROM chunks) d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register("dedup_boilerplate_chunks", oracle=_BOILERPLATE_ORACLE)
+def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal (the C4 duplicate-span rule,
+    word-chunk granularity): 8-word chunks appearing in MORE THAN TWO
+    distinct documents are boilerplate and removed from every document;
+    documents are reassembled in original chunk order and the cleaned
+    text fingerprinted (cross-engine md5).
+
+    This is SUB-document dedup — the complement of the document-level
+    exact/MinHash/SimHash family: navigation bars, license headers and
+    template text recur across otherwise-unique pages.
+
+    Scale: explode is 1 row per chunk (~tokens/8); the frequency table
+    partial-aggregates map-side; the boilerplate set (chunks with
+    n_docs > threshold) is a tiny fraction of distinct chunks, so the
+    removal join broadcasts; reassembly is one shuffle on doc_id."""
+    d = T(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunk_expr = F.expr(
+        "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT) - 1),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))"
+    )
+    chunks = (
+        d.select("doc_id", F.posexplode(chunk_expr).alias("idx", "chunk"))
+        .filter(F.col("chunk") != "")
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 2)
+        .select("chunk")
+    )
+    kept = chunks.join(F.broadcast(boiler), "chunk", "left_anti")
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("total_chunks"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_chunks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(idx, chunk))),"
+                       " s -> s.chunk)"),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+            (F.col("total_chunks") - F.coalesce("kept_chunks", F.lit(0))).alias(
+                "removed_chunks"
+            ),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
