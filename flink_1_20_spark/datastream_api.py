@@ -389,7 +389,10 @@ class WindowedJoin:
         run = order.rowsBetween(W.unboundedPreceding, 0)
         prev = F.lag("__ts").over(order)
         new_s = F.when(
-            prev.isNull() | (F.col("__ts") > prev + F.expr(gap)), 1
+            # >= : an event exactly `gap` after the previous one starts a
+            # NEW session (half-open windows, TimeWindow.intersects — the
+            # same convention as the SESSION TVF rewrite in sql_flink.py)
+            prev.isNull() | (F.col("__ts") >= prev + F.expr(gap)), 1
         ).otherwise(0)
         sess = F.sum(new_s).over(run)
         per = W.partitionBy(*kcols, "__sid")

@@ -25,7 +25,9 @@ def sum0(col: Column | str) -> Column:
 def split_index(col: Column | str, delim: str, idx: int) -> Column:
     """SPLIT_INDEX(str, sep, index) (BFD:1286, SFU.splitIndex):
     0-based element of the split, NULL when out of range."""
-    arr = F.split(_c(col), F.lit(delim).cast("string"), -1)
+    # Flink's delimiter is a LITERAL; Spark split() takes a Java regex —
+    # \Q...\E quoting keeps metachar delimiters ('.', '|', '+') literal
+    arr = F.split(_c(col), "\\Q" + delim + "\\E", -1)
     # element_at is 1-based and raises under ANSI for OOB; get() is
     # 0-based and NULL-safe, matching Flink's OOB→NULL contract.
     return F.get(arr, idx)

@@ -254,7 +254,17 @@ def _ctx_eval(cm, pdf: pd.DataFrame, j: int, bindings) -> bool:
         return bool(cm(pdf.iloc[j], ctx))
     except IndexError:
         return False
-    except (TypeError, KeyError) as exc:
+    except TypeError as exc:
+        # pandas keeps SQL NULLs as None in object columns, and
+        # comparing None raises TypeError — that is Flink's
+        # NULL-comparison → non-match, not a user error
+        if "NoneType" in str(exc):
+            return False
+        label = getattr(cm, "_define_text", None) or repr(cm)
+        raise ValueError(
+            f"error evaluating CEP condition {label}: {exc!r}"
+        ) from exc
+    except KeyError as exc:
         label = getattr(cm, "_define_text", None) or repr(cm)
         raise ValueError(
             f"error evaluating CEP condition {label}: {exc!r}"

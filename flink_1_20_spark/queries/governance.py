@@ -155,9 +155,13 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is one scan with a map-side semi-probe, no shuffle
     of raw text."""
     d = T(spark, sf_dir, "documents")
+    # CASE guard: sequence(1, 0) in Spark is a DESCENDING [1, 0], so a
+    # document with < 3 words would feed slice() an illegal 0 index —
+    # short docs simply have no 3-grams
     grams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
     )
     bench = (
         d.filter(F.col("doc_id") % 97 == 0)

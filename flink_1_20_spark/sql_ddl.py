@@ -148,6 +148,16 @@ class TableMeta:
     partitioned_by: list[str] = field(default_factory=list)
 
 
+def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
+    """re.sub that never touches single-quoted SQL string literals —
+    a path like '/tmp/x.csv' must not be rewritten even when a table
+    `csv` exists in a database `x`."""
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    return "".join(
+        p if i % 2 else re.sub(pattern, repl, p) for i, p in enumerate(parts)
+    )
+
+
 def _db_view_name(db: str, table: str) -> str:
     """Flat temp-view alias for a qualified `db.table` reference."""
     return f"__cat_{db}__{table}"
@@ -195,6 +205,8 @@ class TableEnvironment:
             held = self._dbs.get(db, {})
             if held and (m.group(2) or "RESTRICT").upper() == "RESTRICT":
                 raise ValueError(f"database {db} is not empty (use CASCADE)")
+            for t in held:
+                self.spark.catalog.dropTempView(_db_view_name(db, t))
             self._dbs.pop(db, None)
             return None
         m = re.match(r"USE\s+(\S+)$", s, re.I)
@@ -215,10 +227,10 @@ class TableEnvironment:
         for db, tbls in self._dbs.items():
             for t in tbls:
                 if f"{db}.{t}" in s:
-                    s = re.sub(
+                    s = _sub_outside_literals(
+                        s,
                         rf"\b{re.escape(db)}\.{re.escape(t)}\b",
                         _db_view_name(db, t),
-                        s,
                     )
         u = s.upper()
         if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
@@ -291,8 +303,10 @@ class TableEnvironment:
             return None
         if re.match(r"SHOW\s+TABLES$", u):
             names = sorted(
-                set(self.tables)
+                n
+                for n in set(self.tables)
                 | {t.name for t in self.spark.catalog.listTables()}
+                if not n.startswith("__")  # internal helper views
             )
             return self.spark.createDataFrame(
                 [(n,) for n in names], "table_name string"
@@ -301,7 +315,9 @@ class TableEnvironment:
             names = sorted(
                 t.name
                 for t in self.spark.catalog.listTables()
-                if t.tableType == "TEMPORARY" and t.name not in self.tables
+                if t.tableType == "TEMPORARY"
+                and t.name not in self.tables
+                and not t.name.startswith("__")  # internal helper views
             )
             return self.spark.createDataFrame(
                 [(n,) for n in names], "view_name string"
@@ -615,6 +631,7 @@ class TableEnvironment:
         if m:
             new = m.group(1).strip("`")
             self.spark.catalog.dropTempView(name)
+            self.spark.catalog.dropTempView(_db_view_name(self.current_db, name))
             meta.name = new
             self.tables[new] = self.tables.pop(name)
             self._register(meta)
@@ -729,6 +746,13 @@ class TableEnvironment:
             df = fn(raw, "value", schema)
             for cname, expr in meta.computed:
                 df = df.selectExpr("*", f"({expr}) AS {cname}")
+            if meta.watermark and df.isStreaming:
+                col, delay = meta.watermark
+                wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
+                if wm:
+                    df = df.withWatermark(
+                        col, f"{wm.group(1)} {wm.group(2).lower()}"
+                    )
             df.createOrReplaceTempView(meta.name)
             df.createOrReplaceTempView(
                 _db_view_name(self.current_db, meta.name)
@@ -847,6 +871,9 @@ class TableEnvironment:
         existed = self.tables.pop(name, None)
         if existed or not re.search(r"IF\s+EXISTS", s, re.I):
             self.spark.catalog.dropTempView(name)
+            self.spark.catalog.dropTempView(
+                _db_view_name(self.current_db, name)
+            )
 
     def _insert_into(self, name: str, query: str, overwrite: bool = False):
         meta = self.tables.get(name)

@@ -369,18 +369,20 @@ def _compile_predicate(expr: str, var: str, all_vars: list[str]) -> Callable:
         return f"r['{w}']"
 
     py = re.sub(r"(?<!')(?<!\[')\b[A-Za-z_]\w*\b(?!'\])(?!\s*\()(?!')", bare, py)
-    # restore masked string literals as Python literals (repr escapes)
-    py = re.sub(r"\x00(\d+)\x01", lambda mm: repr(literals[int(mm.group(1))]), py)
     # Reject any function-call token the rewrites did not produce: the
     # reference's MATCH_RECOGNIZE surface is pure SQL with no
     # code-execution path, so unknown calls (`__import__(...)`,
-    # `SOME_UDF(...)`) are a parse error, not Python to run.
+    # `SOME_UDF(...)`) are a parse error, not Python to run. Scanned
+    # BEFORE the literal restore so a string literal containing
+    # "word(" can never be mistaken for a call.
     _allowed_calls = {"isna", "_ofs", "len", "_isnull"}
     for mm in re.finditer(r"([A-Za-z_]\w*)\s*\(", py):
         if mm.group(1) not in _allowed_calls:
             raise ValueError(
                 f"unsupported function {mm.group(1)!r} in DEFINE condition: {expr!r}"
             )
+    # restore masked string literals as Python literals (repr escapes)
+    py = re.sub(r"\x00(\d+)\x01", lambda mm: repr(literals[int(mm.group(1))]), py)
     ctx = "g[" in py
     args = "r, g" if ctx else "r"
     code = compile(f"lambda {args}: bool({py})", f"<define {var}>", "eval")
@@ -690,10 +692,19 @@ def rewrite_unnest(sql: str) -> str:
       2+ columns                  -> inline(expr)  alias AS c1, c2...
          (array-of-row expansion; for maps Spark's explode already
           yields key,value — also the 2-column case)
-      WITH ORDINALITY             -> posexplode (ordinality column LAST,
-                                     matching Flink's column order)
+      WITH ORDINALITY             -> 1-based ordinality column LAST
+                                     (SQL-standard/Flink numbering; the
+                                     element is zipped with sequence(1..n)
+                                     so posexplode's 0-base never leaks)
       LEFT JOIN ... ON TRUE       -> LATERAL VIEW OUTER
+
+    An UNNEST without an AS alias(column...) clause is rejected loudly —
+    guessing an output column name would silently corrupt the query.
     """
+    _keywords = (
+        "WHERE|GROUP|ORDER|ON|LEFT|RIGHT|INNER|FULL|JOIN|CROSS|UNION|"
+        "HAVING|LIMIT|WINDOW|SELECT"
+    )
     while True:
         m = _UNNEST.search(sql)
         if not m:
@@ -703,23 +714,38 @@ def rewrite_unnest(sql: str) -> str:
         expr = sql[open_idx + 1 : close_idx]
         rest = sql[close_idx + 1 :]
         tail = re.match(
-            r"\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?"
+            r"\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?"
+            rf"(?!(?:{_keywords})\b)(\w+)\s*(?:\(([^)]*)\))?"
             r"(\s+ON\s+TRUE)?",
             rest,
             re.I,
         )
+        if not tail or not tail.group(2):
+            raise ValueError(
+                "UNNEST requires an AS alias(column...) clause: "
+                f"...{sql[m.start(): close_idx + 30]!r}"
+            )
         ordinality = bool(tail.group(1))
         alias = tail.group(2)
         cols = [c.strip() for c in (tail.group(3) or "").split(",") if c.strip()]
         outer = "OUTER " if m.group(1).upper().startswith("LEFT") else ""
         if ordinality:
-            # Flink: (value cols..., ordinality) — posexplode emits
-            # (pos, col); reorder via the alias list
-            data_cols = cols[:-1] or ["__unnest_col"]
-            ord_col = cols[-1] if cols else "__ord"
+            if len(cols) != 2:
+                raise ValueError(
+                    "UNNEST WITH ORDINALITY supports AS alias(value, ord)"
+                )
+            data_col, ord_col = cols
+            # zip each element with its 1-BASED position (the SQL
+            # standard's ordinality; posexplode alone would be 0-based).
+            # slice(...) keeps the empty-array case empty — sequence(1,0)
+            # would otherwise produce a DESCENDING [1,0].
+            zipped = (
+                f"slice(arrays_zip({expr}, "
+                f"sequence(1, greatest(size({expr}), 1))), 1, size({expr}))"
+            )
             gen = (
-                f"LATERAL VIEW {outer}posexplode({expr}) {alias} AS "
-                f"{ord_col}, {', '.join(data_cols)}"
+                f"LATERAL VIEW {outer}inline({zipped}) {alias} AS "
+                f"{data_col}, {ord_col}"
             )
         elif len(cols) >= 2:
             gen = (
@@ -727,8 +753,7 @@ def rewrite_unnest(sql: str) -> str:
                 f"{', '.join(cols)}"
             )
         else:
-            col = cols[0] if cols else alias
-            gen = f"LATERAL VIEW {outer}explode({expr}) {alias} AS {col}"
+            gen = f"LATERAL VIEW {outer}explode({expr}) {alias} AS {cols[0]}"
         sql = sql[: m.start()] + " " + gen + rest[tail.end() :]
 
 
@@ -745,7 +770,12 @@ def _strip_json_mode(arg: str) -> str:
 
 
 def _bi_split_index(a):
-    return f"get(split({a[0]}, {a[1]}, -1), {a[2]})"
+    # Flink's delimiter is a LITERAL; Spark's split() takes a Java
+    # regex — \Q...\E quoting makes metachar delimiters ('.', '|', '+')
+    # behave literally
+    return (
+        f"get(split({a[0]}, concat('\\\\Q', {a[1]}, '\\\\E'), -1), {a[2]})"
+    )
 
 
 def _bi_to_base64(a):

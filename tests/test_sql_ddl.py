@@ -991,7 +991,8 @@ def test_unnest_rewrite(fixture_env, spark):
         SELECT id, tag, ord
         FROM unnest_src CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, ord)
     """).collect()
-    assert sorted((r.id, r.tag, r.ord) for r in rows) == [(1, "a", 0), (1, "b", 1)]
+    # SQL-standard / Flink ordinality is 1-BASED
+    assert sorted((r.id, r.tag, r.ord) for r in rows) == [(1, "a", 1), (1, "b", 2)]
     rows = fixture_env.execute_sql("""
         SELECT id, n, s FROM unnest_src CROSS JOIN UNNEST(pairs) AS p(n, s)
     """).collect()
@@ -1065,3 +1066,88 @@ def test_filesystem_scan_streaming(spark, tmp_path):
         assert spark.table("mon_out").count() == 2
     finally:
         q.stop()
+
+
+def test_review_fixes_dialect(fixture_env, spark, tmp_path):
+    """Round-5 review regressions: SPLIT_INDEX with a regex-metachar
+    delimiter is literal; alias-less UNNEST is rejected loudly; the
+    qualified-name rewrite never rewrites inside string literals; DROP
+    TABLE removes the qualified-access view too."""
+    r = fixture_env.execute_sql(
+        "SELECT SPLIT_INDEX('a.b.c', '.', 0) AS s0, "
+        "SPLIT_INDEX('x|y', '|', 1) AS s1"
+    ).collect()[0]
+    assert r.s0 == "a" and r.s1 == "y"
+    spark.createDataFrame([(1, ["a"])], "id long, tags array<string>") \
+        .createOrReplaceTempView("unnest_src2")
+    with pytest.raises(Exception, match="alias"):
+        fixture_env.execute_sql(
+            "SELECT id FROM unnest_src2 CROSS JOIN UNNEST(tags) WHERE id > 0"
+        )
+    # literal containing a registered db.table pattern stays untouched
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE x")
+    src = tmp_path / "lit.csv"
+    src.write_text("a\n1\n")
+    env.execute_sql("USE x")
+    env.execute_sql(f"""
+        CREATE TABLE csv (a BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    env.execute_sql("USE default_database")
+    got = env.execute_sql("SELECT 'path to x.csv here' AS p").collect()[0].p
+    assert got == "path to x.csv here"
+    assert env.execute_sql("SELECT count(*) AS n FROM x.csv").collect()[0].n == 1
+    env.execute_sql("USE x")
+    env.execute_sql("DROP TABLE csv")
+    env.execute_sql("USE default_database")
+    with pytest.raises(Exception):
+        env.execute_sql("SELECT * FROM x.csv").collect()
+
+
+def test_review_fixes_session_and_nulls(spark):
+    """Events exactly `gap` apart land in DIFFERENT sessions in the
+    merged session-window join; NULL comparisons in CEP conditions are
+    non-matches, not errors."""
+    from datetime import datetime
+
+    from flink_1_20_spark.datastream_api import (
+        EventTimeSessionWindows,
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    l = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 0), 1)], "k string, lts timestamp, lv bigint"
+    )
+    r = env.from_collection(
+        [("a", datetime(2024, 1, 1, 10, 5), 10)], "rk string, rts timestamp, rv bigint"
+    )
+    rows = (
+        l.join(r)
+        .where("k")
+        .equal_to("rk")
+        .window(EventTimeSessionWindows.with_gap("5 minutes"), "lts", "rts")
+        .apply("k", "lv", "rv")
+        .execute_and_collect()
+    )
+    assert rows == []  # exactly-gap apart: two sessions, no pair
+
+    from flink_1_20_spark.operators.cep import Pattern, match_recognize
+
+    df = spark.createDataFrame(
+        [(1, 1, "x", None), (1, 2, "y", "q")],
+        "user_id long, event_id long, label string, other string",
+    ).selectExpr("user_id", "event_id", "timestamp(event_id) AS ts", "label", "other")
+    pat = Pattern.begin("a", lambda r: True).next(
+        "b", lambda r, g: r["other"] > g["a"]["other"].iloc[-1]
+    )
+    out = match_recognize(
+        df,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=lambda g: {"n": len(g["b"])},
+        output_schema="n bigint, user_id bigint",
+    )
+    assert out.collect() == []  # None comparison -> non-match, no crash
