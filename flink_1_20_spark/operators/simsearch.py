@@ -36,12 +36,15 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     round_to: int = 6,
+    max_cos: float | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Output: (query_id, neighbor_id, cos, rank), rank by rounded cosine
     desc then neighbor id (total order — reproducible across engines).
-    Self-matches (same id) are excluded.
+    Self-matches (same id) are excluded. `max_cos` drops candidates at
+    or above the given similarity before ranking (hard-negative mining's
+    near-duplicate ceiling).
     """
     from pyspark.sql import Window
 
@@ -56,9 +59,14 @@ def cosine_topk(
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    scored = pairs.withColumn("cos", cos)
+    if max_cos is not None:
+        # hard-negative mining: cap the similarity BEFORE ranking so
+        # near-duplicates/positives never crowd out the informative
+        # closest-non-duplicate candidates
+        scored = scored.filter(F.col("cos") < max_cos)
     return (
-        pairs.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

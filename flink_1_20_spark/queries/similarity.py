@@ -232,3 +232,41 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (acc, x) -> acc + x)"
         ).alias("checksum"),
     )
+
+
+_HARD_NEG_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                 round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+          FROM q, v c WHERE q.vec_id <> c.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, negative_id) AS rank
+           FROM pairs WHERE cos < 0.95)
+SELECT query_id, negative_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("simsearch_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors whose cosine stays BELOW
+    a near-duplicate ceiling (0.95) — the closest non-duplicates, which
+    are the informative negatives; unfiltered top-k would return
+    positives/near-dups, uniformly random negatives carry no signal.
+
+    Plan: identical shape to the brute-force top-k (broadcast queries,
+    JVM dot products, per-query window rank) plus one codegen filter —
+    at 100 TB swap the candidate scan for the LSH/IVF bucket join like
+    simsearch_lsh_topk, the mining logic is unchanged."""
+    from flink_1_20_spark.operators.simsearch import cosine_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    scored = cosine_topk(
+        q, e, "vec_id", "embedding", k=_K, max_cos=0.95
+    )
+    return scored.withColumnRenamed("neighbor_id", "negative_id")
