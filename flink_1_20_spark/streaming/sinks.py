@@ -28,7 +28,13 @@ def run_to_memory(
     `trigger`: per-query pacing, Spark's (coarser) counterpart of
     Flink's trigger configs — e.g. {"processingTime": "5 seconds"},
     {"availableNow": True} (bounded drain then stop ≈ batch-over-stream),
-    {"once": True}. Flink's per-window count/delta triggers are a
+    {"once": True}. Flink's EARLY-FIRE triggers
+    (ContinuousEventTimeTrigger / table.exec.emit.early-fire) map to
+    output_mode="update": every micro-batch re-emits the window's
+    current partial aggregate before the watermark closes it (proven in
+    tests/test_streaming.py::test_early_firing_update_mode); per-window
+    COUNT triggers are the count-window operators
+    (queries/changelog_count.py). Only delta/purging triggers remain a
     non-goal (SURVEY.md §2.5)."""
     w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
     if trigger:

@@ -517,3 +517,33 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     assert not q.isActive
     got = {r["event_type"]: r["count"] for r in spark.table("an_out").collect()}
     assert got == {"click": 3, "view": 2}
+
+
+def test_early_firing_update_mode(spark, tmp_path):
+    """Flink's early-fire triggers (ContinuousEventTimeTrigger /
+    table.exec.emit.early-fire) map to Spark's UPDATE output mode: each
+    micro-batch emits the window's current partial aggregate before the
+    watermark closes it — proven by watching the same window's count
+    grow across batches."""
+    src = str(tmp_path / "src")
+    _write_batch(src, [("2024-01-01T10:00:10", 1, "click", 1.0),
+                       ("2024-01-01T10:01:00", 1, "click", 2.0)], 0)
+    stream = file_source(spark, src, SCHEMA)
+    out = tumble_window_agg(
+        stream, "ts", "5 minutes", keys=["user_id"], watermark="1 minute"
+    )
+    q = run_to_memory(out, "early_fire_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.user_id, r.window_start): r.n
+            for r in spark.table("early_fire_out").collect()
+        }
+        assert list(first.values()) == [2]  # partial fire: 2 rows so far
+        _write_batch(src, [("2024-01-01T10:03:00", 1, "click", 3.0)], 1)
+        q.processAllAvailable()
+        rows = spark.table("early_fire_out").collect()
+        ns = sorted(r.n for r in rows)
+        assert ns[-1] == 3  # the SAME window re-fired with the updated count
+    finally:
+        q.stop()
