@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_1_20_spark.queries._util import T
+from flink_1_20_spark.queries._util import T, V
 from flink_1_20_spark.registry import register
 
 
@@ -712,3 +712,37 @@ def fn_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_query("js", "$.user.tags[0]", wrapper="WITH_UNCONDITIONAL_ARRAY").alias("q_tag_wrap"),
         json_query("js", "$.k").alias("q_scalar_without"),
     )
+
+
+_FLINK_NAMES_ORACLE = """
+SELECT event_id,
+       split_part(event_type, 'i', 1) AS before_i,
+       to_base64(encode(event_type)) AS b64,
+       trunc(value * 100) / 100 AS trunc2,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+       json_extract_string(props, '$.k') AS k_val
+FROM events WHERE event_id <= 500
+"""
+
+
+@register("fn_flink_names", oracle=_FLINK_NAMES_ORACLE)
+def fn_flink_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink-named builtins Spark lacks, exercised through the SQL
+    DIALECT rewrite path (sql_flink.rewrite_flink_builtins) rather than
+    the library shims — SPLIT_INDEX (literal delimiter), TO_BASE64,
+    TRUNCATE, JSON_EXISTS/JSON_VALUE — against DuckDB's native
+    equivalents (split_part is 1-based; Flink's SPLIT_INDEX is
+    0-based)."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    V(spark, sf_dir, "events")
+    env = TableEnvironment(spark)
+    return env.execute_sql("""
+        SELECT event_id,
+               SPLIT_INDEX(event_type, 'i', 0) AS before_i,
+               TO_BASE64(CAST(event_type AS BINARY)) AS b64,
+               TRUNCATE(`value`, 2) AS trunc2,
+               JSON_EXISTS(props, 'lax $.k') AS has_k,
+               JSON_VALUE(props, '$.k') AS k_val
+        FROM events WHERE event_id <= 500
+    """)
