@@ -720,7 +720,9 @@ SELECT event_id,
        to_base64(encode(event_type)) AS b64,
        trunc(value * 100) / 100 AS trunc2,
        (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
-       json_extract_string(props, '$.k') AS k_val
+       CASE WHEN substring(json_extract_string(props, '$.k'), 1, 1)
+                 IN ('{', '[') THEN NULL
+            ELSE json_extract_string(props, '$.k') END AS k_val
 FROM events WHERE event_id <= 500
 """
 

@@ -30,8 +30,10 @@ def run_to_memory(
     {"availableNow": True} (bounded drain then stop ≈ batch-over-stream),
     {"once": True}. Flink's EARLY-FIRE triggers
     (ContinuousEventTimeTrigger / table.exec.emit.early-fire) map to
-    output_mode="update": every micro-batch re-emits the window's
-    current partial aggregate before the watermark closes it (proven in
+    output_mode="update": each micro-batch re-emits the partial
+    aggregate of every window it UPDATED (quiet windows emit nothing —
+    no heartbeat re-emission of unchanged windows) before the watermark
+    closes it (proven in
     tests/test_streaming.py::test_early_firing_update_mode); per-window
     COUNT triggers are the count-window operators
     (queries/changelog_count.py). Only delta/purging triggers remain a

@@ -258,8 +258,6 @@ def test_q30_q81_single_fact_scan(spark, sf_dir, queries):
     """The reused-CTE correlated-average gates must scan the fact table
     ONCE (window-over-aggregate formulation) — the SQL CTE inlining that
     doubled the lineitem scan stays dead."""
-    import re as _re
-
     for name in (
         "tpcds_q30_returns_above_nation_avg",
         "tpcds_q81_returns_incl_tax_above_avg",
@@ -268,6 +266,6 @@ def test_q30_q81_single_fact_scan(spark, sf_dir, queries):
         final = plan.split("== Initial Plan ==")[0]
         scans = [
             l for l in final.splitlines()
-            if "Scan parquet" in l and _re.search(r"lineitem", l)
+            if "Scan parquet" in l and "lineitem" in l
         ]
         assert len(scans) == 1, (name, len(scans))
