@@ -1,0 +1,99 @@
+"""Scale probe: replicate the sf0.1 fixtures K× with key-shifted ids
+(cardinalities scale with the data, not just row duplication), then
+time the headline queries and the heavy beyond-reference operators on
+the result — the local evidence that plans scale sublinearly in wall
+clock rather than degrading super-linearly.
+
+Usage:
+    python scripts/scale_probe.py [--rep 10] [--dst /tmp/sfX1] [--gen]
+    python scripts/scale_probe.py --run     # time the operator battery
+
+Writes only under --dst (default /tmp/sfX1); never touches
+/root/testdata.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_1_20_spark import get_spark
+
+SRC = "/root/testdata/sf0.1"
+OFF = 10_000_000  # per-replica key offset — far above any fixture key
+
+# key columns shifted per replica so joins stay consistent WITHIN a
+# replica and cardinality grows ACROSS replicas
+SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "supplier", "part"]  # dims stay as-is
+
+HEAVY = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_boilerplate_chunks",
+    "text_contamination_ngram",
+    "text_pii_scrub",
+    "sample_stratified_exact",
+    "sessionization_gap",
+    "dedup_embedding_cosine",
+    "simsearch_lsh_topk",
+    "pipeline_corpus_curation",
+    "cep_funnel_strict",
+]
+
+
+def generate(spark, dst: str, rep: int) -> None:
+    for t in COPY:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    for t, keys in SHIFT.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+        for k in keys:
+            r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
+        r.drop("__rep").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"generated {t}: {n} rows")
+
+
+def run(spark, dst: str) -> None:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in HEAVY:
+        t0 = time.time()
+        cnt = qs[name](spark, dst).count()
+        print(f"{time.time() - t0:7.2f}s {cnt:9d} rows  {name}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rep", type=int, default=10)
+    ap.add_argument("--dst", default="/tmp/sfX1")
+    ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark("scale-probe")
+    if args.gen or not (args.gen or args.run):
+        generate(spark, args.dst, args.rep)
+    if args.run or not (args.gen or args.run):
+        run(spark, args.dst)
+
+
+if __name__ == "__main__":
+    main()
