@@ -318,3 +318,51 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.min("doc").over(w).alias("canonical_doc"),
         (F.col("doc") != F.min("doc").over(w)).alias("is_duplicate"),
     )
+
+
+def simhash_pairs_collapsed(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Exact-collapse-first SimHash pairs — the dup-heavy-corpus form.
+
+    Raw pair emission is OUTPUT-quadratic in duplicate-group size: a
+    content repeated g times contributes g*(g-1)/2 identical-fingerprint
+    pairs before any near-dup is found (measured: a 10x-replicated
+    corpus inflated pairs 102x, scripts/scale_probe.py). Real corpora
+    are 30-60% duplicated, so at 100 TB the raw form drowns in
+    exact-dup pairs. This variant collapses identical content to one
+    representative first (one hash + one groupBy), runs the pigeonhole
+    block join over REPRESENTATIVES only, and carries group sizes so
+    the caller can recover raw-pair counts: a rep pair (a, b) stands
+    for size_a*size_b cross pairs, and each group additionally holds
+    g*(g-1)/2 internal exact-dup pairs (hamming 0 by construction).
+
+    Output: id_a, id_b, hamming, size_a, size_b.
+    """
+    content = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__txt"),
+        hash60(F.col(text_col)).alias("__ch"),
+    )
+    groups = content.groupBy("__ch").agg(
+        F.min("doc").alias("rep"),
+        F.count("*").alias("group_size"),
+        F.first("__txt").alias("__txt"),
+    )
+    reps = groups.select(
+        F.col("rep").alias(id_col), F.col("__txt").alias(text_col)
+    )
+    pairs = simhash_pairs(reps, id_col, text_col, max_hamming, bits)
+    size_a = groups.select(
+        F.col("rep").alias("id_a"), F.col("group_size").alias("size_a")
+    )
+    size_b = groups.select(
+        F.col("rep").alias("id_b"), F.col("group_size").alias("size_b")
+    )
+    return pairs.join(size_a, "id_a").join(size_b, "id_b").select(
+        "id_a", "id_b", "hamming", "size_a", "size_b"
+    )

@@ -178,3 +178,51 @@ def test_stratified_sample_invariants(spark, sf_dir):
     assert out1 == out2  # deterministic across runs
     for lang, (n, _) in out1.items():
         assert n == min(20, stratum_sizes[lang])
+
+
+def test_simhash_collapsed_matches_raw_expansion(spark):
+    """Collapse-first SimHash pairs expand exactly to the raw pair set:
+    rep-pair (a,b) x size_a*size_b cross pairs + per-group internal
+    exact-dup pairs reproduce simhash_pairs over the full corpus."""
+    from flink_1_20_spark.operators.textdedup import (
+        simhash_pairs,
+        simhash_pairs_collapsed,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zetb",  # near-dup of the first
+        "completely different words entirely here now",
+    ]
+    rows = []
+    did = 0
+    for txt, copies in zip(base, (3, 2, 2)):  # duplicate groups
+        for _ in range(copies):
+            rows.append((did, txt))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    collapsed = simhash_pairs_collapsed(
+        docs, "doc_id", "text", max_hamming=3
+    ).collect()
+    # expand: internal exact-dup pairs per group
+    by_text: dict[str, list[int]] = {}
+    for i, (d, t) in enumerate(rows):
+        by_text.setdefault(t, []).append(d)
+    expanded = set()
+    for ids in by_text.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expanded.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    # cross pairs between near-dup groups
+    for r in collapsed:
+        ga = [d for d in by_text[rows[r.id_a][1]]]
+        gb = [d for d in by_text[rows[r.id_b][1]]]
+        assert (len(ga), len(gb)) == (r.size_a, r.size_b)
+        for a in ga:
+            for b in gb:
+                expanded.add((min(a, b), max(a, b)))
+    assert expanded == raw
