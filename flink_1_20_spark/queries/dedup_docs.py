@@ -201,3 +201,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return cosine_pairs_block_join(e, "vec_id", "embedding", threshold=0.35, n_blocks=8)
+
+
+_SIMHASH_COLLAPSED_ORACLE = (
+    "WITH reps AS (SELECT min(doc_id) AS doc_id, count(*) AS group_size,\n"
+    "                     any_value(text) AS text\n"
+    "              FROM documents GROUP BY text),\n"
+    "words AS (SELECT doc_id, group_size, " + _WORDS + " AS w FROM reps),\n"
+    "hs AS (SELECT doc_id, group_size, list_transform(w, t -> "
+    + _h32("t")
+    + ") AS hl FROM words),\n"
+    "fp AS (SELECT doc_id, group_size, ("
+    + " + ".join(_bitsum(b) for b in range(_SIMHASH_BITS))
+    + ") AS fp FROM hs)\n"
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "       bit_count(xor(a.fp, b.fp)) AS hamming,\n"
+    "       a.group_size AS size_a, b.group_size AS size_b\n"
+    "FROM fp a JOIN fp b ON a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.fp, b.fp)) <= 3"
+)
+
+
+@register("dedup_simhash_collapsed", oracle=_SIMHASH_COLLAPSED_ORACLE)
+def dedup_simhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-collapse-first SimHash pairs (the dup-heavy-corpus form,
+    measured 20x faster than raw pairs on a 10x-duplicated corpus —
+    scripts/scale_probe.py): identical texts collapse to their min-id
+    representative with a group size; the pigeonhole band join runs
+    over representatives only, and the raw pair set is recoverable as
+    size_a*size_b cross pairs + per-group internal exact-dup pairs."""
+    from flink_1_20_spark.operators.textdedup import simhash_pairs_collapsed
+
+    docs = T(spark, sf_dir, "documents")
+    return simhash_pairs_collapsed(
+        docs, "doc_id", "text", max_hamming=3, bits=_SIMHASH_BITS
+    )
