@@ -464,6 +464,20 @@ class TableEnvironment:
         tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
+
+    def _resolve_meta(self, name: str):
+        """Look up TableMeta by bare name (current database) or by the
+        mangled `__cat_<db>__<table>` form qualified references rewrite
+        to — so INSERT INTO / DESCRIBE / SHOW CREATE TABLE work across
+        databases, not just views."""
+        meta = self.tables.get(name)
+        if meta is not None:
+            return meta
+        m = re.match(r"__cat_(.+?)__(.+)$", name)
+        if m and m.group(1) in self._dbs:
+            return self._dbs[m.group(1)].get(m.group(2))
+        return None
+
     # -- CREATE FUNCTION / SHOW / DESCRIBE -------------------------------
     def _create_function(self, name: str, path: str, language: str):
         """Resolve `module.attr` and register it under `name`.
@@ -505,7 +519,7 @@ class TableEnvironment:
 
     def _describe(self, name: str) -> DataFrame:
         """Flink DESCRIBE: (name, type, null, key, extras, watermark)."""
-        meta = self.tables.get(name)
+        meta = self._resolve_meta(name)
         rows = []
         if meta is not None:
             pk = set(meta.primary_key)
@@ -594,7 +608,7 @@ class TableEnvironment:
     def _show_create_table(self, name: str) -> DataFrame:
         """Reconstruct the CREATE TABLE DDL from the stored TableMeta
         (Flink's SHOW CREATE TABLE surface)."""
-        meta = self.tables.get(name)
+        meta = self._resolve_meta(name)
         if meta is None:
             raise ValueError(f"table not found: {name}")
         lines = [f"  `{c}` {t.upper()}" for c, t in meta.columns]
@@ -724,7 +738,7 @@ class TableEnvironment:
         "ogg-json": "parse_ogg",
     }
 
-    def _register(self, meta: TableMeta) -> None:
+    def _register(self, meta: TableMeta, db: str | None = None) -> None:
         schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
         if (
             meta.connector == "filesystem"
@@ -755,7 +769,7 @@ class TableEnvironment:
                     )
             df.createOrReplaceTempView(meta.name)
             df.createOrReplaceTempView(
-                _db_view_name(self.current_db, meta.name)
+                _db_view_name(db or self.current_db, meta.name)
             )
             return
         if (
@@ -810,7 +824,7 @@ class TableEnvironment:
         df.createOrReplaceTempView(meta.name)
         # mangled alias so `db.table` references resolve from any
         # database (see the qualified-name rewrite in execute_sql)
-        df.createOrReplaceTempView(_db_view_name(self.current_db, meta.name))
+        df.createOrReplaceTempView(_db_view_name(db or self.current_db, meta.name))
 
     def _use_database(self, db: str) -> None:
         """USE <db>: unqualified names now resolve in <db> — the previous
@@ -876,7 +890,7 @@ class TableEnvironment:
             )
 
     def _insert_into(self, name: str, query: str, overwrite: bool = False):
-        meta = self.tables.get(name)
+        meta = self._resolve_meta(name)
         if meta is None:
             raise ValueError(f"unknown table {name!r}")
         # INSERT bodies get the same dialect treatment as top-level
@@ -937,7 +951,12 @@ class TableEnvironment:
                 )
             else:
                 write_file(df, meta.options["path"], fmt=fmt, mode=mode)
-            self._register(meta)  # refresh the readable view
+            owner = next(
+                (d for d, ts in self._dbs.items()
+                 if ts.get(meta.name) is meta),
+                self.current_db,
+            )
+            self._register(meta, db=owner)  # refresh the readable view
         elif meta.connector == "print":
             for row in df.collect():
                 print(f"+I[{', '.join(str(v) for v in row)}]")

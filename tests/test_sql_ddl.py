@@ -1151,3 +1151,27 @@ def test_review_fixes_session_and_nulls(spark):
         output_schema="n bigint, user_id bigint",
     )
     assert out.collect() == []  # None comparison -> non-match, no crash
+
+
+def test_cross_database_insert_and_describe(spark, tmp_path):
+    """Qualified names work for DML/metadata too: INSERT INTO db.t,
+    DESCRIBE db.t and SHOW CREATE TABLE db.t resolve the other
+    database's table."""
+    out = str(tmp_path / "xdb_out")
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE wh")
+    env.execute_sql("USE wh")
+    env.execute_sql(f"""
+        CREATE TABLE sink (a BIGINT, b STRING)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')
+    """)
+    env.execute_sql("USE default_database")
+    env.execute_sql(
+        "INSERT INTO wh.sink SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'"
+    )
+    rows = env.execute_sql("SELECT a, b FROM wh.sink ORDER BY a").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]
+    desc = {r.name: r.type for r in env.execute_sql("DESCRIBE wh.sink").collect()}
+    assert desc == {"a": "bigint", "b": "string"}
+    ddl = env.execute_sql("SHOW CREATE TABLE wh.sink").collect()[0].result
+    assert "`a` BIGINT" in ddl
