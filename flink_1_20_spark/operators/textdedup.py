@@ -343,26 +343,69 @@ def simhash_pairs_collapsed(
 
     Output: id_a, id_b, hamming, size_a, size_b.
     """
-    content = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(text_col).alias("__txt"),
-        hash60(F.col(text_col)).alias("__ch"),
-    )
-    groups = content.groupBy("__ch").agg(
-        F.min("doc").alias("rep"),
-        F.count("*").alias("group_size"),
-        F.first("__txt").alias("__txt"),
-    )
-    reps = groups.select(
-        F.col("rep").alias(id_col), F.col("__txt").alias(text_col)
-    )
+    reps, sizes = collapse_exact(docs, id_col, text_col)
     pairs = simhash_pairs(reps, id_col, text_col, max_hamming, bits)
-    size_a = groups.select(
+    size_a = sizes.select(
         F.col("rep").alias("id_a"), F.col("group_size").alias("size_a")
     )
-    size_b = groups.select(
+    size_b = sizes.select(
         F.col("rep").alias("id_b"), F.col("group_size").alias("size_b")
     )
     return pairs.join(size_a, "id_a").join(size_b, "id_b").select(
         "id_a", "id_b", "hamming", "size_a", "size_b"
+    )
+
+
+def collapse_exact(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical content to its min-id representative.
+
+    Returns (reps, sizes): reps has the original (id_col, text_col)
+    schema restricted to one row per distinct content; sizes maps
+    representative id -> group_size. The pre-step every near-dup
+    operator should run on dup-heavy corpora (see
+    simhash_pairs_collapsed for the measured 20x)."""
+    content = docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__txt")
+    )
+    groups = content.groupBy("__txt").agg(
+        F.min("doc").alias("rep"), F.count("*").alias("group_size")
+    )
+    reps = groups.select(
+        F.col("rep").alias(id_col), F.col("__txt").alias(text_col)
+    )
+    sizes = groups.select("rep", "group_size")
+    return reps, sizes
+
+
+def minhash_lsh_pairs_collapsed(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-collapse-first MinHash LSH pairs (same rationale and
+    output contract as simhash_pairs_collapsed: representative pairs
+    with group sizes; raw pair set = size_a*size_b cross pairs + the
+    per-group internal exact-dup pairs, which all have jaccard 1.0).
+
+    Output: id_a, id_b, jac, size_a, size_b.
+    """
+    reps, sizes = collapse_exact(docs, id_col, text_col)
+    pairs = minhash_lsh_pairs(
+        reps, id_col, text_col, shingle_n, num_hashes, rows_per_band,
+        jaccard_threshold,
+    )
+    size_a = sizes.select(
+        F.col("rep").alias("id_a"), F.col("group_size").alias("size_a")
+    )
+    size_b = sizes.select(
+        F.col("rep").alias("id_b"), F.col("group_size").alias("size_b")
+    )
+    return pairs.join(size_a, "id_a").join(size_b, "id_b").select(
+        "id_a", "id_b", "jac", "size_a", "size_b"
     )

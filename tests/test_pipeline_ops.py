@@ -226,3 +226,44 @@ def test_simhash_collapsed_matches_raw_expansion(spark):
             for b in gb:
                 expanded.add((min(a, b), max(a, b)))
     assert expanded == raw
+
+
+def test_minhash_collapsed_matches_raw_expansion(spark):
+    from flink_1_20_spark.operators.textdedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_collapsed,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",  # near-dup
+        "entirely different content with no overlap at all whatsoever",
+    ]
+    rows = []
+    did = 0
+    for txt, copies in zip(base, (3, 2, 2)):
+        for _ in range(copies):
+            rows.append((did, txt))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    collapsed = minhash_lsh_pairs_collapsed(docs, "doc_id", "text").collect()
+    by_text: dict[str, list[int]] = {}
+    for d, t in rows:
+        by_text.setdefault(t, []).append(d)
+    expanded = set()
+    for ids in by_text.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expanded.add((ids[i], ids[j]))
+    for r in collapsed:
+        ga = by_text[rows[r.id_a][1]]
+        gb = by_text[rows[r.id_b][1]]
+        assert (len(ga), len(gb)) == (r.size_a, r.size_b)
+        for a in ga:
+            for b in gb:
+                expanded.add((min(a, b), max(a, b)))
+    assert expanded == raw
