@@ -90,9 +90,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_temporal_arith",
     "fn_array_higher_order",
     "fn_map",
-    "subquery_not_in",
     "multimodal_features",
-    "values_inline",
+    "text_pii_scrub",
+    "sample_stratified_exact",
     "wtvf_session_dynamic_gap",
     "wtvf_window_rank",
     "asof_join_tolerance",
@@ -102,10 +102,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tokens",
     "text_repetition",
     "simsearch_topk_bruteforce",
-    "cdc_upsert_materialize",
     "count_window_tumble",
-    "udx_pandas_scalar",
     "udx_table_function",
+    "text_contamination_ngram",
+    "dedup_boilerplate_chunks",
 )
 
 
