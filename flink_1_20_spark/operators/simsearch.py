@@ -382,6 +382,75 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+    round_to: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    Vectors are partitioned into nearest-centroid cells (the IVF
+    assignment), then WITHIN each cell any vector whose cosine to a
+    lower-id cellmate reaches `threshold` is marked a semantic duplicate
+    — one representative (the lowest id of each near-dup neighborhood)
+    survives. This is the SemDeDup recipe (Abbas et al. 2023): cluster
+    first so the quadratic comparison runs per-cell, never corpus-wide.
+
+    Default centroids are the `n_centroids` lowest-id vectors (the same
+    deterministic training-free stand-in as `ivf_topk`, so cross-engine
+    oracles can replay the cell assignment exactly); pass
+    `centroids=kmeans_centroids(...)` for trained cells.
+
+    Output: (id, cell, keep) — one row per corpus vector.
+
+    Scale: candidate generation is a self-equi-join on `cell`; cost per
+    cell is |cell|², so centroid count is the knob that bounds cell
+    size (SemDeDup uses ~10^4-10^5 clusters at web scale — here the
+    count is a parameter). No cross join, no driver collect anywhere.
+    """
+    cells = ivf_assign(
+        corpus, centroids
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col).asc()).limit(n_centroids),
+        id_col,
+        vec_col,
+        round_to,
+    )
+    a = cells.select(
+        F.col("vid").alias("vid_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("vid").alias("vid_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to)
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("vid_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dups, cells["vid"] == dups["dup_id"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("dup_id").isNull().alias("keep"),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -36,6 +36,7 @@ _MODULES = [
     "approx_aggs",
     "range_join",
     "text_curation",
+    "training_prep",
 ]
 
 _loaded = False

@@ -1,0 +1,248 @@
+"""Training-data preparation queries — sequence packing, sliding-window
+chunking, SemDeDup semantic dedup, and ANN recall measurement.
+
+The post-curation half of an LLM data pipeline (SURVEY.md §7 M4): after
+gating/dedup (queries/pipeline.py) the corpus is packed into fixed
+token-budget training sequences, chunked for retrieval, semantically
+deduplicated on embeddings, and the approximate-search path's recall is
+measured against the exact baseline as a first-class query.
+
+Every oracle replays the identical math in DuckDB — the greedy packing
+scan as a recursive CTE, the chunk windows as list_slice over the same
+whitespace split, the SemDeDup cells re-derived from the same
+deterministic centroid stand-in, the md5 chunk fingerprints shared
+verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_20_spark.operators.packing import greedy_pack, sliding_chunks
+from flink_1_20_spark.operators.simsearch import (
+    cosine_topk,
+    lsh_topk,
+    semantic_dedup,
+)
+from flink_1_20_spark.registry import register
+
+from ._util import T
+
+# ------------------------------------------------------- sequence packing
+
+_BUDGET, _SHARDS = 512, 4
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT lang, CAST(doc_id % {_SHARDS} AS BIGINT) AS shard, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+         CAST(row_number() OVER (PARTITION BY lang, doc_id % {_SHARDS}
+                                 ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT lang, shard, doc_id, tok, rn, CAST(1 AS BIGINT) AS seq_id, tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.shard, d.doc_id, d.tok, d.rn,
+         CASE WHEN p.fill + d.tok <= {_BUDGET} THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + d.tok <= {_BUDGET} THEN p.fill + d.tok ELSE d.tok END
+  FROM pack p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT lang, shard, doc_id, tok, seq_id FROM pack
+"""
+
+
+@register("pipeline_sequence_pack", oracle=_PACK_ORACLE)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing: documents stream in doc_id
+    order within each (lang, shard) group and append to the current
+    training sequence until the 512-token budget would overflow, then a
+    new sequence opens (oversized docs get their own sequence, unsplit).
+
+    The scan is sequential by design (running-fill state), so it runs
+    as one Arrow-batched applyInPandas per group and the SHARD COUNT is
+    the parallelism knob — at 100 TB pick shards so each group holds
+    ~10^5 docs; packing quality only needs locality within a shard.
+    The oracle replays the same scan as a recursive CTE."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(_SHARDS)).cast("bigint").alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+    )
+    return greedy_pack(d, ["lang", "shard"], "doc_id", "tok", _BUDGET).select(
+        "lang", "shard", "doc_id", "tok", "seq_id"
+    )
+
+
+# --------------------------------------------------- sliding-window chunks
+
+_CHUNK_W, _CHUNK_S = 50, 25
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks, gs.start
+      FROM t, LATERAL (SELECT unnest(range(0, greatest(len(toks), 1),
+                                           {_CHUNK_S})) AS start) gs)
+SELECT doc_id,
+       CAST(start / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, start + 1, start + {_CHUNK_W})) AS BIGINT)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + {_CHUNK_W}), ' '))
+         AS chunk_md5
+FROM s
+"""
+
+
+@register("text_chunk_sliding", oracle=_CHUNK_ORACLE)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 50, stride 25) — the
+    retrieval/context-window preparation step. Each chunk carries an md5
+    fingerprint of its space-rejoined tokens, directly consumable by the
+    exact-dedup operator for chunk-level dedup.
+
+    Scale: split + explode(sequence) + slice + md5 are all
+    whole-stage-codegen expressions — a stateless map with ~n_tokens/25
+    output rows per document and zero shuffles."""
+    d = T(spark, sf_dir, "documents")
+    out = sliding_chunks(d, "doc_id", "text", size=_CHUNK_W, stride=_CHUNK_S)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        "chunk_md5",
+    )
+
+
+# ------------------------------------------------------ semantic dedup
+
+_SEM_TAU, _SEM_CELLS = 0.35, 16
+
+_SEM_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cv, nrm AS cnrm
+         FROM v ORDER BY vec_id LIMIT {_SEM_CELLS}),
+assign AS (SELECT v.vec_id, v.emb, v.nrm, cent.cid,
+                  row_number() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY round(list_dot_product(v.emb, cent.cv)
+                                   / (v.nrm * cent.cnrm), 6) DESC, cent.cid
+                  ) AS rn
+           FROM v, cent),
+cells AS (SELECT vec_id, emb, nrm, cid AS cell FROM assign WHERE rn = 1),
+dups AS (SELECT DISTINCT b.vec_id AS dup_id
+         FROM cells a JOIN cells b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+               >= {_SEM_TAU}),
+flagged AS (SELECT c.vec_id, c.cell, (d.dup_id IS NULL) AS keep
+            FROM cells c LEFT JOIN dups d ON c.vec_id = d.dup_id)
+SELECT vec_id, cell, keep FROM flagged
+"""
+
+
+@register("dedup_semantic_cells", oracle=_SEM_ORACLE)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): embeddings
+    are clustered into nearest-centroid cells, then any vector whose
+    cosine to a lower-id cellmate reaches 0.35 is dropped — the lowest
+    id of each semantic neighborhood survives. Centroids are the 16
+    lowest-id vectors (deterministic training-free stand-in, same as
+    simsearch_ivf_topk; swap in kmeans_centroids on a real corpus).
+
+    Scale: the quadratic comparison runs per-cell via a self-equi-join
+    on `cell` — never corpus-wide; centroid count bounds cell size
+    (SemDeDup uses ~10^4-10^5 clusters at web scale)."""
+    e = T(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", threshold=_SEM_TAU, n_centroids=_SEM_CELLS
+    )
+
+
+# --------------------------------------------------------- LSH recall@k
+
+_RK, _RQ, _RPLANES = 5, 20, 8
+
+from .similarity import _bucket_sql  # noqa: E402  (shared hyperplane literals)
+
+_RECALL_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {_RQ}),
+bf_pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+             FROM q, v c WHERE q.vec_id <> c.vec_id),
+bf AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+         FROM bf_pairs) WHERE rank <= {_RK}),
+b AS (SELECT vec_id, ({_bucket_sql()}) AS bucket
+      FROM (SELECT vec_id, emb FROM v)),
+lq AS (SELECT v.vec_id AS query_id, v.emb AS qv, v.nrm AS qn, b.bucket
+       FROM v JOIN b USING (vec_id) WHERE v.vec_id < {_RQ}),
+lc AS (SELECT v.vec_id AS neighbor_id, v.emb AS cv, v.nrm AS cn, b.bucket
+       FROM v JOIN b USING (vec_id)),
+lsh_pairs AS (SELECT lq.query_id, lc.neighbor_id,
+                     round(list_dot_product(lq.qv, lc.cv) / (lq.qn * lc.cn), 6) AS cos
+              FROM lq JOIN lc USING (bucket)
+              WHERE lq.query_id <> lc.neighbor_id),
+lsh AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM lsh_pairs) WHERE rank <= {_RK}),
+hits AS (SELECT bf.query_id,
+                CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+         FROM bf LEFT JOIN lsh l
+           ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+         GROUP BY bf.query_id)
+SELECT query_id, n_hits, round(n_hits / {_RK}.0, 6) AS recall FROM hits
+"""
+
+
+@register("simsearch_recall_lsh", oracle=_RECALL_ORACLE)
+def simsearch_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN path measured against the exact
+    brute-force top-k, per query — the quality gate that makes the
+    approximate path's accuracy a first-class, continuously-checked
+    number instead of a one-off claim.
+
+    Plan: both sides reuse their production operators (cosine_topk /
+    lsh_topk); the comparison itself is one equi-join + count per query.
+    At 100 TB this runs on a sampled query set — the denominators stay
+    k, so the metric is unchanged by sampling the query side."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _RQ)
+    bf = cosine_topk(q, e, "vec_id", "embedding", k=_RK).select(
+        "query_id", "neighbor_id"
+    )
+    # rename the approximate side's columns before joining: both branches
+    # derive from the same scan, so shared names would be ambiguous
+    lsh = lsh_topk(
+        q, e, "vec_id", "embedding", k=_RK, n_planes=_RPLANES, dim=64
+    ).select(
+        F.col("query_id").alias("l_query"),
+        F.col("neighbor_id").alias("l_neighbor"),
+    )
+    joined = bf.join(
+        lsh,
+        (F.col("query_id") == F.col("l_query"))
+        & (F.col("neighbor_id") == F.col("l_neighbor")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("l_neighbor").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / _RK, 6).alias("recall"),
+        )
+    )
