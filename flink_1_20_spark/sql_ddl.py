@@ -177,6 +177,8 @@ class TableEnvironment:
         self.current_db = self.DEFAULT_DB
         self.tables: dict[str, TableMeta] = self._dbs[self.DEFAULT_DB]
         self.functions: dict[str, str] = {}  # name -> python path
+        self.session_options: dict[str, str] = {}  # SET 'k' = 'v' store
+        self._jars: list[str] = []  # ADD JAR paths (SHOW JARS surface)
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -219,6 +221,42 @@ class TableEnvironment:
         if re.match(r"SHOW\s+CURRENT\s+DATABASE$", u):
             return self.spark.createDataFrame(
                 [(self.current_db,)], "current_database_name string"
+            )
+        # -- session clauses (SqlClient SET/RESET/ADD JAR surface,
+        # SqlNodeToOperationConversion SqlSet/SqlReset/SqlAddJar paths) --
+        m = re.match(r"SET\s+'([^']+)'\s*=\s*'([^']*)'$", s, re.I)
+        if m:
+            return self._set_option(m.group(1), m.group(2))
+        if re.match(r"SET$", u):
+            return self.spark.createDataFrame(
+                sorted(self.session_options.items()) or [],
+                "key string, value string",
+            )
+        m = re.match(r"RESET\s+'([^']+)'$", s, re.I)
+        if m:
+            self.session_options.pop(m.group(1), None)
+            return None
+        if re.match(r"RESET$", u):
+            self.session_options.clear()
+            return None
+        m = re.match(r"ADD\s+JAR\s+'([^']+)'$", s, re.I)
+        if m:
+            # Spark has a native ADD JAR; route through it so the jar
+            # actually lands on the session classpath
+            self._jars.append(m.group(1))
+            self.spark.sql(f"ADD JAR '{m.group(1)}'")
+            return None
+        m = re.match(r"REMOVE\s+JAR\s+'([^']+)'$", s, re.I)
+        if m:
+            # Flink unregisters the jar from the session; Spark cannot
+            # unload a loaded jar, so this only drops it from SHOW JARS
+            # (matching Flink's session-listing semantics best-effort)
+            if m.group(1) in self._jars:
+                self._jars.remove(m.group(1))
+            return None
+        if re.match(r"SHOW\s+JARS$", u):
+            return self.spark.createDataFrame(
+                [(j,) for j in self._jars] or [], "jar string"
             )
         # cross-database references `db.table` → the mangled per-db view
         # (temp view names cannot contain dots); known pairs only, so a
@@ -383,6 +421,26 @@ class TableEnvironment:
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
         return self.spark.sql(s)
+
+    # -- session options -------------------------------------------------
+    # Flink config keys with a direct Spark runtime analog; everything
+    # else is recorded in the session store (visible via bare SET) so
+    # scripts that tune Flink-only knobs run unchanged.
+    _OPTION_MAP = {
+        "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
+        "parallelism.default": "spark.sql.shuffle.partitions",
+        "table.local-time-zone": "spark.sql.session.timeZone",
+    }
+
+    def _set_option(self, key: str, value: str) -> None:
+        self.session_options[key] = value
+        target = self._OPTION_MAP.get(key)
+        if target is not None:
+            self.spark.conf.set(target, value)
+        elif key.startswith("spark."):
+            # allow direct Spark conf passthrough for hybrid scripts
+            self.spark.conf.set(key, value)
+        return None
 
     # -- temporal (versioned) join ---------------------------------------
     def _temporal_join(self, s: str):

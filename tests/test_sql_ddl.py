@@ -1175,3 +1175,33 @@ def test_cross_database_insert_and_describe(spark, tmp_path):
     assert desc == {"a": "bigint", "b": "string"}
     ddl = env.execute_sql("SHOW CREATE TABLE wh.sink").collect()[0].result
     assert "`a` BIGINT" in ddl
+
+
+def test_session_set_reset_and_jars(spark):
+    env = TableEnvironment(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # Flink key with a Spark analog actually lands on the session
+        env.execute_sql("SET 'table.exec.resource.default-parallelism' = '7'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # Flink-only key is recorded so scripts run unchanged
+        env.execute_sql("SET 'table.exec.mini-batch.enabled' = 'true'")
+        got = {r["key"]: r["value"] for r in env.execute_sql("SET").collect()}
+        assert got["table.exec.mini-batch.enabled"] == "true"
+        assert got["table.exec.resource.default-parallelism"] == "7"
+        # RESET drops one key; bare RESET clears the store
+        env.execute_sql("RESET 'table.exec.mini-batch.enabled'")
+        keys = [r["key"] for r in env.execute_sql("SET").collect()]
+        assert "table.exec.mini-batch.enabled" not in keys
+        env.execute_sql("RESET")
+        assert env.execute_sql("SET").count() == 0
+        # jar listing round-trips (REMOVE only affects the listing —
+        # documented: a loaded jar cannot be unloaded from a JVM)
+        env._jars.append("/tmp/fake-a.jar")
+        assert [r["jar"] for r in env.execute_sql("SHOW JARS").collect()] == [
+            "/tmp/fake-a.jar"
+        ]
+        env.execute_sql("REMOVE JAR '/tmp/fake-a.jar'")
+        assert env.execute_sql("SHOW JARS").count() == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
