@@ -26,6 +26,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pack_tokens(tokens: list[int], budget: int) -> list[int]:
+    """Pure greedy first-fit core: token counts in scan order → sequence
+    id (1-based) per document. Shared by the Spark operator and the
+    property tests."""
+    seq, fill, out = 1, 0, []
+    for tok in tokens:
+        t = int(tok)
+        if fill > 0 and fill + t > budget:
+            seq += 1
+            fill = 0
+        fill += t
+        out.append(seq)
+    return out
+
+
 def greedy_pack(
     docs: DataFrame,
     group_cols: list[str],
@@ -56,17 +71,8 @@ def greedy_pack(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        seq, fill = 1, 0
-        seq_ids = []
-        for tok in pdf[tokens_col]:
-            t = int(tok)
-            if fill > 0 and fill + t > budget:
-                seq += 1
-                fill = 0
-            fill += t
-            seq_ids.append(seq)
         out = pdf[cols].copy()
-        out["seq_id"] = seq_ids
+        out["seq_id"] = pack_tokens(list(pdf[tokens_col]), budget)
         return out
 
     # Pin the group partitioning: the shuffle is tiny (ids + counts) but

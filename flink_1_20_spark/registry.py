@@ -84,12 +84,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q57_lag_lead_self_join",
     "tpcds_q30_returns_above_nation_avg",
     "tpcds_q86_rollup_rank_within_parent",
-    # breadth fill, all never-confirmed
+    # training-prep family (new in r5: packing/chunking/SemDeDup/recall)
+    "pipeline_sequence_pack",
+    "text_chunk_sliding",
+    "dedup_semantic_cells",
+    "simsearch_recall_lsh",
+    # breadth fill, never-confirmed (fn_* family keeps one seat — its
+    # siblings fn_string_advanced/fn_json_path/fn_time_type are
+    # driver-confirmed green in CORRECTNESS_r04)
     "fn_string_basic",
-    "fn_math_misc",
-    "fn_temporal_arith",
-    "fn_array_higher_order",
-    "fn_map",
     "multimodal_features",
     "text_pii_scrub",
     "sample_stratified_exact",

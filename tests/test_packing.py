@@ -106,3 +106,64 @@ def test_semantic_dedup_plan_is_equi_join(spark):
     assert s.count("NestedLoop") <= 3, s
     # every corpus row survives with a verdict
     assert plan.count() == 12
+
+
+# ------------------------------------------------- property tests (pure)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from flink_1_20_spark.operators.packing import pack_tokens  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=700), max_size=60),
+    st.integers(min_value=1, max_value=512),
+)
+def test_pack_tokens_invariants(tokens, budget):
+    seqs = pack_tokens(tokens, budget)
+    assert len(seqs) == len(tokens)
+    # seq ids are non-decreasing and dense from 1
+    if seqs:
+        assert seqs[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+    # each sequence fits the budget unless it is a single oversized doc
+    fills: dict[int, list[int]] = {}
+    for t, s in zip(tokens, seqs):
+        fills.setdefault(s, []).append(t)
+    for docs in fills.values():
+        assert sum(docs) <= budget or len(docs) == 1
+    # greedy = first-fit: a doc only opens a new sequence when it would
+    # not have fit in the previous one
+    for (t, s), prev in zip(list(zip(tokens, seqs))[1:], seqs):
+        if s == prev + 1:
+            assert sum(fills[prev]) + t > budget
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+def test_chunk_arithmetic_covers_every_token(n_tokens, size, stride):
+    # replicate the operator's start generation: multiples of stride
+    # from 0 through n-1 inclusive
+    starts = list(range(0, n_tokens, stride))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + size, n_tokens)))
+    if stride <= size:
+        # overlapping (or abutting) config: every token is covered
+        assert covered == set(range(n_tokens))
+    else:
+        # sampling config (stride > size): exactly the strided windows
+        assert covered == {
+            i for s in starts for i in range(s, min(s + size, n_tokens))
+        }
+    # overlap between consecutive full chunks is exactly size - stride
+    for a, b in zip(starts, starts[1:]):
+        if b + size <= n_tokens:
+            assert len(set(range(a, a + size)) & set(range(b, b + size))) == max(
+                0, size - stride
+            )
