@@ -93,6 +93,95 @@ def extract_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def luminance_plane(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fake-decode a document into a square-ish luminance plane: the
+    pixel buffer is the text's unicode code points, with declared dims
+    w = ceil(sqrt(n)), h = ceil(n/w) (the buffer is padded with zeros to
+    w*h at read time). Pure codegen — stands in for the real image
+    decode (PIL) this container lacks while keeping every downstream
+    batch/shape/partition contract identical.
+
+    Output: (item_id, w, h, buf array<int>)."""
+    n = F.char_length(F.col(text_col))
+    w = F.greatest(F.ceil(F.sqrt(n)).cast("bigint"), F.lit(1))
+    return df.select(
+        F.col(id_col).alias("item_id"),
+        w.alias("w"),
+        F.greatest(
+            F.ceil(n / w.cast("double")).cast("bigint"), F.lit(1)
+        ).alias("h"),
+        F.expr(
+            f"transform(sequence(1, greatest(char_length({text_col}), 1)),"
+            f" i -> ascii(substring({text_col}, i, 1)))"
+        ).alias("buf"),
+    )
+
+
+def resize_nearest(
+    planes: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize of (w, h) luminance planes to
+    (target_w, target_h) — the standard image-preprocessing step, run as
+    an Arrow-batched mapInPandas with a vectorized numpy gather per
+    batch (the shape a real PIL/opencv resize takes at scale: decode +
+    resample inside the Python worker, partition-parallel, no shuffle).
+
+    Source pixel for output (x, y) is (floor(x*w/tw), floor(y*h/th));
+    out-of-buffer reads (the zero padding of the fake decode) yield 0.
+
+    Output: (item_id, out_w, out_h, mean_px, px_checksum) — summary
+    stats rather than the raw plane so results stay hash-comparable."""
+    import numpy as np
+
+    out_schema = (
+        "item_id bigint, out_w int, out_h int, mean_px double, px_checksum bigint"
+    )
+    tw, th = int(target_w), int(target_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:th, 0:tw]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            means, sums = [], []
+            for buf, w, h in zip(pdf["buf"], pdf["w"], pdf["h"]):
+                arr = np.asarray(buf, dtype=np.int64)
+                src = (ys * int(h) // th) * int(w) + (xs * int(w) // tw)
+                flat = src.ravel()
+                px = np.where(flat < len(arr), arr[np.minimum(flat, len(arr) - 1)], 0)
+                means.append(round(float(px.mean()), 6))
+                sums.append(int(px.sum()))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "out_w": tw,
+                    "out_h": th,
+                    "mean_px": means,
+                    "px_checksum": sums,
+                }
+            )
+
+    return planes.mapInPandas(run, schema=out_schema)
+
+
+def audio_chunk_offsets(
+    n_samples: int, sample_rate: float, chunk_s: float, hop_s: float
+) -> list[tuple[int, int]]:
+    """(start, end) sample offsets for overlapping audio chunks — the
+    pure arithmetic core of audio chunking (decode itself is stubbed,
+    same contract as `sample_frame_offsets`). The final chunk is kept
+    even if short, so every sample lands in at least one chunk when
+    hop_s <= chunk_s."""
+    if sample_rate <= 0 or chunk_s <= 0 or hop_s <= 0:
+        raise ValueError("sample_rate, chunk_s and hop_s must be positive")
+    size, hop = int(chunk_s * sample_rate), int(hop_s * sample_rate)
+    out, start = [], 0
+    while start < n_samples:
+        out.append((start, min(start + size, n_samples)))
+        start += hop
+    return out
+
+
 def sample_frame_offsets(duration_s: float, fps: float, every_s: float) -> list[int]:
     """Frame indices to sample every `every_s` seconds — the pure
     arithmetic core of video frame sampling (decode itself is stubbed)."""

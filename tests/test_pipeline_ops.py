@@ -267,3 +267,45 @@ def test_minhash_collapsed_matches_raw_expansion(spark):
             for b in gb:
                 expanded.add((min(a, b), max(a, b)))
     assert expanded == raw
+
+
+def test_resize_nearest_identity_and_downsample(spark):
+    from flink_1_20_spark.operators.multimodal import luminance_plane, resize_nearest
+
+    # "AAAA" decodes to a 2x2 plane of 65s; resizing to 8x8 replicates
+    # the same pixel everywhere → mean 65, checksum 65*64
+    df = spark.createDataFrame([(1, "AAAA")], "doc_id long, text string")
+    out = resize_nearest(luminance_plane(df, "doc_id", "text"), 8, 8).collect()[0]
+    assert (out["out_w"], out["out_h"]) == (8, 8)
+    assert out["mean_px"] == 65.0
+    assert out["px_checksum"] == 65 * 64
+
+
+def test_resize_nearest_padding_reads_zero(spark):
+    from flink_1_20_spark.operators.multimodal import luminance_plane, resize_nearest
+
+    # 5 chars → w=3, h=2: buffer has one padded slot; the 8x8 gather
+    # must see 0 there, never an out-of-bounds read
+    df = spark.createDataFrame([(1, "ABCDE")], "doc_id long, text string")
+    out = resize_nearest(luminance_plane(df, "doc_id", "text"), 8, 8).collect()[0]
+    assert 0 < out["mean_px"] < 69  # zeros pull the mean below max(px)
+    assert out["px_checksum"] > 0
+
+
+def test_audio_chunk_offsets():
+    from flink_1_20_spark.operators.multimodal import audio_chunk_offsets
+
+    # 10 s at 16 kHz, 4 s chunks, 2 s hop: starts every 32000 samples,
+    # last chunk short but present — every sample covered
+    chunks = audio_chunk_offsets(160000, 16000, 4.0, 2.0)
+    assert chunks[0] == (0, 64000)
+    assert chunks[1] == (32000, 96000)
+    assert chunks[-1][1] == 160000
+    covered = set()
+    for a, b in chunks:
+        covered.update(range(a, b, 1000))
+    assert max(b for _, b in chunks) == 160000
+    import pytest
+
+    with pytest.raises(ValueError):
+        audio_chunk_offsets(100, 0, 1.0, 1.0)
