@@ -442,6 +442,37 @@ class TableEnvironment:
             self.spark.conf.set(key, value)
         return None
 
+    # -- programmatic Table API entry points ------------------------------
+    # TableEnvironment.from(path) / fromValues / sqlQuery /
+    # createStatementSet (TableEnvironment.java surface) — return the
+    # fluent Table facade so DDL-registered tables compose with the
+    # Table API without re-reading sources.
+    def from_path(self, path: str):
+        from flink_1_20_spark.table_api import Table
+
+        name = path.strip("`")
+        if "." in name:
+            db, _, tbl = name.partition(".")
+            if db in self._dbs and tbl in self._dbs[db]:
+                return Table(self.spark.table(_db_view_name(db, tbl)))
+        return Table(self.spark.table(name))
+
+    def from_elements(self, elements, schema=None):
+        from flink_1_20_spark.table_api import Table
+
+        return Table(self.spark.createDataFrame(elements, schema))
+
+    def sql_query(self, sql: str):
+        from flink_1_20_spark.table_api import Table
+
+        df = self.execute_sql(sql)
+        if df is None:
+            raise ValueError("sql_query expects a query, not a DDL statement")
+        return Table(df)
+
+    def create_statement_set(self) -> "StatementSet":
+        return StatementSet(self)
+
     # -- temporal (versioned) join ---------------------------------------
     def _temporal_join(self, s: str):
         """`JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d ON ...` — the SQL
@@ -1022,3 +1053,20 @@ class TableEnvironment:
             df.foreachPartition(lambda _: None)
         else:
             raise ValueError(f"connector {meta.connector!r} is not writable here")
+
+
+class StatementSet:
+    """Programmatic STATEMENT SET (StatementSetImpl.java): buffer INSERT
+    statements, run them as one multi-sink submission on execute()."""
+
+    def __init__(self, env: TableEnvironment):
+        self._env = env
+        self._stmts: list[str] = []
+
+    def add_insert_sql(self, stmt: str) -> "StatementSet":
+        self._stmts.append(stmt)
+        return self
+
+    def execute(self) -> None:
+        stmts, self._stmts = self._stmts, []
+        self._env.execute_statement_set(stmts)

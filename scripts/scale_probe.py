@@ -53,6 +53,12 @@ HEAVY = [
     "simsearch_lsh_topk",
     "pipeline_corpus_curation",
     "cep_funnel_strict",
+    # training-prep family (r5)
+    "pipeline_sequence_pack",
+    "text_chunk_sliding",
+    "dedup_semantic_cells",
+    "simsearch_recall_lsh",
+    "multimodal_resize_nearest",
 ]
 
 

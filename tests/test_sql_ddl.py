@@ -1205,3 +1205,45 @@ def test_session_set_reset_and_jars(spark):
         assert env.execute_sql("SHOW JARS").count() == 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_programmatic_entry_points(spark, tmp_path):
+    env = TableEnvironment(spark)
+    # from_elements → Table facade → fluent ops
+    t = env.from_elements([(1, "a"), (2, "b"), (3, "a")], "id long, tag string")
+    got = (
+        t.group_by("tag")
+        .select("tag", "id.sum AS total")
+        .execute()
+        .collect()
+    )
+    assert {(r["tag"], r["total"]) for r in got} == {("a", 4), ("b", 2)}
+    # DDL table → from_path → Table
+    src = tmp_path / "fp.csv"
+    src.write_text("k,v\n1,10\n2,20\n")
+    env.execute_sql(f"""
+        CREATE TABLE fp_src (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{src}', 'format' = 'csv',
+            'csv.include-header' = 'true'
+        )""")
+    assert env.from_path("fp_src").execute().collect()[0]["k"] in (1, 2)
+    # sql_query returns a Table; DDL through it raises
+    assert env.sql_query("SELECT 41 + 1 AS x").execute().collect()[0]["x"] == 42
+    with pytest.raises(ValueError):
+        env.sql_query("CREATE DATABASE sq_not_a_query")
+    # StatementSet buffers inserts and runs them in one submission
+    out_a, out_b = tmp_path / "out_a", tmp_path / "out_b"
+    env.execute_sql(f"""
+        CREATE TABLE snk_a (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{out_a}', 'format' = 'parquet'
+        )""")
+    env.execute_sql(f"""
+        CREATE TABLE snk_b (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{out_b}', 'format' = 'parquet'
+        )""")
+    ss = env.create_statement_set()
+    ss.add_insert_sql("INSERT INTO snk_a SELECT k, v FROM fp_src WHERE k = 1")
+    ss.add_insert_sql("INSERT INTO snk_b SELECT k, v * 2 AS v FROM fp_src")
+    ss.execute()
+    assert spark.read.parquet(str(out_a)).count() == 1
+    assert {r["v"] for r in spark.read.parquet(str(out_b)).collect()} == {20, 40}
