@@ -146,6 +146,10 @@ def resize_nearest(
             means, sums = [], []
             for buf, w, h in zip(pdf["buf"], pdf["w"], pdf["h"]):
                 arr = np.asarray(buf, dtype=np.int64)
+                if not len(arr):  # empty plane: every read is padding
+                    means.append(0.0)
+                    sums.append(0)
+                    continue
                 src = (ys * int(h) // th) * int(w) + (xs * int(w) // tw)
                 flat = src.ravel()
                 px = np.where(flat < len(arr), arr[np.minimum(flat, len(arr) - 1)], 0)
@@ -175,6 +179,10 @@ def audio_chunk_offsets(
     if sample_rate <= 0 or chunk_s <= 0 or hop_s <= 0:
         raise ValueError("sample_rate, chunk_s and hop_s must be positive")
     size, hop = int(chunk_s * sample_rate), int(hop_s * sample_rate)
+    if size < 1 or hop < 1:
+        # sub-sample durations truncate to 0: hop=0 would loop forever,
+        # size=0 would emit empty chunks — both are caller errors
+        raise ValueError("chunk_s and hop_s must span at least one sample")
     out, start = [], 0
     while start < n_samples:
         out.append((start, min(start + size, n_samples)))

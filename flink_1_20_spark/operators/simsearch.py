@@ -441,8 +441,12 @@ def semantic_dedup(
         .select(F.col("vid_b").alias("dup_id"))
         .distinct()
     )
+    # project to (vid, cell) BEFORE the verdict join — the embedding
+    # vectors and norms would otherwise ride through the join's shuffle
+    # only to be dropped on the other side
+    verdicts = cells.select("vid", "cell")
     return (
-        cells.join(dups, cells["vid"] == dups["dup_id"], "left")
+        verdicts.join(dups, verdicts["vid"] == dups["dup_id"], "left")
         .select(
             F.col("vid").alias(id_col),
             "cell",

@@ -47,7 +47,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact and 6-decimal rounding is an identity on both engines.
 _RSZ_W = _RSZ_H = 8
 
-_SRC = f"((k // {_RSZ_H}) * h // {_RSZ_H}) * w + ((k % {_RSZ_W}) * w // {_RSZ_W})"
+# flat output index k decomposes as y = k // out_w, x = k % out_w;
+# the y scale divides by out_h, the x scale by out_w (they only happen
+# to coincide here because the target is square)
+_SRC = f"((k // {_RSZ_W}) * h // {_RSZ_H}) * w + ((k % {_RSZ_W}) * w // {_RSZ_W})"
 
 _RESIZE_ORACLE = f"""
 WITH t AS (SELECT doc_id AS item_id, greatest(length(text), 1) AS n,

@@ -25,18 +25,32 @@ from ._util import T
 _K = 5
 _N_QUERIES = 20  # vec_id < 20 are the query set
 
-_TOPK_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+# Shared oracle CTE fragments — the single source of truth for the
+# ranking convention (rounding, tie-break, query-set predicate). The
+# top-k oracles here AND the recall oracle in training_prep.py compose
+# from these, so the convention can never silently diverge between the
+# measured path and its yardstick.
+V_CTE = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                         CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
-q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
-pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
-          FROM q, v c WHERE q.vec_id <> c.vec_id),
-ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           FROM embeddings)"""
+
+
+def bf_ranked_block(q: str = "q", pairs: str = "pairs", ranked: str = "ranked") -> str:
+    """Brute-force ranked-pairs CTE block (names parameterizable so two
+    blocks can share one WITH clause)."""
+    return f"""{q} AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+{pairs} AS (SELECT {q}.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product({q}.emb, c.emb) / ({q}.nrm * c.nrm), 6) AS cos
+          FROM {q}, v c WHERE {q}.vec_id <> c.vec_id),
+{ranked} AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, neighbor_id) AS rank
-           FROM pairs)
+           FROM {pairs})"""
+
+
+_TOPK_ORACLE = f"""
+WITH {V_CTE},
+{bf_ranked_block()}
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 
@@ -140,23 +154,32 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TOPK_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
-b AS (SELECT vec_id, ({_bucket_sql()}) AS bucket FROM v),
-q AS (SELECT v.vec_id AS query_id, v.emb AS qv, v.nrm AS qn, b.bucket
-      FROM v JOIN b USING (vec_id) WHERE v.vec_id < {_N_QUERIES}),
-c AS (SELECT v.vec_id AS neighbor_id, v.emb AS cv, v.nrm AS cn, b.bucket
-      FROM v JOIN b USING (vec_id)),
-pairs AS (SELECT q.query_id, c.neighbor_id,
-                 round(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 6) AS cos
-          FROM q JOIN c USING (bucket)
-          WHERE q.query_id <> c.neighbor_id),
-ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+def lsh_ranked_block(
+    b: str = "b",
+    q: str = "q",
+    c: str = "c",
+    pairs: str = "pairs",
+    ranked: str = "ranked",
+) -> str:
+    """LSH bucket-restricted ranked-pairs CTE block (shares the md5
+    hyperplane literals via `_bucket_sql`)."""
+    return f"""{b} AS (SELECT vec_id, ({_bucket_sql()}) AS bucket FROM v),
+{q} AS (SELECT v.vec_id AS query_id, v.emb AS qv, v.nrm AS qn, {b}.bucket
+      FROM v JOIN {b} USING (vec_id) WHERE v.vec_id < {_N_QUERIES}),
+{c} AS (SELECT v.vec_id AS neighbor_id, v.emb AS cv, v.nrm AS cn, {b}.bucket
+      FROM v JOIN {b} USING (vec_id)),
+{pairs} AS (SELECT {q}.query_id, {c}.neighbor_id,
+                 round(list_dot_product({q}.qv, {c}.cv) / ({q}.qn * {c}.cn), 6) AS cos
+          FROM {q} JOIN {c} USING (bucket)
+          WHERE {q}.query_id <> {c}.neighbor_id),
+{ranked} AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, neighbor_id) AS rank
-           FROM pairs)
+           FROM {pairs})"""
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH {V_CTE},
+{lsh_ranked_block()}
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 

@@ -167,37 +167,24 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- LSH recall@k
 
-_RK, _RQ, _RPLANES = 5, 20, 8
-
-from .similarity import _bucket_sql  # noqa: E402  (shared hyperplane literals)
+# the oracle composes from similarity.py's shared CTE blocks — one
+# source of truth for the ranking convention (rounding, tie-break,
+# query-set predicate) between the measured path and its yardstick
+from .similarity import (  # noqa: E402
+    _K as _RK,
+    _N_QUERIES as _RQ,
+    _N_PLANES as _RPLANES,
+    V_CTE,
+    bf_ranked_block,
+    lsh_ranked_block,
+)
 
 _RECALL_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
-q AS (SELECT * FROM v WHERE vec_id < {_RQ}),
-bf_pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
-             FROM q, v c WHERE q.vec_id <> c.vec_id),
-bf AS (SELECT query_id, neighbor_id FROM (
-         SELECT *, row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, neighbor_id) AS rank
-         FROM bf_pairs) WHERE rank <= {_RK}),
-b AS (SELECT vec_id, ({_bucket_sql()}) AS bucket
-      FROM (SELECT vec_id, emb FROM v)),
-lq AS (SELECT v.vec_id AS query_id, v.emb AS qv, v.nrm AS qn, b.bucket
-       FROM v JOIN b USING (vec_id) WHERE v.vec_id < {_RQ}),
-lc AS (SELECT v.vec_id AS neighbor_id, v.emb AS cv, v.nrm AS cn, b.bucket
-       FROM v JOIN b USING (vec_id)),
-lsh_pairs AS (SELECT lq.query_id, lc.neighbor_id,
-                     round(list_dot_product(lq.qv, lc.cv) / (lq.qn * lc.cn), 6) AS cos
-              FROM lq JOIN lc USING (bucket)
-              WHERE lq.query_id <> lc.neighbor_id),
-lsh AS (SELECT query_id, neighbor_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbor_id) AS rank
-          FROM lsh_pairs) WHERE rank <= {_RK}),
+WITH {V_CTE},
+{bf_ranked_block(q="bq", pairs="bf_pairs", ranked="bf_ranked")},
+bf AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= {_RK}),
+{lsh_ranked_block(q="lq", c="lc", pairs="lsh_pairs", ranked="lsh_ranked")},
+lsh AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rank <= {_RK}),
 hits AS (SELECT bf.query_id,
                 CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
          FROM bf LEFT JOIN lsh l

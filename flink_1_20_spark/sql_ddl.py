@@ -178,6 +178,11 @@ class TableEnvironment:
         self.tables: dict[str, TableMeta] = self._dbs[self.DEFAULT_DB]
         self.functions: dict[str, str] = {}  # name -> python path
         self.session_options: dict[str, str] = {}  # SET 'k' = 'v' store
+        # Spark-conf values as they were before our SET mutated them,
+        # keyed by the Spark key — RESET restores these (Flink's RESET
+        # returns a key to its default, so a reset session must not keep
+        # running with the mutated runtime state)
+        self._conf_saved: dict[str, str | None] = {}
         self._jars: list[str] = []  # ADD JAR paths (SHOW JARS surface)
 
     # -- statement router ------------------------------------------------
@@ -234,17 +239,21 @@ class TableEnvironment:
             )
         m = re.match(r"RESET\s+'([^']+)'$", s, re.I)
         if m:
-            self.session_options.pop(m.group(1), None)
+            self._reset_option(m.group(1))
             return None
         if re.match(r"RESET$", u):
-            self.session_options.clear()
+            for key in list(self.session_options):
+                self._reset_option(key)
             return None
         m = re.match(r"ADD\s+JAR\s+'([^']+)'$", s, re.I)
         if m:
             # Spark has a native ADD JAR; route through it so the jar
-            # actually lands on the session classpath
-            self._jars.append(m.group(1))
+            # actually lands on the session classpath. Record only after
+            # the load succeeds, once per path — SHOW JARS must never
+            # list a jar that is not actually on the classpath.
             self.spark.sql(f"ADD JAR '{m.group(1)}'")
+            if m.group(1) not in self._jars:
+                self._jars.append(m.group(1))
             return None
         m = re.match(r"REMOVE\s+JAR\s+'([^']+)'$", s, re.I)
         if m:
@@ -432,15 +441,31 @@ class TableEnvironment:
         "table.local-time-zone": "spark.sql.session.timeZone",
     }
 
+    def _spark_key(self, key: str) -> str | None:
+        target = self._OPTION_MAP.get(key)
+        if target is None and key.startswith("spark."):
+            # direct Spark conf passthrough for hybrid scripts
+            target = key
+        return target
+
     def _set_option(self, key: str, value: str) -> None:
         self.session_options[key] = value
-        target = self._OPTION_MAP.get(key)
+        target = self._spark_key(key)
         if target is not None:
+            if target not in self._conf_saved:
+                self._conf_saved[target] = self.spark.conf.get(target, None)
             self.spark.conf.set(target, value)
-        elif key.startswith("spark."):
-            # allow direct Spark conf passthrough for hybrid scripts
-            self.spark.conf.set(key, value)
         return None
+
+    def _reset_option(self, key: str) -> None:
+        self.session_options.pop(key, None)
+        target = self._spark_key(key)
+        if target is not None and target in self._conf_saved:
+            prev = self._conf_saved.pop(target)
+            if prev is None:
+                self.spark.conf.unset(target)
+            else:
+                self.spark.conf.set(target, prev)
 
     # -- programmatic Table API entry points ------------------------------
     # TableEnvironment.from(path) / fromValues / sqlQuery /
@@ -450,12 +475,13 @@ class TableEnvironment:
     def from_path(self, path: str):
         from flink_1_20_spark.table_api import Table
 
-        name = path.strip("`")
-        if "." in name:
-            db, _, tbl = name.partition(".")
+        # each path segment may be quoted independently (`db`.`tbl`)
+        segs = [p.strip().strip("`") for p in path.split(".")]
+        if len(segs) == 2:
+            db, tbl = segs
             if db in self._dbs and tbl in self._dbs[db]:
                 return Table(self.spark.table(_db_view_name(db, tbl)))
-        return Table(self.spark.table(name))
+        return Table(self.spark.table(".".join(segs)))
 
     def from_elements(self, elements, schema=None):
         from flink_1_20_spark.table_api import Table

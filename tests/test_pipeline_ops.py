@@ -309,3 +309,7 @@ def test_audio_chunk_offsets():
 
     with pytest.raises(ValueError):
         audio_chunk_offsets(100, 0, 1.0, 1.0)
+    # positive durations that truncate below one sample must raise, not
+    # hop by zero forever
+    with pytest.raises(ValueError):
+        audio_chunk_offsets(100, 2.0, 1.0, 0.4)

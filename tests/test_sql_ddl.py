@@ -1189,12 +1189,15 @@ def test_session_set_reset_and_jars(spark):
         got = {r["key"]: r["value"] for r in env.execute_sql("SET").collect()}
         assert got["table.exec.mini-batch.enabled"] == "true"
         assert got["table.exec.resource.default-parallelism"] == "7"
-        # RESET drops one key; bare RESET clears the store
+        # RESET drops one key; bare RESET clears the store AND restores
+        # the Spark conf the SET had mutated (Flink RESET = back to the
+        # pre-SET value, not just forgetting the entry)
         env.execute_sql("RESET 'table.exec.mini-batch.enabled'")
         keys = [r["key"] for r in env.execute_sql("SET").collect()]
         assert "table.exec.mini-batch.enabled" not in keys
         env.execute_sql("RESET")
         assert env.execute_sql("SET").count() == 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
         # jar listing round-trips (REMOVE only affects the listing —
         # documented: a loaded jar cannot be unloaded from a JVM)
         env._jars.append("/tmp/fake-a.jar")
