@@ -53,3 +53,48 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_frac"),
         F.max("c").alias("max_gram_count"),
     )
+
+
+_LM_ORACLE = r"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+big AS (SELECT doc_id, g.i AS pos, ts[g.i] AS w1, ts[g.i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) g),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+vocab AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(ts) AS t FROM toks)),
+scored AS (SELECT b.doc_id, b.pos,
+                  ln((COALESCE(c2.n2, 0) + 1)
+                     / CAST(c1.n1 + vocab.v AS DOUBLE)) AS lp
+           FROM big b LEFT JOIN c2 USING (w1, w2)
+                JOIN c1 USING (w1) CROSS JOIN vocab),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x) AS s
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS lm_score FROM agg
+"""
+
+
+@register("text_lm_score", oracle=_LM_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus quality gate: every document scored by its
+    mean add-one-smoothed bigram log-likelihood under counts estimated
+    from the corpus itself — garbled / out-of-distribution text surfaces
+    with low scores for filtering or re-weighting before training.
+
+    The per-document sum runs left-to-right over the token-ordered
+    logprob array on BOTH engines (a GROUP BY SUM would accumulate in
+    scan order and diverge bit-wise), so the score is deterministic
+    across engines and cluster sizes.
+
+    Scale: two map-side-combined count aggs + one equi-join of the
+    bigram stream against them + a broadcast vocabulary scalar; the
+    operator's `min_count` knob prunes the count table like a real LM
+    vocabulary cut at 100 TB."""
+    from flink_1_20_spark.operators.lm_score import bigram_lm_scores
+
+    d = T(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text")

@@ -313,3 +313,45 @@ def test_audio_chunk_offsets():
     # hop by zero forever
     with pytest.raises(ValueError):
         audio_chunk_offsets(100, 2.0, 1.0, 0.4)
+
+
+def test_bigram_lm_score_flags_garbled_text(spark):
+    from flink_1_20_spark.operators.lm_score import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the dog sat on the mat"),
+        (4, "zq xv qzk vxw kjq zzq"),  # garbled: every bigram unseen elsewhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_bigrams"] == 5
+    # the garbled doc scores strictly below every natural doc
+    assert got[4]["lm_score"] < min(got[i]["lm_score"] for i in (1, 2, 3))
+
+
+def test_bigram_lm_score_min_count_prunes(spark):
+    from flink_1_20_spark.operators.lm_score import bigram_lm_scores
+
+    rows = [(i, "a b a b a b") for i in range(3)] + [(9, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    cut = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(
+        df, "doc_id", "text", min_count=2
+    ).collect()}
+    # pruning only lowers scores (pruned bigrams fall back to count 0)
+    assert all(cut[k] <= full[k] for k in full)
+    # the common "a b" bigram survives the cut: repeated docs keep most mass
+    assert cut[0] > cut[9]
+
+
+def test_bigram_lm_score_short_docs_omitted(spark):
+    from flink_1_20_spark.operators.lm_score import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    assert got == {3}
