@@ -110,10 +110,10 @@ def luminance_plane(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.greatest(
             F.ceil(n / w.cast("double")).cast("bigint"), F.lit(1)
         ).alias("h"),
-        F.expr(
-            f"transform(sequence(1, greatest(char_length({text_col}), 1)),"
-            f" i -> ascii(substring({text_col}, i, 1)))"
-        ).alias("buf"),
+        # split('') yields the char array in ONE pass — per-index
+        # substring() re-walks the UTF-8 string from the start each call
+        # and turns the plane build quadratic in document length
+        F.expr(f"transform(split({text_col}, ''), c -> ascii(c))").alias("buf"),
     )
 
 
@@ -138,29 +138,42 @@ def resize_nearest(
     )
     tw, th = int(target_w), int(target_h)
 
+    # rows per vectorized slice: bounds the padded pixel matrix at
+    # slice_rows * max(w*h) int32s regardless of Arrow batch size
+    slice_rows = 2048
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ys, xs = np.mgrid[0:th, 0:tw]
+        flat_y, flat_x = ys.ravel(), xs.ravel()
         for pdf in batches:
             if not len(pdf):
                 continue
-            means, sums = [], []
-            for buf, w, h in zip(pdf["buf"], pdf["w"], pdf["h"]):
-                arr = np.asarray(buf, dtype=np.int64)
-                if not len(arr):  # empty plane: every read is padding
-                    means.append(0.0)
-                    sums.append(0)
-                    continue
-                src = (ys * int(h) // th) * int(w) + (xs * int(w) // tw)
-                flat = src.ravel()
-                px = np.where(flat < len(arr), arr[np.minimum(flat, len(arr) - 1)], 0)
-                means.append(round(float(px.mean()), 6))
-                sums.append(int(px.sum()))
+            means = np.empty(len(pdf), dtype=np.float64)
+            sums = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), slice_rows):
+                sub = pdf.iloc[lo : lo + slice_rows]
+                bufs = [np.asarray(b, dtype=np.int32) for b in sub["buf"]]
+                w = sub["w"].to_numpy(dtype=np.int64)
+                h = sub["h"].to_numpy(dtype=np.int64)
+                # one padded matrix + one gather for the whole slice:
+                # padding is 0, which IS the documented out-of-buffer
+                # value, so no mask is needed (src < w*h <= pad width)
+                width = max(int((w * h).max()), 1)
+                pad = np.zeros((len(sub), width), dtype=np.int32)
+                for i, b in enumerate(bufs):
+                    pad[i, : len(b)] = b
+                src = (flat_y[None, :] * h[:, None] // th) * w[:, None] + (
+                    flat_x[None, :] * w[:, None] // tw
+                )
+                px = np.take_along_axis(pad, np.minimum(src, width - 1), axis=1)
+                means[lo : lo + len(sub)] = px.mean(axis=1)
+                sums[lo : lo + len(sub)] = px.sum(axis=1, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
                     "out_w": tw,
                     "out_h": th,
-                    "mean_px": means,
+                    "mean_px": np.round(means, 6),
                     "px_checksum": sums,
                 }
             )
