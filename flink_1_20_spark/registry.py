@@ -101,9 +101,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_tolerance",
     "dedup_ngram_jaccard",
     "dedup_connected_clusters",
-    "text_langid",
+    "text_lm_score",
     "text_tokens",
-    "text_repetition",
+    "multimodal_resize_nearest",
     "simsearch_topk_bruteforce",
     "count_window_tumble",
     "udx_table_function",

@@ -59,6 +59,7 @@ HEAVY = [
     "dedup_semantic_cells",
     "simsearch_recall_lsh",
     "multimodal_resize_nearest",
+    "text_lm_score",
 ]
 
 
