@@ -203,3 +203,81 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("toks").cast("long").alias("sampled_tokens"),
     )
+
+
+_MIX_BUDGET = 60_000  # total token budget across all sources
+_ALPHA_SQRT = True  # T5-style temperature alpha = 0.5 → sqrt
+
+_MIX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+per_src AS (SELECT source, CAST(sum(toks) AS BIGINT) AS total
+            FROM tok GROUP BY source),
+-- normalizer folded left-to-right in source order so the double is
+-- bit-identical on both engines (a bare SUM() accumulates in scan order)
+z AS (SELECT list_reduce(list(sqrt(total) ORDER BY source),
+                         (acc, x) -> acc + x) AS z FROM per_src),
+rated AS (
+  SELECT p.source, p.total,
+         least(1.0, {_MIX_BUDGET} * (sqrt(p.total) / z.z) / p.total) AS rate
+  FROM per_src p CROSS JOIN z)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.toks) AS BIGINT) AS sampled_tokens,
+       round(any_value(r.rate), 6) AS rate
+FROM tok t JOIN rated r ON t.source = r.source
+WHERE (t.doc_id * 2654435761) % 1000000 < r.rate * 1000000
+GROUP BY t.source
+"""
+
+
+@register("pipeline_temperature_mix", oracle=_MIX_ORACLE)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling across sources (the T5 /
+    multilingual-pretraining alpha-weighting, alpha = 0.5): target share
+    of source s is sqrt(n_s) / sum_s sqrt(n_s), so large sources are
+    downweighted and small ones upweighted relative to proportional
+    sampling; each source is then thinned to its share of the total
+    token budget with the same deterministic multiplicative-hash keep
+    decision as the per-language budget sampler (no rand(), reruns and
+    both engines agree row-for-row).
+
+    The share normalizer folds left-to-right over the source-ordered
+    array (sources are few), so the rates are bit-identical across
+    engines and cluster sizes — a bare SUM would accumulate in scan
+    order and could flip a boundary document.
+
+    Scale: one tiny per-source aggregate broadcast back, one codegen
+    filter over the corpus — no extra shuffle of the documents."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    ).cast("long")
+    tok = docs.select("doc_id", "source", toks.alias("toks"))
+    per_src = tok.groupBy("source").agg(F.sum("toks").alias("total"))
+    z = per_src.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, "
+            "sqrt(total) AS s))), x -> x.s), 0D, (acc, x) -> acc + x)"
+        ).alias("z")
+    )
+    rated = per_src.crossJoin(F.broadcast(z)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(_MIX_BUDGET))
+            * (F.sqrt("total") / F.col("z"))
+            / F.col("total"),
+        ),
+    )
+    kept = tok.join(F.broadcast(rated.select("source", "rate")), "source").filter(
+        (F.col("doc_id") * F.lit(2654435761)) % 1_000_000
+        < F.col("rate") * 1_000_000
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("sampled_tokens"),
+        F.round(F.first("rate"), 6).alias("rate"),
+    )

@@ -355,3 +355,21 @@ def test_bigram_lm_score_short_docs_omitted(spark):
     )
     got = {r["doc_id"] for r in bigram_lm_scores(df, "doc_id", "text").collect()}
     assert got == {3}
+
+
+def test_temperature_mix_upweights_small_sources(spark, sf_dir):
+    """Alpha=0.5 sampling: smaller sources get a HIGHER keep rate than
+    larger ones (the whole point of temperature mixing), and every rate
+    stays in (0, 1]."""
+    from flink_1_20_spark.queries.pipeline import pipeline_temperature_mix
+
+    rows = pipeline_temperature_mix(spark, sf_dir).collect()
+    assert rows, "no sources sampled"
+    assert all(0 < r["rate"] <= 1.0 for r in rows)
+    # rates ordered opposite to sampled mass wherever uncapped: compare
+    # the extremes via the deterministic relation rate ∝ 1/sqrt(total)
+    uncapped = [r for r in rows if r["rate"] < 1.0]
+    if len(uncapped) >= 2:
+        lo = min(uncapped, key=lambda r: r["sampled_tokens"])
+        hi = max(uncapped, key=lambda r: r["sampled_tokens"])
+        assert lo["rate"] >= hi["rate"]
