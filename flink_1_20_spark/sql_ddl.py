@@ -267,6 +267,33 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(j,) for j in self._jars] or [], "jar string"
             )
+        # TRUNCATE TABLE (SqlTruncateTable, Flink 1.18+): filesystem
+        # tables overwrite their path with an empty relation of the
+        # declared schema; the registered view follows suit
+        m = re.match(r"TRUNCATE\s+TABLE\s+(\S+)$", s, re.I)
+        if m:
+            name = m.group(1).strip("`")
+            meta = self._resolve_meta(name)
+            if meta is None:
+                raise ValueError(f"unknown table: {name}")
+            if meta.connector != "filesystem":
+                raise ValueError(
+                    f"TRUNCATE TABLE: connector {meta.connector!r} has no data to truncate"
+                )
+            schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
+            empty = self.spark.createDataFrame([], schema=schema)
+            fmt = meta.options.get("format", "parquet")
+            if fmt == "parquet":
+                empty.write.mode("overwrite").parquet(meta.options["path"])
+            else:
+                from flink_1_20_spark.sources.connectors import read_file  # noqa: F401
+
+                empty.write.mode("overwrite").format(fmt).save(meta.options["path"])
+            empty_view = empty
+            for cname, cexpr in meta.computed:
+                empty_view = empty_view.selectExpr("*", f"({cexpr}) AS {cname}")
+            empty_view.createOrReplaceTempView(name)
+            return None
         # cross-database references `db.table` → the mangled per-db view
         # (temp view names cannot contain dots); known pairs only, so a
         # same-shaped string inside a literal is never touched by

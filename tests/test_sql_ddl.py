@@ -1250,3 +1250,22 @@ def test_programmatic_entry_points(spark, tmp_path):
     ss.execute()
     assert spark.read.parquet(str(out_a)).count() == 1
     assert {r["v"] for r in spark.read.parquet(str(out_b)).collect()} == {20, 40}
+
+
+def test_truncate_table(spark, tmp_path):
+    env = TableEnvironment(spark)
+    p = tmp_path / "tt"
+    env.execute_sql(f"""
+        CREATE TABLE tt (k BIGINT, v STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{p}', 'format' = 'parquet'
+        )""")
+    env.execute_sql("INSERT INTO tt SELECT 1 AS k, 'x' AS v")
+    assert spark.table("tt").count() >= 1
+    env.execute_sql("TRUNCATE TABLE tt")
+    assert spark.table("tt").count() == 0
+    assert spark.read.parquet(str(p)).count() == 0  # path truly emptied
+    # schema survives the truncate: inserts keep working
+    env.execute_sql("INSERT INTO tt SELECT 2 AS k, 'y' AS v")
+    assert spark.table("tt").count() == 1
+    with pytest.raises(ValueError):
+        env.execute_sql("TRUNCATE TABLE no_such_table")
