@@ -407,51 +407,75 @@ def semantic_dedup(
 
     Output: (id, cell, keep) — one row per corpus vector.
 
-    Scale: candidate generation is a self-equi-join on `cell`; cost per
-    cell is |cell|², so centroid count is the knob that bounds cell
-    size (SemDeDup uses ~10^4-10^5 clusters at web scale — here the
-    count is a parameter). No cross join, no driver collect anywhere.
+    Plan: ONE corpus scan (cell assignment against broadcast centroids,
+    vectorized GEMM in mapInPandas) + ONE shuffle keyed on cell + a
+    per-cell GEMM that emits the keep verdicts directly — no self-join,
+    no second pass. The cosine math mirrors the SQL oracle exactly
+    (dot / (norm_a * norm_b), rounded before every comparison; argmax
+    ties break to the lowest centroid id). Centroid count is the knob
+    that bounds cell size (SemDeDup uses ~10^4-10^5 clusters at web
+    scale); centroids are small by contract — they are collected and
+    broadcast, the corpus never is.
     """
-    cells = ivf_assign(
-        corpus, centroids
-        if centroids is not None
-        else corpus.orderBy(F.col(id_col).asc()).limit(n_centroids),
-        id_col,
-        vec_col,
-        round_to,
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    cent_rows = sorted(
+        centroids.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).collect(),
+        key=lambda r: r["cid"],
     )
-    a = cells.select(
-        F.col("vid").alias("vid_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "cell",
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat, cnrm))
+
+    src = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    b = cells.select(
-        F.col("vid").alias("vid_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "cell",
+
+    def assign(batches):
+        acids, acmat, acnrm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            cos = np.round((mat @ acmat.T) / np.outer(nrm, acnrm), round_to)
+            # argmax returns the FIRST max — centroids sorted by cid, so
+            # ties break to the lowest centroid id, same as the oracle
+            cell = acids[np.argmax(cos, axis=1)]
+            out = pdf[["vid", "v"]].copy()
+            out["cell"] = cell
+            yield out
+
+    assigned = src.mapInPandas(
+        assign, "vid bigint, v array<double>, cell bigint"
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to)
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select(F.col("vid_b").alias("dup_id"))
-        .distinct()
-    )
-    # project to (vid, cell) BEFORE the verdict join — the embedding
-    # vectors and norms would otherwise ride through the join's shuffle
-    # only to be dropped on the other side
-    verdicts = cells.select("vid", "cell")
-    return (
-        verdicts.join(dups, verdicts["vid"] == dups["dup_id"], "left")
-        .select(
-            F.col("vid").alias(id_col),
-            "cell",
-            F.col("dup_id").isNull().alias("keep"),
+
+    def verdict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), round_to)
+        # duplicate iff ANY strictly-lower-id cellmate reaches threshold
+        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {"vid": pdf["vid"], "cell": pdf["cell"], "keep": ~dup}
         )
+
+    # partition for CPU (the GEMM is the cost), AQE-coalesce-exempt
+    parts = spark.sparkContext.defaultParallelism
+    return (
+        assigned.repartition(parts, "cell")
+        .groupBy("cell")
+        .applyInPandas(verdict, "vid bigint, cell bigint, keep boolean")
+        .select(F.col("vid").alias(id_col), "cell", "keep")
     )
 
 
