@@ -55,10 +55,13 @@ def bigram_lm_scores(
         F.expr("element_at(ts, pos)").alias("w1"),
         F.expr("element_at(ts, CAST(pos + 1 AS INT))").alias("w2"),
     )
-    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
-    if min_count > 1:
-        c2 = c2.filter(F.col("n2") >= min_count)
-    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2_full = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    # c1 re-aggregates the (pre-cut) bigram counts instead of exploding
+    # the corpus a second time: c(w1 ·) = sum over w2 of c(w1 w2)
+    c1 = c2_full.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    c2 = (
+        c2_full.filter(F.col("n2") >= min_count) if min_count > 1 else c2_full
+    )
     vocab = base.select(F.explode("ts").alias("t")).agg(
         F.countDistinct("t").alias("v")
     )

@@ -414,11 +414,22 @@ def semantic_dedup(
     (dot / (norm_a * norm_b), rounded before every comparison; argmax
     ties break to the lowest centroid id). Centroid count is the knob
     that bounds cell size (SemDeDup uses ~10^4-10^5 clusters at web
-    scale); centroids are small by contract — they are collected and
-    broadcast, the corpus never is.
+    scale; per-cell work is quadratic in |cell|, so scale n_centroids
+    with the corpus — the blocked verdict GEMM keeps memory bounded
+    either way); centroids are small by contract — they are collected
+    and broadcast, the corpus never is. Ids must be integral (this GEMM
+    path materializes them as int64; the join-based operators remain
+    type-generic).
     """
     import numpy as np
     import pandas as pd
+
+    def _round_half_away(a, decimals):
+        # SQL ROUND semantics (half away from zero) — np.round is
+        # half-to-even and could flip a value landing exactly on the
+        # rounding boundary against the DuckDB/Spark oracles
+        s = 10.0 ** decimals
+        return np.copysign(np.floor(np.abs(a) * s + 0.5), a) / s
 
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
@@ -446,7 +457,7 @@ def semantic_dedup(
                 continue
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             nrm = np.sqrt((mat * mat).sum(axis=1))
-            cos = np.round((mat @ acmat.T) / np.outer(nrm, acnrm), round_to)
+            cos = _round_half_away((mat @ acmat.T) / np.outer(nrm, acnrm), round_to)
             # argmax returns the FIRST max — centroids sorted by cid, so
             # ties break to the lowest centroid id, same as the oracle
             cell = acids[np.argmax(cos, axis=1)]
@@ -458,13 +469,28 @@ def semantic_dedup(
         assign, "vid bigint, v array<double>, cell bigint"
     )
 
+    # column-block width for the verdict GEMM: task memory is bounded
+    # by |cell| * block doubles instead of the full |cell|^2 matrix, so
+    # an under-provisioned n_centroids degrades to slower, not to OOM
+    block = 1024
+
     def verdict(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid").reset_index(drop=True)
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), round_to)
-        # duplicate iff ANY strictly-lower-id cellmate reaches threshold
-        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            # rows 0:hi against columns lo:hi — every candidate column
+            # sees all strictly-lower-id rows exactly once
+            sims = _round_half_away(
+                (mat[:hi] @ mat[lo:hi].T) / np.outer(nrm[:hi], nrm[lo:hi]),
+                round_to,
+            )
+            mask = sims >= threshold
+            mask &= np.arange(hi)[:, None] < np.arange(lo, hi)[None, :]
+            dup[lo:hi] = mask.any(axis=0)
         return pd.DataFrame(
             {"vid": pdf["vid"], "cell": pdf["cell"], "keep": ~dup}
         )

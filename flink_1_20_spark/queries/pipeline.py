@@ -206,7 +206,8 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_BUDGET = 60_000  # total token budget across all sources
-_ALPHA_SQRT = True  # T5-style temperature alpha = 0.5 → sqrt
+# temperature alpha is fixed at 0.5 (sqrt) — hardcoded identically in
+# the oracle SQL and the Spark expression below
 
 _MIX_ORACLE = f"""
 WITH tok AS (

@@ -267,33 +267,6 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(j,) for j in self._jars] or [], "jar string"
             )
-        # TRUNCATE TABLE (SqlTruncateTable, Flink 1.18+): filesystem
-        # tables overwrite their path with an empty relation of the
-        # declared schema; the registered view follows suit
-        m = re.match(r"TRUNCATE\s+TABLE\s+(\S+)$", s, re.I)
-        if m:
-            name = m.group(1).strip("`")
-            meta = self._resolve_meta(name)
-            if meta is None:
-                raise ValueError(f"unknown table: {name}")
-            if meta.connector != "filesystem":
-                raise ValueError(
-                    f"TRUNCATE TABLE: connector {meta.connector!r} has no data to truncate"
-                )
-            schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
-            empty = self.spark.createDataFrame([], schema=schema)
-            fmt = meta.options.get("format", "parquet")
-            if fmt == "parquet":
-                empty.write.mode("overwrite").parquet(meta.options["path"])
-            else:
-                from flink_1_20_spark.sources.connectors import read_file  # noqa: F401
-
-                empty.write.mode("overwrite").format(fmt).save(meta.options["path"])
-            empty_view = empty
-            for cname, cexpr in meta.computed:
-                empty_view = empty_view.selectExpr("*", f"({cexpr}) AS {cname}")
-            empty_view.createOrReplaceTempView(name)
-            return None
         # cross-database references `db.table` → the mangled per-db view
         # (temp view names cannot contain dots); known pairs only, so a
         # same-shaped string inside a literal is never touched by
@@ -307,6 +280,39 @@ class TableEnvironment:
                         _db_view_name(db, t),
                     )
         u = s.upper()
+        # TRUNCATE TABLE (SqlTruncateTable, Flink 1.18+): filesystem
+        # tables overwrite their path with an empty relation of the
+        # declared schema. Sits AFTER the qualified-name rewrite so
+        # `TRUNCATE TABLE db.t` resolves via the mangled form, and
+        # refreshes BOTH registered views through _register (the bare
+        # name and the __cat_<db>__<table> alias) so qualified reads
+        # never dangle on the deleted files.
+        m = re.match(r"TRUNCATE\s+TABLE\s+(\S+)$", s, re.I)
+        if m:
+            name = m.group(1).strip("`")
+            meta = self._resolve_meta(name)
+            if meta is None:
+                raise ValueError(f"unknown table: {name}")
+            if meta.connector != "filesystem":
+                raise ValueError(
+                    f"TRUNCATE TABLE: connector {meta.connector!r} has no data to truncate"
+                )
+            from flink_1_20_spark.sources.connectors import write_file
+
+            schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
+            empty = self.spark.createDataFrame([], schema=schema)
+            write_file(
+                empty,
+                meta.options["path"],
+                fmt=meta.options.get("format", "parquet"),
+                mode="overwrite",
+            )
+            owner = next(
+                (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
+                self.current_db,
+            )
+            self._register(meta, db=owner)
+            return None
         if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
             # LIKE form first, guarded hard (base must be a KNOWN table
             # and the trailing parens must hold only feature clauses) so

@@ -1264,8 +1264,13 @@ def test_truncate_table(spark, tmp_path):
     env.execute_sql("TRUNCATE TABLE tt")
     assert spark.table("tt").count() == 0
     assert spark.read.parquet(str(p)).count() == 0  # path truly emptied
+    # the qualified alias view must not dangle on the deleted files
+    assert env.execute_sql("SELECT count(*) AS n FROM default_database.tt").collect()[0]["n"] == 0
     # schema survives the truncate: inserts keep working
     env.execute_sql("INSERT INTO tt SELECT 2 AS k, 'y' AS v")
     assert spark.table("tt").count() == 1
+    # qualified truncate resolves through the db.table rewrite
+    env.execute_sql("TRUNCATE TABLE default_database.tt")
+    assert spark.table("tt").count() == 0
     with pytest.raises(ValueError):
         env.execute_sql("TRUNCATE TABLE no_such_table")
