@@ -136,3 +136,79 @@ def test_ogg_envelope(spark):
         log, keys=["id"], seq_col="op_ts", op_col="row_kind")
     got = {r["id"]: r["name"] for r in final.collect()}
     assert got == {1: "alice2"}
+
+
+def test_cdc_stream_end_to_end_materialization(spark, tmp_path):
+    """Production slice across three layers: a 'scan.streaming' CDC
+    table declared through executeSql feeds a foreachBatch that applies
+    each micro-batch's net effect (last op per key wins; -D deletes,
+    +I/+U upsert) onto a parquet state table — the streaming version of
+    materialize_changelog, asserted across two file drops."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+    from flink_1_20_spark.streaming.sinks import foreach_batch_sink
+
+    src = tmp_path / "cdc_e2e"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":{"id":1,"name":"a"}}\n'
+        '{"op":"c","ts_ms":2,"before":null,"after":{"id":2,"name":"b"}}\n'
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE cdc_e2e (id BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='debezium-json','scan.streaming'='true')
+    """)
+    state = str(tmp_path / "mat_state")
+
+    def merge(batch, _bid):
+        if not batch.count():
+            return
+        # DropUpdateBefore: -U carries no new state and shares its
+        # ts with the +U after-image, so it must not win the tie
+        batch = batch.filter(F.col("row_kind") != "-U")
+        w = Window.partitionBy("id").orderBy(F.col("ts_ms").desc())
+        net = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        s = batch.sparkSession
+        if os.path.exists(state):
+            cur = s.read.parquet(state)
+            cur = cur.join(net.select("id"), "id", "left_anti")
+        else:
+            cur = None
+        live = net.filter(F.col("row_kind") != "-D").select("id", "name")
+        merged = cur.unionByName(live) if cur is not None else live
+        tmp_out = state + ".__stage__"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        import shutil
+
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.rename(tmp_out, state)
+
+    q = foreach_batch_sink(spark.table("cdc_e2e"), merge)
+    try:
+        q.processAllAvailable()
+        assert {(r.id, r.name) for r in spark.read.parquet(state).collect()} == {
+            (1, "a"),
+            (2, "b"),
+        }
+        # second drop: update id=1, delete id=2 — net state follows
+        (src / "b1.jsonl").write_text(
+            '{"op":"u","ts_ms":3,"before":{"id":1,"name":"a"},"after":{"id":1,"name":"a2"}}\n'
+            '{"op":"d","ts_ms":4,"before":{"id":2,"name":"b"},"after":null}\n'
+        )
+        q.processAllAvailable()
+        assert {(r.id, r.name) for r in spark.read.parquet(state).collect()} == {
+            (1, "a2"),
+        }
+    finally:
+        q.stop()
