@@ -103,37 +103,49 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_CENT, _N_PROBE = 16, 4
 
-_IVF_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
-cent AS (SELECT vec_id AS cid, emb AS cv, nrm AS cnrm
+
+def ivf_ranked_block(
+    cent: str = "cent",
+    assign: str = "assign",
+    cells: str = "cells",
+    q: str = "q",
+    probe: str = "probe",
+    cand: str = "cand",
+    ranked: str = "ranked",
+) -> str:
+    """IVF index-build + probe ranked-pairs CTE block (names
+    parameterizable so two blocks can share one WITH clause)."""
+    return f"""{cent} AS (SELECT vec_id AS cid, emb AS cv, nrm AS cnrm
          FROM v ORDER BY vec_id LIMIT {_N_CENT}),
-assign AS (SELECT v.vec_id, v.emb, v.nrm, cent.cid,
+{assign} AS (SELECT v.vec_id, v.emb, v.nrm, {cent}.cid,
                   row_number() OVER (
                     PARTITION BY v.vec_id
-                    ORDER BY round(list_dot_product(v.emb, cent.cv)
-                                   / (v.nrm * cent.cnrm), 6) DESC, cent.cid
+                    ORDER BY round(list_dot_product(v.emb, {cent}.cv)
+                                   / (v.nrm * {cent}.cnrm), 6) DESC, {cent}.cid
                   ) AS rn
-           FROM v, cent),
-cells AS (SELECT vec_id, emb, nrm, cid AS cell FROM assign WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn
+           FROM v, {cent}),
+{cells} AS (SELECT vec_id, emb, nrm, cid AS cell FROM {assign} WHERE rn = 1),
+{q} AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn
       FROM v WHERE vec_id < {_N_QUERIES}),
-probe AS (SELECT q.query_id, q.qv, q.qn, cent.cid AS cell,
+{probe} AS (SELECT {q}.query_id, {q}.qv, {q}.qn, {cent}.cid AS cell,
                  row_number() OVER (
-                   PARTITION BY q.query_id
-                   ORDER BY round(list_dot_product(q.qv, cent.cv)
-                                  / (q.qn * cent.cnrm), 6) DESC, cent.cid
+                   PARTITION BY {q}.query_id
+                   ORDER BY round(list_dot_product({q}.qv, {cent}.cv)
+                                  / ({q}.qn * {cent}.cnrm), 6) DESC, {cent}.cid
                  ) AS rn
-          FROM q, cent),
-cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+          FROM {q}, {cent}),
+{cand} AS (SELECT p.query_id, c.vec_id AS neighbor_id,
                 round(list_dot_product(p.qv, c.emb) / (p.qn * c.nrm), 6) AS cos
-         FROM probe p JOIN cells c ON p.cell = c.cell
+         FROM {probe} p JOIN {cells} c ON p.cell = c.cell
          WHERE p.rn <= {_N_PROBE} AND p.query_id <> c.vec_id),
-ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+{ranked} AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, neighbor_id) AS rank
-           FROM cand)
+           FROM {cand})"""
+
+
+_IVF_ORACLE = f"""
+WITH {V_CTE},
+{ivf_ranked_block()}
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 

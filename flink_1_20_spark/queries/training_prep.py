@@ -233,3 +233,57 @@ def simsearch_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / _RK, 6).alias("recall"),
         )
     )
+
+
+from .similarity import _N_CENT, _N_PROBE, ivf_ranked_block  # noqa: E402
+
+_RECALL_IVF_ORACLE = f"""
+WITH {V_CTE},
+{bf_ranked_block(q="bq", pairs="bf_pairs", ranked="bf_ranked")},
+bf AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= {_RK}),
+{ivf_ranked_block(q="iq", probe="iprobe", cand="icand", ranked="ivf_ranked")},
+ivf AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= {_RK}),
+hits AS (SELECT bf.query_id,
+                CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+         FROM bf LEFT JOIN ivf i
+           ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+         GROUP BY bf.query_id)
+SELECT query_id, n_hits, round(n_hits / {_RK}.0, 6) AS recall FROM hits
+"""
+
+
+@register("simsearch_recall_ivf", oracle=_RECALL_IVF_ORACLE)
+def simsearch_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF probe path against the exact top-k, per
+    query — the second ANN quality gate (the LSH one is
+    simsearch_recall_lsh); both compose from the shared ranked-CTE
+    blocks so every recall number measures exactly the production
+    ranking convention."""
+    from flink_1_20_spark.operators.simsearch import ivf_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _RQ)
+    bf = cosine_topk(q, e, "vec_id", "embedding", k=_RK).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        q, e, "vec_id", "embedding", k=_RK, n_centroids=_N_CENT, n_probe=_N_PROBE
+    ).select(
+        F.col("query_id").alias("i_query"),
+        F.col("neighbor_id").alias("i_neighbor"),
+    )
+    joined = bf.join(
+        ivf,
+        (F.col("query_id") == F.col("i_query"))
+        & (F.col("neighbor_id") == F.col("i_neighbor")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("i_neighbor").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / _RK, 6).alias("recall"),
+        )
+    )
