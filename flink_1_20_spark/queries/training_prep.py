@@ -165,33 +165,78 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------- LSH recall@k
+# ----------------------------------------------------- ANN recall@k gates
 
-# the oracle composes from similarity.py's shared CTE blocks — one
+# the oracles compose from similarity.py's shared CTE blocks — one
 # source of truth for the ranking convention (rounding, tie-break,
-# query-set predicate) between the measured path and its yardstick
+# query-set predicate) between the measured paths and their yardstick
 from .similarity import (  # noqa: E402
     _K as _RK,
+    _N_CENT,
+    _N_PROBE,
     _N_QUERIES as _RQ,
     _N_PLANES as _RPLANES,
     V_CTE,
     bf_ranked_block,
+    ivf_ranked_block,
     lsh_ranked_block,
 )
 
-_RECALL_ORACLE = f"""
+
+def _recall_oracle(approx_block: str, approx_ranked: str) -> str:
+    """Recall@k oracle scaffold: exact ranked block + one approximate
+    ranked block + the hit count — shared by every ANN quality gate so
+    the recall convention cannot diverge between paths."""
+    return f"""
 WITH {V_CTE},
 {bf_ranked_block(q="bq", pairs="bf_pairs", ranked="bf_ranked")},
 bf AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= {_RK}),
-{lsh_ranked_block(q="lq", c="lc", pairs="lsh_pairs", ranked="lsh_ranked")},
-lsh AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rank <= {_RK}),
+{approx_block},
+approx AS (SELECT query_id, neighbor_id FROM {approx_ranked} WHERE rank <= {_RK}),
 hits AS (SELECT bf.query_id,
-                CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
-         FROM bf LEFT JOIN lsh l
-           ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+                CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+         FROM bf LEFT JOIN approx a
+           ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
          GROUP BY bf.query_id)
 SELECT query_id, n_hits, round(n_hits / {_RK}.0, 6) AS recall FROM hits
 """
+
+
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Per-query recall@k of an approximate top-k against the exact
+    baseline. `approx_fn(q, e)` returns the approximate (query_id,
+    neighbor_id) DataFrame; columns are renamed before the join because
+    both branches derive from the same scan."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _RQ)
+    bf = cosine_topk(q, e, "vec_id", "embedding", k=_RK).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_fn(q, e).select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    joined = bf.join(
+        approx,
+        (F.col("query_id") == F.col("a_query"))
+        & (F.col("neighbor_id") == F.col("a_neighbor")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("a_neighbor").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / _RK, 6).alias("recall"),
+        )
+    )
+
+
+_RECALL_ORACLE = _recall_oracle(
+    lsh_ranked_block(q="lq", c="lc", pairs="lsh_pairs", ranked="lsh_ranked"),
+    "lsh_ranked",
+)
 
 
 @register("simsearch_recall_lsh", oracle=_RECALL_ORACLE)
@@ -205,85 +250,35 @@ def simsearch_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_topk); the comparison itself is one equi-join + count per query.
     At 100 TB this runs on a sampled query set — the denominators stay
     k, so the metric is unchanged by sampling the query side."""
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _RQ)
-    bf = cosine_topk(q, e, "vec_id", "embedding", k=_RK).select(
-        "query_id", "neighbor_id"
-    )
-    # rename the approximate side's columns before joining: both branches
-    # derive from the same scan, so shared names would be ambiguous
-    lsh = lsh_topk(
-        q, e, "vec_id", "embedding", k=_RK, n_planes=_RPLANES, dim=64
-    ).select(
-        F.col("query_id").alias("l_query"),
-        F.col("neighbor_id").alias("l_neighbor"),
-    )
-    joined = bf.join(
-        lsh,
-        (F.col("query_id") == F.col("l_query"))
-        & (F.col("neighbor_id") == F.col("l_neighbor")),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(F.count("l_neighbor").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            F.round(F.col("n_hits") / _RK, 6).alias("recall"),
-        )
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda q, e: lsh_topk(
+            q, e, "vec_id", "embedding", k=_RK, n_planes=_RPLANES, dim=64
+        ),
     )
 
 
-from .similarity import _N_CENT, _N_PROBE, ivf_ranked_block  # noqa: E402
-
-_RECALL_IVF_ORACLE = f"""
-WITH {V_CTE},
-{bf_ranked_block(q="bq", pairs="bf_pairs", ranked="bf_ranked")},
-bf AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= {_RK}),
-{ivf_ranked_block(q="iq", probe="iprobe", cand="icand", ranked="ivf_ranked")},
-ivf AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= {_RK}),
-hits AS (SELECT bf.query_id,
-                CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
-         FROM bf LEFT JOIN ivf i
-           ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
-         GROUP BY bf.query_id)
-SELECT query_id, n_hits, round(n_hits / {_RK}.0, 6) AS recall FROM hits
-"""
+_RECALL_IVF_ORACLE = _recall_oracle(
+    ivf_ranked_block(q="iq", probe="iprobe", cand="icand", ranked="ivf_ranked"),
+    "ivf_ranked",
+)
 
 
 @register("simsearch_recall_ivf", oracle=_RECALL_IVF_ORACLE)
 def simsearch_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF probe path against the exact top-k, per
     query — the second ANN quality gate (the LSH one is
-    simsearch_recall_lsh); both compose from the shared ranked-CTE
-    blocks so every recall number measures exactly the production
-    ranking convention."""
+    simsearch_recall_lsh); both compose from the shared recall scaffold
+    and ranked-CTE blocks so every recall number measures exactly the
+    production ranking convention."""
     from flink_1_20_spark.operators.simsearch import ivf_topk
 
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _RQ)
-    bf = cosine_topk(q, e, "vec_id", "embedding", k=_RK).select(
-        "query_id", "neighbor_id"
-    )
-    ivf = ivf_topk(
-        q, e, "vec_id", "embedding", k=_RK, n_centroids=_N_CENT, n_probe=_N_PROBE
-    ).select(
-        F.col("query_id").alias("i_query"),
-        F.col("neighbor_id").alias("i_neighbor"),
-    )
-    joined = bf.join(
-        ivf,
-        (F.col("query_id") == F.col("i_query"))
-        & (F.col("neighbor_id") == F.col("i_neighbor")),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(F.count("i_neighbor").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            F.round(F.col("n_hits") / _RK, 6).alias("recall"),
-        )
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda q, e: ivf_topk(
+            q, e, "vec_id", "embedding",
+            k=_RK, n_centroids=_N_CENT, n_probe=_N_PROBE,
+        ),
     )

@@ -167,7 +167,7 @@ def test_cdc_stream_end_to_end_materialization(spark, tmp_path):
     state = str(tmp_path / "mat_state")
 
     def merge(batch, _bid):
-        if not batch.count():
+        if batch.isEmpty():  # limit-1 probe, not a full count job
             return
         # DropUpdateBefore: -U carries no new state and shares its
         # ts with the +U after-image, so it must not win the tie
