@@ -409,6 +409,22 @@ class TableEnvironment:
         m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\S+)$", s, re.I)
         if m and not re.match(r"(?:DESCRIBE|DESC)\s+(?:SELECT|WITH|VALUES)\b", s, re.I):
             return self._describe(m.group(1).strip("`"))
+        # SHOW COLUMNS (FROM|IN) t [[NOT] LIKE '<sql pattern>'] — the
+        # DESCRIBE shape filtered by column name (SqlShowColumns)
+        m = re.match(
+            r"SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(\S+?)"
+            r"(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?$",
+            s,
+            re.I,
+        )
+        if m:
+            from pyspark.sql import functions as F
+
+            out = self._describe(m.group(1).strip("`"))
+            if m.group(3) is not None:
+                like = F.col("name").like(m.group(3))
+                out = out.filter(~like if m.group(2) else like)
+            return out
         m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(\S+)$", s, re.I)
         if m:
             return self._show_create_table(m.group(1).strip("`"))

@@ -1274,3 +1274,20 @@ def test_truncate_table(spark, tmp_path):
     assert spark.table("tt").count() == 0
     with pytest.raises(ValueError):
         env.execute_sql("TRUNCATE TABLE no_such_table")
+
+
+def test_show_columns(spark, tmp_path):
+    src = tmp_path / "sc.csv"
+    src.write_text("uid,name,score\n1,a,2.0\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE sc_t (uid BIGINT, name STRING, score DOUBLE)
+        WITH ('connector'='filesystem','path'='{src}','format'='csv')""")
+    all_cols = [r["name"] for r in env.execute_sql("SHOW COLUMNS FROM sc_t").collect()]
+    assert all_cols == ["uid", "name", "score"]
+    liked = [r["name"] for r in
+             env.execute_sql("SHOW COLUMNS IN sc_t LIKE '%e'").collect()]
+    assert liked == ["name", "score"]
+    notliked = [r["name"] for r in
+                env.execute_sql("SHOW COLUMNS FROM sc_t NOT LIKE '%e'").collect()]
+    assert notliked == ["uid"]
