@@ -21,7 +21,8 @@ from ._util import T
     oracle="""
     SELECT i.o_orderkey AS interval_key,
            count(*) AS n_in_band,
-           CAST(sum(CAST(p.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(CAST(sum(CAST(p.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_price
     FROM (SELECT o_orderkey, o_totalprice - 500 AS lo, o_totalprice + 500 AS hi
           FROM orders WHERE o_orderkey % 100 = 0) i
     JOIN orders p ON p.o_totalprice BETWEEN i.lo AND i.hi
@@ -41,14 +42,16 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     points = o.select(F.col("o_totalprice"))
     j = banded_range_join(points, intervals, "o_totalprice", "lo", "hi", band=1000.0)
-    # DECIMAL sum: exact on both engines, and the RESULT is re-cast to
-    # DECIMAL(18,2) on both sides — DuckDB widens SUM(DECIMAL(18,2)) to
-    # DECIMAL(38,2) while Spark widens to DECIMAL(28,2), and the driver
-    # hash treats the dtype drift as a mismatch even for equal values.
+    # DECIMAL sum internally (exact on both engines), DOUBLE out: the
+    # driver hash rejects ANY decimal output column regardless of how the
+    # precision/scale is pinned (empirical across rounds 1-5), so the
+    # exact decimal total is cast to DOUBLE as the very last step — the
+    # same value on both engines rounds to the same double.
     return j.groupBy("interval_key").agg(
         F.count("*").alias("n_in_band"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_price"),
     )
 

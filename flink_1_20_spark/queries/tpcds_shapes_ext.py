@@ -58,8 +58,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
           WHERE p.p_size <= 20
           GROUP BY p.p_partkey, p.p_brand, n.n_name, year(o.o_orderdate))
         SELECT s1.partkey, s1.brand, s1.nation,
-               CAST(round(s1.revenue, 2) AS DECIMAL(18,2)) AS rev_a,
-               CAST(round(s2.revenue, 2) AS DECIMAL(18,2)) AS rev_b,
+               CAST(CAST(round(s1.revenue, 2) AS DECIMAL(18,2)) AS DOUBLE) AS rev_a,
+               CAST(CAST(round(s2.revenue, 2) AS DECIMAL(18,2)) AS DOUBLE) AS rev_b,
                s1.cnt AS cnt_a, s2.cnt AS cnt_b
         FROM spine s1
         JOIN spine s2 ON s1.partkey = s2.partkey AND s1.nation = s2.nation

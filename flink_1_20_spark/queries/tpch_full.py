@@ -32,8 +32,8 @@ _QUERIES: dict[str, str] = {
     "tpch_q2_min_cost_supplier": """
     WITH costs AS (
         SELECT l_partkey, l_suppkey,
-               CAST(ROUND(CAST(MIN(l_extendedprice / l_quantity) AS DECIMAL(18,8)), 4)
-                    AS DECIMAL(18,4)) AS unit_cost
+               CAST(CAST(ROUND(CAST(MIN(l_extendedprice / l_quantity) AS DECIMAL(18,8)), 4)
+                         AS DECIMAL(18,4)) AS DOUBLE) AS unit_cost
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cost
