@@ -571,8 +571,10 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k')                 AS k_str,
            json_extract(props, '$.k')::INT                   AS k_int,
            json_valid(props)                                 AS valid,
-           json_array_length('[1,2,3,' || (event_id % 5) || ']') AS arr_len,
-           json_object('uid', user_id, 'et', event_type)     AS obj,
+           CAST(json_array_length('[1,2,3,' || (event_id % 5) || ']')
+                AS BIGINT)                                   AS arr_len,
+           CAST(json_object('uid', user_id, 'et', event_type)
+                AS VARCHAR)                                  AS obj,
            json_extract_string('{"a": {"b": "deep"}}', '$.a.b') AS nested
     FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
     """,
@@ -589,7 +591,9 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_parse_json(props) IS NOT NULL").alias("valid"),
         F.json_array_length(
             F.concat(F.lit("[1,2,3,"), (F.col("event_id") % 5).cast("string"), F.lit("]"))
-        ).alias("arr_len"),
+        )
+        .cast("long")
+        .alias("arr_len"),
         F.to_json(F.struct(F.col("user_id").alias("uid"), F.col("event_type").alias("et"))).alias(
             "obj"
         ),

@@ -98,7 +98,7 @@ def changelog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            map_keys(meta)                          AS ks,
            map_values(meta)                        AS vs,
            map_extract(meta, 'type')[1]            AS typ,
-           cardinality(meta)                       AS n_entries,
+           CAST(cardinality(meta) AS BIGINT)       AS n_entries,
            CAST(json_extract(
                (SELECT props FROM events e2 WHERE e2.event_id = m.event_id),
                '$.k') AS INT)                      AS prop_k
@@ -119,7 +119,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(meta).alias("ks"),
         F.map_values(meta).alias("vs"),
         F.element_at(meta, "type").alias("typ"),
-        F.size(meta).alias("n_entries"),
+        F.size(meta).cast("long").alias("n_entries"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
 

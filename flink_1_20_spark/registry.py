@@ -56,59 +56,62 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # the 10 dtype-drift fixes (3 driver-red in r4 + 7 latent) — kept in
-    # window to prove the oracle-dtype sweep closed the class
+    # the 3 DECIMAL→DOUBLE conversions (hash-red r4-r5) — kept in window
+    # to prove the decimal-output ban closed the class
     "join_range_banded",
-    "sessionization_gap",
-    "cdc_retract_agg",
-    "tpch_q12_priority_by_status",
     "tpch_q2_min_cost_supplier",
-    "embed_quantize_int8",
-    "tpcds_q99_ship_bucket_grid",
-    "tpcds_q97_matched_unmatched",
-    "tpcds_q50_latency_buckets",
     "tpcds_q64_spine_reused_cte",
-    # never-driver-confirmed families (r5 rotation)
-    "changelog_join_incremental",
-    "changelog_join_anti",
-    "dedup_simhash",
-    "join_interval_overlap",
-    "simsearch_ivf_topk",
-    "wtvf_cumulate",
-    "wtvf_hop",
-    "cep_vshape_iterative",
-    "pipeline_token_budget_sample",
-    "script_transform_pipe",
-    "temporal_sort",
-    # new residual TPC-DS ports (103/103 coverage proof)
-    "tpcds_q57_lag_lead_self_join",
-    "tpcds_q30_returns_above_nation_avg",
-    "tpcds_q86_rollup_rank_within_parent",
-    # training-prep family (new in r5: packing/chunking/SemDeDup/recall)
-    "pipeline_sequence_pack",
-    "text_chunk_sliding",
-    "dedup_semantic_cells",
-    "simsearch_recall_lsh",
-    # breadth fill, never-confirmed (fn_* family keeps one seat — its
-    # siblings fn_string_advanced/fn_json_path/fn_time_type are
-    # driver-confirmed green in CORRECTNESS_r04)
-    "fn_string_basic",
-    "multimodal_features",
-    "text_pii_scrub",
-    "sample_stratified_exact",
-    "wtvf_session_dynamic_gap",
-    "wtvf_window_rank",
-    "asof_join_tolerance",
-    "dedup_ngram_jaccard",
-    "dedup_connected_clusters",
-    "text_lm_score",
-    "text_tokens",
-    "multimodal_resize_nearest",
-    "simsearch_topk_bruteforce",
-    "count_window_tumble",
-    "udx_table_function",
-    "text_contamination_ngram",
-    "dedup_boilerplate_chunks",
+    # ---- r6 rotation: every slot below had ZERO driver history through
+    # r5 (146 such queries remain; local sweep green on all of them) ----
+    # correlate / subquery family (5 queries + VALUES)
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_not_in",
+    "subquery_correlated_agg",
+    "values_inline",
+    "correlate_unnest_words",
+    "correlate_posexplode",
+    # scalar-function batteries (siblings fn_string_basic/advanced,
+    # fn_json_path, fn_time_type driver-green in r4/r5)
+    "fn_string_regex",
+    "fn_math_basic",
+    "fn_temporal_extract",
+    "fn_array_higher_order",
+    "fn_json",
+    "fn_map",
+    # named by the r5 verdict as priority unconfirmed
+    "pipeline_temperature_mix",
+    "simsearch_hard_negatives",
+    "simsearch_recall_ivf",
+    "cdc_upsert_materialize",
+    "changelog_normalize",
+    # operator-family breadth, never-confirmed
+    "cep_error_burst",
+    "dedup_simhash_collapsed",
+    "simsearch_lsh_buckets",
+    "text_langid",
+    "text_fingerprint",
+    "text_repetition",
+    "count_window_slide",
+    "udx_pandas_scalar",
+    "window_dedup",
+    "agg_json_arrayagg",
+    "agg_json_objectagg",
+    # TPC-H full-suite rows never yet in a window
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    # TPC-DS residual ports never yet in a window
+    "tpcds_q6_state_over_avg_price",
+    "tpcds_q12_revenue_share_by_class",
+    "tpcds_q20_discounted_share_by_type",
+    "tpcds_q29_sale_return_repurchase",
+    "tpcds_q62_latency_grid_three_dims",
+    "tpcds_q23b_best_customer_frequent_items",
+    "tpcds_q39b_cov_pair_gated",
 )
 
 

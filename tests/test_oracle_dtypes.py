@@ -63,6 +63,22 @@ def test_no_hugeint_oracle_columns(oracle_types):
     )
 
 
+def test_no_unsigned_or_json_oracle_columns(oracle_types):
+    """DuckDB-only dtypes with no Spark counterpart (UBIGINT from
+    cardinality/json_array_length, the JSON logical type) are the same
+    cross-engine-drift class as HUGEINT — CAST to BIGINT / VARCHAR."""
+    offenders = [
+        (name, col, ty)
+        for name, cols in oracle_types.items()
+        for col, ty in cols
+        if ty in ("UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT", "JSON")
+    ]
+    assert not offenders, (
+        "oracles emitting unsigned-int or JSON dtypes (no Spark counterpart; "
+        f"driver hash treats the drift as a mismatch) — CAST them: {offenders}"
+    )
+
+
 def test_no_decimal_oracle_columns(oracle_types):
     """No oracle may emit DECIMAL output at all — the driver hash rejects
     any decimal column even dtype-pinned on both engines (empirical,
