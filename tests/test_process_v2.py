@@ -17,8 +17,9 @@ import pytest
 pytestmark = pytest.mark.skipif(
     importlib.util.find_spec("google") is None
     or importlib.util.find_spec("google.protobuf") is None,
-    reason="google.protobuf runtime not installed (environment-blocked; "
-    "facade verified on normally-provisioned clusters)",
+    reason="google.protobuf runtime not installed (PERMANENTLY "
+    "environment-blocked: probed 2026-08-14 — no protobuf wheel/source on "
+    "disk, no network to install or vendor; see README process_v2 note)",
 )
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
