@@ -171,6 +171,9 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source of truth for the ranking convention (rounding, tie-break,
 # query-set predicate) between the measured paths and their yardstick
 from .similarity import (  # noqa: E402
+    _DIM as _RDIM,
+)
+from .similarity import (  # noqa: E402
     _K as _RK,
     _N_CENT,
     _N_PROBE,
@@ -254,7 +257,7 @@ def simsearch_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda q, e: lsh_topk(
-            q, e, "vec_id", "embedding", k=_RK, n_planes=_RPLANES, dim=64
+            q, e, "vec_id", "embedding", k=_RK, n_planes=_RPLANES, dim=_RDIM
         ),
     )
 

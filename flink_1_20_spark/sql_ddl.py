@@ -19,7 +19,9 @@ connectors raise with the factory-style message rather than guessing.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -146,6 +148,10 @@ class TableMeta:
     watermark: tuple[str, str] | None = None  # (col, delay expr sql)
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
+    # ANALYZE TABLE results (CatalogTableStatistics parity): row_count,
+    # size_bytes, and per-column stats; None until analyzed, reset on
+    # writes so a grown table can never keep a stale broadcast verdict
+    stats: dict | None = None
 
 
 def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
@@ -163,17 +169,37 @@ def _db_view_name(db: str, table: str) -> str:
     return f"__cat_{db}__{table}"
 
 
+def _ctl_view_name(cat: str, db: str, table: str) -> str:
+    """Flat temp-view alias for a fully-qualified `catalog.db.table`."""
+    return f"__ctl_{cat}__{db}__{table}"
+
+
 class TableEnvironment:
     """Minimal executeSql host: DDL → connector mapping, DQL/DML → Catalyst."""
 
     DEFAULT_DB = "default_database"  # Flink's default database name
+    DEFAULT_CATALOG = "default_catalog"  # Flink's default catalog name
+    # Flink's table.optimizer.join.broadcast-threshold default (bytes)
+    BROADCAST_THRESHOLD_DEFAULT = 1024 * 1024
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        # databases (GenericInMemoryCatalog.java:52): db -> {table: meta};
-        # self.tables aliases the CURRENT database's dict so unqualified
-        # statements keep operating on it directly
+        # catalogs (CatalogManager.java:80, GenericInMemoryCatalog.java:52):
+        # catalog -> {type/comment/options, dbs: {db: {table: meta}},
+        # current_db}; self._dbs aliases the CURRENT catalog's dbs and
+        # self.tables the CURRENT database's dict so unqualified
+        # statements keep operating on them directly
         self._dbs: dict[str, dict[str, TableMeta]] = {self.DEFAULT_DB: {}}
+        self._catalogs: dict[str, dict] = {
+            self.DEFAULT_CATALOG: {
+                "type": "generic_in_memory",
+                "comment": "",
+                "options": {},
+                "dbs": self._dbs,
+                "current_db": self.DEFAULT_DB,
+            }
+        }
+        self.current_catalog = self.DEFAULT_CATALOG
         self.current_db = self.DEFAULT_DB
         self.tables: dict[str, TableMeta] = self._dbs[self.DEFAULT_DB]
         self.functions: dict[str, str] = {}  # name -> python path
@@ -189,6 +215,49 @@ class TableEnvironment:
     def execute_sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
         u = s.upper()
+        # -- catalog statements (SqlCreateCatalogConverter.java,
+        # SqlAlterCatalogOptionsConverter.java,
+        # SqlDescribeCatalogConverter.java surface) ----------------------
+        m = re.match(
+            r"CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)"
+            r"(?:\s+COMMENT\s+'([^']*)')?"
+            r"(?:\s+WITH\s*\((.*)\))?\s*$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            return self._create_catalog(
+                m.group(2).strip("`"),
+                m.group(3) or "",
+                m.group(4) or "",
+                if_not_exists=bool(m.group(1)),
+            )
+        m = re.match(r"DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(\S+)$", s, re.I)
+        if m:
+            cat = m.group(1).strip("`")
+            if cat == self.current_catalog:
+                raise ValueError("cannot drop the current catalog")
+            if cat not in self._catalogs and "IF EXISTS" not in u:
+                raise ValueError(f"catalog does not exist: {cat}")
+            self._catalogs.pop(cat, None)
+            return None
+        m = re.match(r"USE\s+CATALOG\s+(\S+)$", s, re.I)
+        if m:
+            return self._use_catalog(m.group(1).strip("`"))
+        if re.match(r"SHOW\s+CATALOGS$", u):
+            return self.spark.createDataFrame(
+                [(c,) for c in sorted(self._catalogs)], "catalog_name string"
+            )
+        if re.match(r"SHOW\s+CURRENT\s+CATALOG$", u):
+            return self.spark.createDataFrame(
+                [(self.current_catalog,)], "current_catalog_name string"
+            )
+        m = re.match(r"DESCRIBE\s+CATALOG\s+(EXTENDED\s+)?(\S+)$", s, re.I)
+        if m:
+            return self._describe_catalog(m.group(2).strip("`"), bool(m.group(1)))
+        m = re.match(r"ALTER\s+CATALOG\s+(\S+)\s+(.*)$", s, re.S | re.I)
+        if m and m.group(1).strip("`") in self._catalogs:
+            return self._alter_catalog(m.group(1).strip("`"), m.group(2).strip())
         # -- database statements (CatalogManager.java:80 surface) --------
         m = re.match(
             r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)"
@@ -267,16 +336,30 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(j,) for j in self._jars] or [], "jar string"
             )
+        # fully-qualified `catalog.db.table` → the mangled per-catalog
+        # view; runs BEFORE the 2-part rewrite so the trailing `db.table`
+        # of a 3-part name is never partially rewritten
+        for cat, centry in self._catalogs.items():
+            for db, tbls in centry["dbs"].items():
+                for t in tbls:
+                    if f"{cat}.{db}.{t}" in s:
+                        s = _sub_outside_literals(
+                            s,
+                            rf"(?<![\w.]){re.escape(cat)}\.{re.escape(db)}"
+                            rf"\.{re.escape(t)}\b",
+                            _ctl_view_name(cat, db, t),
+                        )
         # cross-database references `db.table` → the mangled per-db view
         # (temp view names cannot contain dots); known pairs only, so a
         # same-shaped string inside a literal is never touched by
-        # accident beyond registered tables
+        # accident beyond registered tables. The lookbehind keeps the
+        # `db.table` tail of an (unregistered-catalog) 3-part name intact.
         for db, tbls in self._dbs.items():
             for t in tbls:
                 if f"{db}.{t}" in s:
                     s = _sub_outside_literals(
                         s,
-                        rf"\b{re.escape(db)}\.{re.escape(t)}\b",
+                        rf"(?<![\w.]){re.escape(db)}\.{re.escape(t)}\b",
                         _db_view_name(db, t),
                     )
         u = s.upper()
@@ -313,6 +396,26 @@ class TableEnvironment:
             )
             self._register(meta, db=owner)
             return None
+        # ANALYZE TABLE t [PARTITION(...)] COMPUTE STATISTICS
+        # [FOR COLUMNS c1, ... | FOR ALL COLUMNS]
+        # (SqlNodeToOperationConversion.java:1112 convertAnalyzeTable) —
+        # the collected stats feed the broadcast-join decision exactly as
+        # Flink's planner consumes CatalogTableStatistics against
+        # table.optimizer.join.broadcast-threshold.
+        m = re.match(
+            r"ANALYZE\s+TABLE\s+(\S+?)(?:\s+PARTITION\s*\(([^)]*)\))?"
+            r"\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+)))?$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            return self._analyze_table(
+                m.group(1).strip("`"),
+                m.group(2),
+                all_columns=bool(m.group(3)),
+                columns=m.group(4),
+            )
         if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
             # LIKE form first, guarded hard (base must be a KNOWN table
             # and the trailing parens must hold only feature clauses) so
@@ -428,6 +531,17 @@ class TableEnvironment:
         m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(\S+)$", s, re.I)
         if m:
             return self._show_create_table(m.group(1).strip("`"))
+        # SHOW PARTITIONS t [PARTITION (k=v[, ...])]
+        # (SqlShowPartitionsConverter.java — Flink lists the catalog
+        # partitions of a partitioned table, optionally filtered by a
+        # partial spec; here partitions ARE the filesystem directories)
+        m = re.match(
+            r"SHOW\s+PARTITIONS\s+(\S+?)(?:\s+PARTITION\s*\(([^)]*)\))?$",
+            s,
+            re.I,
+        )
+        if m:
+            return self._show_partitions(m.group(1).strip("`"), m.group(2))
         m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m and m.group(1).strip("`") in self.tables:
             return self._alter_table(m.group(1).strip("`"), m.group(2).strip())
@@ -515,6 +629,16 @@ class TableEnvironment:
                 self.spark.conf.unset(target)
             else:
                 self.spark.conf.set(target, prev)
+            # aliasing Flink keys (e.g. parallelism.default AND
+            # table.exec.resource.default-parallelism both map to
+            # spark.sql.shuffle.partitions): if another session option
+            # still targets this conf, it must keep applying — re-set it
+            # and keep the ORIGINAL restore point for its own reset
+            for k, v in self.session_options.items():
+                if self._spark_key(k) == target:
+                    self._conf_saved[target] = prev
+                    self.spark.conf.set(target, v)
+                    break
 
     # -- programmatic Table API entry points ------------------------------
     # TableEnvironment.from(path) / fromValues / sqlQuery /
@@ -540,6 +664,18 @@ class TableEnvironment:
     def sql_query(self, sql: str):
         from flink_1_20_spark.table_api import Table
 
+        # reject non-queries by SHAPE before executing: Flink's sqlQuery
+        # validates without side effects, so a CREATE/INSERT passed here
+        # must fail WITHOUT creating the database / writing the data
+        if not re.match(
+            r"\s*(SELECT|WITH|VALUES|TABLE|SHOW|DESCRIBE|DESC|EXPLAIN)\b",
+            sql,
+            re.I,
+        ):
+            raise ValueError(
+                "sql_query expects a query (SELECT/WITH/VALUES/...), "
+                "not a DDL/DML statement — use execute_sql for those"
+            )
         df = self.execute_sql(sql)
         if df is None:
             raise ValueError("sql_query expects a query, not a DDL statement")
@@ -637,6 +773,11 @@ class TableEnvironment:
         meta = self.tables.get(name)
         if meta is not None:
             return meta
+        m = re.match(r"__ctl_(.+?)__(.+?)__(.+)$", name)
+        if m and m.group(1) in self._catalogs:
+            return self._catalogs[m.group(1)]["dbs"].get(m.group(2), {}).get(
+                m.group(3)
+            )
         m = re.match(r"__cat_(.+?)__(.+)$", name)
         if m and m.group(1) in self._dbs:
             return self._dbs[m.group(1)].get(m.group(2))
@@ -801,10 +942,19 @@ class TableEnvironment:
         return self.spark.createDataFrame([(ddl,)], "result string")
 
     def _alter_table(self, name: str, action: str):
-        """ALTER TABLE: RENAME TO / SET (options) / ADD col / DROP col —
-        the mutations Flink's AlterTableOperation family supports; the
-        table is re-registered so subsequent reads see the change."""
+        """ALTER TABLE: RENAME TO / SET (options) / ADD col / DROP col /
+        ADD|DROP PARTITION — the mutations Flink's AlterTableOperation
+        family supports; the table is re-registered so subsequent reads
+        see the change."""
         meta = self.tables[name]
+        # partition mutations first: the generic ADD/DROP column regexes
+        # below would otherwise swallow `ADD PARTITION (...)`
+        if re.match(
+            r"(?:ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?PARTITION\b",
+            action,
+            re.I,
+        ):
+            return self._alter_partitions(meta, action)
         m = re.match(r"RENAME\s+TO\s+(\S+)$", action, re.I)
         if m:
             new = m.group(1).strip("`")
@@ -843,13 +993,299 @@ class TableEnvironment:
             return None
         raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
 
+    # -- catalogs (SqlCreateCatalogConverter.java and siblings) ----------
+    def _create_catalog(
+        self, name: str, comment: str, with_body: str, if_not_exists: bool = False
+    ):
+        if name in self._catalogs:
+            if if_not_exists:
+                return None
+            raise ValueError(f"catalog already exists: {name}")
+        options = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", with_body))
+        ctype = options.pop("type", "generic_in_memory")
+        if ctype != "generic_in_memory":
+            raise ValueError(
+                f"Could not find any factory for catalog type {ctype!r} "
+                "(supported here: generic_in_memory)"
+            )
+        default_db = options.pop("default-database", self.DEFAULT_DB)
+        self._catalogs[name] = {
+            "type": ctype,
+            "comment": comment,
+            "options": options,
+            "dbs": {default_db: {}},
+            "current_db": default_db,
+        }
+        return None
+
+    def _use_catalog(self, name: str):
+        """USE CATALOG <c>: unqualified names now resolve in <c>'s
+        current database (CatalogManager.setCurrentCatalog). The bare
+        temp views of the outgoing database are swapped for the incoming
+        one's; catalog- and db-qualified mangled views stay put so every
+        qualified reference keeps resolving."""
+        if name not in self._catalogs:
+            raise ValueError(f"catalog does not exist: {name}")
+        if name == self.current_catalog:
+            return None
+        self._catalogs[self.current_catalog]["current_db"] = self.current_db
+        for t in self.tables:
+            self.spark.catalog.dropTempView(t)
+        entry = self._catalogs[name]
+        self.current_catalog = name
+        self._dbs = entry["dbs"]
+        self.current_db = entry["current_db"]
+        self.tables = self._dbs[self.current_db]
+        for meta in self.tables.values():
+            self._register(meta)
+        return None
+
+    def _describe_catalog(self, name: str, extended: bool) -> DataFrame:
+        entry = self._catalogs.get(name)
+        if entry is None:
+            raise ValueError(f"catalog does not exist: {name}")
+        rows = [
+            ("name", name),
+            ("type", entry["type"]),
+            ("comment", entry["comment"]),
+        ]
+        if extended:
+            rows += [
+                (f"option:{k}", v) for k, v in sorted(entry["options"].items())
+            ]
+        return self.spark.createDataFrame(rows, "info_name string, info_value string")
+
+    def _alter_catalog(self, name: str, action: str):
+        """ALTER CATALOG SET (...) / RESET (...) / COMMENT '...' —
+        Flink 1.20's SqlAlterCatalogOptions/Reset/Comment converters."""
+        entry = self._catalogs[name]
+        m = re.match(r"SET\s*\((.*)\)$", action, re.S | re.I)
+        if m:
+            for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(1)):
+                if k == "type":
+                    raise ValueError("ALTER CATALOG cannot change 'type'")
+                entry["options"][k] = v
+            return None
+        m = re.match(r"RESET\s*\((.*)\)$", action, re.S | re.I)
+        if m:
+            for k in re.findall(r"'([^']+)'", m.group(1)):
+                if k == "type":
+                    raise ValueError("ALTER CATALOG cannot reset 'type'")
+                entry["options"].pop(k, None)
+            return None
+        m = re.match(r"COMMENT\s+'([^']*)'$", action, re.I)
+        if m:
+            entry["comment"] = m.group(1)
+            return None
+        raise ValueError(f"unsupported ALTER CATALOG action: {action!r}")
+
+    # -- ANALYZE TABLE ---------------------------------------------------
+    def _analyze_table(
+        self,
+        name: str,
+        part_body: str | None,
+        all_columns: bool = False,
+        columns: str | None = None,
+    ):
+        """COMPUTE STATISTICS: row count + on-disk size (+ per-column
+        ndv/null/min/max for FOR [ALL] COLUMNS) stored on the TableMeta —
+        the CatalogTableStatistics the reference's planner reads. The
+        table is re-registered so the broadcast decision (Flink's
+        table.optimizer.join.broadcast-threshold) takes effect at once."""
+        from pyspark.sql import functions as F
+
+        meta = self._resolve_meta(name)
+        if meta is None:
+            raise ValueError(f"table not found: {name}")
+        df = self.spark.table(name)
+        root = meta.options.get("path")
+        if part_body:
+            spec = self._parse_partition_spec(part_body)
+            unknown = set(spec) - set(meta.partitioned_by)
+            if unknown:
+                raise ValueError(
+                    f"not partition keys of {meta.name}: {sorted(unknown)}"
+                )
+            for k, v in spec.items():
+                df = df.filter(F.col(k).cast("string") == v)
+
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        col_names: list[str] = []
+        if all_columns:
+            col_names = [c for c, _ in meta.columns] or df.columns
+        elif columns:
+            col_names = [c.strip().strip("`") for c in columns.split(",")]
+        for c in col_names:
+            aggs += [
+                F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]  # one job, one row — driver-safe
+
+        size_bytes = 0
+        if meta.connector == "filesystem" and root and os.path.exists(root):
+            walk_root = root
+            if part_body and meta.partitioned_by and set(spec) == set(
+                meta.partitioned_by
+            ):
+                walk_root = os.path.join(
+                    root, *[f"{k}={spec[k]}" for k in meta.partitioned_by]
+                )
+            for dirpath, _dirs, files in os.walk(walk_root):
+                size_bytes += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        meta.stats = {
+            "row_count": row["__n"],
+            "size_bytes": size_bytes,
+            "columns": {
+                c: {
+                    "ndv": row[f"__ndv_{c}"],
+                    "null_count": row[f"__nul_{c}"],
+                    "min": row[f"__min_{c}"],
+                    "max": row[f"__max_{c}"],
+                }
+                for c in col_names
+            },
+        }
+        owner = next(
+            (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
+            self.current_db,
+        )
+        self._register(meta, db=owner)
+        return None
+
+    def _broadcast_threshold(self) -> int:
+        raw = self.session_options.get(
+            "table.optimizer.join.broadcast-threshold",
+            str(self.BROADCAST_THRESHOLD_DEFAULT),
+        )
+        try:
+            return int(raw)
+        except ValueError:
+            return self.BROADCAST_THRESHOLD_DEFAULT
+
+    # -- partitions (SqlShowPartitionsConverter.java,
+    # SqlAlterTableAddPartitionConverter.java,
+    # SqlAlterTableDropPartitionConverter.java) --------------------------
+    @staticmethod
+    def _parse_partition_spec(body: str) -> dict[str, str]:
+        """`dt = '2024-01-01', hr = 0` → {'dt': '2024-01-01', 'hr': '0'}"""
+        spec: dict[str, str] = {}
+        for kv in _split_top_all(body, ","):
+            m = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", kv)
+            if not m:
+                raise ValueError(f"cannot parse partition spec entry: {kv!r}")
+            spec[m.group(1)] = m.group(2).strip().strip("'\"")
+        return spec
+
+    def _partitioned_meta(self, name: str) -> TableMeta:
+        meta = self._resolve_meta(name)
+        if meta is None:
+            raise ValueError(f"table not found: {name}")
+        if meta.connector != "filesystem" or not meta.partitioned_by:
+            raise ValueError(f"table {meta.name} is not partitioned")
+        return meta
+
+    def _show_partitions(self, name: str, spec_body: str | None) -> DataFrame:
+        """List the partition directories of a partitioned filesystem
+        table as Flink-style `k=v[/k2=v2]` spec strings (partition
+        pruning on read works directly against this layout — the scan's
+        PartitionFilters prune whole listed directories)."""
+        meta = self._partitioned_meta(name)
+        root = meta.options["path"]
+        parts: list[str] = []
+
+        def walk(d: str, depth: int, prefix: list[str]) -> None:
+            if depth == len(meta.partitioned_by):
+                parts.append("/".join(prefix))
+                return
+            key = meta.partitioned_by[depth] + "="
+            if not os.path.isdir(d):
+                return
+            for entry in sorted(os.listdir(d)):
+                if entry.startswith(key) and os.path.isdir(os.path.join(d, entry)):
+                    walk(os.path.join(d, entry), depth + 1, prefix + [entry])
+
+        walk(root, 0, [])
+        if spec_body:
+            want = self._parse_partition_spec(spec_body)
+            unknown = set(want) - set(meta.partitioned_by)
+            if unknown:
+                raise ValueError(f"not partition keys of {meta.name}: {sorted(unknown)}")
+
+            def keep(p: str) -> bool:
+                kv = dict(seg.split("=", 1) for seg in p.split("/"))
+                return all(kv.get(k) == v for k, v in want.items())
+
+            parts = [p for p in parts if keep(p)]
+        return self.spark.createDataFrame(
+            [(p,) for p in parts] or [], "partition string"
+        )
+
+    def _alter_partitions(self, meta: TableMeta, action: str):
+        """ADD creates the partition directories (Flink's filesystem
+        catalog add-partition registers an empty location); DROP removes
+        them and their data. Multiple `PARTITION (...)` specs per
+        statement, per the reference grammar."""
+        m = re.match(
+            r"(ADD|DROP)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?(.+)$", action, re.S | re.I
+        )
+        op, guarded = m.group(1).upper(), bool(m.group(2))
+        if meta.connector != "filesystem" or not meta.partitioned_by:
+            raise ValueError(f"table {meta.name} is not partitioned")
+        specs = re.findall(r"PARTITION\s*\(([^)]*)\)", m.group(3), re.I)
+        if not specs:
+            raise ValueError(f"no PARTITION spec in: {action!r}")
+        root = meta.options["path"]
+        for body in specs:
+            spec = self._parse_partition_spec(body)
+            if set(spec) != set(meta.partitioned_by):
+                raise ValueError(
+                    f"partition spec {sorted(spec)} must name exactly the "
+                    f"partition keys {meta.partitioned_by}"
+                )
+            d = os.path.join(root, *[f"{k}={spec[k]}" for k in meta.partitioned_by])
+            if op == "ADD":
+                if os.path.exists(d):
+                    if not guarded:
+                        raise ValueError(f"partition already exists: {d}")
+                    continue
+                os.makedirs(d)
+            else:
+                if not os.path.exists(d):
+                    if not guarded:
+                        raise ValueError(f"partition does not exist: {d}")
+                    continue
+                shutil.rmtree(d)
+        owner = next(
+            (db for db, ts in self._dbs.items() if ts.get(meta.name) is meta),
+            self.current_db,
+        )
+        self._register(meta, db=owner)  # refresh the view over the new layout
+        return None
+
     # -- CREATE TABLE ----------------------------------------------------
     def _create_table(self, s: str) -> None:
+        # PARTITIONED BY is matched by a dedicated pattern FIRST: in the
+        # combined pattern the greedy column-body group would swallow the
+        # optional clause (regex backtracking prefers the longer body
+        # over matching an optional group)
         m = re.match(
             r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(\S+)\s*\((.*)\)\s*(?:COMMENT\s+'[^']*'\s*)?"
-            r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            r"PARTITIONED\s+BY\s*\(([^)]*)\)\s*"
             r"WITH\s*\((.*)\)\s*$",
+            s,
+            re.S | re.I,
+        ) or re.match(
+            r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\S+)\s*\((.*)\)\s*(?:COMMENT\s+'[^']*'\s*)?"
+            r"()WITH\s*\((.*)\)\s*$",
             s,
             re.S | re.I,
         )
@@ -935,6 +1371,11 @@ class TableEnvironment:
             df.createOrReplaceTempView(
                 _db_view_name(db or self.current_db, meta.name)
             )
+            df.createOrReplaceTempView(
+                _ctl_view_name(
+                    self.current_catalog, db or self.current_db, meta.name
+                )
+            )
             return
         if (
             meta.connector == "filesystem"
@@ -985,10 +1426,24 @@ class TableEnvironment:
             wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
             if wm:
                 df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
+        # statistics-informed broadcast (Flink planner: CatalogTableStatistics
+        # vs table.optimizer.join.broadcast-threshold): an ANALYZEd table
+        # whose measured size fits under the threshold joins as the
+        # broadcast side even where Spark's own file-size estimate would
+        # not have chosen it
+        if (
+            meta.stats is not None
+            and not df.isStreaming
+            and 0 <= meta.stats.get("size_bytes", -1) <= self._broadcast_threshold()
+        ):
+            df = df.hint("broadcast")
         df.createOrReplaceTempView(meta.name)
-        # mangled alias so `db.table` references resolve from any
-        # database (see the qualified-name rewrite in execute_sql)
+        # mangled aliases so `db.table` / `catalog.db.table` references
+        # resolve from anywhere (see the qualified-name rewrites)
         df.createOrReplaceTempView(_db_view_name(db or self.current_db, meta.name))
+        df.createOrReplaceTempView(
+            _ctl_view_name(self.current_catalog, db or self.current_db, meta.name)
+        )
 
     def _use_database(self, db: str) -> None:
         """USE <db>: unqualified names now resolve in <db> — the previous
@@ -1115,6 +1570,10 @@ class TableEnvironment:
                 )
             else:
                 write_file(df, meta.options["path"], fmt=fmt, mode=mode)
+            # the write changed the data: ANALYZE stats are stale now, and
+            # a grown table must never keep a broadcast verdict it earned
+            # when it was small — drop them until the next ANALYZE
+            meta.stats = None
             owner = next(
                 (d for d, ts in self._dbs.items()
                  if ts.get(meta.name) is meta),

@@ -1291,3 +1291,215 @@ def test_show_columns(spark, tmp_path):
     notliked = [r["name"] for r in
                 env.execute_sql("SHOW COLUMNS FROM sc_t NOT LIKE '%e'").collect()]
     assert notliked == ["uid"]
+
+
+def test_show_partitions_and_alter_partition(spark, tmp_path):
+    """SHOW PARTITIONS + ALTER TABLE ADD/DROP PARTITION over the
+    directory-partitioned filesystem layout
+    (SqlShowPartitionsConverter.java,
+    SqlAlterTableAddPartitionConverter.java parity)."""
+    p = tmp_path / "pt"
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE pt (k BIGINT, v STRING, dt STRING)
+        PARTITIONED BY (dt)
+        WITH ('connector'='filesystem','path'='{p}','format'='parquet')""")
+    env.execute_sql(
+        "INSERT INTO pt SELECT * FROM (VALUES (1, 'a', '2024-01-01'),"
+        " (2, 'b', '2024-01-01'), (3, 'c', '2024-01-02')) AS t(k, v, dt)"
+    )
+    parts = [r["partition"] for r in env.execute_sql("SHOW PARTITIONS pt").collect()]
+    assert parts == ["dt=2024-01-01", "dt=2024-01-02"]
+    # filtered by a spec
+    one = [r["partition"] for r in env.execute_sql(
+        "SHOW PARTITIONS pt PARTITION (dt='2024-01-02')").collect()]
+    assert one == ["dt=2024-01-02"]
+    # ADD creates a real (empty) partition directory
+    env.execute_sql("ALTER TABLE pt ADD PARTITION (dt='2024-01-03')")
+    assert (p / "dt=2024-01-03").is_dir()
+    parts = [r["partition"] for r in env.execute_sql("SHOW PARTITIONS pt").collect()]
+    assert "dt=2024-01-03" in parts
+    # un-guarded duplicate ADD errors; IF NOT EXISTS is idempotent
+    with pytest.raises(ValueError):
+        env.execute_sql("ALTER TABLE pt ADD PARTITION (dt='2024-01-03')")
+    env.execute_sql("ALTER TABLE pt ADD IF NOT EXISTS PARTITION (dt='2024-01-03')")
+    # DROP removes the directory AND its data from subsequent reads
+    env.execute_sql("ALTER TABLE pt DROP PARTITION (dt='2024-01-01')")
+    assert not (p / "dt=2024-01-01").exists()
+    rows = env.execute_sql("SELECT k, dt FROM pt ORDER BY k").collect()
+    assert [(r["k"], r["dt"]) for r in rows] == [(3, "2024-01-02")]
+    with pytest.raises(ValueError):
+        env.execute_sql("ALTER TABLE pt DROP PARTITION (dt='2024-01-01')")
+    env.execute_sql("ALTER TABLE pt DROP IF EXISTS PARTITION (dt='2024-01-01')")
+    # multiple specs in one statement (reference grammar allows a list)
+    env.execute_sql(
+        "ALTER TABLE pt ADD PARTITION (dt='2024-02-01') PARTITION (dt='2024-02-02')"
+    )
+    parts = [r["partition"] for r in env.execute_sql("SHOW PARTITIONS pt").collect()]
+    assert {"dt=2024-02-01", "dt=2024-02-02"} <= set(parts)
+    # spec must name exactly the partition keys
+    with pytest.raises(ValueError):
+        env.execute_sql("ALTER TABLE pt ADD PARTITION (nope='x')")
+    # non-partitioned table rejects the whole surface
+    env.execute_sql(f"""
+        CREATE TABLE np (k BIGINT) WITH (
+            'connector'='filesystem','path'='{tmp_path / "np"}','format'='parquet')""")
+    with pytest.raises(ValueError):
+        env.execute_sql("SHOW PARTITIONS np")
+
+
+def test_catalog_ddl_and_qualified_resolution(spark, tmp_path):
+    """CREATE/DESCRIBE/ALTER/USE CATALOG + catalog.db.table resolution
+    through executeSql (SqlCreateCatalogConverter.java,
+    SqlAlterCatalogOptionsConverter.java, SqlDescribeCatalogConverter.java
+    parity; GenericInMemoryCatalog semantics)."""
+    src = tmp_path / "c.csv"
+    src.write_text("k,v\n1,10\n2,20\n")
+    env = TableEnvironment(spark)
+    cats = [r["catalog_name"] for r in env.execute_sql("SHOW CATALOGS").collect()]
+    assert cats == ["default_catalog"]
+    env.execute_sql(
+        "CREATE CATALOG side COMMENT 'aux' WITH "
+        "('type'='generic_in_memory', 'default-database'='d1', 'owner'='me')"
+    )
+    with pytest.raises(ValueError):
+        env.execute_sql("CREATE CATALOG side")
+    env.execute_sql("CREATE CATALOG IF NOT EXISTS side")  # idempotent
+    with pytest.raises(ValueError):  # unknown factory type
+        env.execute_sql("CREATE CATALOG bad WITH ('type'='hive')")
+    info = {r["info_name"]: r["info_value"]
+            for r in env.execute_sql("DESCRIBE CATALOG EXTENDED side").collect()}
+    assert info["type"] == "generic_in_memory"
+    assert info["comment"] == "aux"
+    assert info["option:owner"] == "me"
+    env.execute_sql("ALTER CATALOG side SET ('owner'='you')")
+    env.execute_sql("ALTER CATALOG side COMMENT 'renamed'")
+    info = {r["info_name"]: r["info_value"]
+            for r in env.execute_sql("DESCRIBE CATALOG EXTENDED side").collect()}
+    assert info["option:owner"] == "you" and info["comment"] == "renamed"
+    env.execute_sql("ALTER CATALOG side RESET ('owner')")
+    info = {r["info_name"]: r["info_value"]
+            for r in env.execute_sql("DESCRIBE CATALOG EXTENDED side").collect()}
+    assert "option:owner" not in info
+
+    # register a table inside the side catalog and read it from BOTH
+    # catalogs via the fully-qualified 3-part name
+    env.execute_sql("USE CATALOG side")
+    assert env.execute_sql("SHOW CURRENT CATALOG").collect()[0][0] == "side"
+    assert env.execute_sql("SHOW CURRENT DATABASE").collect()[0][0] == "d1"
+    env.execute_sql(f"""
+        CREATE TABLE ct (k BIGINT, v BIGINT) WITH (
+            'connector'='filesystem','path'='{src}','format'='csv')""")
+    assert env.execute_sql("SELECT count(*) AS n FROM ct").collect()[0]["n"] == 2
+    env.execute_sql("USE CATALOG default_catalog")
+    # bare name is gone (different catalog), qualified name resolves
+    rows = env.execute_sql(
+        "SELECT k, v FROM side.d1.ct ORDER BY k"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 10), (2, 20)]
+    # current catalog cannot be dropped; the other one can
+    with pytest.raises(ValueError):
+        env.execute_sql("DROP CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG side")
+    assert [r["catalog_name"] for r in env.execute_sql("SHOW CATALOGS").collect()] == [
+        "default_catalog"
+    ]
+
+
+def test_analyze_table_statistics_and_broadcast(spark, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (SqlNodeToOperationConversion
+    convertAnalyzeTable): stats land on the TableMeta, and a small
+    analyzed table becomes the broadcast side of a join even when
+    Spark's own size-estimate auto-broadcast is disabled — the
+    statistics-informed decision Flink's planner makes against
+    table.optimizer.join.broadcast-threshold."""
+    env = TableEnvironment(spark)
+    p = tmp_path / "fact"
+    env.execute_sql(f"""
+        CREATE TABLE fact (k BIGINT, v DOUBLE) WITH (
+            'connector'='filesystem','path'='{p}','format'='parquet')""")
+    env.execute_sql(
+        "INSERT INTO fact SELECT id AS k, id * 1.5E0 AS v FROM range(1000)"
+    )
+    d = tmp_path / "dim"
+    env.execute_sql(f"""
+        CREATE TABLE dim (k BIGINT, name STRING) WITH (
+            'connector'='filesystem','path'='{d}','format'='parquet')""")
+    env.execute_sql(
+        "INSERT INTO dim SELECT id AS k, concat('n', id) AS name FROM range(10)"
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        join_sql = "SELECT f.k, f.v, d.name FROM fact f JOIN dim d ON f.k = d.k"
+        plan = (
+            env.execute_sql(join_sql)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan  # no stats, no auto-broadcast
+        env.execute_sql("ANALYZE TABLE dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = env.tables["dim"].stats
+        assert stats["row_count"] == 10
+        assert stats["size_bytes"] > 0
+        assert stats["columns"]["k"]["null_count"] == 0
+        assert stats["columns"]["k"]["min"] == 0 and stats["columns"]["k"]["max"] == 9
+        plan = (
+            env.execute_sql(join_sql)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan  # the analyzed size drove it
+        # a write invalidates the stats → the broadcast verdict is dropped
+        env.execute_sql("INSERT INTO dim SELECT id AS k, 'x' AS name FROM range(5)")
+        assert env.tables["dim"].stats is None
+        plan = (
+            env.execute_sql(join_sql)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # FOR COLUMNS subset + partition-spec ANALYZE
+    env.execute_sql("ANALYZE TABLE fact COMPUTE STATISTICS FOR COLUMNS v")
+    st = env.tables["fact"].stats
+    assert st["row_count"] == 1000 and list(st["columns"]) == ["v"]
+    # a big table stays un-broadcast even when analyzed: threshold respected
+    env.execute_sql("SET 'table.optimizer.join.broadcast-threshold' = '1'")
+    try:
+        env.execute_sql("ANALYZE TABLE fact COMPUTE STATISTICS")
+        assert env.tables["fact"].stats is not None
+        plan = (
+            env.execute_sql("SELECT f.k FROM fact f JOIN dim d ON f.k = d.k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # fact (over threshold) must not carry a broadcast hint itself
+        assert plan.count("BroadcastHashJoin") <= 1
+    finally:
+        env.execute_sql("RESET 'table.optimizer.join.broadcast-threshold'")
+
+
+def test_sql_query_rejects_ddl_without_side_effects(spark):
+    """sqlQuery validates by shape BEFORE executing (Flink parity): a
+    CREATE DATABASE passed to sql_query must fail without creating it."""
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError):
+        env.sql_query("CREATE DATABASE oops")
+    assert "oops" not in env._dbs  # no side effect happened
+    assert env.sql_query("SELECT 1 AS one").to_data_frame().collect()[0]["one"] == 1
+
+
+def test_reset_aliased_session_keys(spark):
+    """Two Flink keys map to spark.sql.shuffle.partitions; RESET of one
+    must keep the surviving alias applied (ADVICE round-5 item)."""
+    env = TableEnvironment(spark)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        env.execute_sql("SET 'parallelism.default' = '7'")
+        env.execute_sql("SET 'table.exec.resource.default-parallelism' = '5'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+        env.execute_sql("RESET 'table.exec.resource.default-parallelism'")
+        # the surviving alias still applies — not the pre-SET value
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        env.execute_sql("RESET 'parallelism.default'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
