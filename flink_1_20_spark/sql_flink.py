@@ -458,17 +458,74 @@ def _measure_value(groups: dict[str, pd.DataFrame], agg: str, var: str, col: str
 _QUANT = re.compile(r"(\w+)(\{(\d+)(?:\s*,\s*(\d*))?\}|[+*?])?(\?)?")
 
 
-def _build_pattern(pattern_text: str, defines: dict[str, str], skip: tuple, within_s):
-    """PATTERN (A B+ C{2,4}? D?) + DEFINE → operators.cep.Pattern.
-    MATCH_RECOGNIZE contiguity is strict by construction (the pattern
-    describes consecutive rows — StreamExecMatch semantics), so every
-    step after the first uses `next`."""
+def _expand_subset_groups(g, subsets: dict[str, list[str]]):
+    """Materialize SUBSET union variables into a groups mapping
+    (MatchSpec.java:70 — a subset variable's rows are the union of its
+    members' rows, in match order). Unbound subsets are simply absent:
+    cep._Groups serves an empty slice for them (NULL semantics), and
+    measures read them as None via groups.get()."""
+    if not subsets:
+        return g
+    pdf = getattr(g, "_pdf", None)
+    if pdf is not None:
+        from flink_1_20_spark.operators.cep import _Groups
+
+        out = _Groups(pdf, dict(g))
+    else:
+        out = dict(g)
+    for s, members in subsets.items():
+        parts = [g[m] for m in members if m in g and len(g[m])]
+        if parts:
+            out[s] = (
+                pd.concat(parts).sort_index() if len(parts) > 1 else parts[0]
+            )
+    return out
+
+
+def _wrap_pred_subsets(fn, subsets: dict[str, list[str]]):
+    """Give a context predicate sight of the SUBSET union variables.
+    Only two-argument (r, g) predicates need it — and any predicate
+    referencing a subset compiles to the context form by construction."""
+    if not subsets or getattr(fn, "__code__", None) is None:
+        return fn
+    if fn.__code__.co_argcount != 2:
+        return fn
+
+    def wrapped(r, g):
+        return fn(r, _expand_subset_groups(g, subsets))
+
+    wrapped._define_text = getattr(fn, "_define_text", None)
+    return wrapped
+
+
+def _build_pattern(
+    pattern_text: str,
+    defines: dict[str, str],
+    skip: tuple,
+    within_s,
+    subsets: dict[str, list[str]] | None = None,
+):
+    """PATTERN (A B+ C{2,4}? D?) + DEFINE [+ SUBSET] →
+    operators.cep.Pattern. MATCH_RECOGNIZE contiguity is strict by
+    construction (the pattern describes consecutive rows —
+    StreamExecMatch semantics), so every step after the first uses
+    `next`."""
     from flink_1_20_spark.operators.cep import Pattern
 
+    subsets = subsets or {}
     tokens = pattern_text.strip().strip("()").split()
     var_names = [
         _QUANT.fullmatch(t).group(1) for t in tokens if _QUANT.fullmatch(t)
     ]
+    for s, members in subsets.items():
+        if s in var_names:
+            raise ValueError(f"SUBSET name collides with a pattern variable: {s}")
+        unknown = [m for m in members if m not in var_names]
+        if unknown:
+            raise ValueError(f"SUBSET {s} references unknown variables: {unknown}")
+    # subset names participate in the variable-reference rewrite so
+    # `S.col` / LAST(S.col) in DEFINE compile to group lookups
+    ref_names = var_names + list(subsets)
     pat: Pattern | None = None
     for tok in tokens:
         m = _QUANT.fullmatch(tok)
@@ -477,7 +534,9 @@ def _build_pattern(pattern_text: str, defines: dict[str, str], skip: tuple, with
         var, quant, n, mx, reluct = m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
         cond = defines.get(var)
         pred = (
-            _compile_predicate(cond, var, var_names) if cond else (lambda r: True)
+            _wrap_pred_subsets(_compile_predicate(cond, var, ref_names), subsets)
+            if cond
+            else (lambda r: True)
         )
         if pat is None:
             pat = Pattern.begin(var, pred)
@@ -569,6 +628,18 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
         raise ValueError("MATCH_RECOGNIZE requires a PATTERN clause")
     within_m = re.search(r"\)\s*WITHIN\s+(INTERVAL\s+'[\d.]+'\s+\w+)", body, re.I)
     within_s = _parse_interval(within_m.group(1))[2] if within_m else None
+    # SUBSET S = (A, B)[, T = (...)] — union variables usable in
+    # MEASURES and DEFINE (MatchSpec.java:70)
+    subset_txt = clause("subset", r"\bSUBSET\s+(.+?)(?=\bDEFINE\b|\Z)")
+    subsets: dict[str, list[str]] = {}
+    if subset_txt:
+        for item in _split_args(subset_txt):
+            sm = re.match(r"(\w+)\s*=\s*\(([^)]*)\)$", item.strip(), re.S)
+            if not sm:
+                raise ValueError(f"cannot parse SUBSET item: {item!r}")
+            subsets[sm.group(1)] = [
+                v.strip().strip("`") for v in sm.group(2).split(",") if v.strip()
+            ]
     define_txt = clause("define", r"DEFINE\s+(.+)\Z")
 
     keys = [c.strip().strip("`") for c in (part_txt or "").split(",") if c.strip()]
@@ -611,9 +682,10 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
         )
 
     df = spark.table(table)
-    pat = _build_pattern(pattern_m.group(1), defines, skip, within_s)
+    pat = _build_pattern(pattern_m.group(1), defines, skip, within_s, subsets)
 
     def measure_fn(groups: dict[str, pd.DataFrame]) -> dict:
+        groups = _expand_subset_groups(groups, subsets)
         return {
             name: _measure_value(groups, agg, var, col)
             for name, agg, var, col in measures

@@ -1503,3 +1503,66 @@ def test_reset_aliased_session_keys(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == orig
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_sql_match_recognize_subset(fixture_env):
+    """SUBSET union variables (MatchSpec.java:70) in MEASURES and
+    DEFINE, verified against the subset-free formulation of the same
+    pattern: for S = (A, B) with PATTERN (A B+ C),
+    COUNT(S.*) == COUNT(A.*) + COUNT(B.*), FIRST(S.v) == FIRST(A.v),
+    LAST(S.v) == LAST(B.v), and a DEFINE on LAST(S.`value`) is
+    equivalent to one on LAST(B.`value`)."""
+    with_subset = fixture_env.execute_sql("""
+        SELECT user_id, n_ab, first_s, last_s
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(S.*) AS n_ab,
+                     FIRST(S.`value`) AS first_s,
+                     LAST(S.`value`) AS last_s
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            SUBSET S = (A, B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'view',
+                   C AS C.event_type = 'purchase'
+                        AND C.`value` > LAST(S.`value`)
+        )
+    """).collect()
+    oracle = fixture_env.execute_sql("""
+        SELECT user_id, na + nb AS n_ab, first_a AS first_s, last_b AS last_s
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(A.*) AS na,
+                     COUNT(B.*) AS nb,
+                     FIRST(A.`value`) AS first_a,
+                     LAST(B.`value`) AS last_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'view',
+                   C AS C.event_type = 'purchase'
+                        AND C.`value` > LAST(B.`value`)
+        )
+    """).collect()
+    assert len(with_subset) > 0  # the fixture data must exercise the shape
+    key = lambda r: (r["user_id"], r["n_ab"], r["first_s"], r["last_s"])  # noqa: E731
+    assert sorted(map(key, with_subset)) == sorted(map(key, oracle))
+    # validation: unknown member / colliding name are parse errors
+    for bad in (
+        "SUBSET S = (A, Z)",
+        "SUBSET A = (B)",
+    ):
+        with pytest.raises(ValueError):
+            fixture_env.execute_sql(f"""
+                SELECT user_id FROM events MATCH_RECOGNIZE (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    MEASURES COUNT(A.*) AS n ONE ROW PER MATCH
+                    PATTERN (A B) {bad}
+                    DEFINE A AS A.event_type = 'click',
+                           B AS B.event_type = 'view'
+                )
+            """)
