@@ -203,6 +203,10 @@ class TableEnvironment:
         self.current_db = self.DEFAULT_DB
         self.tables: dict[str, TableMeta] = self._dbs[self.DEFAULT_DB]
         self.functions: dict[str, str] = {}  # name -> python path
+        # database comments/properties (CREATE/ALTER/DESCRIBE DATABASE),
+        # view definition SQL (SHOW CREATE VIEW), keyed per catalog.db
+        self._db_meta: dict[str, dict[str, str | dict]] = {}
+        self._view_sql: dict[str, str] = {}
         self.session_options: dict[str, str] = {}  # SET 'k' = 'v' store
         # Spark-conf values as they were before our SET mutated them,
         # keyed by the Spark key — RESET restores these (Flink's RESET
@@ -261,12 +265,50 @@ class TableEnvironment:
         # -- database statements (CatalogManager.java:80 surface) --------
         m = re.match(
             r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)"
-            r"(?:\s+COMMENT\s+'[^']*')?$",
+            r"(?:\s+COMMENT\s+'([^']*)')?"
+            r"(?:\s+WITH\s*\((.*)\))?\s*$",
             s,
-            re.I,
+            re.S | re.I,
         )
         if m:
-            self._dbs.setdefault(m.group(1).strip("`"), {})
+            db = m.group(1).strip("`")
+            self._dbs.setdefault(db, {})
+            self._db_meta[f"{self.current_catalog}.{db}"] = {
+                "comment": m.group(2) or "",
+                "properties": dict(
+                    re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(3) or "")
+                ),
+            }
+            return None
+        m = re.match(r"DESCRIBE\s+DATABASE\s+(EXTENDED\s+)?(\S+)$", s, re.I)
+        if m:
+            db = m.group(2).strip("`")
+            if db not in self._dbs:
+                raise ValueError(f"database does not exist: {db}")
+            meta = self._db_meta.get(f"{self.current_catalog}.{db}", {})
+            rows = [
+                ("name", db),
+                ("comment", str(meta.get("comment", ""))),
+            ]
+            if m.group(1):
+                rows += [
+                    (f"property:{k}", v)
+                    for k, v in sorted(dict(meta.get("properties", {})).items())
+                ]
+            return self.spark.createDataFrame(
+                rows, "info_name string, info_value string"
+            )
+        m = re.match(r"ALTER\s+DATABASE\s+(\S+)\s+SET\s*\((.*)\)\s*$", s, re.S | re.I)
+        if m:
+            db = m.group(1).strip("`")
+            if db not in self._dbs:
+                raise ValueError(f"database does not exist: {db}")
+            meta = self._db_meta.setdefault(
+                f"{self.current_catalog}.{db}", {"comment": "", "properties": {}}
+            )
+            props = dict(meta.setdefault("properties", {}))
+            props.update(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2)))
+            meta["properties"] = props
             return None
         m = re.match(
             r"DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\S+?)"
@@ -336,6 +378,48 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 [(j,) for j in self._jars] or [], "jar string"
             )
+        # SHOW JOBS / STOP JOB (FLIP-291 SQL-gateway job lifecycle,
+        # SqlShowJobs/SqlStopJob): Flink lists cluster jobs; the Spark
+        # analogue is the session's active streaming queries.
+        if re.match(r"SHOW\s+JOBS$", u):
+            rows = [
+                (q.id, q.name or "", "RUNNING" if q.isActive else "FINISHED")
+                for q in self.spark.streams.active
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "job_id string, job_name string, status string"
+            )
+        m = re.match(
+            r"STOP\s+JOB\s+'([^']+)'(\s+WITH\s+SAVEPOINT)?(\s+WITH\s+DRAIN)?$",
+            s,
+            re.I,
+        )
+        if m:
+            if m.group(2):
+                raise ValueError(
+                    "STOP JOB WITH SAVEPOINT is a non-goal here (savepoint "
+                    "manipulation — SURVEY §7); use plain STOP JOB"
+                )
+            target = next(
+                (q for q in self.spark.streams.active if q.id == m.group(1)),
+                None,
+            )
+            if target is None:
+                raise ValueError(f"no such job: {m.group(1)}")
+            if m.group(3):  # WITH DRAIN: process available input, then stop
+                target.processAllAvailable()
+            target.stop()
+            return None
+        # SHOW [FULL] MODULES: the module system is a documented non-goal
+        # (SURVEY §7 — Spark's function registry is session-fixed), but
+        # the listing surface reports the resolved state truthfully:
+        # exactly the core module, enabled.
+        if re.match(r"SHOW\s+FULL\s+MODULES$", u):
+            return self.spark.createDataFrame(
+                [("core", True)], "module_name string, used boolean"
+            )
+        if re.match(r"SHOW\s+MODULES$", u):
+            return self.spark.createDataFrame([("core",)], "module_name string")
         # fully-qualified `catalog.db.table` → the mangled per-catalog
         # view; runs BEFORE the 2-part rewrite so the trailing `db.table`
         # of a 3-part name is never partially rewritten
@@ -452,12 +536,24 @@ class TableEnvironment:
         )
         if m:
             body = self.execute_sql(m.group(2))
-            body.createOrReplaceTempView(m.group(1).strip("`"))
+            vname = m.group(1).strip("`")
+            body.createOrReplaceTempView(vname)
+            self._view_sql[vname] = m.group(2).strip()  # SHOW CREATE VIEW
             return None
         if re.match(r"DROP\s+(?:TEMPORARY\s+)?VIEW\b", u):
             name = s.split()[-1].strip("`")
             self.spark.catalog.dropTempView(name)
+            self._view_sql.pop(name, None)
             return None
+        m = re.match(r"SHOW\s+CREATE\s+VIEW\s+(\S+)$", s, re.I)
+        if m:
+            vname = m.group(1).strip("`")
+            sql_body = self._view_sql.get(vname)
+            if sql_body is None:
+                raise ValueError(f"view not found: {vname}")
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW `{vname}` AS {sql_body}",)], "result string"
+            )
         # CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'target' — Flink
         # registers a class by fully-qualified name
         # (SqlNodeToOperationConversion CREATE FUNCTION path,

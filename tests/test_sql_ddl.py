@@ -1566,3 +1566,60 @@ def test_sql_match_recognize_subset(fixture_env):
                            B AS B.event_type = 'view'
                 )
             """)
+
+
+def test_describe_alter_database_and_show_create_view(spark, tmp_path):
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE DATABASE marts COMMENT 'analytics marts' WITH ('team'='data')"
+    )
+    info = {r["info_name"]: r["info_value"]
+            for r in env.execute_sql("DESCRIBE DATABASE EXTENDED marts").collect()}
+    assert info["name"] == "marts"
+    assert info["comment"] == "analytics marts"
+    assert info["property:team"] == "data"
+    env.execute_sql("ALTER DATABASE marts SET ('team'='ml', 'tier'='gold')")
+    info = {r["info_name"]: r["info_value"]
+            for r in env.execute_sql("DESCRIBE DATABASE EXTENDED marts").collect()}
+    assert info["property:team"] == "ml" and info["property:tier"] == "gold"
+    with pytest.raises(ValueError):
+        env.execute_sql("DESCRIBE DATABASE nope")
+    # SHOW CREATE VIEW round-trips the recorded definition
+    env.execute_sql("CREATE VIEW v_two AS SELECT 2 AS two")
+    ddl = env.execute_sql("SHOW CREATE VIEW v_two").collect()[0]["result"]
+    assert ddl.startswith("CREATE VIEW `v_two` AS") and "SELECT 2" in ddl
+    env.execute_sql("DROP VIEW v_two")
+    with pytest.raises(ValueError):
+        env.execute_sql("SHOW CREATE VIEW v_two")
+    # module listing surface (module system itself is a documented non-goal)
+    mods = env.execute_sql("SHOW MODULES").collect()
+    assert [r["module_name"] for r in mods] == ["core"]
+    full = env.execute_sql("SHOW FULL MODULES").collect()
+    assert [(r["module_name"], r["used"]) for r in full] == [("core", True)]
+
+
+def test_show_jobs_and_stop_job(spark, tmp_path):
+    """SHOW JOBS / STOP JOB over the session's streaming queries
+    (FLIP-291 job-lifecycle statements)."""
+    env = TableEnvironment(spark)
+    assert env.execute_sql("SHOW JOBS").collect() == []
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+        .writeStream.format("memory").queryName("jobs_probe").start()
+    )
+    try:
+        jobs = env.execute_sql("SHOW JOBS").collect()
+        mine = [r for r in jobs if r["job_name"] == "jobs_probe"]
+        assert len(mine) == 1 and mine[0]["status"] == "RUNNING"
+        with pytest.raises(ValueError):
+            env.execute_sql(f"STOP JOB '{mine[0]['job_id']}' WITH SAVEPOINT")
+        with pytest.raises(ValueError):
+            env.execute_sql("STOP JOB 'no-such-id'")
+        env.execute_sql(f"STOP JOB '{mine[0]['job_id']}'")
+        assert all(
+            r["job_name"] != "jobs_probe"
+            for r in env.execute_sql("SHOW JOBS").collect()
+        )
+    finally:
+        if q.isActive:
+            q.stop()
