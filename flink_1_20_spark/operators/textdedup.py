@@ -305,6 +305,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_contaminated(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Doc-level train/eval decontamination: exact n-gram Jaccard between
+    TRAIN docs and EVAL docs (GPT-3-style benchmark decontamination, one
+    level above the n-gram membership probe in queries/governance.py).
+
+    Same inverted-index plan as ngram_jaccard_pairs, but the index join
+    is strictly ACROSS corpora (train side × eval side) — no within-
+    corpus pairs are generated, so the candidate fanout is |shared
+    shingle postings| between the two sides only. `max_doc_freq` df-cuts
+    boilerplate shingles; at 100 TB train × small eval the eval-side
+    postings list is tiny and the join is effectively a semi-broadcast
+    probe of the train index."""
+
+    def shingled(df: DataFrame, side: str) -> DataFrame:
+        words = normalized_words(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            word_shingles(words, shingle_n).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+
+    t = shingled(train, "train")
+    e = shingled(eval_docs, "eval")
+    t_sizes = t.select("train_id", F.size("shingles").alias("n_train"))
+    e_sizes = e.select("eval_id", F.size("shingles").alias("n_eval"))
+    t_inv = t.select("train_id", F.explode("shingles").alias("sh"))
+    e_inv = e.select("eval_id", F.explode("shingles").alias("sh"))
+    if max_doc_freq is not None:
+        freq = (
+            t_inv.select(F.col("train_id").alias("d"), "sh")
+            .unionByName(e_inv.select(F.col("eval_id").alias("d"), "sh"))
+            .groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        t_inv = t_inv.join(freq, "sh")
+        e_inv = e_inv.join(freq, "sh")
+    shared = (
+        t_inv.join(e_inv, "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(t_sizes, "train_id")
+        .join(e_sizes, "eval_id")
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.col("n_train") + F.col("n_eval") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("train_id", "eval_id", F.round("jac", 6).alias("jac"))
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate assignment by content hash: every row gets its
     cluster's canonical (min) id. One shuffle on the 128-bit hash."""

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_1_20_spark.operators.textdedup import (
+    cross_corpus_contaminated,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -149,6 +150,38 @@ _NGRAM_ORACLE = (
     "SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jac\n"
     "FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.4"
 )
+
+
+_CROSS_ORACLE = (
+    "WITH words AS (SELECT doc_id, source, " + _WORDS + " AS w FROM documents),\n"
+    "sh AS (SELECT doc_id, source, " + _sh_sql(3) + " AS sh FROM words"
+    " WHERE len(" + _sh_sql(3) + ") > 0),\n"
+    "t AS (SELECT * FROM sh WHERE source NOT IN ('src0', 'src1')),\n"
+    "e AS (SELECT * FROM sh WHERE source IN ('src0', 'src1')),\n"
+    "pairs AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,\n"
+    "   len(list_filter(t.sh, x -> list_contains(e.sh, x))) AS inter,\n"
+    "   len(t.sh) AS nt, len(e.sh) AS ne\n"
+    " FROM t JOIN e ON true)\n"
+    "SELECT train_id, eval_id,"
+    " round(inter * 1.0 / (nt + ne - inter), 6) AS jac\n"
+    "FROM pairs WHERE inter * 1.0 / (nt + ne - inter) >= 0.4"
+)
+
+
+@register("dedup_cross_corpus", oracle=_CROSS_ORACLE)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval benchmark decontamination at document level: exact
+    3-gram Jaccard ≥ 0.4 between the training split (all sources but
+    src0/src1) and the held-out split (src0/src1) — the doc-level
+    complement of text_contamination_ngram's n-gram membership probe.
+    Plan: cross-corpus-only inverted-index join (operators/textdedup.py
+    cross_corpus_contaminated); the oracle states the O(n·m) intent."""
+    docs = T(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return cross_corpus_contaminated(
+        train, eval_docs, "doc_id", "text", shingle_n=3, threshold=0.4
+    )
 
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)

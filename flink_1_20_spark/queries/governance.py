@@ -197,6 +197,36 @@ GROUP BY lang
 """
 
 
+_SPLIT_SQL = """
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(CAST(doc_id AS STRING)), 32, 1)
+                   BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS STRING)), 32, 1)
+                   IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY lang, split
+"""
+
+
+@register("pipeline_train_val_test_split", oracle=_SPLIT_SQL)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by the last hex
+    digit of md5(doc_id) — a pure stateless map, ZERO shuffle beyond the
+    tiny report agg, identical assignment on any cluster size and on
+    re-runs (rand()-based splits are neither; the rank-based stratified
+    sampler shuffles per stratum). The checksum proves both engines
+    assigned the SAME documents to the same split."""
+    from ._util import V
+
+    V(spark, sf_dir, "documents")
+    return spark.sql(_SPLIT_SQL)
+
+
 @register("sample_stratified_exact", oracle=_STRATIFIED_SQL)
 def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified sampling: k=20 documents per language, chosen

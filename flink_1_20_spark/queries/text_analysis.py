@@ -180,3 +180,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.sort_array(F.collect_list("h")), 1, 4).alias("sketch"),
         F.count("h").alias("n_shingles"),
     )
+
+
+_MIX_REPORT_ORACLE = """
+WITH s AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+         count(DISTINCT md5(text)) AS n_unique
+  FROM documents GROUP BY source)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ws_tokens,
+       round(1.0 - n_unique * 1.0 / n_docs, 6) AS dup_rate,
+       round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS corpus_share
+FROM s
+"""
+
+
+@register("text_domain_mix_report", oracle=_MIX_REPORT_ORACLE)
+def text_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus observability: document count, whitespace-token
+    budget, exact-duplicate rate (1 − distinct-hash/count) and share of
+    the corpus — the mixing report every multi-source training pipeline
+    monitors. Plan: one map-combined agg keyed by source (the natural
+    partition key), one tiny window over the per-source rollup — no
+    per-document shuffle."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).alias("ws_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+        ).alias("corpus_share"),
+    )
