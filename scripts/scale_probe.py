@@ -60,6 +60,10 @@ HEAVY = [
     "simsearch_recall_lsh",
     "multimodal_resize_nearest",
     "text_lm_score",
+    # r6 additions
+    "dedup_cross_corpus",
+    "pipeline_train_val_test_split",
+    "text_domain_mix_report",
 ]
 
 

@@ -269,3 +269,20 @@ def test_q30_q81_single_fact_scan(spark, sf_dir, queries):
             if "Scan parquet" in l and "lineitem" in l
         ]
         assert len(scans) == 1, (name, len(scans))
+
+
+def test_r6_training_ops_plans(spark, sf_dir, queries):
+    """The r6 training-prep additions must keep the family's plan
+    contract: no cartesian/nested-loop join anywhere (the cross-corpus
+    contamination check joins ONLY through the shingle inverted index),
+    and the deterministic split is a pure map — no per-document
+    Exchange before its report aggregation."""
+    for name in (
+        "dedup_cross_corpus",
+        "pipeline_train_val_test_split",
+        "text_domain_mix_report",
+    ):
+        plan = _final_plan(queries[name](spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, name
+        assert "BroadcastNestedLoopJoin" not in final, name
