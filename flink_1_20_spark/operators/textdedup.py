@@ -360,11 +360,24 @@ def cross_corpus_contaminated(
     t_inv = t.select("train_h", F.explode("shingles").alias("sh"))
     e_inv = e.select("eval_h", F.explode("shingles").alias("sh"))
     if max_doc_freq is not None:
+        # the df-cut counts DOCUMENTS, not distinct texts: each distinct
+        # text's postings are weighted by its copy count, so the cut
+        # fires on exactly the same shingles as the uncollapsed form
+        # (1000 byte-identical boilerplate docs still count as 1000)
+        t_copies = t_ids.groupBy(F.col("train_h").alias("h")).agg(
+            F.count("*").alias("copies")
+        )
+        e_copies = e_ids.groupBy(F.col("eval_h").alias("h")).agg(
+            F.count("*").alias("copies")
+        )
         freq = (
-            t_inv.select(F.col("train_h").alias("d"), "sh")
-            .unionByName(e_inv.select(F.col("eval_h").alias("d"), "sh"))
+            t_inv.select(F.col("train_h").alias("h"), "sh")
+            .join(t_copies, "h")
+            .unionByName(
+                e_inv.select(F.col("eval_h").alias("h"), "sh").join(e_copies, "h")
+            )
             .groupBy("sh")
-            .agg(F.count("*").alias("df"))
+            .agg(F.sum("copies").alias("df"))
             .filter(F.col("df") <= max_doc_freq)
             .select("sh")
         )

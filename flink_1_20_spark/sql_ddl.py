@@ -214,6 +214,10 @@ class TableEnvironment:
         # running with the mutated runtime state)
         self._conf_saved: dict[str, str | None] = {}
         self._jars: list[str] = []  # ADD JAR paths (SHOW JARS surface)
+        # streaming queries this environment started (SHOW JOBS keeps
+        # terminated ones visible with status FINISHED, as Flink does;
+        # Spark's manager only lists active queries)
+        self._started_jobs: list = []
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -272,13 +276,17 @@ class TableEnvironment:
         )
         if m:
             db = m.group(1).strip("`")
+            existed = db in self._dbs
             self._dbs.setdefault(db, {})
-            self._db_meta[f"{self.current_catalog}.{db}"] = {
-                "comment": m.group(2) or "",
-                "properties": dict(
-                    re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(3) or "")
-                ),
-            }
+            if not existed:
+                # an IF NOT EXISTS re-run (or duplicate CREATE) must not
+                # wipe the comment/properties recorded at first creation
+                self._db_meta[f"{self.current_catalog}.{db}"] = {
+                    "comment": m.group(2) or "",
+                    "properties": dict(
+                        re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(3) or "")
+                    ),
+                }
             return None
         m = re.match(r"DESCRIBE\s+DATABASE\s+(EXTENDED\s+)?(\S+)$", s, re.I)
         if m:
@@ -382,12 +390,15 @@ class TableEnvironment:
         # SqlShowJobs/SqlStopJob): Flink lists cluster jobs; the Spark
         # analogue is the session's active streaming queries.
         if re.match(r"SHOW\s+JOBS$", u):
-            rows = [
-                (q.id, q.name or "", "RUNNING" if q.isActive else "FINISHED")
-                for q in self.spark.streams.active
-            ]
+            listed: dict[str, tuple] = {}
+            for q in self.spark.streams.active:
+                listed[q.id] = (q.id, q.name or "", "RUNNING")
+            for q in self._started_jobs:  # terminated env jobs stay visible
+                if q.id not in listed:
+                    listed[q.id] = (q.id, q.name or "", "FINISHED")
             return self.spark.createDataFrame(
-                rows or [], "job_id string, job_name string, status string"
+                list(listed.values()) or [],
+                "job_id string, job_name string, status string",
             )
         m = re.match(
             r"STOP\s+JOB\s+'([^']+)'(\s+WITH\s+SAVEPOINT)?(\s+WITH\s+DRAIN)?$",
@@ -406,8 +417,24 @@ class TableEnvironment:
             )
             if target is None:
                 raise ValueError(f"no such job: {m.group(1)}")
-            if m.group(3):  # WITH DRAIN: process available input, then stop
-                target.processAllAvailable()
+            if m.group(3):
+                # WITH DRAIN: process currently-available input, then
+                # stop. processAllAvailable() never returns while a
+                # source keeps producing (Spark documents this), so the
+                # drain is BOUNDED: wait up to the configured timeout,
+                # then stop regardless — Flink's drain terminates even
+                # on unbounded sources (watermark → +inf); a hung
+                # execute_sql would not.
+                import threading
+
+                timeout = float(
+                    self.session_options.get("stop-job.drain-timeout-sec", "30")
+                )
+                waiter = threading.Thread(
+                    target=target.processAllAvailable, daemon=True
+                )
+                waiter.start()
+                waiter.join(timeout)
             target.stop()
             return None
         # SHOW [FULL] MODULES: the module system is a documented non-goal
@@ -420,32 +447,29 @@ class TableEnvironment:
             )
         if re.match(r"SHOW\s+MODULES$", u):
             return self.spark.createDataFrame([("core",)], "module_name string")
-        # fully-qualified `catalog.db.table` → the mangled per-catalog
-        # view; runs BEFORE the 2-part rewrite so the trailing `db.table`
-        # of a 3-part name is never partially rewritten
-        for cat, centry in self._catalogs.items():
-            for db, tbls in centry["dbs"].items():
-                for t in tbls:
-                    if f"{cat}.{db}.{t}" in s:
-                        s = _sub_outside_literals(
-                            s,
-                            rf"(?<![\w.]){re.escape(cat)}\.{re.escape(db)}"
-                            rf"\.{re.escape(t)}\b",
-                            _ctl_view_name(cat, db, t),
-                        )
-        # cross-database references `db.table` → the mangled per-db view
-        # (temp view names cannot contain dots); known pairs only, so a
-        # same-shaped string inside a literal is never touched by
-        # accident beyond registered tables. The lookbehind keeps the
-        # `db.table` tail of an (unregistered-catalog) 3-part name intact.
-        for db, tbls in self._dbs.items():
-            for t in tbls:
-                if f"{db}.{t}" in s:
-                    s = _sub_outside_literals(
-                        s,
-                        rf"(?<![\w.]){re.escape(db)}\.{re.escape(t)}\b",
-                        _db_view_name(db, t),
-                    )
+        # qualified-name rewrites, ONE regex pass each (not a loop over
+        # every registered table): extract dotted candidates, rewrite
+        # only those that resolve to a registered table. 3-part
+        # `catalog.db.table` first so the 2-part pass never partially
+        # rewrites its tail (the lookbehind also blocks matching right
+        # after a dot); literals are never touched.
+        if "." in s:
+
+            def _repl3(mm: re.Match) -> str:
+                centry = self._catalogs.get(mm.group(1))
+                if centry and mm.group(3) in centry["dbs"].get(mm.group(2), {}):
+                    return _ctl_view_name(mm.group(1), mm.group(2), mm.group(3))
+                return mm.group(0)
+
+            def _repl2(mm: re.Match) -> str:
+                if mm.group(2) in self._dbs.get(mm.group(1), {}):
+                    return _db_view_name(mm.group(1), mm.group(2))
+                return mm.group(0)
+
+            s = _sub_outside_literals(
+                s, r"(?<![\w.])(\w+)\.(\w+)\.(\w+)\b", _repl3
+            )
+            s = _sub_outside_literals(s, r"(?<![\w.])(\w+)\.(\w+)\b", _repl2)
         u = s.upper()
         # TRUNCATE TABLE (SqlTruncateTable, Flink 1.18+): filesystem
         # tables overwrite their path with an empty relation of the
@@ -714,7 +738,19 @@ class TableEnvironment:
             if target not in self._conf_saved:
                 self._conf_saved[target] = self.spark.conf.get(target, None)
             self.spark.conf.set(target, value)
+        if key == "table.optimizer.join.broadcast-threshold":
+            self._reapply_broadcast_verdicts()
         return None
+
+    def _reapply_broadcast_verdicts(self) -> None:
+        """The broadcast hint is baked into a table's registered view, so
+        a threshold change must re-register every analyzed table — Flink
+        reads the threshold at plan time; this is the registration-time
+        equivalent."""
+        for db, tbls in self._dbs.items():
+            for meta in tbls.values():
+                if meta.stats is not None and "size_bytes" in meta.stats:
+                    self._register(meta, db=db)
 
     def _reset_option(self, key: str) -> None:
         self.session_options.pop(key, None)
@@ -735,6 +771,8 @@ class TableEnvironment:
                     self._conf_saved[target] = prev
                     self.spark.conf.set(target, v)
                     break
+        if key == "table.optimizer.join.broadcast-threshold":
+            self._reapply_broadcast_verdicts()
 
     # -- programmatic Table API entry points ------------------------------
     # TableEnvironment.from(path) / fromValues / sqlQuery /
@@ -869,14 +907,21 @@ class TableEnvironment:
         meta = self.tables.get(name)
         if meta is not None:
             return meta
-        m = re.match(r"__ctl_(.+?)__(.+?)__(.+)$", name)
-        if m and m.group(1) in self._catalogs:
-            return self._catalogs[m.group(1)]["dbs"].get(m.group(2), {}).get(
-                m.group(3)
-            )
-        m = re.match(r"__cat_(.+?)__(.+)$", name)
-        if m and m.group(1) in self._dbs:
-            return self._dbs[m.group(1)].get(m.group(2))
+        # reconstruct-and-compare instead of regex-splitting the mangled
+        # form: a non-greedy '__' split mis-parses catalog/db names that
+        # themselves contain double underscores
+        if name.startswith("__ctl_"):
+            for cat, centry in self._catalogs.items():
+                for db, tbls in centry["dbs"].items():
+                    for t, meta in tbls.items():
+                        if name == _ctl_view_name(cat, db, t):
+                            return meta
+            return None
+        if name.startswith("__cat_"):
+            for db, tbls in self._dbs.items():
+                for t, meta in tbls.items():
+                    if name == _db_view_name(db, t):
+                        return meta
         return None
 
     # -- CREATE FUNCTION / SHOW / DESCRIBE -------------------------------
@@ -1235,19 +1280,35 @@ class TableEnvironment:
                     for f in files
                     if not f.startswith(("_", "."))
                 )
-        meta.stats = {
-            "row_count": row["__n"],
-            "size_bytes": size_bytes,
-            "columns": {
-                c: {
-                    "ndv": row[f"__ndv_{c}"],
-                    "null_count": row[f"__nul_{c}"],
-                    "min": row[f"__min_{c}"],
-                    "max": row[f"__max_{c}"],
-                }
-                for c in col_names
-            },
+        col_stats = {
+            c: {
+                "ndv": row[f"__ndv_{c}"],
+                "null_count": row[f"__nul_{c}"],
+                "min": row[f"__min_{c}"],
+                "max": row[f"__max_{c}"],
+            }
+            for c in col_names
         }
+        if part_body:
+            # partition-scoped stats stay PARTITION-scoped (Flink's
+            # CatalogPartitionStatistics): they must never feed the
+            # table-level broadcast decision — one small partition of a
+            # huge table would otherwise broadcast the whole table
+            stats = meta.stats if meta.stats is not None else {}
+            key = "/".join(f"{k}={spec[k]}" for k in meta.partitioned_by if k in spec)
+            stats.setdefault("partitions", {})[key] = {
+                "row_count": row["__n"],
+                "size_bytes": size_bytes,
+                "columns": col_stats,
+            }
+            meta.stats = stats
+        else:
+            meta.stats = {
+                **(meta.stats or {}),
+                "row_count": row["__n"],
+                "size_bytes": size_bytes,
+                "columns": col_stats,
+            }
         owner = next(
             (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
             self.current_db,
@@ -1638,12 +1699,12 @@ class TableEnvironment:
             # file sinks require append-only input).
             mode = "update" if meta.connector in ("print", "blackhole") else "append"
             if meta.connector == "print":
-                return df.writeStream.format("console").outputMode(mode).start()
-            if meta.connector == "blackhole":
-                return df.writeStream.format("noop").outputMode(mode).start()
-            if meta.connector == "filesystem":
+                q = df.writeStream.format("console").outputMode(mode).start()
+            elif meta.connector == "blackhole":
+                q = df.writeStream.format("noop").outputMode(mode).start()
+            elif meta.connector == "filesystem":
                 fmt = meta.options.get("format", "parquet")
-                return (
+                q = (
                     df.writeStream.format(fmt)
                     .option("path", meta.options["path"])
                     .option(
@@ -1654,7 +1715,12 @@ class TableEnvironment:
                     )
                     .start()
                 )
-            raise ValueError(f"connector {meta.connector!r} is not stream-writable")
+            else:
+                raise ValueError(
+                    f"connector {meta.connector!r} is not stream-writable"
+                )
+            self._started_jobs.append(q)  # SHOW JOBS lifecycle visibility
+            return q
         if meta.connector == "filesystem":
             from flink_1_20_spark.sources.connectors import write_file, write_partitioned
 

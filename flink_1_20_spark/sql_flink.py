@@ -685,9 +685,17 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
     pat = _build_pattern(pattern_m.group(1), defines, skip, within_s, subsets)
 
     def measure_fn(groups: dict[str, pd.DataFrame]) -> dict:
-        groups = _expand_subset_groups(groups, subsets)
+        expanded = _expand_subset_groups(groups, subsets)
+        # COUNT(*) counts MATCH rows — primary pattern variables only;
+        # evaluating it over the expanded dict would double-count every
+        # row that also belongs to a SUBSET union variable
         return {
-            name: _measure_value(groups, agg, var, col)
+            name: _measure_value(
+                groups if agg == "COUNT" and var == "*" else expanded,
+                agg,
+                var,
+                col,
+            )
             for name, agg, var, col in measures
         }
 

@@ -373,3 +373,37 @@ def test_temperature_mix_upweights_small_sources(spark, sf_dir):
         lo = min(uncapped, key=lambda r: r["sampled_tokens"])
         hi = max(uncapped, key=lambda r: r["sampled_tokens"])
         assert lo["rate"] >= hi["rate"]
+
+
+def test_cross_corpus_df_cut_counts_documents(spark):
+    """The cross-corpus df-cut must count DOCUMENTS, not distinct texts
+    (review fix): replicated boilerplate still trips the cut after the
+    exact-duplicate collapse, so the collapsed plan emits exactly what
+    the uncollapsed formulation would."""
+    from flink_1_20_spark.operators.textdedup import cross_corpus_contaminated
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    unique = "zebras quietly ponder umbrellas beneath vermilion skies today"
+    train = spark.createDataFrame(
+        # 5 byte-identical boilerplate docs + 1 unique doc
+        [(i, boiler) for i in range(5)] + [(10, unique)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, boiler), (101, unique)], "doc_id long, text string"
+    )
+    # no cut: every boilerplate copy pairs with the boilerplate eval doc
+    full = cross_corpus_contaminated(
+        train, eval_docs, "doc_id", "text", shingle_n=3, threshold=0.9
+    ).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in full} == {
+        (0, 100), (1, 100), (2, 100), (3, 100), (4, 100), (10, 101),
+    }
+    # df-cut at 4: boilerplate shingles live in 6 DOCUMENTS (5 train
+    # copies + 1 eval) even though only 2 DISTINCT texts — they must be
+    # cut, leaving only the unique-doc pair
+    cut = cross_corpus_contaminated(
+        train, eval_docs, "doc_id", "text",
+        shingle_n=3, threshold=0.9, max_doc_freq=4,
+    ).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in cut} == {(10, 101)}

@@ -1623,3 +1623,147 @@ def test_show_jobs_and_stop_job(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_subset_count_star_not_inflated(fixture_env):
+    """COUNT(*) counts match rows (primary variables only) — the SUBSET
+    expansion must not double-count rows also bound to a union variable
+    (review fix)."""
+    rows = fixture_env.execute_sql("""
+        SELECT user_id, n_rows, n_ab
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS n_rows, COUNT(S.*) AS n_ab
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            SUBSET S = (A, B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'view',
+                   C AS C.event_type = 'purchase'
+        )
+    """).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # match = A + B(s) + C; subset S = A + B(s) = all but C
+        assert r["n_rows"] == r["n_ab"] + 1
+
+
+def test_analyze_partition_scoped_stats(spark, tmp_path):
+    """Partition-scoped ANALYZE records CatalogPartitionStatistics-style
+    per-partition stats and must NOT feed the table-level broadcast
+    verdict (review fix: one small partition of a huge table must not
+    broadcast the whole table)."""
+    env = TableEnvironment(spark)
+    p = tmp_path / "ppt"
+    env.execute_sql(f"""
+        CREATE TABLE ppt (k BIGINT, dt STRING) PARTITIONED BY (dt)
+        WITH ('connector'='filesystem','path'='{p}','format'='parquet')""")
+    env.execute_sql(
+        "INSERT INTO ppt SELECT id AS k, CASE WHEN id < 10 THEN 'a' ELSE 'b' END AS dt"
+        " FROM range(1000)"
+    )
+    env.execute_sql("ANALYZE TABLE ppt PARTITION (dt='a') COMPUTE STATISTICS")
+    st = env.tables["ppt"].stats
+    assert st["partitions"]["dt=a"]["row_count"] == 10
+    assert "size_bytes" not in st  # no table-level verdict material
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            env.execute_sql(
+                "SELECT a.k FROM ppt a JOIN ppt b ON a.k = b.k"
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan  # partition stats never hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_broadcast_threshold_change_reapplies(spark, tmp_path):
+    """Changing table.optimizer.join.broadcast-threshold after ANALYZE
+    re-evaluates registered broadcast verdicts at once (review fix —
+    Flink reads the threshold at plan time)."""
+    env = TableEnvironment(spark)
+    d = tmp_path / "dim2"
+    env.execute_sql(f"""
+        CREATE TABLE dim2 (k BIGINT, v BIGINT) WITH (
+            'connector'='filesystem','path'='{d}','format'='parquet')""")
+    env.execute_sql("INSERT INTO dim2 SELECT id AS k, id AS v FROM range(50)")
+    env.execute_sql("ANALYZE TABLE dim2 COMPUTE STATISTICS")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    join_sql = "SELECT a.k FROM dim2 a JOIN dim2 b ON a.k = b.k"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = env.execute_sql(join_sql)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # analyzed small table hints
+        env.execute_sql("SET 'table.optimizer.join.broadcast-threshold' = '-1'")
+        plan = env.execute_sql(join_sql)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # verdict re-evaluated NOW
+        env.execute_sql("RESET 'table.optimizer.join.broadcast-threshold'")
+        plan = env.execute_sql(join_sql)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_create_database_if_not_exists_keeps_meta(spark):
+    """Re-running CREATE DATABASE IF NOT EXISTS must not wipe the
+    recorded comment/properties (review fix)."""
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE keepme COMMENT 'kept' WITH ('a'='1')")
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS keepme")
+    info = {r["info_name"]: r["info_value"]
+            for r in env.execute_sql("DESCRIBE DATABASE EXTENDED keepme").collect()}
+    assert info["comment"] == "kept" and info["property:a"] == "1"
+
+
+def test_catalog_double_underscore_names(spark, tmp_path):
+    """Catalog/db names containing double underscores resolve correctly
+    through the mangled-view reconstruction (review fix: regex splitting
+    mis-parsed them)."""
+    src = tmp_path / "du.csv"
+    src.write_text("k\n7\n")
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE CATALOG my__cat WITH ('default-database'='d__1')")
+    env.execute_sql("USE CATALOG my__cat")
+    env.execute_sql(f"""
+        CREATE TABLE t (k BIGINT) WITH (
+            'connector'='filesystem','path'='{src}','format'='csv')""")
+    env.execute_sql("USE CATALOG default_catalog")
+    assert env.execute_sql(
+        "SELECT k FROM my__cat.d__1.t"
+    ).collect()[0]["k"] == 7
+    # DDL through the qualified name exercises _resolve_meta on __ctl_
+    env.execute_sql("ANALYZE TABLE my__cat.d__1.t COMPUTE STATISTICS")
+
+
+def test_stop_job_with_drain_bounded_and_finished_listing(spark, tmp_path):
+    """STOP JOB ... WITH DRAIN is bounded even on an unbounded source
+    (review fix), and an env-started job stays visible as FINISHED in
+    SHOW JOBS after stopping (Flink keeps terminal jobs listed)."""
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen (ts TIMESTAMP, `value` BIGINT)
+        WITH ('connector'='datagen', 'rows-per-second'='5')""")
+    env.execute_sql("""
+        CREATE TABLE sink (ts TIMESTAMP, `value` BIGINT)
+        WITH ('connector'='blackhole')""")
+    env.execute_sql("SET 'stop-job.drain-timeout-sec' = '2'")
+    q = env.execute_sql(
+        "INSERT INTO sink SELECT `timestamp` AS ts, `value` FROM gen"
+    )
+    try:
+        import time as _time
+
+        t0 = _time.time()
+        env.execute_sql(f"STOP JOB '{q.id}' WITH DRAIN")
+        assert _time.time() - t0 < 30  # bounded — rate source never quiesces
+        assert not q.isActive
+        jobs = {r["job_id"]: r["status"]
+                for r in env.execute_sql("SHOW JOBS").collect()}
+        assert jobs.get(q.id) == "FINISHED"
+    finally:
+        if q.isActive:
+            q.stop()
