@@ -553,3 +553,174 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def _sq_dist(x: Column, y: Column) -> Column:
+    """Ordered-fold squared L2 distance — left-to-right over the element
+    index on BOTH engines (oracle mirrors with list_sum over the same
+    order), so the doubles are bit-identical cross-engine."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int) -> DataFrame:
+    """(id, sub m, d-dim slice) rows — posexplode over the M subspaces."""
+    subs = F.array(*[
+        F.slice(F.col(vec_col).cast("array<double>"), i * d + 1, d) for i in range(m)
+    ])
+    return df.select(
+        F.col(id_col), F.posexplode(subs).alias("m", "sv")
+    )
+
+
+def pq_codebooks_stand_in(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, k: int, d: int
+) -> DataFrame:
+    """Deterministic training-free codebooks: per subspace m, the K
+    centroids are the m-th subvectors of the K lowest-id corpus vectors —
+    the same stand-in convention as ivf_topk, replicable by a
+    cross-engine SQL oracle. For trained codebooks run pyspark.ml KMeans
+    per subspace (same output shape: (m, code, cv))."""
+    base = corpus.orderBy(F.col(id_col).asc()).limit(k)
+    # rank the K seed vectors by id → code index 0..K-1
+    from pyspark.sql import Window
+
+    ranked = base.withColumn(
+        "code", F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1
+    )
+    return pq_subvectors(ranked, "code", vec_col, m, d).select(
+        "m", F.col("code").cast("long").alias("code"), F.col("sv").alias("cv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Product quantization encode: split each D-dim vector into M
+    subvectors, map each to its nearest codebook centroid, emit the code
+    word plus reconstruction-error stats — the memory-compression layer
+    a 100 TB embedding store needs (D×4 bytes → M×log2(K) bits; 64-dim
+    float32 → 8 bytes at M=8, K=16).
+
+    Plan: posexplode to (id, m) rows (×M, no shuffle), broadcast-join
+    the M×K codebook, per-(id, m) argmin via window (ties → lowest
+    code), then ONE groupBy(id) to fold codes and errors back in
+    subspace order. The codebook is broadcast by contract (M×K×d doubles
+    — a few KB); corpus scale only multiplies the exploded map side.
+    Output: codes array (m-ordered), code_checksum (Σ code·K^m — BIGINT,
+    hash-stable), recon_rel_err = round(√Σ dist²ₘ / ‖v‖, 6)."""
+    from pyspark.sql import Window
+
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks_stand_in(corpus, id_col, vec_col, m, k, d)
+    subs = pq_subvectors(corpus, id_col, vec_col, m, d)
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d2"), F.asc("code"))
+    assigned = (
+        subs.join(F.broadcast(codebooks), "m")
+        .withColumn("d2", _sq_dist(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    norms = corpus.select(
+        F.col(id_col),
+        F.sqrt(_dot(F.col(vec_col).cast("array<double>"),
+                    F.col(vec_col).cast("array<double>"))).alias("nrm"),
+    )
+    folded = (
+        assigned.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("m", "code", "d2"))).alias("a"))
+        .select(
+            F.col(id_col),
+            F.expr("transform(a, x -> x.code)").alias("codes"),
+            # checksum folds in subspace order (sort_array on m): engine-
+            # independent integer, stable under the driver value hash
+            F.expr(
+                f"aggregate(a, CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc * {k} + x.code)"
+            ).alias("code_checksum"),
+            F.expr(
+                "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)"
+            ).alias("err2"),
+        )
+        .join(norms, id_col)
+        .select(
+            F.col(id_col),
+            "codes",
+            "code_checksum",
+            F.round(F.sqrt(F.col("err2")) / F.col("nrm"), 6).alias("recon_rel_err"),
+        )
+    )
+    return folded
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    each corpus vector is its code word, and the distance is the sum of
+    per-subspace (query-subvector → centroid) squared distances — the
+    classic ADC lookup-table search (Jégou et al., TPAMI 2011; public
+    method). At scale the per-query LUT is M×K doubles (broadcast-side
+    arithmetic) and the corpus side touches only the M-byte codes: scan
+    + one top-k shuffle, never the raw vectors.
+
+    Plan here states exactly that: encode (or reuse) codes, explode the
+    query LUT rows, equi-join codes on (m, code) — a broadcast of the
+    per-query LUT against the code table — and fold per (query, id)."""
+    from pyspark.sql import Window
+
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks_stand_in(corpus, id_col, vec_col, m, k, d)
+    codes = pq_encode(corpus, id_col, vec_col, m, k, dim, codebooks).select(
+        F.col(id_col).alias("cand_id"), F.posexplode("codes").alias("m", "code")
+    )
+    lut = (
+        pq_subvectors(queries, id_col, vec_col, m, d)
+        .withColumnRenamed(id_col, "query_id")
+        .join(F.broadcast(codebooks), "m")
+        .withColumn("d2", _sq_dist(F.col("sv"), F.col("cv")))
+        .select("query_id", "m", "code", "d2")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(m, d2))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)"
+            ).alias("adc_d2")
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round("adc_d2", 6)), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -305,3 +305,124 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, e, "vec_id", "embedding", k=_K, max_cos=0.95
     )
     return scored.withColumnRenamed("neighbor_id", "negative_id")
+
+
+# ------------------------------------------------------------- PQ family
+# Product quantization (Jégou et al., TPAMI 2011 — public method): the
+# memory-compression layer of ANN at 100 TB. Stand-in codebooks follow
+# the IVF convention (per subspace, the m-th subvectors of the K
+# lowest-id corpus vectors) so a SQL oracle replays them exactly.
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8  # 64-dim → 8 subspaces of 8 dims, 16 codes
+
+def pq_code_block(emb: str = "e", p: str = "") -> str:
+    """PQ CTE chain (stand-in codebooks → per-subspace argmin codes),
+    parameterized by the vector column name and a CTE-name prefix so it
+    composes into the shared recall scaffold without clashing with
+    V_CTE. Single source of truth for the PQ convention."""
+    return f"""{p}seeds AS (SELECT {emb}, row_number() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_PQ_K}) t),
+{p}ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+{p}cb AS (SELECT m, code, {emb}[m*{_PQ_D}+1 : m*{_PQ_D}+{_PQ_D}] AS cv
+       FROM {p}seeds, {p}ms),
+{p}subs AS (SELECT vec_id, m, {emb}[m*{_PQ_D}+1 : m*{_PQ_D}+{_PQ_D}] AS sv
+         FROM v, {p}ms),
+{p}dists AS (SELECT s.vec_id, s.m, cb.code,
+        list_sum(list_transform(range(1, {_PQ_D} + 1),
+          i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i]))) AS d2
+      FROM {p}subs s JOIN {p}cb cb ON s.m = cb.m),
+{p}best AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rn
+         FROM {p}dists)"""
+
+
+def pq_adc_ranked_block(emb: str = "e", p: str = "") -> str:
+    """ADC ranked-pairs CTE chain on top of pq_code_block — emits
+    (query_id, neighbor_id, rank) in the shared ranking convention so
+    the recall scaffold can consume it directly."""
+    return f"""{pq_code_block(emb, p)},
+{p}q AS (SELECT vec_id AS query_id, m, sv FROM {p}subs
+      WHERE vec_id < {_N_QUERIES}),
+{p}lut AS (SELECT q.query_id, cb.m, cb.code,
+          list_sum(list_transform(range(1, {_PQ_D} + 1),
+            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS d2
+        FROM {p}q q JOIN {p}cb cb ON q.m = cb.m),
+{p}adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+          list_sum(list(l.d2 ORDER BY l.m)) AS adc_d2
+        FROM {p}best b JOIN {p}lut l ON b.m = l.m AND b.code = l.code
+        WHERE b.rn = 1 AND l.query_id <> b.vec_id
+        GROUP BY l.query_id, b.vec_id),
+{p}ranked AS (SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(adc_d2, 6) ASC, neighbor_id ASC)
+             AS rank
+           FROM {p}adc)"""
+
+
+_PQ_BASE_CTES = (
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
+    + pq_code_block()
+)
+
+_PQ_ENCODE_ORACLE = f"""
+WITH {_PQ_BASE_CTES},
+agg AS (SELECT vec_id,
+               list(code ORDER BY m) AS codes,
+               CAST(sum(code * power({_PQ_K}, {_PQ_M} - 1 - m)) AS BIGINT)
+                 AS code_checksum,
+               list_sum(list(d2 ORDER BY m)) AS err2
+        FROM best WHERE rn = 1 GROUP BY vec_id),
+n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+SELECT a.vec_id, a.codes, a.code_checksum,
+       round(sqrt(a.err2) / n.nrm, 6) AS recon_rel_err
+FROM agg a JOIN n USING (vec_id)
+"""
+
+
+@register("embed_pq_encode", oracle=_PQ_ENCODE_ORACLE)
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode of the embedding corpus (64-dim float → 8 4-bit codes):
+    per-vector code word, order-folded integer checksum, and relative
+    reconstruction error. Plan: ×M posexplode (map-side), broadcast M×K
+    codebook join, per-(id, m) window argmin, ONE shuffle on id to fold
+    codes back — corpus scale only widens the map side."""
+    from flink_1_20_spark.operators.simsearch import pq_encode
+
+    e = T(spark, sf_dir, "embeddings")
+    return pq_encode(e, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_DIM)
+
+
+_PQ_ADC_ORACLE = f"""
+WITH {_PQ_BASE_CTES},
+q AS (SELECT vec_id AS query_id, m, sv FROM subs WHERE vec_id < {_N_QUERIES}),
+lut AS (SELECT q.query_id, cb.m, cb.code,
+          list_sum(list_transform(range(1, {_PQ_D} + 1),
+            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS d2
+        FROM q JOIN cb ON q.m = cb.m),
+adc AS (SELECT l.query_id, b.vec_id AS cand_id,
+          list_sum(list(l.d2 ORDER BY l.m)) AS adc_d2
+        FROM best b JOIN lut l ON b.m = l.m AND b.code = l.code
+        WHERE b.rn = 1 AND l.query_id <> b.vec_id
+        GROUP BY l.query_id, b.vec_id),
+ranked AS (SELECT query_id, cand_id, round(adc_d2, 6) AS adc_d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(adc_d2, 6) ASC, cand_id ASC)
+             AS rank
+           FROM adc)
+SELECT query_id, cand_id, adc_d2, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("simsearch_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
+def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 over PQ codes for the 20 query vectors:
+    queries stay exact, corpus vectors are their code words, distance =
+    Σₘ LUT[m][code]. At scale the per-query LUT (M×K doubles) broadcasts
+    and the corpus side touches only the codes — the raw vectors never
+    re-scan. Rank is total (rounded adc asc, cand id) for
+    reproducibility."""
+    from flink_1_20_spark.operators.simsearch import pq_adc_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_adc_topk(q, e, "vec_id", "embedding", topk=_K, m=_PQ_M, k=_PQ_K, dim=_DIM)

@@ -285,3 +285,37 @@ def simsearch_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_RK, n_centroids=_N_CENT, n_probe=_N_PROBE,
         ),
     )
+
+
+from .similarity import (  # noqa: E402
+    _PQ_K as _RPQK,
+)
+from .similarity import (  # noqa: E402
+    _PQ_M as _RPQM,
+)
+from .similarity import (  # noqa: E402
+    pq_adc_ranked_block,
+)
+
+_RECALL_PQ_ORACLE = _recall_oracle(
+    pq_adc_ranked_block(emb="emb", p="pq_"), "pq_ranked"
+)
+
+
+@register("simsearch_recall_pq", oracle=_RECALL_PQ_ORACLE)
+def simsearch_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ asymmetric-distance path vs the exact cosine
+    top-k — the third ANN quality gate alongside LSH and IVF, so every
+    approximate path in the repo carries a continuously-checked accuracy
+    number. ADC ranks by compressed L2 while the baseline ranks by
+    cosine, so this also tracks the metric mismatch a real PQ deployment
+    must monitor."""
+    from flink_1_20_spark.operators.simsearch import pq_adc_topk
+
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda q, e: pq_adc_topk(
+            q, e, "vec_id", "embedding", topk=_RK, m=_RPQM, k=_RPQK, dim=_RDIM
+        ).select("query_id", F.col("cand_id").alias("neighbor_id")),
+    )
