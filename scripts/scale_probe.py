@@ -64,6 +64,9 @@ HEAVY = [
     "dedup_cross_corpus",
     "pipeline_train_val_test_split",
     "text_domain_mix_report",
+    "embed_pq_encode",
+    "simsearch_pq_adc_topk",
+    "simsearch_recall_pq",
 ]
 
 
