@@ -1687,6 +1687,24 @@ class TableEnvironment:
             df = run_match_recognize(self.spark, query)
         else:
             df = self.spark.sql(query)
+            if df.isStreaming and "__w" in query:
+                # streaming windowed aggregation: Spark's append-mode
+                # watermark check requires the window STRUCT among the
+                # grouping expressions — grouping only by its extracted
+                # start/end fields fails UnsupportedOperationChecker.
+                # Re-lower with `__w` prepended to the GROUP BY (it is
+                # functionally dependent on start+end, so results are
+                # identical) and keep it in the derived table; the outer
+                # SELECT's explicit column list drops it again.
+                fixed, n = re.subn(
+                    r"(GROUP\s+BY\s+)(?=[\s\S]{0,200}?\bwindow_start\b)",
+                    r"\1__w, ",
+                    query,
+                    flags=re.I,
+                )
+                if n:
+                    fixed = fixed.replace("SELECT * EXCEPT(__w),", "SELECT *,")
+                    df = self.spark.sql(fixed)
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose

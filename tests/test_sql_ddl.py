@@ -1767,3 +1767,60 @@ def test_stop_job_with_drain_bounded_and_finished_listing(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_streaming_window_tvf_insert_end_to_end(spark, tmp_path):
+    """Flink's flagship streaming-SQL shape end-to-end through
+    executeSql: monitored-directory source with WATERMARK → TUMBLE
+    window TVF aggregation → INSERT INTO filesystem sink. The dialect
+    lowering (TABLE(TUMBLE(...)) → window()) must compose with the
+    streaming scan, the watermark, and the append-mode file sink."""
+    import json as _json
+
+    src = tmp_path / "str_src"
+    src.mkdir()
+    rows0 = [
+        {"ts": "2024-01-01T10:00:05", "v": 1.0},
+        {"ts": "2024-01-01T10:00:40", "v": 2.0},
+        {"ts": "2024-01-01T10:01:10", "v": 10.0},
+    ]
+    (src / "b0.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows0) + "\n"
+    )
+    out = tmp_path / "str_out"
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE str_src (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE str_sink (
+            window_start TIMESTAMP(3), window_end TIMESTAMP(3),
+            n BIGINT, total DOUBLE
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+                'checkpoint'='{tmp_path / "ckpt"}')
+    """)
+    q = env.execute_sql("""
+        INSERT INTO str_sink
+        SELECT window_start, window_end, count(*) AS n, sum(v) AS total
+        FROM TABLE(TUMBLE(TABLE str_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        GROUP BY window_start, window_end
+    """)
+    try:
+        q.processAllAvailable()
+        # a later file advances the watermark past both earlier windows
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"ts": "2024-01-01T10:05:00", "v": 0.5}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r["window_start"]), r["n"], r["total"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert ("2024-01-01 10:00:00", 2, 3.0) in got
+    assert ("2024-01-01 10:01:00", 1, 10.0) in got
