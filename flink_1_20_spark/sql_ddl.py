@@ -708,6 +708,9 @@ class TableEnvironment:
         s = re.sub(
             r"/\*\+\s*(?:OPTIONS|LOOKUP)\s*\(\s*'[^)]*\)\s*\*/", "", s, flags=re.I
         )
+        from flink_1_20_spark.sql_flink import rewrite_streaming_session_tvf
+
+        s = rewrite_streaming_session_tvf(s, self._is_streaming_table)
         s = rewrite_unnest(rewrite_legacy_group_windows(rewrite_window_tvfs(s)))
         s = rewrite_flink_builtins(s)
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
@@ -1316,6 +1319,15 @@ class TableEnvironment:
         self._register(meta, db=owner)
         return None
 
+    def _is_streaming_table(self, name: str) -> bool:
+        """True when `name` resolves to a streaming temp view — the
+        window-TVF lowering uses this to pick streaming-compatible forms
+        (SESSION → native session_window struct)."""
+        try:
+            return bool(self.spark.table(name.strip("`")).isStreaming)
+        except Exception:
+            return False
+
     def _broadcast_threshold(self) -> int:
         raw = self.session_options.get(
             "table.optimizer.join.broadcast-threshold",
@@ -1679,6 +1691,9 @@ class TableEnvironment:
             run_match_recognize,
         )
 
+        from flink_1_20_spark.sql_flink import rewrite_streaming_session_tvf
+
+        query = rewrite_streaming_session_tvf(query, self._is_streaming_table)
         query = rewrite_unnest(
             rewrite_legacy_group_windows(rewrite_window_tvfs(query))
         )

@@ -202,7 +202,10 @@ def rewrite_window_tvfs(sql: str) -> str:
     """Replace every `TABLE(TUMBLE/HOP/CUMULATE/SESSION(...))` clause
     with its Spark-SQL derived-table lowering. Text outside the TVF
     (SELECT list, GROUP BY window_start/window_end, ...) is untouched —
-    the TVF contract is purely additive columns."""
+    the TVF contract is purely additive columns. For STREAMING session
+    aggregation, apply rewrite_streaming_session_tvf FIRST — session
+    merging needs the session_window() call inside the GROUP BY, which
+    the derived-table form cannot express."""
     while True:
         m = _TVF_HEAD.search(sql)
         if not m:
@@ -213,6 +216,77 @@ def rewrite_window_tvfs(sql: str) -> str:
         args = _split_args(sql[inner_open + 1 : inner_close])
         sub = _tvf_subquery(m.group(1), args)
         sql = sql[: m.start()] + sub + sql[outer_close + 1 :]
+
+
+def rewrite_streaming_session_tvf(sql: str, is_streaming) -> str:
+    """Streaming SESSION TVF aggregation → native session_window
+    grouping. Spark merges session windows ONLY when the
+    session_window() call appears among the grouping expressions
+    (MergeSessionWindows analyzer rule); grouping by a struct computed
+    in a derived table leaves every row its own [ts, ts+gap) window.
+    So the aggregate-over-TVF shape
+
+        SELECT ... FROM TABLE(SESSION(TABLE t [PARTITION BY k],
+                                      DESCRIPTOR(ts), gap))
+        GROUP BY window_start, window_end[, keys]
+
+    is restructured to
+
+        SELECT ... FROM t GROUP BY session_window(ts, 'gap')[, keys]
+
+    with window_start/window_end/window_time in the SELECT list mapped
+    onto the session_window struct fields. Applies only when the TVF's
+    source is streaming AND the statement has exactly one SESSION TVF
+    with a window_start/window_end GROUP BY; every other case falls
+    through to the batch lowering (which then fails loudly on streaming
+    input rather than silently mis-merging)."""
+    heads = [
+        m for m in re.finditer(r"\bTABLE\s*\(\s*SESSION\s*\(", sql, re.I)
+    ]
+    if len(heads) != 1:
+        return sql
+    m = heads[0]
+    inner_open = sql.index("(", m.end() - 1)
+    inner_close = _find_close(sql, inner_open)
+    outer_close = _find_close(sql, sql.index("(", m.start()))
+    args = _split_args(sql[inner_open + 1 : inner_close])
+    table, pby = _parse_source(args[0])
+    if not (is_streaming and is_streaming(table)):
+        return sql
+    ts = _parse_descriptor(args[1])
+    gap, _, _ = _parse_interval(args[2])
+    if not re.search(
+        r"GROUP\s+BY\s+window_start\s*,\s*window_end(\s*,)?", sql, re.I
+    ):
+        return sql
+    sw = f"session_window(`{ts}`, '{gap}')"
+    out = sql[: m.start()] + table + sql[outer_close + 1 :]
+    # GROUP BY window_start, window_end[, keys] → GROUP BY session_window(...)[, keys]
+    out = re.sub(
+        r"GROUP\s+BY\s+window_start\s*,\s*window_end(\s*,)?",
+        lambda mm: f"GROUP BY {sw}" + ("," if mm.group(1) else ""),
+        out,
+        count=1,
+        flags=re.I,
+    )
+    # select-list occurrences map onto the grouped struct's fields,
+    # KEEPING the output column names (the grouped struct is accessible
+    # as `session_window` after GROUP BY, like `window`); an existing
+    # user alias is preserved, a bare item gets its own name back
+    from_idx = re.search(r"\bFROM\b", out, re.I).start()
+    sel = out[:from_idx]
+    for token, expr in (
+        ("window_time", "(session_window.end - INTERVAL '0.001' SECOND)"),
+        ("window_start", "session_window.start"),
+        ("window_end", "session_window.end"),
+    ):
+        sel = re.sub(
+            rf"\b{token}\b(\s+AS\s+\w+)?",
+            lambda mm, t=token, e=expr: e + (mm.group(1) or f" AS {t}"),
+            sel,
+            flags=re.I,
+        )
+    return sel + out[from_idx:]
 
 
 # ------------------------------------------------ legacy group windows

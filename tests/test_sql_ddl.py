@@ -1824,3 +1824,109 @@ def test_streaming_window_tvf_insert_end_to_end(spark, tmp_path):
     }
     assert ("2024-01-01 10:00:00", 2, 3.0) in got
     assert ("2024-01-01 10:01:00", 1, 10.0) in got
+
+
+def test_streaming_session_tvf_insert_end_to_end(spark, tmp_path):
+    """Streaming SESSION window TVF through executeSql: the lowering
+    switches to Spark's native session_window struct for streaming
+    input (the batch gaps-and-islands rewrite cannot stream), and the
+    group-fix keeps the struct in the GROUP BY."""
+    import json as _json
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows0 = [
+        {"uid": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"uid": 1, "ts": "2024-01-01T10:00:10", "v": 2.0},  # same session (gap 1m)
+        {"uid": 1, "ts": "2024-01-01T10:05:00", "v": 10.0},  # new session
+        {"uid": 2, "ts": "2024-01-01T10:00:30", "v": 7.0},  # other key
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    out = tmp_path / "sess_out"
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE sess_src (
+            uid BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE sess_sink (
+            window_start TIMESTAMP(3), window_end TIMESTAMP(3),
+            uid BIGINT, n BIGINT
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+                'checkpoint'='{tmp_path / "sess_ckpt"}')
+    """)
+    q = env.execute_sql("""
+        INSERT INTO sess_sink
+        SELECT window_start, window_end, uid, count(*) AS n
+        FROM TABLE(SESSION(TABLE sess_src PARTITION BY uid,
+                           DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        GROUP BY window_start, window_end, uid
+    """)
+    try:
+        q.processAllAvailable()
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"uid": 1, "ts": "2024-01-01T10:30:00", "v": 0.0}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r["window_start"]), str(r["window_end"]), r["uid"], r["n"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # uid 1: two events 10s apart MERGE into one session ending last+gap
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:01:10", 1, 2) in got
+    assert ("2024-01-01 10:05:00", "2024-01-01 10:06:00", 1, 1) in got
+    assert ("2024-01-01 10:00:30", "2024-01-01 10:01:30", 2, 1) in got
+
+
+def test_streaming_hop_tvf_insert_end_to_end(spark, tmp_path):
+    """Streaming HOP (sliding) window TVF through executeSql — shares
+    the __w struct lowering with TUMBLE, so the group-fix covers it."""
+    import json as _json
+
+    src = tmp_path / "hop_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"ts": "2024-01-01T10:00:30", "v": 1.0}) + "\n"
+    )
+    out = tmp_path / "hop_out"
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE hop_src (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE hop_sink (
+            window_start TIMESTAMP(3), n BIGINT
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+                'checkpoint'='{tmp_path / "hop_ckpt"}')
+    """)
+    q = env.execute_sql("""
+        INSERT INTO hop_sink
+        SELECT window_start, count(*) AS n
+        FROM TABLE(HOP(TABLE hop_src, DESCRIPTOR(ts),
+                       INTERVAL '1' MINUTE, INTERVAL '2' MINUTE))
+        GROUP BY window_start, window_end
+    """)
+    try:
+        q.processAllAvailable()
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"ts": "2024-01-01T10:30:00", "v": 0.0}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    starts = sorted(
+        str(r["window_start"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["n"] == 1 and str(r["window_start"]) < "2024-01-01 10:20:00"
+    )
+    # the 10:00:30 event belongs to two 2-minute windows sliding by 1m
+    assert starts == ["2024-01-01 09:59:00", "2024-01-01 10:00:00"]
