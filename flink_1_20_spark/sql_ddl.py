@@ -1702,6 +1702,15 @@ class TableEnvironment:
             df = run_match_recognize(self.spark, query)
         else:
             df = self.spark.sql(query)
+            if df.isStreaming and "__cum" in query:
+                raise ValueError(
+                    "streaming CUMULATE window TVF is not supported through "
+                    "executeSql (Spark has no cumulate window primitive; the "
+                    "explode-based batch lowering cannot satisfy the "
+                    "append-mode watermark check) — use "
+                    "flink_1_20_spark.streaming.windows.cumulate_window_agg "
+                    "on the DataFrame API for streaming cumulate aggregation"
+                )
             if df.isStreaming and "__w" in query:
                 # streaming windowed aggregation: Spark's append-mode
                 # watermark check requires the window STRUCT among the

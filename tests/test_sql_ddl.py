@@ -1930,3 +1930,37 @@ def test_streaming_hop_tvf_insert_end_to_end(spark, tmp_path):
     )
     # the 10:00:30 event belongs to two 2-minute windows sliding by 1m
     assert starts == ["2024-01-01 09:59:00", "2024-01-01 10:00:00"]
+
+
+def test_streaming_cumulate_tvf_informative_error(spark, tmp_path):
+    """Streaming CUMULATE through executeSql raises the documented
+    pointer to the DataFrame facade instead of Spark's obscure
+    append-mode failure at query start."""
+    import json as _json
+
+    src = tmp_path / "cum_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"ts": "2024-01-01T10:00:05", "v": 1.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE cum_src (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE cum_sink (window_start TIMESTAMP(3), n BIGINT)
+        WITH ('connector'='filesystem','path'='{tmp_path / "cum_out"}',
+              'format'='parquet')
+    """)
+    with pytest.raises(ValueError, match="cumulate_window_agg"):
+        env.execute_sql("""
+            INSERT INTO cum_sink
+            SELECT window_start, count(*) AS n
+            FROM TABLE(CUMULATE(TABLE cum_src, DESCRIPTOR(ts),
+                                INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+            GROUP BY window_start, window_end
+        """)
