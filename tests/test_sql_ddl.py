@@ -1964,3 +1964,73 @@ def test_streaming_cumulate_tvf_informative_error(spark, tmp_path):
                                 INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
             GROUP BY window_start, window_end
         """)
+
+
+def test_streaming_match_recognize_through_executesql(spark, tmp_path):
+    """MATCH_RECOGNIZE over a STREAMING table through executeSql — the
+    CEP SQL surface lowered onto the keyed-state NFA operator
+    (StreamExecMatch parity). A funnel whose pattern spans two
+    micro-batches must emit exactly once."""
+    import json as _json
+
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    rows0 = [
+        {"uid": 1, "ts": "2024-01-01T10:00:00", "etype": "click"},
+        {"uid": 1, "ts": "2024-01-01T10:00:10", "etype": "view"},
+        {"uid": 2, "ts": "2024-01-01T10:00:05", "etype": "click"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE cep_src (
+            uid BIGINT, ts TIMESTAMP(3), etype STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT uid, n_steps
+        FROM cep_src MATCH_RECOGNIZE (
+            PARTITION BY uid
+            ORDER BY ts
+            MEASURES COUNT(*) AS n_steps
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B C)
+            DEFINE A AS A.etype = 'click',
+                   B AS B.etype = 'view',
+                   C AS C.etype = 'purchase'
+        )
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "cep_sql_stream_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert spark.table("cep_sql_stream_out").count() == 0  # no purchase yet
+        # the completing event arrives in a LATER batch
+        (src / "b1.jsonl").write_text(
+            _json.dumps(
+                {"uid": 1, "ts": "2024-01-01T10:00:20", "etype": "purchase"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        rows = spark.table("cep_sql_stream_out").collect()
+        assert [(r["uid"], r["n_steps"]) for r in rows] == [(1, 3)]
+        q.processAllAvailable()  # no duplicate emission on further batches
+        assert spark.table("cep_sql_stream_out").count() == 1
+    finally:
+        q.stop()
+    # ALL ROWS PER MATCH on streaming input rejects loudly
+    with pytest.raises(ValueError, match="ALL ROWS"):
+        env.execute_sql("""
+            SELECT * FROM cep_src MATCH_RECOGNIZE (
+                PARTITION BY uid ORDER BY ts
+                MEASURES CLASSIFIER() AS c
+                ALL ROWS PER MATCH
+                PATTERN (A) DEFINE A AS A.etype = 'click'
+            )
+        """)
