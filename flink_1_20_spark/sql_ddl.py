@@ -710,6 +710,9 @@ class TableEnvironment:
         )
         from flink_1_20_spark.sql_flink import rewrite_streaming_session_tvf
 
+        dedup = self._try_streaming_dedup(s)
+        if dedup is not None:
+            return dedup
         s = rewrite_streaming_session_tvf(s, self._is_streaming_table)
         s = rewrite_unnest(rewrite_legacy_group_windows(rewrite_window_tvfs(s)))
         s = rewrite_flink_builtins(s)
@@ -1319,6 +1322,61 @@ class TableEnvironment:
         self._register(meta, db=owner)
         return None
 
+    _DEDUP_RANK = re.compile(
+        r"^\s*SELECT\s+(?P<outer>.+?)\s+FROM\s*\(\s*"
+        r"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*"
+        r"PARTITION\s+BY\s+(?P<keys>[^)]+?)\s+"
+        r"ORDER\s+BY\s+`?(?P<ts>\w+)`?\s*(?P<dir>ASC|DESC)?\s*\)\s+"
+        r"AS\s+(?P<rn>\w+)\s+FROM\s+`?(?P<tbl>\w+)`?\s*\)\s*"
+        r"(?:AS\s+)?\w*\s*WHERE\s+(?P=rn)\s*=\s*1\s*$",
+        re.S | re.I,
+    )
+
+    def _try_streaming_dedup(self, stmt: str) -> DataFrame | None:
+        """Flink's streaming-deduplication recognized shape
+        (StreamExecDeduplicate.java:89 — `ROW_NUMBER() OVER (PARTITION
+        BY k ORDER BY ts [ASC|DESC]) ... WHERE rn = 1`): Spark cannot
+        run row_number on a stream, so the shape lowers to the dedup
+        operator. ASC = keep-first (dropDuplicatesWithinWatermark when
+        the table declares a WATERMARK — bounded state); DESC =
+        keep-last (stateful max_by per key — an UPDATING result, so the
+        sink must accept update mode, exactly Flink's changelog
+        contract). Returns None when the shape or a streaming source
+        doesn't match, falling through to Catalyst."""
+        m = self._DEDUP_RANK.match(stmt)
+        if not m:
+            return None
+        tbl = m.group("tbl")
+        if not self._is_streaming_table(tbl):
+            return None
+        outer = m.group("outer").strip()
+        if re.search(rf"\b{re.escape(m.group('rn'))}\b", outer):
+            return None  # outer reads the rank column — not pure dedup
+        from pyspark.sql import functions as F
+
+        keys = [k.strip().strip("`") for k in m.group("keys").split(",")]
+        ts = m.group("ts")
+        df = self.spark.table(tbl)
+        if (m.group("dir") or "ASC").upper() == "ASC":
+            meta = self._resolve_meta(tbl)
+            out = (
+                df.dropDuplicatesWithinWatermark(keys)
+                if meta is not None and meta.watermark
+                else df.dropDuplicates(keys)
+            )
+        else:
+            rest = [c for c in df.columns if c not in keys]
+            out = (
+                df.groupBy(*keys)
+                .agg(F.max_by(F.struct(*rest), F.col(ts)).alias("__r"))
+                .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in rest])
+            )
+        if outer == "*":
+            return out
+        view = f"__dedup_{abs(hash(stmt)) % 10**8}"
+        out.createOrReplaceTempView(view)
+        return self.spark.sql(f"SELECT {outer} FROM {view}")
+
     def _is_streaming_table(self, name: str) -> bool:
         """True when `name` resolves to a streaming temp view — the
         window-TVF lowering uses this to pick streaming-compatible forms
@@ -1693,12 +1751,15 @@ class TableEnvironment:
 
         from flink_1_20_spark.sql_flink import rewrite_streaming_session_tvf
 
+        dedup = self._try_streaming_dedup(query)
         query = rewrite_streaming_session_tvf(query, self._is_streaming_table)
         query = rewrite_unnest(
             rewrite_legacy_group_windows(rewrite_window_tvfs(query))
         )
         query = rewrite_flink_builtins(query)
-        if re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
+        if dedup is not None:
+            df = dedup
+        elif re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
             df = run_match_recognize(self.spark, query)
         else:
             df = self.spark.sql(query)

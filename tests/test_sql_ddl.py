@@ -2034,3 +2034,82 @@ def test_streaming_match_recognize_through_executesql(spark, tmp_path):
                 PATTERN (A) DEFINE A AS A.etype = 'click'
             )
         """)
+
+
+def test_streaming_dedup_rank_shape(spark, tmp_path):
+    """Flink's streaming-dedup recognized shape (ROW_NUMBER ... WHERE
+    rn = 1) over a streaming table lowers onto the dedup operator:
+    keep-first dedups across micro-batches with watermark-bounded state;
+    the rank column never reaches the output."""
+    import json as _json
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    rows0 = [
+        {"k": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01T10:00:10", "v": 2.0},  # dup of k=1
+        {"k": 2, "ts": "2024-01-01T10:00:05", "v": 7.0},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE dd_src (
+            k BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT k, v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts ASC) AS rn
+            FROM dd_src
+        ) WHERE rn = 1
+    """)
+    assert out.isStreaming
+    assert out.columns == ["k", "v"]
+    q = run_to_memory(out, "dd_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # a later duplicate in a NEW batch must still be dropped
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"k": 2, "ts": "2024-01-01T10:00:06", "v": 9.0}) + "\n"
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["v"]) for r in spark.table("dd_out").collect()
+        )
+        assert got == [(1, 1.0), (2, 7.0)]
+    finally:
+        q.stop()
+    # keep-last (ORDER BY ts DESC) is an UPDATING result via max_by
+    last = env.execute_sql("""
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+            FROM dd_src
+        ) WHERE rn = 1
+    """)
+    assert last.isStreaming
+    q2 = last.writeStream.format("memory").queryName("dd_last").outputMode(
+        "complete"
+    ).start()
+    try:
+        q2.processAllAvailable()
+        got = {(r["k"], r["v"]) for r in spark.table("dd_last").collect()}
+        assert got == {(1, 2.0), (2, 9.0)}  # latest row per key
+    finally:
+        q2.stop()
+    # a BATCH table with the same shape stays on the Catalyst path
+    env.execute_sql(f"""
+        CREATE TABLE dd_batch (k BIGINT, ts TIMESTAMP(3), v DOUBLE)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='json','scan.streaming'='false')
+    """)
+    rows = env.execute_sql("""
+        SELECT k, v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts ASC) AS rn
+            FROM dd_batch
+        ) WHERE rn = 1
+    """).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, 1.0), (2, 7.0)]
