@@ -391,24 +391,13 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(e, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_DIM)
 
 
+# composed from the SAME ranked block the recall gate consumes — one
+# source of truth for the ADC convention (rounding, tie-break, query
+# predicate); only the output column name differs (cand_id)
 _PQ_ADC_ORACLE = f"""
-WITH {_PQ_BASE_CTES},
-q AS (SELECT vec_id AS query_id, m, sv FROM subs WHERE vec_id < {_N_QUERIES}),
-lut AS (SELECT q.query_id, cb.m, cb.code,
-          list_sum(list_transform(range(1, {_PQ_D} + 1),
-            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS d2
-        FROM q JOIN cb ON q.m = cb.m),
-adc AS (SELECT l.query_id, b.vec_id AS cand_id,
-          list_sum(list(l.d2 ORDER BY l.m)) AS adc_d2
-        FROM best b JOIN lut l ON b.m = l.m AND b.code = l.code
-        WHERE b.rn = 1 AND l.query_id <> b.vec_id
-        GROUP BY l.query_id, b.vec_id),
-ranked AS (SELECT query_id, cand_id, round(adc_d2, 6) AS adc_d2,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY round(adc_d2, 6) ASC, cand_id ASC)
-             AS rank
-           FROM adc)
-SELECT query_id, cand_id, adc_d2, CAST(rank AS BIGINT) AS rank
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+{pq_adc_ranked_block()}
+SELECT query_id, neighbor_id AS cand_id, adc_d2, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_K}
 """
 

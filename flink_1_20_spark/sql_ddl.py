@@ -718,7 +718,7 @@ class TableEnvironment:
         s = rewrite_flink_builtins(s)
         if re.search(r"\bMATCH_RECOGNIZE\b", u):
             return run_match_recognize(self.spark, s)
-        return self.spark.sql(s)
+        return self._sql_streaming_lowered(s)
 
     # -- session options -------------------------------------------------
     # Flink config keys with a direct Spark runtime analog; everything
@@ -1335,47 +1335,84 @@ class TableEnvironment:
     def _try_streaming_dedup(self, stmt: str) -> DataFrame | None:
         """Flink's streaming-deduplication recognized shape
         (StreamExecDeduplicate.java:89 — `ROW_NUMBER() OVER (PARTITION
-        BY k ORDER BY ts [ASC|DESC]) ... WHERE rn = 1`): Spark cannot
-        run row_number on a stream, so the shape lowers to the dedup
-        operator. ASC = keep-first (dropDuplicatesWithinWatermark when
-        the table declares a WATERMARK — bounded state); DESC =
-        keep-last (stateful max_by per key — an UPDATING result, so the
-        sink must accept update mode, exactly Flink's changelog
-        contract). Returns None when the shape or a streaming source
-        doesn't match, falling through to Catalyst."""
+        BY k ORDER BY rowtime [ASC|DESC]) ... WHERE rn = 1`): Spark
+        cannot run row_number on a stream, so the shape lowers to a
+        stateful min_by (keep-first) / max_by (keep-last) per key —
+        EXACT event-time semantics including out-of-order rows within
+        a batch, emitted as an UPDATING result (Flink's event-time
+        dedup also produces an updating changelog; sinks must accept
+        update/complete mode). Applies ONLY when the ORDER BY column is
+        the table's declared WATERMARK rowtime — ordering by any other
+        column is a Top-1 rank, not dedup, and falls through (as does a
+        batch source or an outer projection reading the rank column;
+        Flink's SELECT * would also surface the constant-1 rank column,
+        which this lowering drops)."""
         m = self._DEDUP_RANK.match(stmt)
         if not m:
             return None
         tbl = m.group("tbl")
         if not self._is_streaming_table(tbl):
             return None
+        meta = self._resolve_meta(tbl)
+        ts = m.group("ts")
+        if meta is None or not meta.watermark or meta.watermark[0] != ts:
+            return None  # not an event-time dedup — Top-1 rank shape
         outer = m.group("outer").strip()
         if re.search(rf"\b{re.escape(m.group('rn'))}\b", outer):
             return None  # outer reads the rank column — not pure dedup
         from pyspark.sql import functions as F
 
         keys = [k.strip().strip("`") for k in m.group("keys").split(",")]
-        ts = m.group("ts")
         df = self.spark.table(tbl)
-        if (m.group("dir") or "ASC").upper() == "ASC":
-            meta = self._resolve_meta(tbl)
-            out = (
-                df.dropDuplicatesWithinWatermark(keys)
-                if meta is not None and meta.watermark
-                else df.dropDuplicates(keys)
-            )
-        else:
-            rest = [c for c in df.columns if c not in keys]
-            out = (
-                df.groupBy(*keys)
-                .agg(F.max_by(F.struct(*rest), F.col(ts)).alias("__r"))
-                .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in rest])
-            )
+        pick = F.min_by if (m.group("dir") or "ASC").upper() == "ASC" else F.max_by
+        rest = [c for c in df.columns if c not in keys]
+        picked = df.groupBy(*keys).agg(
+            pick(F.struct(*rest), F.col(ts)).alias("__r")
+        )
+        # source column order preserved (keys stay in declared position)
+        out = picked.select(
+            *[
+                F.col(c) if c in keys else F.col(f"__r.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
         if outer == "*":
             return out
         view = f"__dedup_{abs(hash(stmt)) % 10**8}"
         out.createOrReplaceTempView(view)
         return self.spark.sql(f"SELECT {outer} FROM {view}")
+
+    def _sql_streaming_lowered(self, query: str) -> DataFrame:
+        """spark.sql with the streaming window-TVF compatibility pass:
+        streaming CUMULATE gets the documented facade pointer, and a
+        streaming __w aggregation is re-lowered with the window STRUCT
+        in the GROUP BY (Spark's append-mode watermark check requires
+        it; functionally dependent on start+end so results are
+        identical). The lookahead admits only identifier-list characters
+        between GROUP BY and window_start, so GROUP BYs of unrelated
+        subqueries (crossing parentheses) are never touched. Shared by
+        the SELECT fallthrough and the INSERT body path."""
+        df = self.spark.sql(query)
+        if df.isStreaming and "__cum" in query:
+            raise ValueError(
+                "streaming CUMULATE window TVF is not supported through "
+                "executeSql (Spark has no cumulate window primitive; the "
+                "explode-based batch lowering cannot satisfy the "
+                "append-mode watermark check) — use "
+                "flink_1_20_spark.streaming.windows.cumulate_window_agg "
+                "on the DataFrame API for streaming cumulate aggregation"
+            )
+        if df.isStreaming and "__w" in query:
+            fixed, n = re.subn(
+                r"(GROUP\s+BY\s+)(?=[\w\s,.`]*\bwindow_start\b)",
+                r"\1__w, ",
+                query,
+                flags=re.I,
+            )
+            if n:
+                fixed = fixed.replace("SELECT * EXCEPT(__w),", "SELECT *,")
+                df = self.spark.sql(fixed)
+        return df
 
     def _is_streaming_table(self, name: str) -> bool:
         """True when `name` resolves to a streaming temp view — the
@@ -1762,34 +1799,7 @@ class TableEnvironment:
         elif re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
             df = run_match_recognize(self.spark, query)
         else:
-            df = self.spark.sql(query)
-            if df.isStreaming and "__cum" in query:
-                raise ValueError(
-                    "streaming CUMULATE window TVF is not supported through "
-                    "executeSql (Spark has no cumulate window primitive; the "
-                    "explode-based batch lowering cannot satisfy the "
-                    "append-mode watermark check) — use "
-                    "flink_1_20_spark.streaming.windows.cumulate_window_agg "
-                    "on the DataFrame API for streaming cumulate aggregation"
-                )
-            if df.isStreaming and "__w" in query:
-                # streaming windowed aggregation: Spark's append-mode
-                # watermark check requires the window STRUCT among the
-                # grouping expressions — grouping only by its extracted
-                # start/end fields fails UnsupportedOperationChecker.
-                # Re-lower with `__w` prepended to the GROUP BY (it is
-                # functionally dependent on start+end, so results are
-                # identical) and keep it in the derived table; the outer
-                # SELECT's explicit column list drops it again.
-                fixed, n = re.subn(
-                    r"(GROUP\s+BY\s+)(?=[\s\S]{0,200}?\bwindow_start\b)",
-                    r"\1__w, ",
-                    query,
-                    flags=re.I,
-                )
-                if n:
-                    fixed = fixed.replace("SELECT * EXCEPT(__w),", "SELECT *,")
-                    df = self.spark.sql(fixed)
+            df = self._sql_streaming_lowered(query)
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose

@@ -261,32 +261,51 @@ def rewrite_streaming_session_tvf(sql: str, is_streaming) -> str:
         return sql
     sw = f"session_window(`{ts}`, '{gap}')"
     out = sql[: m.start()] + table + sql[outer_close + 1 :]
-    # GROUP BY window_start, window_end[, keys] → GROUP BY session_window(...)[, keys]
+    # GROUP BY window_start, window_end[, keys] → GROUP BY
+    # session_window(...), <PARTITION BY keys>[, keys]. The TVF's
+    # PARTITION BY keys MUST stay grouping expressions even when the
+    # user's GROUP BY omitted them — per-key sessions would otherwise
+    # silently merge across keys. A key also listed by the user appears
+    # twice, which Spark accepts (identical grouping expression).
+    pby_sql = "".join(f", `{k}`" for k in pby)
     out = re.sub(
         r"GROUP\s+BY\s+window_start\s*,\s*window_end(\s*,)?",
-        lambda mm: f"GROUP BY {sw}" + ("," if mm.group(1) else ""),
+        lambda mm: f"GROUP BY {sw}{pby_sql}" + ("," if mm.group(1) else ""),
         out,
         count=1,
         flags=re.I,
     )
     # select-list occurrences map onto the grouped struct's fields,
     # KEEPING the output column names (the grouped struct is accessible
-    # as `session_window` after GROUP BY, like `window`); an existing
-    # user alias is preserved, a bare item gets its own name back
+    # as `session_window` after GROUP BY, like `window`). Only a BARE
+    # select item gets an automatic alias back — a token inside an
+    # expression is substituted plainly (an injected AS there would be
+    # a syntax error); an existing user alias is preserved.
     from_idx = re.search(r"\bFROM\b", out, re.I).start()
-    sel = out[:from_idx]
-    for token, expr in (
-        ("window_time", "(session_window.end - INTERVAL '0.001' SECOND)"),
-        ("window_start", "session_window.start"),
-        ("window_end", "session_window.end"),
-    ):
-        sel = re.sub(
-            rf"\b{token}\b(\s+AS\s+\w+)?",
-            lambda mm, t=token, e=expr: e + (mm.group(1) or f" AS {t}"),
-            sel,
-            flags=re.I,
+    sel_m = re.match(r"(\s*SELECT\s+)", out, re.I)
+    head, items_txt = out[: sel_m.end()], out[sel_m.end() : from_idx]
+    mapping = {
+        "window_time": "(session_window.end - INTERVAL '0.001' SECOND)",
+        "window_start": "session_window.start",
+        "window_end": "session_window.end",
+    }
+    items = []
+    for item in _split_args(items_txt):
+        it = item.strip()
+        bare = re.fullmatch(r"(window_time|window_start|window_end)", it, re.I)
+        aliased = re.fullmatch(
+            r"(window_time|window_start|window_end)(\s+AS\s+\w+)", it, re.I
         )
-    return sel + out[from_idx:]
+        if bare:
+            t = bare.group(1).lower()
+            items.append(f"{mapping[t]} AS {t}")
+        elif aliased:
+            items.append(mapping[aliased.group(1).lower()] + aliased.group(2))
+        else:
+            for t, e in mapping.items():
+                it = re.sub(rf"\b{t}\b", lambda _mm, e=e: e, it, flags=re.I)
+            items.append(it)
+    return head + ", ".join(items) + " " + out[from_idx:]
 
 
 # ------------------------------------------------ legacy group windows

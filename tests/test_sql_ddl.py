@@ -2069,10 +2069,18 @@ def test_streaming_dedup_rank_shape(spark, tmp_path):
     """)
     assert out.isStreaming
     assert out.columns == ["k", "v"]
-    q = run_to_memory(out, "dd_out", output_mode="append")
+    # exact event-time keep-first is an UPDATING result (Flink's
+    # event-time dedup emits a changelog too) — complete-mode sink
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("complete")
+        .start()
+    )
     try:
         q.processAllAvailable()
-        # a later duplicate in a NEW batch must still be dropped
+        # a later-arriving row with a LATER ts must still lose to the
+        # first row per key; in-batch order does not matter (min_by)
         (src / "b1.jsonl").write_text(
             _json.dumps({"k": 2, "ts": "2024-01-01T10:00:06", "v": 9.0}) + "\n"
         )
@@ -2113,3 +2121,78 @@ def test_streaming_dedup_rank_shape(spark, tmp_path):
         ) WHERE rn = 1
     """).collect()
     assert sorted((r["k"], r["v"]) for r in rows) == [(1, 1.0), (2, 7.0)]
+
+
+def test_streaming_dedup_requires_rowtime_order(spark, tmp_path):
+    """ORDER BY a non-watermark column is a Top-1 rank, not dedup — the
+    shape must fall through to Catalyst (which then rejects the stream
+    loudly) instead of silently keeping an arbitrary row (review fix)."""
+    import json as _json
+
+    src = tmp_path / "nt_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"k": 1, "ts": "2024-01-01T10:00:00", "v": 1.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE nt_src (
+            k BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    with pytest.raises(Exception):  # Catalyst: no window fns on streams
+        env.execute_sql("""
+            SELECT k, v FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC) AS rn
+                FROM nt_src
+            ) WHERE rn = 1
+        """).collect()
+
+
+def test_streaming_session_keys_forced_into_grouping(spark, tmp_path):
+    """A SESSION TVF PARTITION BY key omitted from the user's GROUP BY
+    must still partition the sessions — events of different keys closer
+    than the gap may not merge (review fix)."""
+    import json as _json
+
+    src = tmp_path / "sk_src"
+    src.mkdir()
+    rows0 = [
+        {"uid": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"uid": 2, "ts": "2024-01-01T10:00:05", "v": 2.0},  # other key, close
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE sk_src (
+            uid BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    # GROUP BY omits uid, and the select formats window_start inside an
+    # expression (exercises the expression-context substitution too)
+    out = env.execute_sql("""
+        SELECT date_format(window_start, 'HH:mm:ss') AS start_hms,
+               count(*) AS n
+        FROM TABLE(SESSION(TABLE sk_src PARTITION BY uid,
+                           DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        GROUP BY window_start, window_end
+    """)
+    q = run_to_memory(out, "sk_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"uid": 1, "ts": "2024-01-01T10:30:00", "v": 0.0}) + "\n"
+        )
+        q.processAllAvailable()
+        got = {(r["start_hms"], r["n"]) for r in spark.table("sk_out").collect()}
+        # per-key sessions: two separate n=1 sessions, NOT one merged n=2
+        assert ("10:00:00", 1) in got and ("10:00:05", 1) in got
+        assert ("10:00:00", 2) not in got
+    finally:
+        q.stop()
