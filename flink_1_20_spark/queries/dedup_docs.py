@@ -269,3 +269,42 @@ def dedup_simhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_collapsed(
         docs, "doc_id", "text", max_hamming=3, bits=_SIMHASH_BITS
     )
+
+
+_INCR_ORACLE = """
+WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents
+                WHERE source <> 'src19'),
+batch AS (SELECT doc_id, md5(text) AS h FROM documents
+          WHERE source = 'src19')
+SELECT b.doc_id,
+       (c.h IS NOT NULL)          AS is_known,
+       CAST(c.doc_id AS BIGINT)   AS canonical_doc
+FROM batch b
+LEFT JOIN (SELECT h, min(doc_id) AS doc_id FROM corpus GROUP BY h) c
+  ON b.h = c.h
+"""
+
+
+@register("dedup_incremental_batch", oracle=_INCR_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch (source src19) checked
+    against the existing corpus by content hash — the daily-ingest shape
+    of exact dedup (the historical side is a pre-computed fingerprint
+    store in production; at 100 TB only the hash column ships into the
+    join, and the batch side is small enough to broadcast, making this a
+    map-side probe of the corpus index shuffled once on the hash)."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("source") != "src19")
+        .select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_doc"))
+    )
+    batch = docs.filter(F.col("source") == "src19").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return batch.join(corpus, "h", "left").select(
+        "doc_id",
+        F.col("canonical_doc").isNotNull().alias("is_known"),
+        F.col("canonical_doc").cast("long").alias("canonical_doc"),
+    )
