@@ -1328,54 +1328,72 @@ class TableEnvironment:
         r"PARTITION\s+BY\s+(?P<keys>[^)]+?)\s+"
         r"ORDER\s+BY\s+`?(?P<ts>\w+)`?\s*(?P<dir>ASC|DESC)?\s*\)\s+"
         r"AS\s+(?P<rn>\w+)\s+FROM\s+`?(?P<tbl>\w+)`?\s*\)\s*"
-        r"(?:AS\s+)?\w*\s*WHERE\s+(?P=rn)\s*=\s*1\s*$",
+        r"(?:AS\s+)?\w*\s*WHERE\s+(?P=rn)\s*(?P<cmp><=|=)\s*(?P<topn>\d+)\s*$",
         re.S | re.I,
     )
 
     def _try_streaming_dedup(self, stmt: str) -> DataFrame | None:
-        """Flink's streaming-deduplication recognized shape
-        (StreamExecDeduplicate.java:89 — `ROW_NUMBER() OVER (PARTITION
-        BY k ORDER BY rowtime [ASC|DESC]) ... WHERE rn = 1`): Spark
-        cannot run row_number on a stream, so the shape lowers to a
-        stateful min_by (keep-first) / max_by (keep-last) per key —
-        EXACT event-time semantics including out-of-order rows within
-        a batch, emitted as an UPDATING result (Flink's event-time
-        dedup also produces an updating changelog; sinks must accept
-        update/complete mode). Applies ONLY when the ORDER BY column is
-        the table's declared WATERMARK rowtime — ordering by any other
-        column is a Top-1 rank, not dedup, and falls through (as does a
-        batch source or an outer projection reading the rank column;
-        Flink's SELECT * would also surface the constant-1 rank column,
-        which this lowering drops)."""
+        """Flink's streaming rank shapes — dedup AND Top-N — recognized
+        on `ROW_NUMBER() OVER (PARTITION BY k ORDER BY c [ASC|DESC])
+        ... WHERE rn <= N` (or `= 1`) over a streaming table (Spark
+        cannot run row_number on a stream):
+
+        - N = 1 on the declared WATERMARK rowtime → deduplication
+          (StreamExecDeduplicate.java:89): stateful min_by/max_by per
+          key — EXACT event-time keep-first/keep-last including
+          out-of-order rows, an updating result like Flink's dedup
+          changelog. SELECT * drops the constant-1 rank column; an
+          outer projection reading it falls through.
+        - anything else (N > 1, or N = 1 ordered by a non-rowtime
+          column) → streaming Top-N (StreamExecRank.java:70) via
+          streaming/rank.streaming_topn: per-key state bounded by N,
+          the rank column emitted under the user's alias, update-mode
+          changelog keyed on (keys, rank).
+
+        Returns None (→ Catalyst) for batch sources, `rn = N` with
+        N ≠ 1, or unmatched shapes."""
         m = self._DEDUP_RANK.match(stmt)
         if not m:
             return None
         tbl = m.group("tbl")
         if not self._is_streaming_table(tbl):
             return None
+        n = int(m.group("topn"))
+        if m.group("cmp") == "=" and n != 1:
+            return None  # `rn = 3` selects one exact rank — not dedup/Top-N
         meta = self._resolve_meta(tbl)
         ts = m.group("ts")
-        if meta is None or not meta.watermark or meta.watermark[0] != ts:
-            return None  # not an event-time dedup — Top-1 rank shape
         outer = m.group("outer").strip()
-        if re.search(rf"\b{re.escape(m.group('rn'))}\b", outer):
-            return None  # outer reads the rank column — not pure dedup
-        from pyspark.sql import functions as F
-
         keys = [k.strip().strip("`") for k in m.group("keys").split(",")]
         df = self.spark.table(tbl)
-        pick = F.min_by if (m.group("dir") or "ASC").upper() == "ASC" else F.max_by
-        rest = [c for c in df.columns if c not in keys]
-        picked = df.groupBy(*keys).agg(
-            pick(F.struct(*rest), F.col(ts)).alias("__r")
-        )
-        # source column order preserved (keys stay in declared position)
-        out = picked.select(
-            *[
-                F.col(c) if c in keys else F.col(f"__r.{c}").alias(c)
-                for c in df.columns
-            ]
-        )
+        ascending = (m.group("dir") or "ASC").upper() == "ASC"
+        rowtime = meta is not None and meta.watermark and meta.watermark[0] == ts
+        if n == 1 and rowtime:
+            if re.search(rf"\b{re.escape(m.group('rn'))}\b", outer):
+                return None  # outer reads the rank column — not pure dedup
+            from pyspark.sql import functions as F
+
+            pick = F.min_by if ascending else F.max_by
+            rest = [c for c in df.columns if c not in keys]
+            picked = df.groupBy(*keys).agg(
+                pick(F.struct(*rest), F.col(ts)).alias("__r")
+            )
+            # source column order preserved (keys stay in declared position)
+            out = picked.select(
+                *[
+                    F.col(c) if c in keys else F.col(f"__r.{c}").alias(c)
+                    for c in df.columns
+                ]
+            )
+        else:
+            # general Top-N (StreamExecRank): bounded per-key state, the
+            # rank column IS part of the output (named as the user's
+            # alias) so outer projections may read it
+            from flink_1_20_spark.streaming.rank import streaming_topn
+
+            out = streaming_topn(
+                df, keys, ts, n, ascending=ascending, rank_col=m.group("rn")
+            )
         if outer == "*":
             return out
         view = f"__dedup_{abs(hash(stmt)) % 10**8}"

@@ -16,6 +16,7 @@ from flink_1_20_spark.streaming.cep_stream import match_recognize_stream
 from flink_1_20_spark.streaming.connect import connect_streams, gated_stream, keyed_co_process
 from flink_1_20_spark.streaming.dedup import deduplicate
 from flink_1_20_spark.streaming.process import keyed_process, running_aggregate
+from flink_1_20_spark.streaming.rank import streaming_topn
 from flink_1_20_spark.streaming.joins import interval_join, window_join
 from flink_1_20_spark.streaming.sinks import run_to_memory, upsert_foreach_batch
 from flink_1_20_spark.streaming.sources import file_source, rate_source
@@ -37,6 +38,7 @@ __all__ = [
     "keyed_process",
     "match_recognize_stream",
     "running_aggregate",
+    "streaming_topn",
     "hop_window_agg",
     "interval_join",
     "rate_source",

@@ -2123,16 +2123,17 @@ def test_streaming_dedup_rank_shape(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in rows) == [(1, 1.0), (2, 7.0)]
 
 
-def test_streaming_dedup_requires_rowtime_order(spark, tmp_path):
-    """ORDER BY a non-watermark column is a Top-1 rank, not dedup — the
-    shape must fall through to Catalyst (which then rejects the stream
-    loudly) instead of silently keeping an arbitrary row (review fix)."""
+def test_streaming_top1_by_value_is_rank_not_dedup(spark, tmp_path):
+    """ORDER BY a non-watermark column is a Top-1 RANK (StreamExecRank),
+    not dedup: it lowers onto the streaming Top-N operator and tracks
+    the minimum-value row per key across batches — NOT the
+    first-arrived row (review fix, upgraded to full support)."""
     import json as _json
 
     src = tmp_path / "nt_src"
     src.mkdir()
     (src / "b0.jsonl").write_text(
-        _json.dumps({"k": 1, "ts": "2024-01-01T10:00:00", "v": 1.0}) + "\n"
+        _json.dumps({"k": 1, "ts": "2024-01-01T10:00:00", "v": 5.0}) + "\n"
     )
     env = TableEnvironment(spark)
     env.execute_sql(f"""
@@ -2142,13 +2143,27 @@ def test_streaming_dedup_requires_rowtime_order(spark, tmp_path):
         ) WITH ('connector'='filesystem','path'='{src}',
                 'format'='json','scan.streaming'='true')
     """)
-    with pytest.raises(Exception):  # Catalyst: no window fns on streams
-        env.execute_sql("""
-            SELECT k, v FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC) AS rn
-                FROM nt_src
-            ) WHERE rn = 1
-        """).collect()
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT k, v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC) AS rn
+            FROM nt_src
+        ) WHERE rn = 1
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "nt_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # a SMALLER value arriving later must take over rank 1
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"k": 1, "ts": "2024-01-01T10:00:10", "v": 2.0}) + "\n"
+        )
+        q.processAllAvailable()
+        rows = [(r["k"], r["v"]) for r in spark.table("nt_out").collect()]
+        assert rows[-1] == (1, 2.0)  # latest emission: the new minimum
+    finally:
+        q.stop()
 
 
 def test_streaming_session_keys_forced_into_grouping(spark, tmp_path):
@@ -2196,3 +2211,105 @@ def test_streaming_session_keys_forced_into_grouping(spark, tmp_path):
         assert ("10:00:00", 2) not in got
     finally:
         q.stop()
+
+
+def test_streaming_interval_join_through_executesql(spark, tmp_path):
+    """Streaming interval join (StreamExecIntervalJoin) through plain
+    executeSql: two watermarked streaming tables joined with a time-range
+    predicate run as Spark's native stream-stream join — no lowering
+    needed; this pins the surface end-to-end."""
+    import json as _json
+
+    lsrc, rsrc = tmp_path / "ij_l", tmp_path / "ij_r"
+    lsrc.mkdir(), rsrc.mkdir()
+    (lsrc / "b0.jsonl").write_text(
+        _json.dumps({"k": 1, "lts": "2024-01-01T10:00:00", "lv": 1.0}) + "\n"
+    )
+    (rsrc / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "rts": "2024-01-01T10:00:20", "rv": 5.0},  # within 1m
+                {"k": 1, "rts": "2024-01-01T10:10:00", "rv": 9.0},  # outside
+            ]
+        )
+        + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ij_l (k BIGINT, lts TIMESTAMP(3), lv DOUBLE,
+            WATERMARK FOR lts AS lts - INTERVAL '5' SECOND)
+        WITH ('connector'='filesystem','path'='{lsrc}',
+              'format'='json','scan.streaming'='true')""")
+    env.execute_sql(f"""
+        CREATE TABLE ij_r (k BIGINT, rts TIMESTAMP(3), rv DOUBLE,
+            WATERMARK FOR rts AS rts - INTERVAL '5' SECOND)
+        WITH ('connector'='filesystem','path'='{rsrc}',
+              'format'='json','scan.streaming'='true')""")
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT l.k, l.lv, r.rv
+        FROM ij_l l JOIN ij_r r
+          ON l.k = r.k
+         AND r.rts BETWEEN l.lts - INTERVAL '1' MINUTE
+                       AND l.lts + INTERVAL '1' MINUTE
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "ij_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["lv"], r["rv"]) for r in spark.table("ij_out").collect()}
+        assert got == {(1, 1.0, 5.0)}  # only the within-interval pair
+    finally:
+        q.stop()
+
+
+def test_streaming_topn_rank_shape(spark, tmp_path):
+    """The rn <= N rank shape over a streaming table lowers onto
+    streaming Top-N; the rank column is part of the output under the
+    user's alias and outer projections may read it."""
+    import json as _json
+
+    src = tmp_path / "tn_src"
+    src.mkdir()
+    rows0 = [
+        {"k": 1, "ts": "2024-01-01T10:00:00", "v": 10.0},
+        {"k": 1, "ts": "2024-01-01T10:00:01", "v": 30.0},
+        {"k": 1, "ts": "2024-01-01T10:00:02", "v": 20.0},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE tn_src (
+            k BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT k, v, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rnk
+            FROM tn_src
+        ) WHERE rnk <= 2
+    """)
+    assert out.isStreaming
+    assert out.columns == ["k", "v", "rnk"]
+    q = run_to_memory(out, "tn_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["rnk"], r["v"]) for r in spark.table("tn_out").collect()}
+        assert {(1, 1, 30.0), (1, 2, 20.0)} <= got
+        assert all(r[1] <= 2 for r in got)
+    finally:
+        q.stop()
+    # `rn = 3` (exact single rank) is not dedup/Top-N — falls through
+    with pytest.raises(Exception):
+        env.execute_sql("""
+            SELECT k FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS r
+                FROM tn_src
+            ) WHERE r = 3
+        """).collect()

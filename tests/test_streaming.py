@@ -547,3 +547,50 @@ def test_early_firing_update_mode(spark, tmp_path):
         assert ns[-1] == 3  # the SAME window re-fired with the updated count
     finally:
         q.stop()
+
+
+def test_streaming_topn_operator(spark, tmp_path):
+    """streaming_topn (StreamExecRank parity): per-key top-N by value
+    maintained across micro-batches with state bounded by N; emits the
+    full current top-N per change, ranks arrival-stable on ties."""
+    import json as _json
+
+    from flink_1_20_spark.streaming import file_source, run_to_memory, streaming_topn
+
+    src = tmp_path / "topn_src"
+    src.mkdir()
+    rows0 = [
+        {"k": 1, "ts": "2024-01-01T10:00:00", "score": 10.0, "who": "a"},
+        {"k": 1, "ts": "2024-01-01T10:00:01", "score": 30.0, "who": "b"},
+        {"k": 1, "ts": "2024-01-01T10:00:02", "score": 20.0, "who": "c"},
+        {"k": 2, "ts": "2024-01-01T10:00:03", "score": 5.0, "who": "d"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    stream = file_source(
+        spark, str(src), "k bigint, ts timestamp, score double, who string",
+        fmt="json",
+    )
+    out = streaming_topn(stream, ["k"], "score", n=2, ascending=False)
+    q = run_to_memory(out, "topn_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["k"], r["rn"], r["who"]) for r in spark.table("topn_out").collect()
+        }
+        assert {(1, 1, "b"), (1, 2, "c"), (2, 1, "d")} <= first
+        assert (1, 3, "a") not in first  # only top-2 retained/emitted
+        # a new high score re-ranks the key's leaderboard
+        (src / "b1.jsonl").write_text(
+            _json.dumps(
+                {"k": 1, "ts": "2024-01-01T10:00:10", "score": 99.0, "who": "e"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        latest: dict[tuple, str] = {}
+        for r in spark.table("topn_out").collect():  # last emission wins
+            latest[(r["k"], r["rn"])] = r["who"]
+        assert latest[(1, 1)] == "e" and latest[(1, 2)] == "b"
+        assert latest[(2, 1)] == "d"
+    finally:
+        q.stop()
