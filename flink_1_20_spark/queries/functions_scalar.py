@@ -452,12 +452,14 @@ _ARR = "string_split(text, ' ')"
            ({_ARR})[3]                                        AS third_w,
            list_contains({_ARR}, 'spark')                     AS has_spark,
            coalesce(list_position({_ARR}, 'the'), 0)          AS pos_the,
-           list_sort(list_distinct({_ARR}))                   AS uniq_sorted,
+           coalesce(array_to_string(list_sort(list_distinct({_ARR})), ','), '')
+                                                              AS uniq_sorted,
            list_sort({_ARR}, 'DESC')[1]                       AS max_word,
            list_max({_ARR})                                   AS mx,
            list_min({_ARR})                                   AS mn,
            array_to_string(list_sort(list_distinct({_ARR})), '|') AS joined,
-           array_slice({_ARR}, 2, 4)                          AS middle,
+           coalesce(array_to_string(array_slice({_ARR}, 2, 4), ','), '')
+                                                              AS middle,
            list_reverse({_ARR})[1]                            AS last_w
     FROM documents WHERE doc_id <= 20
     """,
@@ -474,12 +476,12 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, 3).alias("third_w"),
         F.array_contains(arr, "spark").alias("has_spark"),
         F.array_position(arr, "the").alias("pos_the"),
-        F.array_sort(F.array_distinct(arr)).alias("uniq_sorted"),
+        F.array_join(F.array_sort(F.array_distinct(arr)), ",").alias("uniq_sorted"),
         F.element_at(F.sort_array(arr, asc=False), 1).alias("max_word"),
         F.array_max(arr).alias("mx"),
         F.array_min(arr).alias("mn"),
         F.array_join(F.array_sort(F.array_distinct(arr)), "|").alias("joined"),
-        F.slice(arr, 2, 3).alias("middle"),
+        F.array_join(F.slice(arr, 2, 3), ",").alias("middle"),
         F.element_at(F.reverse(arr), 1).alias("last_w"),
     )
 
@@ -488,19 +490,25 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_setops",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_distinct(list_concat(list_append({_ARR}, 'zzz'), ['spark', 'xx'])))
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_concat(list_append({_ARR}, 'zzz'), ['spark', 'xx']))), ','), '')
              AS unioned,
-           list_sort(list_intersect({_ARR}, ['spark', 'table', 'query', 'nosuch']))
+           coalesce(array_to_string(list_sort(
+               list_intersect({_ARR}, ['spark', 'table', 'query', 'nosuch'])), ','), '')
              AS intersected,
-           list_sort(list_distinct(list_filter({_ARR},
-                     w -> NOT list_contains(['the', 'a', 'value'], w))))
+           coalesce(array_to_string(list_sort(list_distinct(list_filter({_ARR},
+                     w -> NOT list_contains(['the', 'a', 'value'], w)))), ','), '')
              AS excepted,
-           list_sort(list_distinct(list_filter({_ARR}, w -> w <> 'the')))
+           coalesce(array_to_string(list_sort(
+               list_distinct(list_filter({_ARR}, w -> w <> 'the'))), ','), '')
              AS removed,
-           list_prepend('HEAD', array_slice({_ARR}, 1, 3))   AS prepended,
-           list_append(array_slice({_ARR}, 1, 3), 'TAIL')    AS appended,
+           coalesce(array_to_string(
+               list_prepend('HEAD', array_slice({_ARR}, 1, 3)), ','), '') AS prepended,
+           coalesce(array_to_string(
+               list_append(array_slice({_ARR}, 1, 3), 'TAIL'), ','), '')  AS appended,
            list_has_any({_ARR}, ['spark', 'flink'])          AS overlaps,
-           flatten([array_slice({_ARR}, 1, 2), ['x', 'y']])  AS flat
+           coalesce(array_to_string(
+               flatten([array_slice({_ARR}, 1, 2), ['x', 'y']]), ','), '') AS flat
     FROM documents WHERE doc_id <= 20
     """,
 )
@@ -513,22 +521,38 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     head3 = F.slice(arr, 1, 3)
     return d.select(
         "doc_id",
-        F.array_sort(
-            F.array_union(F.array_append(arr, "zzz"), F.array(F.lit("spark"), F.lit("xx")))
+        F.array_join(
+            F.array_sort(
+                F.array_union(
+                    F.array_append(arr, "zzz"), F.array(F.lit("spark"), F.lit("xx"))
+                )
+            ),
+            ",",
         ).alias("unioned"),
-        F.array_sort(
-            F.array_intersect(
-                arr, F.array(F.lit("spark"), F.lit("table"), F.lit("query"), F.lit("nosuch"))
-            )
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    arr,
+                    F.array(F.lit("spark"), F.lit("table"), F.lit("query"), F.lit("nosuch")),
+                )
+            ),
+            ",",
         ).alias("intersected"),
-        F.array_sort(
-            F.array_except(arr, F.array(F.lit("the"), F.lit("a"), F.lit("value")))
+        F.array_join(
+            F.array_sort(
+                F.array_except(arr, F.array(F.lit("the"), F.lit("a"), F.lit("value")))
+            ),
+            ",",
         ).alias("excepted"),
-        F.array_sort(F.array_distinct(F.array_remove(arr, "the"))).alias("removed"),
-        F.array_prepend(head3, "HEAD").alias("prepended"),
-        F.array_append(head3, "TAIL").alias("appended"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_remove(arr, "the"))), ","
+        ).alias("removed"),
+        F.array_join(F.array_prepend(head3, "HEAD"), ",").alias("prepended"),
+        F.array_join(F.array_append(head3, "TAIL"), ",").alias("appended"),
         F.arrays_overlap(arr, F.array(F.lit("spark"), F.lit("flink"))).alias("overlaps"),
-        F.flatten(F.array(F.slice(arr, 1, 2), F.array(F.lit("x"), F.lit("y")))).alias("flat"),
+        F.array_join(
+            F.flatten(F.array(F.slice(arr, 1, 2), F.array(F.lit("x"), F.lit("y")))), ","
+        ).alias("flat"),
     )
 
 
@@ -536,12 +560,16 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_higher_order",
     oracle=f"""
     SELECT doc_id,
-           list_transform(array_slice({_ARR}, 1, 4), w -> upper(w))        AS upped,
-           list_filter({_ARR}, w -> length(w) > 5)                          AS longwords,
+           coalesce(array_to_string(
+               list_transform(array_slice({_ARR}, 1, 4), w -> upper(w)), ','), '')
+                                                                            AS upped,
+           coalesce(array_to_string(
+               list_filter({_ARR}, w -> length(w) > 5), ','), '')           AS longwords,
            len(list_filter({_ARR}, w -> w = 'the')) > 0                     AS any_the,
            len(list_filter({_ARR}, w -> length(w) >= 1)) = len({_ARR})      AS all_nonempty,
            list_sum(list_transform({_ARR}, w -> length(w)))::BIGINT         AS total_chars,
-           range(1, ((doc_id % 4) + 2)::BIGINT)                             AS seq
+           coalesce(array_to_string(range(1, ((doc_id % 4) + 2)::BIGINT), ','), '')
+                                                                            AS seq
     FROM documents WHERE doc_id <= 20
     """,
 )
@@ -553,14 +581,24 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(arr, 1, 4), lambda w: F.upper(w)).alias("upped"),
-        F.filter(arr, lambda w: F.length(w) > 5).alias("longwords"),
+        F.array_join(
+            F.transform(F.slice(arr, 1, 4), lambda w: F.upper(w)), ","
+        ).alias("upped"),
+        F.array_join(F.filter(arr, lambda w: F.length(w) > 5), ",").alias(
+            "longwords"
+        ),
         F.exists(arr, lambda w: w == "the").alias("any_the"),
         F.forall(arr, lambda w: F.length(w) >= 1).alias("all_nonempty"),
         F.aggregate(arr, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).alias(
             "total_chars"
         ),
-        F.sequence(F.lit(1).cast("long"), (F.col("doc_id") % 4 + 1).cast("long")).alias("seq"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), (F.col("doc_id") % 4 + 1).cast("long")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("seq"),
     )
 
 

@@ -95,8 +95,8 @@ def changelog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id <= 500
     )
     SELECT event_id,
-           map_keys(meta)                          AS ks,
-           map_values(meta)                        AS vs,
+           coalesce(array_to_string(map_keys(meta), ','), '')   AS ks,
+           coalesce(array_to_string(map_values(meta), ','), '') AS vs,
            map_extract(meta, 'type')[1]            AS typ,
            CAST(cardinality(meta) AS BIGINT)       AS n_entries,
            CAST(json_extract(
@@ -116,8 +116,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.map_keys(meta).alias("ks"),
-        F.map_values(meta).alias("vs"),
+        F.array_join(F.map_keys(meta), ",").alias("ks"),
+        F.array_join(F.map_values(meta), ",").alias("vs"),
         F.element_at(meta, "type").alias("typ"),
         F.size(meta).cast("long").alias("n_entries"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),

@@ -366,7 +366,7 @@ _PQ_BASE_CTES = (
 _PQ_ENCODE_ORACLE = f"""
 WITH {_PQ_BASE_CTES},
 agg AS (SELECT vec_id,
-               list(code ORDER BY m) AS codes,
+               coalesce(array_to_string(list(code ORDER BY m), ','), '') AS codes,
                CAST(sum(code * power({_PQ_K}, {_PQ_M} - 1 - m)) AS BIGINT)
                  AS code_checksum,
                list_sum(list(d2 ORDER BY m)) AS err2
@@ -388,7 +388,19 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_20_spark.operators.simsearch import pq_encode
 
     e = T(spark, sf_dir, "embeddings")
-    return pq_encode(e, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_DIM)
+    enc = pq_encode(e, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_DIM)
+    # the operator's codes column stays a real array (the API); the
+    # QUERY renders it canonically — no oracle has ever been
+    # driver-confirmed with a list-typed column, and every untested
+    # dtype class so far (HUGEINT, DECIMAL) failed the driver hash
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("codes"),
+        "code_checksum",
+        "recon_rel_err",
+    )
 
 
 # composed from the SAME ranked block the recall gate consumes — one

@@ -159,7 +159,8 @@ _FP_ORACLE = (
     " i -> array_to_string(w[i:i+4], ' '))) AS sh FROM words),\n"
     "h AS (SELECT doc_id, list_sort(list_transform(sh,"
     " s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS hs FROM sh)\n"
-    "SELECT doc_id, hs[1:4] AS sketch, len(hs) AS n_shingles FROM h"
+    "SELECT doc_id, coalesce(array_to_string(hs[1:4], ','), '') AS sketch,"
+    " len(hs) AS n_shingles FROM h"
 )
 
 
@@ -177,7 +178,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h", hash60(F.col("s"))
     )
     return ex.groupBy("doc_id").agg(
-        F.slice(F.sort_array(F.collect_list("h")), 1, 4).alias("sketch"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("h")), 1, 4),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sketch"),
         F.count("h").alias("n_shingles"),
     )
 

@@ -79,6 +79,26 @@ def test_no_unsigned_or_json_oracle_columns(oracle_types):
     )
 
 
+def test_no_list_oracle_columns(oracle_types):
+    """PROACTIVE ban (unlike the evidence-backed decimal one): no
+    list-typed oracle output has ever appeared in a driver window, and
+    both previously-untested dtype classes (HUGEINT, DECIMAL) failed
+    the driver hash when first exposed. Array logic stays in the
+    queries; the EMITTED column is the canonical comma-joined string
+    (coalesced to '' — DuckDB's array_to_string of an empty list is
+    NULL while Spark's array_join is '')."""
+    offenders = [
+        (name, col, ty)
+        for name, cols in oracle_types.items()
+        for col, ty in cols
+        if str(ty).endswith("[]")
+    ]
+    assert not offenders, (
+        "oracles emitting list-typed output columns (never driver-proven; "
+        f"render as array_to_string(...) joined strings): {offenders}"
+    )
+
+
 def test_no_decimal_oracle_columns(oracle_types):
     """No oracle may emit DECIMAL output at all — the driver hash rejects
     any decimal column even dtype-pinned on both engines (empirical,
