@@ -24,6 +24,17 @@ def V(spark: SparkSession, sf_dir: str, *names: str) -> None:
         T(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def canon_join(col: Column | str, sep: str = ",") -> Column:
+    """Canonical string rendering of an array column for oracle-checked
+    output (list dtypes are banned from oracle outputs — see
+    tests/test_oracle_dtypes.py): elements cast to string, joined.
+    Oracle mirror: `coalesce(array_to_string(<list>, ','), '')` —
+    DuckDB renders the empty list as NULL where Spark's array_join
+    gives ''."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.transform(c, lambda x: x.cast("string")), sep)
+
+
 def money(col: Column | str, scale: int = 2) -> Column:
     """Round a float aggregate so the cross-engine value-hash is stable.
 

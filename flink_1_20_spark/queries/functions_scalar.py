@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_1_20_spark.queries._util import T, V
+from flink_1_20_spark.queries._util import T, V, canon_join
 from flink_1_20_spark.registry import register
 
 
@@ -592,12 +592,8 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(arr, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).alias(
             "total_chars"
         ),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1).cast("long"), (F.col("doc_id") % 4 + 1).cast("long")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+        canon_join(
+            F.sequence(F.lit(1).cast("long"), (F.col("doc_id") % 4 + 1).cast("long"))
         ).alias("seq"),
     )
 

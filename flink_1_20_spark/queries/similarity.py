@@ -393,11 +393,11 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # QUERY renders it canonically — no oracle has ever been
     # driver-confirmed with a list-typed column, and every untested
     # dtype class so far (HUGEINT, DECIMAL) failed the driver hash
+    from ._util import canon_join
+
     return enc.select(
         "vec_id",
-        F.array_join(
-            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
-        ).alias("codes"),
+        canon_join("codes").alias("codes"),
         "code_checksum",
         "recon_rel_err",
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from flink_1_20_spark.operators.textdedup import hash60, normalized_words, word_shingles
 from flink_1_20_spark.registry import register
 
-from ._util import T
+from ._util import T, canon_join
 
 # Tiny per-language stopword lists (public, standard function words).
 _STOPWORDS = {
@@ -178,13 +178,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h", hash60(F.col("s"))
     )
     return ex.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.slice(F.sort_array(F.collect_list("h")), 1, 4),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("sketch"),
+        canon_join(F.slice(F.sort_array(F.collect_list("h")), 1, 4)).alias(
+            "sketch"
+        ),
         F.count("h").alias("n_shingles"),
     )
 

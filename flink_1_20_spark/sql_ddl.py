@@ -1361,16 +1361,22 @@ class TableEnvironment:
         n = int(m.group("topn"))
         if m.group("cmp") == "=" and n != 1:
             return None  # `rn = 3` selects one exact rank — not dedup/Top-N
+        if n < 1:
+            return None  # `rn <= 0` is a degenerate empty query — Catalyst
         meta = self._resolve_meta(tbl)
         ts = m.group("ts")
         outer = m.group("outer").strip()
         keys = [k.strip().strip("`") for k in m.group("keys").split(",")]
+        if ts in keys:
+            return None  # ordering by a partition key — degenerate rank
         df = self.spark.table(tbl)
         ascending = (m.group("dir") or "ASC").upper() == "ASC"
         rowtime = meta is not None and meta.watermark and meta.watermark[0] == ts
-        if n == 1 and rowtime:
-            if re.search(rf"\b{re.escape(m.group('rn'))}\b", outer):
-                return None  # outer reads the rank column — not pure dedup
+        outer_reads_rank = bool(
+            re.search(rf"\b{re.escape(m.group('rn'))}\b", outer)
+        )
+        if n == 1 and rowtime and not outer_reads_rank:
+            # pure dedup (rank dropped): exact event-time keep-first/last
             from pyspark.sql import functions as F
 
             pick = F.min_by if ascending else F.max_by
@@ -1388,7 +1394,8 @@ class TableEnvironment:
         else:
             # general Top-N (StreamExecRank): bounded per-key state, the
             # rank column IS part of the output (named as the user's
-            # alias) so outer projections may read it
+            # alias) so outer projections may read it — including the
+            # rowtime-ordered rn<=1 case when the outer SELECT wants rn
             from flink_1_20_spark.streaming.rank import streaming_topn
 
             out = streaming_topn(

@@ -34,23 +34,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from flink_1_20_spark.operators.cep import Pattern, _match_all_at, _match_at, _precompute
 
 
-def _json_default(o):
-    """Serialize numpy scalars (np.int64/np.float64/np.bool_) that leak out
-    of pandas rows — json.dumps raises TypeError on them otherwise, which
-    would kill any pattern whose payload columns are int/bool typed."""
-    import numpy as np
-
-    if isinstance(o, np.generic):
-        return o.item()
-    raise TypeError(f"not JSON serializable: {type(o).__name__}")
+# state-record marshalling shared with streaming/rank.py — one place
+# owns the JSON encoding rules (numpy unboxing, isoformat timestamps)
+from flink_1_20_spark.streaming._state import json_default as _json_default  # noqa: E402
 
 
 def _buffer_records(pdf: pd.DataFrame, payload_cols: list[str], ts: str) -> list[dict]:
     """Project payload columns + isoformat ts into state records —
     column-wise (to_dict) rather than per-row iterrows."""
-    proj = pdf[payload_cols].copy() if payload_cols else pd.DataFrame(index=pdf.index)
-    proj[ts] = pdf[ts].map(lambda t: t.isoformat())
-    return proj.to_dict("records")
+    from flink_1_20_spark.streaming._state import marshal_records
+
+    cols = [*payload_cols, ts] if ts not in payload_cols else list(payload_cols)
+    return marshal_records(pdf, cols, [ts])
 
 
 def match_recognize_stream(

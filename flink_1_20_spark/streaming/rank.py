@@ -14,10 +14,14 @@ result keyed on (keys, rank), exactly Flink's Top-N changelog contract
 (consumers upsert on the unique rank key; Flink's
 UpdatableTopNFunction emits the same shape).
 
-Ties rank arrival-stable (earlier-arrived first), matching ROW_NUMBER's
-determinism requirement; timestamps round-trip state as isoformat
+Ordering rules: ties rank arrival-stable (earlier-arrived first,
+matching ROW_NUMBER's determinism requirement); NULL order values rank
+LAST in both directions; timestamps round-trip state as isoformat
 strings (lexicographic == chronological, so a rowtime ORDER BY sorts
-correctly while serialized).
+correctly while serialized). Payload columns must survive the JSON
+state encoding — validated up front via streaming/_state.py, so a
+DATE/DECIMAL/BINARY payload fails at construction with a clear message
+instead of killing the query mid-stream.
 """
 
 from __future__ import annotations
@@ -30,6 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType, TimestampType
 
+from flink_1_20_spark.streaming._state import (
+    json_default,
+    marshal_records,
+    validate_payload_schema,
+)
+
 
 def streaming_topn(
     df: DataFrame,
@@ -41,20 +51,19 @@ def streaming_topn(
 ) -> DataFrame:
     """Current top-`n` rows per `keys`, ordered by `order_col`
     (descending by default — the leaderboard shape). Output columns:
-    keys + payload columns + `rank_col` (1..n); update-mode changelog
-    keyed on (keys, rank_col)."""
+    the SOURCE columns in their declared order + `rank_col` (1..n);
+    update-mode changelog keyed on (keys, rank_col)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     payload = [c for c in df.columns if c not in keys]
     if order_col not in payload:
         raise ValueError(f"order column {order_col!r} must be a non-key column")
     schema = df.schema
+    validate_payload_schema(schema, payload, "streaming_topn")
+    # SELECT *-compatible output: source column order, rank appended
+    out_cols = [*df.columns, rank_col]
     out_schema = StructType(
-        [
-            *[schema[k] for k in keys],
-            *[schema[c] for c in payload],
-            StructField(rank_col, LongType()),
-        ]
+        [*[schema[c] for c in df.columns], StructField(rank_col, LongType())]
     )
     ts_cols = [
         f.name
@@ -67,25 +76,24 @@ def streaming_topn(
         changed = False
         for pdf in pdfs:
             if len(pdf):
-                p = pdf[payload].copy()
-                for c in ts_cols:
-                    p[c] = p[c].map(lambda t: t.isoformat())
-                buf.extend(p.to_dict("records"))
+                buf.extend(marshal_records(pdf, payload, ts_cols))
                 changed = True
         if not changed:
             return
-        # stable sort: among equal order values, earlier-arrived ranks
-        # first (list order IS arrival order — state then batch)
-        buf.sort(key=lambda r: r[order_col], reverse=not ascending)
-        buf = buf[:n]
-        state.update((json.dumps(buf),))
+        # stable two-pass order: non-null order values sorted (ties keep
+        # arrival order — state rows precede batch rows), nulls LAST
+        present = [r for r in buf if r[order_col] is not None]
+        absent = [r for r in buf if r[order_col] is None]
+        present.sort(key=lambda r: r[order_col], reverse=not ascending)
+        buf = (present + absent)[:n]
+        state.update((json.dumps(buf, default=json_default),))
         out = pd.DataFrame(buf)
         for c in ts_cols:
             out[c] = pd.to_datetime(out[c])
         for kc, kv in zip(keys, key):
             out[kc] = kv
         out[rank_col] = range(1, len(out) + 1)
-        yield out[[*keys, *payload, rank_col]]
+        yield out[out_cols]
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, "rows string", "update", GroupStateTimeout.NoTimeout

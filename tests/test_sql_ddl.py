@@ -2313,3 +2313,76 @@ def test_streaming_topn_rank_shape(spark, tmp_path):
                 FROM tn_src
             ) WHERE r = 3
         """).collect()
+
+
+def test_streaming_rank_read_on_rowtime_routes_to_topn(spark, tmp_path):
+    """rn <= 1 ordered by the rowtime WITH the outer reading the rank
+    column routes to streaming Top-N (the rank is emitted) instead of
+    falling through to a Catalyst failure (review fix)."""
+    import json as _json
+
+    src = tmp_path / "rr_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"k": 1, "ts": "2024-01-01T10:00:00", "v": 1.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE rr_src (
+            k BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT k, ts, v, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts ASC) AS rn
+            FROM rr_src
+        ) WHERE rn <= 1
+    """)
+    assert out.isStreaming and out.columns == ["k", "ts", "v", "rn"]
+    q = run_to_memory(out, "rr_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        rows = spark.table("rr_out").collect()
+        assert [(r["k"], r["v"], r["rn"]) for r in rows] == [(1, 1.0, 1)]
+    finally:
+        q.stop()
+    # degenerate shapes fall through instead of raising from the operator
+    for bad in (
+        "WHERE r <= 0",
+        None,  # placeholder; ordering by a partition key tested below
+    ):
+        if bad is None:
+            continue
+        with pytest.raises(Exception):
+            env.execute_sql(f"""
+                SELECT k FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS r
+                    FROM rr_src
+                ) {bad}
+            """).collect()
+    with pytest.raises(Exception):  # ordering by a partition key
+        env.execute_sql("""
+            SELECT k FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY k, v ORDER BY v) AS r
+                FROM rr_src
+            ) WHERE r <= 2
+        """).collect()
+
+
+def test_streaming_topn_rejects_unjsonable_payload(spark, tmp_path):
+    """A payload column that cannot round-trip the JSON state encoding
+    fails at operator construction with a clear message, not inside
+    json.dumps mid-stream (review fix)."""
+    from flink_1_20_spark.streaming import file_source, streaming_topn
+
+    src = tmp_path / "uj_src"
+    src.mkdir()
+    stream = file_source(
+        spark, str(src), "k bigint, v double, blob binary", fmt="json"
+    )
+    with pytest.raises(NotImplementedError, match="blob"):
+        streaming_topn(stream, ["k"], "v", n=2)
