@@ -594,3 +594,52 @@ def test_streaming_topn_operator(spark, tmp_path):
         assert latest[(2, 1)] == "d"
     finally:
         q.stop()
+
+
+def test_streaming_window_topn_composition(spark, tmp_path):
+    """Flink's WINDOW Top-N (rank within a tumbling window,
+    StreamExecWindowRank) composes directly from streaming_topn keyed by
+    the window bucket: state per (window, key) is bounded by N and a
+    closed window's leaderboard simply stops changing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flink_1_20_spark.streaming import file_source, run_to_memory, streaming_topn
+
+    src = tmp_path / "wtn_src"
+    src.mkdir()
+    rows0 = [
+        {"k": 1, "ts": "2024-01-01T10:00:10", "score": 10.0},
+        {"k": 1, "ts": "2024-01-01T10:00:20", "score": 30.0},
+        {"k": 1, "ts": "2024-01-01T10:00:30", "score": 20.0},
+        {"k": 1, "ts": "2024-01-01T10:01:10", "score": 5.0},  # next window
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    stream = file_source(
+        spark, str(src), "k bigint, ts timestamp, score double", fmt="json"
+    ).withColumn("w", F.date_trunc("minute", F.col("ts")))
+    out = streaming_topn(stream, ["w", "k"], "score", n=2, ascending=False)
+    q = run_to_memory(out, "wtn_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        latest: dict[tuple, float] = {}
+        for r in spark.table("wtn_out").collect():
+            latest[(str(r["w"]), r["k"], r["rn"])] = r["score"]
+        # window 10:00: top-2 of {10,30,20}; window 10:01: the single row
+        assert latest[("2024-01-01 10:00:00", 1, 1)] == 30.0
+        assert latest[("2024-01-01 10:00:00", 1, 2)] == 20.0
+        assert latest[("2024-01-01 10:01:00", 1, 1)] == 5.0
+        # a late row for the FIRST window still re-ranks it (state keyed
+        # by window bucket — Flink's allowed-lateness analogue)
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"k": 1, "ts": "2024-01-01T10:00:50", "score": 99.0})
+            + "\n"
+        )
+        q.processAllAvailable()
+        for r in spark.table("wtn_out").collect():
+            latest[(str(r["w"]), r["k"], r["rn"])] = r["score"]
+        assert latest[("2024-01-01 10:00:00", 1, 1)] == 99.0
+        assert latest[("2024-01-01 10:00:00", 1, 2)] == 30.0
+    finally:
+        q.stop()
