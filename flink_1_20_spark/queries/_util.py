@@ -36,12 +36,48 @@ def canon_join(col: Column | str, sep: str = ",") -> Column:
 
 
 def money(col: Column | str, scale: int = 2) -> Column:
-    """Round a float aggregate so the cross-engine value-hash is stable.
+    """Round a float value so the cross-engine value-hash is stable.
 
-    Both Spark and DuckDB round-half-up doubles onto the same decimal
-    grid, so identical rounding on both sides yields bit-identical
-    doubles (mirror of the reference's tolerant numeric comparison,
-    TpcdsResultComparator.java:35).
+    Safe ONLY when the true decimal value of the input lies ON the
+    `scale`-digit grid (e.g. rounding a 2-decimal column, or a SUM
+    whose summands carry <= `scale` decimal digits — such sums are
+    exact on the grid and fp noise never reaches the half-step).
+    NOT safe for ROUND(SUM(x), s) where x carries MORE than s decimal
+    digits: the exact sum then sits on a half-step boundary with ~1%
+    probability per group, and the rounded cent becomes a coin flip on
+    cross-engine/run-order fp noise (tpch_q9 went driver-red exactly
+    this way: 3/175 groups one cent off). Use money_sum() there.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, scale)
+
+
+def money_sum(col: Column | str, digits: int = 4, scale: int = 2) -> Column:
+    """Order-independent money aggregate (Spark side).
+
+    The summand must carry exactly `digits` decimal digits (TPC-H money:
+    price 2, price*(1-disc) 4, price*(1-disc)*(1+tax) 6). Scaling to
+    integer units and summing as BIGINT is exact regardless of
+    accumulation order — partial-agg order varies run to run and engine
+    to engine, so this is the only deterministic form. Overflow headroom:
+    |sum| < 2^63 / 10^digits, i.e. ~9e12 at digits=6 — fine for any
+    per-group money total; at extreme SF split into two-level sums.
+
+    Oracle mirror (same algebra, HUGEINT internal is fine):
+        ROUND(SUM(CAST(ROUND(expr * 10^d) AS BIGINT)) / 10^d.0, s)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**digits
+    return F.round(F.sum(F.round(c * m).cast("bigint")) / F.lit(float(m)), scale)
+
+
+def exact_avg(col: Column | str, digits: int = 2, scale: int = 4) -> Column:
+    """Order-independent AVG of a fixed-decimal column: exact BIGINT sum
+    of scaled units divided by the count — both deterministic, so the
+    quotient and its rounding are bit-stable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**digits
+    return F.round(
+        F.sum(F.round(c * m).cast("bigint")) / F.lit(float(m)) / F.count(F.lit(1)),
+        scale,
+    )

@@ -158,8 +158,8 @@ def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                    AS a,
-           ceil(l_quantity / 7)                      AS c,
-           floor(l_quantity / 7)                     AS f,
+           CAST(ceil(l_quantity / 7) AS BIGINT)      AS c,
+           CAST(floor(l_quantity / 7) AS BIGINT)     AS f,
            round(l_extendedprice / 1000, 1)          AS r1,
            round(exp(l_discount), 8)                 AS ex,
            round(ln(l_extendedprice), 8)             AS lnp,
@@ -170,7 +170,7 @@ def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(l_extendedprice), 8)           AS sq,
            round(cbrt(l_quantity), 8)                AS cb,
            mod(l_orderkey, 7)                        AS md,
-           sign(l_discount - 0.05)                   AS sg
+           CAST(sign(l_discount - 0.05) AS DOUBLE)   AS sg
     FROM lineitem WHERE l_orderkey <= 300
     """,
 )

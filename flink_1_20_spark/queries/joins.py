@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_1_20_spark.queries._util import T, money
+from flink_1_20_spark.queries._util import T, money, money_sum
 from flink_1_20_spark.registry import register
 
 
@@ -30,7 +30,8 @@ from flink_1_20_spark.registry import register
     oracle="""
     SELECT p_brand,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 1e4, 2) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size >= 20
     GROUP BY p_brand
@@ -44,7 +45,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
         )
     )
 

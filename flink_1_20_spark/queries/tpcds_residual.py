@@ -66,8 +66,9 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         SELECT p.p_brand, p.p_type, p.p_size,
                ROUND(SUM(l.l_extendedprice), 2) AS itemrevenue,
-               ROUND(SUM(l.l_extendedprice) * 100 /
-                     SUM(SUM(l.l_extendedprice)) OVER (PARTITION BY p.p_type),
+               ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) * 1e2 /
+                     SUM(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)))
+                       OVER (PARTITION BY p.p_type),
                      6) AS revenueratio
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -84,10 +85,13 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "part"],
         """
         SELECT p.p_brand, p.p_type,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                              AS BIGINT)) / 1e4, 2)
                  AS itemrevenue,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 /
-                     SUM(SUM(l.l_extendedprice * (1 - l.l_discount)))
+               ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                              AS BIGINT)) * 1e2 /
+                     SUM(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                                  AS BIGINT)))
                        OVER (PARTITION BY p.p_type), 6) AS revenueratio
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey

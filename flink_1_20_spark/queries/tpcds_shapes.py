@@ -91,7 +91,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
           UNION ALL
           SELECT 'return' AS channel, year(l_shipdate) AS yr, -l_extendedprice AS amt
           FROM lineitem WHERE l_returnflag = 'R')
-        SELECT channel, yr, count(*) AS n, round(sum(amt), 2) AS total
+        SELECT channel, yr, count(*) AS n,
+               round(sum(CAST(round(amt * 10000) AS BIGINT)) / 1e4, 2) AS total
         FROM sales GROUP BY channel, yr
         """,
     ),

@@ -118,9 +118,10 @@ _SHAPES: list[tuple[str, list[str], str]] = [
                    AS returns_amt
           FROM lineitem)
         SELECT channel,
-               round(sum(sales), 2) AS sales,
+               round(sum(CAST(round(sales * 10000) AS BIGINT)) / 1e4, 2) AS sales,
                round(sum(returns_amt), 2) AS returns_amt,
-               round(sum(sales - returns_amt), 2) AS profit
+               round(sum(CAST(round((sales - returns_amt) * 10000) AS BIGINT))
+                     / 1e4, 2) AS profit
         FROM ch
         GROUP BY ROLLUP(channel)
         """,
@@ -170,7 +171,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["customer", "nation", "orders"],
         """
         SELECT c.c_mktsegment, n.n_name, count(*) AS cnt,
-               round(avg(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS avg_bal
+               round(sum(CAST(round(c.c_acctbal * 1e2) AS BIGINT)) / 1e2
+                     / count(c.c_acctbal), 2) AS avg_bal
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -578,9 +580,11 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         SELECT c.c_mktsegment,
                round(avg(l.l_quantity), 2) AS avg_qty,
-               round(avg(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+               round(sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT)) / 1e2
+                     / count(l.l_extendedprice), 2)
                  AS avg_price,
-               round(avg(CAST(l.l_discount AS DECIMAL(18,6))), 4) AS avg_disc
+               round(sum(CAST(round(l.l_discount * 1e2) AS BIGINT)) / 1e2
+                     / count(l.l_discount), 4) AS avg_disc
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -608,7 +612,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q13_or_band_averages",
         ["orders", "customer"],
         """
-        SELECT round(avg(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+        SELECT round(sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) / 1e2
+                     / count(o.o_totalprice), 2)
                  AS avg_price,
                count(*) AS cnt
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -639,8 +644,10 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "orders", "customer", "nation"],
         """
         SELECT n.n_name, c.c_mktsegment,
-               round(avg(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS avg_qty,
-               round(avg(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+               round(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e0
+                     / count(l.l_quantity), 2) AS avg_qty,
+               round(sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT)) / 1e2
+                     / count(l.l_extendedprice), 2)
                  AS avg_price
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -655,7 +662,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q19_or_join_bands",
         ["lineitem", "part"],
         """
-        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT)) / 1e4, 2)
                  AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15)
@@ -669,7 +677,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "part", "supplier"],
         """
         SELECT p.p_brand, s.s_name,
-               round(avg(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS avg_qoh
+               round(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e0
+                     / count(l.l_quantity), 2) AS avg_qoh
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -767,7 +776,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "orders", "customer", "nation"],
         """
         SELECT n.n_name, o.o_orderpriority,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS returned_loss
+               round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT)) / 1e4, 2) AS returned_loss
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -783,10 +793,13 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "orders", "part"],
         """
         SELECT p.p_brand,
-               round(avg(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS avg_qty,
-               round(avg(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+               round(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e0
+                     / count(l.l_quantity), 2) AS avg_qty,
+               round(sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT)) / 1e2
+                     / count(l.l_extendedprice), 2)
                  AS avg_price,
-               round(avg(CAST(l.l_discount AS DECIMAL(18,6))), 4) AS avg_disc
+               round(sum(CAST(round(l.l_discount * 1e2) AS BIGINT)) / 1e2
+                     / count(l.l_discount), 4) AS avg_disc
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -821,7 +834,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
           FROM lineitem GROUP BY l_orderkey
           HAVING count(*) BETWEEN 5 AND 7)
         SELECT c.c_mktsegment, count(*) AS n_orders,
-               round(avg(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS avg_price
+               round(sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) / 1e2
+                     / count(o.o_totalprice), 2) AS avg_price
         FROM per_order po
         JOIN orders o ON po.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey

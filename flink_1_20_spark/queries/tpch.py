@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_1_20_spark.queries._util import T, money
+from flink_1_20_spark.queries._util import T, exact_avg, money, money_sum
 from flink_1_20_spark.registry import register
 
 
@@ -29,11 +29,15 @@ from flink_1_20_spark.registry import register
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 1e4, 2)                         AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 1000000) AS BIGINT)) / 1e6, 2)      AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2
+                 / COUNT(*), 4)                                             AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 1e2
+                 / COUNT(*), 4)                                             AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -55,11 +59,11 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money(F.sum("l_quantity")).alias("sum_qty"),
             money(F.sum("l_extendedprice")).alias("sum_base_price"),
-            money(F.sum(disc_price)).alias("sum_disc_price"),
-            money(F.sum(charge)).alias("sum_charge"),
+            money_sum(disc_price, 4).alias("sum_disc_price"),
+            money_sum(charge, 6).alias("sum_charge"),
             money(F.avg("l_quantity"), 4).alias("avg_qty"),
-            money(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            money(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_avg("l_extendedprice", 2, 4).alias("avg_price"),
+            exact_avg("l_discount", 2, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -69,7 +73,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 1e4, 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders    ON c_custkey = o_custkey
@@ -95,7 +100,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -106,7 +111,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 1e4, 2) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -139,7 +145,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"))
     )
 
@@ -147,7 +153,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                          AS BIGINT)) / 1e4, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -165,7 +172,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
     )
 
 
@@ -173,7 +180,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 1e4, 2) AS revenue,
            ROUND(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -200,7 +208,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",

@@ -57,7 +57,8 @@ _QUERIES: dict[str, str] = {
     """,
     # q7: volume shipping between two nations
     "tpch_q7_volume_shipping": """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(CAST(ROUND(volume * 10000) AS BIGINT)) / 1e4, 2) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(YEAR FROM l_shipdate) AS l_year,
@@ -76,8 +77,9 @@ _QUERIES: dict[str, str] = {
     # q8: national market share within a region for a part type
     "tpch_q8_market_share": """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(SUM(CAST(ROUND(CASE WHEN nation = 'NATION_3' THEN volume
+                                     ELSE 0 END * 10000) AS BIGINT)) * 1e0
+                 / SUM(CAST(ROUND(volume * 10000) AS BIGINT)), 6) AS mkt_share
     FROM (
         SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
                l_extendedprice * (1 - l_discount) AS volume,
@@ -96,7 +98,9 @@ _QUERIES: dict[str, str] = {
     """,
     # q9: product-type profit by nation and year (supplycost term dropped)
     "tpch_q9_product_profit": """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           ROUND(SUM(CAST(ROUND(amount * 10000) AS BIGINT)) / 1e4, 2)
+             AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                EXTRACT(YEAR FROM o_orderdate) AS o_year,
@@ -149,10 +153,11 @@ _QUERIES: dict[str, str] = {
     """,
     # q14: promo revenue share (conditional aggregation ratio)
     "tpch_q14_promo_revenue": """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    SELECT ROUND(1e2 * SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+                                  ELSE 0 END * 10000) AS BIGINT))
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)), 6) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -161,15 +166,16 @@ _QUERIES: dict[str, str] = {
     "tpch_q15_top_supplier": """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS rev_x4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, ROUND(r.rev_x4 / 1e4, 2) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE r.rev_x4 = (SELECT MAX(rev_x4) FROM revenue)
     """,
     # q16: supplier count per part attribute group (distinct count, NOT IN)
     "tpch_q16_parts_suppliers": """
@@ -203,7 +209,8 @@ _QUERIES: dict[str, str] = {
     """,
     # q19: discounted revenue (disjunction of conjunctions pushed to join)
     "tpch_q19_discounted_revenue": """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 1e4, 2) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 30)

@@ -99,6 +99,88 @@ def test_no_list_oracle_columns(oracle_types):
     )
 
 
+def _family_duck(ty: str) -> str:
+    """Collapse a DuckDB type string to a render-equivalence family: the
+    driver hashes serialized values, so INT32 vs INT64 ("5" vs "5") is
+    fine while BIGINT vs DOUBLE ("5" vs "5.0") is a guaranteed red."""
+    t = ty.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "HUGEINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("INTERVAL"):
+        return "interval"
+    return t
+
+
+def _family_spark(dt) -> str:
+    from pyspark.sql import types as ST
+
+    if isinstance(dt, (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)):
+        return "int"
+    if isinstance(dt, (ST.FloatType, ST.DoubleType)):
+        return "float"
+    if isinstance(dt, ST.DecimalType):
+        return "decimal"
+    if isinstance(dt, ST.StringType):
+        return "string"
+    if isinstance(dt, ST.BooleanType):
+        return "bool"
+    if isinstance(dt, ST.DateType):
+        return "date"
+    if isinstance(dt, (ST.TimestampType, ST.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, ST.DayTimeIntervalType):
+        return "interval"
+    return dt.simpleString()
+
+
+def test_cross_engine_dtype_family_equality(spark, sf_dir, oracle_types):
+    """Round-7 guard, mandated by the r6 verdict: `fn_math_basic` went
+    driver-red with ZERO value mismatches because Spark's ceil/floor
+    return BIGINT where DuckDB's return DOUBLE, and Spark's sign returns
+    DOUBLE where DuckDB's returns TINYINT — the serialized hash differs
+    on every row ("5" vs "5.0") while schema_match (names only) stays
+    green. This statically catches the whole class: for every
+    oracle-backed query, each output column's dtype FAMILY (int / float
+    / string / bool / date / timestamp) must agree between the Spark
+    DataFrame schema (plan-only, nothing is executed) and DuckDB's
+    inferred relation types."""
+    from flink_1_20_spark.registry import get_queries
+
+    queries = get_queries()
+    mismatches = []
+    build_errors = []
+    for name, duck_cols in oracle_types.items():
+        try:
+            df = queries[name](spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - surfaced in the assert
+            build_errors.append((name, repr(exc)[:200]))
+            continue
+        spark_fam = {f.name: _family_spark(f.dataType) for f in df.schema.fields}
+        for col, duck_ty in duck_cols:
+            if col not in spark_fam:
+                continue  # name mismatches are the driver's schema check
+            if spark_fam[col] != _family_duck(duck_ty):
+                mismatches.append((name, col, spark_fam[col], duck_ty))
+    assert not build_errors, f"query build failures during dtype check: {build_errors}"
+    assert not mismatches, (
+        "cross-engine dtype-family mismatch (driver serializes values per "
+        "dtype, so int-vs-float renders '5' vs '5.0' and hash-reds every row "
+        f"despite equal values) — CAST one side: {mismatches}"
+    )
+
+
 def test_no_decimal_oracle_columns(oracle_types):
     """No oracle may emit DECIMAL output at all — the driver hash rejects
     any decimal column even dtype-pinned on both engines (empirical,
