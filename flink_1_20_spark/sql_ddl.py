@@ -750,13 +750,17 @@ class TableEnvironment:
 
     def _reapply_broadcast_verdicts(self) -> None:
         """The broadcast hint is baked into a table's registered view, so
-        a threshold change must re-register every analyzed table — Flink
-        reads the threshold at plan time; this is the registration-time
-        equivalent."""
-        for db, tbls in self._dbs.items():
-            for meta in tbls.values():
-                if meta.stats is not None and "size_bytes" in meta.stats:
-                    self._register(meta, db=db)
+        a threshold change must re-register every analyzed table — in
+        EVERY catalog, not just the current one (Flink reads the
+        threshold at plan time; this is the registration-time
+        equivalent). Each table re-registers under its owning
+        catalog/db so foreign namespaces never clobber the current
+        database's bare views."""
+        for cat, centry in self._catalogs.items():
+            for db, tbls in centry["dbs"].items():
+                for meta in tbls.values():
+                    if meta.stats is not None and "size_bytes" in meta.stats:
+                        self._register(meta, db=db, catalog=cat)
 
     def _reset_option(self, key: str) -> None:
         self.session_options.pop(key, None)
@@ -1271,8 +1275,12 @@ class TableEnvironment:
             ]
         row = df.agg(*aggs).collect()[0]  # one job, one row — driver-safe
 
-        size_bytes = 0
+        # None = "not measured" (non-filesystem connectors have no on-disk
+        # footprint to walk); the broadcast verdict treats unknown size as
+        # unknown, never as zero
+        size_bytes = None
         if meta.connector == "filesystem" and root and os.path.exists(root):
+            size_bytes = 0
             walk_root = root
             if part_body and meta.partitioned_by and set(spec) == set(
                 meta.partitioned_by
@@ -1340,9 +1348,14 @@ class TableEnvironment:
 
         - N = 1 on the declared WATERMARK rowtime → deduplication
           (StreamExecDeduplicate.java:89): stateful min_by/max_by per
-          key — EXACT event-time keep-first/keep-last including
-          out-of-order rows, an updating result like Flink's dedup
-          changelog. SELECT * drops the constant-1 rank column; an
+          key — event-time keep-first/keep-last including out-of-order
+          rows, an updating result like Flink's dedup changelog. Rows
+          with EQUAL timestamps: min_by/max_by picks an arbitrary one,
+          where Flink's RowTimeDeduplicateFunction keeps the first/last
+          ARRIVED — arrival order isn't observable to a Spark stateful
+          aggregate, so ties are nondeterministic here (Flink's own
+          pick is arrival-dependent and not reproducible across runs
+          either). SELECT * drops the constant-1 rank column; an
           outer projection reading it falls through.
         - anything else (N > 1, or N = 1 ordered by a non-rowtime
           column) → streaming Top-N (StreamExecRank.java:70) via
@@ -1376,7 +1389,8 @@ class TableEnvironment:
             re.search(rf"\b{re.escape(m.group('rn'))}\b", outer)
         )
         if n == 1 and rowtime and not outer_reads_rank:
-            # pure dedup (rank dropped): exact event-time keep-first/last
+            # pure dedup (rank dropped): event-time keep-first/last;
+            # equal-timestamp ties are arbitrary (see docstring)
             from pyspark.sql import functions as F
 
             pick = F.min_by if ascending else F.max_by
@@ -1627,7 +1641,9 @@ class TableEnvironment:
         "ogg-json": "parse_ogg",
     }
 
-    def _register(self, meta: TableMeta, db: str | None = None) -> None:
+    def _register(
+        self, meta: TableMeta, db: str | None = None, catalog: str | None = None
+    ) -> None:
         schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
         if (
             meta.connector == "filesystem"
@@ -1720,19 +1736,24 @@ class TableEnvironment:
         # whose measured size fits under the threshold joins as the
         # broadcast side even where Spark's own file-size estimate would
         # not have chosen it
+        measured = meta.stats.get("size_bytes") if meta.stats is not None else None
         if (
-            meta.stats is not None
+            measured is not None
             and not df.isStreaming
-            and 0 <= meta.stats.get("size_bytes", -1) <= self._broadcast_threshold()
+            and 0 <= measured <= self._broadcast_threshold()
         ):
             df = df.hint("broadcast")
-        df.createOrReplaceTempView(meta.name)
         # mangled aliases so `db.table` / `catalog.db.table` references
-        # resolve from anywhere (see the qualified-name rewrites)
-        df.createOrReplaceTempView(_db_view_name(db or self.current_db, meta.name))
-        df.createOrReplaceTempView(
-            _ctl_view_name(self.current_catalog, db or self.current_db, meta.name)
-        )
+        # resolve from anywhere (see the qualified-name rewrites); the
+        # bare name is the CURRENT database's namespace only — a table
+        # from another db/catalog must never clobber it
+        cat = catalog or self.current_catalog
+        tgt_db = db or self.current_db
+        df.createOrReplaceTempView(_ctl_view_name(cat, tgt_db, meta.name))
+        if cat == self.current_catalog:
+            df.createOrReplaceTempView(_db_view_name(tgt_db, meta.name))
+            if tgt_db == self.current_db:
+                df.createOrReplaceTempView(meta.name)
 
     def _use_database(self, db: str) -> None:
         """USE <db>: unqualified names now resolve in <db> — the previous
@@ -1853,6 +1874,16 @@ class TableEnvironment:
                     )
                     .start()
                 )
+                # a continuously-growing table must not keep a broadcast
+                # verdict ANALYZEd when it was small — same staleness rule
+                # as the batch write below
+                meta.stats = None
+                owner = next(
+                    (d for d, ts in self._dbs.items()
+                     if ts.get(meta.name) is meta),
+                    self.current_db,
+                )
+                self._register(meta, db=owner)
             else:
                 raise ValueError(
                     f"connector {meta.connector!r} is not stream-writable"

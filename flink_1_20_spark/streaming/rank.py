@@ -32,7 +32,13 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from flink_1_20_spark.streaming._state import (
     json_default,
@@ -68,7 +74,11 @@ def streaming_topn(
     ts_cols = [
         f.name
         for f in schema.fields
-        if isinstance(f.dataType, TimestampType) and f.name in payload
+        # NTZ is NOT a TimestampType subclass — missing it here would let
+        # an NTZ payload pass validate_payload_schema yet reach json.dumps
+        # as a raw pd.Timestamp (and break the isoformat ordering contract)
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+        and f.name in payload
     ]
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
