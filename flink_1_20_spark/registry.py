@@ -50,68 +50,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # TPC-DS shapes). Remaining queries follow in registration order and
 # keep full local-oracle coverage via scripts/verify_local.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 5 bench headliners (every round)
+    # ---- held back every round (8) ----
+    # 5 bench headliners
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # the 3 DECIMAL→DOUBLE conversions (hash-red r4-r5) — kept in window
-    # to prove the decimal-output ban closed the class
-    "join_range_banded",
-    "tpch_q2_min_cost_supplier",
-    "tpcds_q64_spine_reused_cte",
-    # ---- r6 rotation: every slot below had ZERO driver history through
-    # r5 (146 such queries remain; local sweep green on all of them) ----
-    # correlate / subquery family (5 queries + VALUES)
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_not_in",
-    "subquery_correlated_agg",
-    "values_inline",
-    "correlate_unnest_words",
-    "correlate_posexplode",
-    # scalar-function batteries (siblings fn_string_basic/advanced,
-    # fn_json_path, fn_time_type driver-green in r4/r5)
-    "fn_string_regex",
+    # the two r6 hash-reds, fixed in r7 (exact integer money sums /
+    # cross-engine dtype casts) — kept in window to prove the fix
     "fn_math_basic",
-    "fn_temporal_extract",
-    "fn_array_higher_order",
-    "fn_json",
-    "fn_map",
-    # named by the r5 verdict as priority unconfirmed
-    "pipeline_temperature_mix",
-    "simsearch_hard_negatives",
-    "simsearch_recall_ivf",
-    "cdc_upsert_materialize",
-    "changelog_normalize",
-    # operator-family breadth, never-confirmed
-    "cep_error_burst",
-    "dedup_simhash_collapsed",
-    "simsearch_lsh_buckets",
-    "text_langid",
-    "text_fingerprint",
-    "text_repetition",
-    "count_window_slide",
-    "udx_pandas_scalar",
-    "window_dedup",
-    "agg_json_arrayagg",
-    "agg_json_objectagg",
-    # TPC-H full-suite rows never yet in a window
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
     "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
+    # decimal-output-ban regression sentinel (red r4-r5, green r6)
+    "join_range_banded",
+    # ---- r7 rotation: 42 slots. First the queries whose oracles moved
+    # to the order-independent integer-money idiom this round (changed
+    # SQL must be driver-re-proven), then the never-confirmed fn_*
+    # batteries, the never-confirmed pipeline/ANN ops, and the TPC-H /
+    # TPC-DS tail (113 queries had no driver confirmation entering r7;
+    # every slot below except tpcds_q12 is from that set) ----
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    # TPC-DS residual ports never yet in a window
-    "tpcds_q6_state_over_avg_price",
+    "tpch_q19_discounted_revenue",
+    "tpcds_q5_channel_union",
+    "tpcds_q80_channel_returns_rollup",
+    "tpcds_q19_or_join_bands",
+    "tpcds_q91_two_dim_loss",
+    "tpcds_q10_active_customer_profile",
+    "tpcds_q7_avg_grid",
+    "tpcds_q13_or_band_averages",
+    "tpcds_q18_rollup_decimal_avgs",
+    "tpcds_q22_inventory_rollup",
+    "tpcds_q26_urgent_avg_grid",
+    "tpcds_q73_order_size_band",
+    # representative of the changed SUM(SUM(BIGINT)) OVER ratio form
+    # (confirmed r6 under the old oracle; the idiom changed)
     "tpcds_q12_revenue_share_by_class",
-    "tpcds_q20_discounted_share_by_type",
-    "tpcds_q29_sale_return_repurchase",
-    "tpcds_q62_latency_grid_three_dims",
-    "tpcds_q23b_best_customer_frequent_items",
-    "tpcds_q39b_cov_pair_gated",
+    # scalar-function batteries, never confirmed
+    "fn_math_trig",
+    "fn_math_misc",
+    "fn_temporal_arith",
+    "fn_temporal_format",
+    "fn_conditional",
+    "fn_array_basic",
+    "fn_array_setops",
+    "fn_hash",
+    "fn_flink_names",
+    # pipeline / dedup / ANN ops, never confirmed
+    "dedup_cross_corpus",
+    "dedup_incremental_batch",
+    "embed_pq_encode",
+    "simsearch_pq_adc_topk",
+    "simsearch_recall_pq",
+    "text_domain_mix_report",
+    "pipeline_train_val_test_split",
+    # TPC-H full-suite tail, never confirmed
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_suppliers",
+    "tpch_q17_small_quantity",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # TPC-DS family breadth, never confirmed
+    "tpcds_q1_returns_above_avg",
+    "tpcds_q38_intersect_customers",
+    "tpcds_q47_monthly_lag_lead",
+    "tpcds_q44_best_worst",
 )
 
 
