@@ -33,6 +33,12 @@ def file_source(
     explicit — streaming file sources don't infer (Flink requires declared
     schemas everywhere, SURVEY.md §1.2)."""
     reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        # same convention as the bounded read (connectors.read_file):
+        # csv carries a header line; without this the monitored stream
+        # ingests every file's header as a data row where the batch
+        # read of the same directory would not
+        reader = reader.option("header", options.pop("header", "true"))
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
