@@ -547,6 +547,25 @@ class TableEnvironment:
             return self._alter_materialized_table(
                 m.group(1).strip("`"), m.group(2).strip()
             )
+        # CTAS / RTAS (SqlCreateTableAs.java:69, SqlReplaceTableAs.java):
+        # schema inferred from the query, WITH options optional (a
+        # managed warehouse path is derived when absent). Matched before
+        # the plain CREATE TABLE branch; a column body right after the
+        # table name keeps this regex from matching.
+        m = re.match(
+            r"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+            r"(`?[\w.]+`?)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(.+)$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            return self._create_table_as(
+                m.group(3).strip("`"),
+                bool(m.group(1)),
+                bool(m.group(2)),
+                m.group(4) or "",
+                m.group(5).strip(),
+            )
         if re.match(r"CREATE\s+(TEMPORARY\s+)?TABLE\b", u):
             # LIKE form first, guarded hard (base must be a KNOWN table
             # and the trailing parens must hold only feature clauses) so
@@ -2005,6 +2024,63 @@ class TableEnvironment:
         return None
 
     # -- CREATE TABLE ----------------------------------------------------
+    def _create_table_as(
+        self,
+        name: str,
+        or_replace: bool,
+        if_not_exists: bool,
+        options_body: str,
+        query: str,
+    ):
+        """CTAS (SqlCreateTableAs.java:69) / RTAS (SqlReplaceTableAs.java):
+        derive the schema from the query, create the backing table, then
+        run the query through the normal INSERT path (so streaming
+        definitions start a continuous insert job exactly as
+        `CREATE TABLE ...; INSERT INTO ...` would). OR REPLACE drops the
+        existing table first — definition AND data are replaced."""
+        if name in self._materialized:
+            raise ValueError(
+                f"{name} is a materialized table — use ALTER MATERIALIZED "
+                "TABLE ... AS to change its definition"
+            )
+        if name in self.tables:
+            if if_not_exists:
+                return None
+            if not or_replace:
+                raise ValueError(
+                    f"table already exists: {name} (use CREATE OR REPLACE "
+                    "TABLE to replace it)"
+                )
+            self._drop_table(f"DROP TABLE {name}")
+        options = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", options_body))
+        connector = options.pop("connector", "filesystem")
+        if connector != "filesystem":
+            raise ValueError(
+                f"CREATE TABLE AS: connector {connector!r} cannot persist "
+                "a derived schema here (supported: filesystem)"
+            )
+        fmt = options.pop("format", "parquet")
+        path = options.pop("path", None)
+        if path is None:
+            wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            path = os.path.join(
+                re.sub(r"^file:/*", "/", wh), "_tables", self.current_db, name
+            )
+        df = self.execute_sql(query)
+        meta = TableMeta(
+            name=name,
+            connector="filesystem",
+            options={"path": path, "format": fmt, **options},
+            columns=[
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ],
+        )
+        self.tables[name] = meta
+        self._register(meta)  # lazy-empty until the insert lands
+        # OVERWRITE for the batch fill (RTAS must replace old data at a
+        # reused path); streaming queries go through the continuous path
+        return self._insert_into(name, query, overwrite=not df.isStreaming)
+
     def _create_table(self, s: str) -> None:
         # PARTITIONED BY is matched by a dedicated pattern FIRST: in the
         # combined pattern the greedy column-body group would swallow the

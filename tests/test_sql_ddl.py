@@ -2386,3 +2386,65 @@ def test_streaming_topn_rejects_unjsonable_payload(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="blob"):
         streaming_topn(stream, ["k"], "v", n=2)
+
+
+def test_ctas_schema_inference_roundtrip(spark, tmp_path):
+    """CTAS (SqlCreateTableAs.java:69): schema derived from the query,
+    table created + filled in one statement, readable back."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "ctas_src.csv"
+    src.write_text("k,v\n1,10\n2,20\n3,30\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE base (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    env.execute_sql(f"""
+        CREATE TABLE derived WITH (
+            'connector' = 'filesystem',
+            'path' = '{tmp_path}/derived',
+            'format' = 'parquet'
+        ) AS SELECT k, v * 2 AS dbl FROM base WHERE k >= 2
+    """)
+    assert env.tables["derived"].columns == [("k", "bigint"), ("dbl", "bigint")]
+    got = sorted(
+        tuple(r) for r in env.execute_sql("SELECT k, dbl FROM derived").collect()
+    )
+    assert got == [(2, 40), (3, 60)]
+    # duplicate is rejected; IF NOT EXISTS tolerated
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE TABLE derived AS SELECT k FROM base")
+    env.execute_sql("CREATE TABLE IF NOT EXISTS derived AS SELECT k FROM base")
+    assert env.tables["derived"].columns == [("k", "bigint"), ("dbl", "bigint")]
+
+
+def test_ctas_managed_path_and_rtas(spark, tmp_path):
+    """CTAS without WITH lands in a managed warehouse path;
+    CREATE OR REPLACE TABLE ... AS (SqlReplaceTableAs.java) swaps
+    definition AND data."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "rtas_src.csv"
+    src.write_text("k,v\n1,10\n2,20\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE base2 (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    env.execute_sql("CREATE TABLE snap AS SELECT k, v FROM base2")
+    assert {tuple(r) for r in env.execute_sql("SELECT * FROM snap").collect()} == {
+        (1, 10),
+        (2, 20),
+    }
+    managed = env.tables["snap"].options["path"]
+    assert "_tables" in managed and os.path.isdir(managed)
+    env.execute_sql(
+        "CREATE OR REPLACE TABLE snap AS SELECT k, v + 100 AS v2 FROM base2"
+    )
+    assert env.tables["snap"].columns == [("k", "bigint"), ("v2", "bigint")]
+    assert {tuple(r) for r in env.execute_sql("SELECT * FROM snap").collect()} == {
+        (1, 110),
+        (2, 120),
+    }
+    env.execute_sql("DROP TABLE snap")
