@@ -152,6 +152,10 @@ class TableMeta:
     # size_bytes, and per-column stats; None until analyzed, reset on
     # writes so a grown table can never keep a stale broadcast verdict
     stats: dict | None = None
+    # ALTER TABLE RENAME COLUMN bookkeeping: current name -> name in the
+    # underlying files (existing data keeps its physical column names;
+    # the registered view reads by the original name then renames)
+    renames: dict[str, str] = field(default_factory=dict)
 
 
 def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
@@ -1157,6 +1161,81 @@ class TableEnvironment:
             self.tables[new] = self.tables.pop(name)
             self._register(meta)
             return None
+        # RENAME <old> TO <new> (SqlAlterTableRenameColumn.java): the
+        # catalog schema renames; existing files keep the physical name,
+        # so the registered view reads by the original and renames
+        m = re.match(r"RENAME\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$", action, re.I)
+        if m:
+            old, new = m.group(1), m.group(2)
+            if old not in [c for c, _ in meta.columns]:
+                raise ValueError(f"column not found: {old}")
+            if new in [c for c, _ in meta.columns] or new in [
+                c for c, _ in meta.computed
+            ]:
+                raise ValueError(f"column already exists: {new}")
+            meta.columns = [
+                (new if c == old else c, t) for c, t in meta.columns
+            ]
+            # track back to the PHYSICAL name (renaming twice keeps the
+            # original file name as the read target)
+            meta.renames[new] = meta.renames.pop(old, old)
+            meta.primary_key = [new if c == old else c for c in meta.primary_key]
+            meta.partitioned_by = [
+                new if c == old else c for c in meta.partitioned_by
+            ]
+            if meta.watermark and meta.watermark[0] == old:
+                meta.watermark = (new, meta.watermark[1])
+            meta.stats = None  # per-column stats are keyed by old names
+            self._register(meta)
+            return None
+        # MODIFY WATERMARK FOR ts AS expr (SqlAlterTableModify watermark
+        # form) and MODIFY (<col> <type>[, ...]) / MODIFY <col> <type>
+        m = re.match(
+            r"MODIFY\s+WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.*)$", action, re.S | re.I
+        )
+        if m:
+            meta.watermark = (m.group(1), m.group(2).strip())
+            self._register(meta)
+            return None
+        m = re.match(r"MODIFY\s*\(?\s*(.*?)\)?$", action, re.S | re.I)
+        if m and m.group(1):
+            declared = {c for c, _ in meta.columns}
+            for coldef in _split_top_all(m.group(1), ","):
+                cm = re.match(r"\s*`?(\w+)`?\s+(.+?)\s*$", coldef, re.S)
+                if not cm or cm.group(1) not in declared:
+                    raise ValueError(
+                        f"MODIFY: unknown column in {coldef.strip()!r}"
+                    )
+                new_t = flink_type_to_spark(cm.group(2))
+                meta.columns = [
+                    (c, new_t if c == cm.group(1) else t) for c, t in meta.columns
+                ]
+            self._register(meta)
+            return None
+        # ADD CONSTRAINT <name> PRIMARY KEY (...) NOT ENFORCED
+        # (SqlAlterTableAddConstraint.java) / DROP CONSTRAINT | DROP
+        # PRIMARY KEY (SqlAlterTableDropConstraint.java)
+        m = re.match(
+            r"ADD\s+CONSTRAINT\s+\S+\s+PRIMARY\s+KEY\s*\(([^)]*)\)"
+            r"(?:\s+NOT\s+ENFORCED)?$",
+            action,
+            re.I,
+        )
+        if m:
+            meta.primary_key = [
+                c.strip().strip("`") for c in m.group(1).split(",") if c.strip()
+            ]
+            return None  # recorded, never enforced (as in Flink)
+        if re.match(r"DROP\s+(?:CONSTRAINT\s+\S+|PRIMARY\s+KEY)$", action, re.I):
+            meta.primary_key = []
+            return None
+        # DROP WATERMARK (SqlAlterTableDropWatermark.java)
+        if re.match(r"DROP\s+WATERMARK$", action, re.I):
+            if meta.watermark is None:
+                raise ValueError(f"table {name} has no watermark to drop")
+            meta.watermark = None
+            self._register(meta)
+            return None
         m = re.match(r"SET\s*\((.*)\)$", action, re.S | re.I)
         if m:
             for kv in _split_top_all(m.group(1), ","):
@@ -2152,7 +2231,11 @@ class TableEnvironment:
     def _register(
         self, meta: TableMeta, db: str | None = None, catalog: str | None = None
     ) -> None:
-        schema = ", ".join(f"{c} {t}" for c, t in meta.columns)
+        # read by the PHYSICAL column names (pre-rename); the view layer
+        # renames back to the declared names below
+        schema = ", ".join(
+            f"{meta.renames.get(c, c)} {t}" for c, t in meta.columns
+        )
         if (
             meta.connector == "filesystem"
             and meta.options.get("format") in self._CDC_FORMATS
@@ -2171,6 +2254,8 @@ class TableEnvironment:
                 raw = self.spark.read.text(meta.options["path"])
             fn = getattr(cdc, self._CDC_FORMATS[meta.options["format"]])
             df = fn(raw, "value", schema)
+            for cur, orig in meta.renames.items():
+                df = df.withColumnRenamed(orig, cur)
             for cname, expr in meta.computed:
                 df = df.selectExpr("*", f"({expr}) AS {cname}")
             if meta.watermark and df.isStreaming:
@@ -2232,6 +2317,9 @@ class TableEnvironment:
                 f"Could not find any factory for connector '{meta.connector}' "
                 "(supported here: filesystem, datagen, print, blackhole)"
             )
+        for cur, orig in meta.renames.items():
+            if orig in df.columns:
+                df = df.withColumnRenamed(orig, cur)
         for cname, expr in meta.computed:
             df = df.selectExpr("*", f"({expr}) AS {cname}")
         if meta.watermark and df.isStreaming:

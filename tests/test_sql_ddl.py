@@ -2448,3 +2448,57 @@ def test_ctas_managed_path_and_rtas(spark, tmp_path):
         (2, 120),
     }
     env.execute_sql("DROP TABLE snap")
+
+
+def test_alter_table_rename_modify_constraint_watermark(spark, tmp_path):
+    """The residual ALTER TABLE schema family
+    (SqlAlterTableRenameColumn.java, SqlAlterTableModify.java,
+    SqlAlterTableAddConstraint.java, SqlAlterTableDropWatermark.java):
+    renamed columns keep reading the physical file column; MODIFY
+    retypes; constraints and watermarks add/drop on the catalog meta."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "alt.csv"
+    src.write_text("uid,score,ts\n1,9.5,2024-01-01 00:00:00\n2,7.25,2024-01-01 00:00:05\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE t_alt (
+            uid BIGINT, score DOUBLE, ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    # RENAME COLUMN: data written under 'score' stays readable as 'pts'
+    env.execute_sql("ALTER TABLE t_alt RENAME score TO pts")
+    got = {tuple(r) for r in env.execute_sql("SELECT uid, pts FROM t_alt").collect()}
+    assert got == {(1, 9.5), (2, 7.25)}
+    assert [c for c, _ in env.tables["t_alt"].columns] == ["uid", "pts", "ts"]
+    with pytest.raises(ValueError, match="column not found"):
+        env.execute_sql("ALTER TABLE t_alt RENAME nope TO other")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER TABLE t_alt RENAME uid TO pts")
+    # second rename keeps resolving the ORIGINAL physical column
+    env.execute_sql("ALTER TABLE t_alt RENAME pts TO points")
+    got = {r["points"] for r in env.execute_sql("SELECT points FROM t_alt").collect()}
+    assert got == {9.5, 7.25}
+    # MODIFY retypes a column (read applies the new type)
+    env.execute_sql("ALTER TABLE t_alt MODIFY (uid INT)")
+    assert ("uid", "int") in env.tables["t_alt"].columns
+    assert env.execute_sql("SELECT uid FROM t_alt").schema["uid"].dataType.simpleString() == "int"
+    with pytest.raises(ValueError, match="unknown column"):
+        env.execute_sql("ALTER TABLE t_alt MODIFY (ghost INT)")
+    # constraints: recorded, never enforced
+    env.execute_sql("ALTER TABLE t_alt ADD CONSTRAINT pk_u PRIMARY KEY (uid) NOT ENFORCED")
+    assert env.tables["t_alt"].primary_key == ["uid"]
+    env.execute_sql("ALTER TABLE t_alt DROP PRIMARY KEY")
+    assert env.tables["t_alt"].primary_key == []
+    # watermark drop + modify
+    assert env.tables["t_alt"].watermark is not None
+    env.execute_sql("ALTER TABLE t_alt DROP WATERMARK")
+    assert env.tables["t_alt"].watermark is None
+    with pytest.raises(ValueError, match="no watermark"):
+        env.execute_sql("ALTER TABLE t_alt DROP WATERMARK")
+    env.execute_sql(
+        "ALTER TABLE t_alt MODIFY WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE"
+    )
+    assert env.tables["t_alt"].watermark == ("ts", "ts - INTERVAL '1' MINUTE")
+    env.execute_sql("DROP TABLE t_alt")
