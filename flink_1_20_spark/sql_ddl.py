@@ -1963,14 +1963,30 @@ class TableEnvironment:
         the SELECT fallthrough and the INSERT body path."""
         df = self.spark.sql(query)
         if df.isStreaming and "__cum" in query:
-            raise ValueError(
-                "streaming CUMULATE window TVF is not supported through "
-                "executeSql (Spark has no cumulate window primitive; the "
-                "explode-based batch lowering cannot satisfy the "
-                "append-mode watermark check) — use "
-                "flink_1_20_spark.streaming.windows.cumulate_window_agg "
-                "on the DataFrame API for streaming cumulate aggregation"
+            # streaming CUMULATE: expose the hidden max-window struct and
+            # group by it — (__wm, window_end) keys each slice, and the
+            # struct satisfies the append-mode watermark check. Emission
+            # note (documented parity gap): every slice of a bucket emits
+            # when the bucket's MAX window passes the watermark, where
+            # Flink's SliceAssigners emit each slice at its own end — the
+            # emitted rows are identical, later.
+            fixed = query.replace(
+                "SELECT * EXCEPT(__wm, __we),", "SELECT * EXCEPT(__we),"
             )
+            fixed, n = re.subn(
+                r"(GROUP\s+BY\s+)(?=[\w\s,.`]*\bwindow_start\b)",
+                r"\1__wm, ",
+                fixed,
+                flags=re.I,
+            )
+            if not n:
+                raise ValueError(
+                    "streaming CUMULATE window TVF requires the aggregate "
+                    "GROUP BY window_start, window_end shape — use "
+                    "flink_1_20_spark.streaming.windows.cumulate_window_agg "
+                    "on the DataFrame API for other shapes"
+                )
+            return self.spark.sql(fixed)
         if df.isStreaming and "__w" in query:
             fixed, n = re.subn(
                 r"(GROUP\s+BY\s+)(?=[\w\s,.`]*\bwindow_start\b)",

@@ -166,14 +166,21 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
             f"FROM (SELECT *, window(`{ts}`, '{size}', '{slide}') AS __w FROM {table}))"
         )
     if kind == "CUMULATE":
-        # CUMULATE(TABLE t, DESCRIPTOR(ts), step, max)
+        # CUMULATE(TABLE t, DESCRIPTOR(ts), step, max) — expanding
+        # tumbles: each row lands in every slice [bucket, bucket+k*step)
+        # that covers it. The max-size window STRUCT (__wm) is computed
+        # first and kept hidden so the STREAMING re-lowering can group by
+        # it (Spark's append-mode watermark check needs the window struct
+        # of the event-time column among the grouping expressions).
         _, step_lit, _ = _parse_interval(args[2])
         max_dur, max_lit, _ = _parse_interval(args[3])
         return (
-            f"(SELECT * EXCEPT(__b, __we), __b AS window_start, __we AS window_end, "
+            f"(SELECT * EXCEPT(__wm, __we), __wm.start AS window_start, "
+            f"__we AS window_end, "
             f"__we - INTERVAL '0.001' SECOND AS window_time "
-            f"FROM (SELECT *, window(`{ts}`, '{max_dur}').start AS __b FROM {table}) "
-            f"LATERAL VIEW explode(sequence(__b + {step_lit}, __b + {max_lit}, {step_lit})) "
+            f"FROM (SELECT *, window(`{ts}`, '{max_dur}') AS __wm FROM {table}) "
+            f"LATERAL VIEW explode(sequence(__wm.start + {step_lit}, "
+            f"__wm.start + {max_lit}, {step_lit})) "
             f"__cum AS __we WHERE `{ts}` < __we)"
         )
     if kind == "SESSION":

@@ -1932,37 +1932,37 @@ def test_streaming_hop_tvf_insert_end_to_end(spark, tmp_path):
     assert starts == ["2024-01-01 09:59:00", "2024-01-01 10:00:00"]
 
 
-def test_streaming_cumulate_tvf_informative_error(spark, tmp_path):
-    """Streaming CUMULATE through executeSql raises the documented
-    pointer to the DataFrame facade instead of Spark's obscure
-    append-mode failure at query start."""
+def test_streaming_cumulate_tvf_non_aggregate_shape_error(spark, tmp_path):
+    """A streaming CUMULATE outside the GROUP BY window_start/window_end
+    aggregate shape still raises the documented facade pointer instead
+    of Spark's obscure append-mode failure."""
     import json as _json
 
-    src = tmp_path / "cum_src"
+    src = tmp_path / "cum_src_e"
     src.mkdir()
     (src / "b0.jsonl").write_text(
         _json.dumps({"ts": "2024-01-01T10:00:05", "v": 1.0}) + "\n"
     )
     env = TableEnvironment(spark)
     env.execute_sql(f"""
-        CREATE TABLE cum_src (
+        CREATE TABLE cum_src_e (
             ts TIMESTAMP(3), v DOUBLE,
             WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
         ) WITH ('connector'='filesystem','path'='{src}',
                 'format'='json','scan.streaming'='true')
     """)
     env.execute_sql(f"""
-        CREATE TABLE cum_sink (window_start TIMESTAMP(3), n BIGINT)
-        WITH ('connector'='filesystem','path'='{tmp_path / "cum_out"}',
+        CREATE TABLE cum_sink_e (window_end TIMESTAMP(3), n BIGINT)
+        WITH ('connector'='filesystem','path'='{tmp_path / "cum_out_e"}',
               'format'='parquet')
     """)
     with pytest.raises(ValueError, match="cumulate_window_agg"):
         env.execute_sql("""
-            INSERT INTO cum_sink
-            SELECT window_start, count(*) AS n
-            FROM TABLE(CUMULATE(TABLE cum_src, DESCRIPTOR(ts),
+            INSERT INTO cum_sink_e
+            SELECT window_end, count(*) AS n
+            FROM TABLE(CUMULATE(TABLE cum_src_e, DESCRIPTOR(ts),
                                 INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
-            GROUP BY window_start, window_end
+            GROUP BY window_end
         """)
 
 
@@ -2502,3 +2502,60 @@ def test_alter_table_rename_modify_constraint_watermark(spark, tmp_path):
     )
     assert env.tables["t_alt"].watermark == ("ts", "ts - INTERVAL '1' MINUTE")
     env.execute_sql("DROP TABLE t_alt")
+
+
+def test_streaming_cumulate_tvf_insert_end_to_end(spark, tmp_path):
+    """Streaming CUMULATE window TVF through executeSql
+    (SliceAssigners.java:46 semantics): the expanding-tumbles lowering
+    keeps the hidden max-window struct and the re-group puts it in the
+    GROUP BY, so the append-mode watermark check passes. A row at
+    10:00:30 under step=1m/max=3m belongs to the 10:01, 10:02 and 10:03
+    slice-ends of the 10:00 bucket."""
+    import json as _json
+
+    src = tmp_path / "cum_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"ts": "2024-01-01T10:00:30", "v": 1.0}) + "\n"
+    )
+    out = tmp_path / "cum_out"
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE cum_src (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE cum_sink (
+            window_start TIMESTAMP(3), window_end TIMESTAMP(3), n BIGINT
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+                'checkpoint'='{tmp_path / "cum_ckpt"}')
+    """)
+    q = env.execute_sql("""
+        INSERT INTO cum_sink
+        SELECT window_start, window_end, count(*) AS n
+        FROM TABLE(CUMULATE(TABLE cum_src, DESCRIPTOR(ts),
+                            INTERVAL '1' MINUTE, INTERVAL '3' MINUTE))
+        GROUP BY window_start, window_end
+    """)
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past the bucket so the slices emit
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"ts": "2024-01-01T11:00:00", "v": 0.0}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r["window_start"]), str(r["window_end"]), r["n"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:01:00", 1) in got
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:02:00", 1) in got
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:03:00", 1) in got
+    # the row never leaks into a later bucket's slices
+    assert not any(s.startswith("2024-01-01 10:0") and s > "2024-01-01 10:00:00"
+                   for s, _, _ in got)
