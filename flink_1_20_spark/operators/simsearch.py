@@ -724,3 +724,104 @@ def pq_adc_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+    codebooks: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011, §IV): IVF candidate restriction
+    composed with ADC scoring — the standard composition for PQ search
+    at corpus scale. `pq_adc_topk` alone is flat ADC: correct, but every
+    query scans ALL N corpus codes (O(N·M) join rows per query). Here
+    each query probes its `n_probe` nearest cells and ADC runs only over
+    the codes assigned to those cells, so the corpus-side rows scale
+    with the probed cells' population — not with N.
+
+    Plan: ivf_assign gives (id → cell) in one broadcast pass; codes join
+    cells on id (co-partitioned by id); probes are a broadcast argtop
+    per query; candidates are the `cell` equi-join; the per-query M×K
+    LUT broadcasts for the (query, m, code) score join; ONE groupBy
+    (query, cand) folds the M subspace distances. Ranking convention
+    (round-6 asc, cand-id tiebreak) is shared with `pq_adc_topk` so the
+    two paths are directly comparable in the recall gate."""
+    from pyspark.sql import Window
+
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks_stand_in(corpus, id_col, vec_col, m, k, d)
+    if centroids is None:
+        # deterministic training-free stand-in (same as ivf_topk);
+        # pass kmeans_centroids(...) for trained cells
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, round_to).select(
+        F.col("vid").alias("cand_id"), "cell"
+    )
+    codes = pq_encode(corpus, id_col, vec_col, m, k, dim, codebooks).select(
+        F.col(id_col).alias("cand_id"), F.posexplode("codes").alias("m", "code")
+    )
+    codes_cells = codes.join(cells, "cand_id")
+
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    pcos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), round_to
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", pcos)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+
+    lut = (
+        pq_subvectors(queries, id_col, vec_col, m, d)
+        .withColumnRenamed(id_col, "query_id")
+        .join(F.broadcast(codebooks), "m")
+        .withColumn("d2", _sq_dist(F.col("sv"), F.col("cv")))
+        .select("query_id", "m", "code", "d2")
+    )
+    scored = (
+        probes.join(codes_cells, "cell")  # corpus rows ∝ probed cells only
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(m, d2))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)"
+            ).alias("adc_d2")
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round("adc_d2", 6)), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

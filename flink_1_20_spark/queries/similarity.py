@@ -427,3 +427,78 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return pq_adc_topk(q, e, "vec_id", "embedding", topk=_K, m=_PQ_M, k=_PQ_K, dim=_DIM)
+
+
+def ivfpq_adc_ranked_block(emb: str = "e", p: str = "ip_") -> str:
+    """IVFADC ranked-pairs CTE chain: pq_code_block for the codes +
+    the IVF cell/probe restriction + ADC scoring ONLY inside probed
+    cells — the oracle replay of operators/simsearch.ivfpq_adc_topk.
+    Emits {p}ranked in the shared ranking convention."""
+    return f"""{pq_code_block(emb, p)},
+{p}cent AS (SELECT vec_id AS cid, {emb} AS cv,
+                 sqrt(list_dot_product({emb}, {emb})) AS cnrm
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_N_CENT}) t),
+{p}vn AS (SELECT vec_id, {emb} AS vv,
+               sqrt(list_dot_product({emb}, {emb})) AS vnrm FROM v),
+{p}assign AS (SELECT n.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_dot_product(n.vv, c.cv)
+                                    / (n.vnrm * c.cnrm), 6) DESC, c.cid
+                   ) AS rn
+            FROM {p}vn n, {p}cent c),
+{p}cells AS (SELECT vec_id, cid AS cell FROM {p}assign WHERE rn = 1),
+{p}probe AS (SELECT q.vec_id AS query_id, c.cid AS cell,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY round(list_dot_product(q.vv, c.cv)
+                                   / (q.vnrm * c.cnrm), 6) DESC, c.cid
+                  ) AS rn
+           FROM {p}vn q, {p}cent c WHERE q.vec_id < {_N_QUERIES}),
+{p}qs AS (SELECT vec_id AS query_id, m, sv FROM {p}subs
+       WHERE vec_id < {_N_QUERIES}),
+{p}lut AS (SELECT q.query_id, cb.m, cb.code,
+          list_sum(list_transform(range(1, {_PQ_D} + 1),
+            i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS d2
+        FROM {p}qs q JOIN {p}cb cb ON q.m = cb.m),
+{p}adc AS (SELECT l.query_id, b.vec_id AS neighbor_id,
+          list_sum(list(l.d2 ORDER BY l.m)) AS adc_d2
+        FROM {p}best b
+        JOIN {p}cells ce ON b.vec_id = ce.vec_id
+        JOIN {p}probe pr ON pr.cell = ce.cell AND pr.rn <= {_N_PROBE}
+        JOIN {p}lut l ON b.m = l.m AND b.code = l.code
+                     AND l.query_id = pr.query_id
+        WHERE b.rn = 1 AND l.query_id <> b.vec_id
+        GROUP BY l.query_id, b.vec_id),
+{p}ranked AS (SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(adc_d2, 6) ASC, neighbor_id ASC)
+             AS rank
+           FROM {p}adc)"""
+
+
+_IVFPQ_ADC_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+{ivfpq_adc_ranked_block()}
+SELECT query_id, neighbor_id AS cand_id, adc_d2, CAST(rank AS BIGINT) AS rank
+FROM ip_ranked WHERE rank <= {_K}
+"""
+
+
+@register("simsearch_ivfpq_adc_topk", oracle=_IVFPQ_ADC_ORACLE)
+def simsearch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-5 (Jégou et al., TPAMI 2011 §IV): IVF probe
+    restriction composed with ADC code scoring — the 100 TB composition
+    of the two existing paths. Flat ADC scans all N codes per query;
+    here the corpus side of the score join is only the codes in each
+    query's 4 probed cells. The oracle replays the identical cells →
+    probes → LUT → fold chain in DuckDB CTEs."""
+    from flink_1_20_spark.operators.simsearch import ivfpq_adc_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return ivfpq_adc_topk(
+        q, e, "vec_id", "embedding",
+        topk=_K, m=_PQ_M, k=_PQ_K, dim=_DIM,
+        n_centroids=_N_CENT, n_probe=_N_PROBE,
+    )

@@ -319,3 +319,34 @@ def simsearch_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, e, "vec_id", "embedding", topk=_RK, m=_RPQM, k=_RPQK, dim=_RDIM
         ).select("query_id", F.col("cand_id").alias("neighbor_id")),
     )
+
+
+from .similarity import (  # noqa: E402
+    ivfpq_adc_ranked_block,
+)
+
+_RECALL_IVFPQ_ORACLE = _recall_oracle(
+    ivfpq_adc_ranked_block(emb="emb", p="ipq_"), "ipq_ranked"
+)
+
+
+@register("simsearch_recall_ivfpq", oracle=_RECALL_IVFPQ_ORACLE)
+def simsearch_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVFADC composition (IVF probe restriction + ADC
+    code scoring) vs the exact cosine top-k — the fourth ANN quality
+    gate. This is the 100 TB path (per-query code scans bounded by the
+    probed cells), so its accuracy must be continuously measured against
+    both the exact baseline and, implicitly, the flat-ADC gate
+    (simsearch_recall_pq): the difference between the two isolates the
+    recall cost of the cell restriction from the quantization error."""
+    from flink_1_20_spark.operators.simsearch import ivfpq_adc_topk
+
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda q, e: ivfpq_adc_topk(
+            q, e, "vec_id", "embedding",
+            topk=_RK, m=_RPQM, k=_RPQK, dim=_RDIM,
+            n_centroids=_N_CENT, n_probe=_N_PROBE,
+        ).select("query_id", F.col("cand_id").alias("neighbor_id")),
+    )

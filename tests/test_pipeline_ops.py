@@ -407,3 +407,83 @@ def test_cross_corpus_df_cut_counts_documents(spark):
         shingle_n=3, threshold=0.9, max_doc_freq=4,
     ).collect()
     assert {(r["train_id"], r["eval_id"]) for r in cut} == {(10, 101)}
+
+
+def test_ivfpq_candidates_restricted_to_probed_cells(spark, sf_dir):
+    """IVFADC's scale contract: every returned candidate lies in one of
+    the query's probed cells (corpus-side score rows ∝ probed-cell
+    population, never N), and the ADC distance for a shared candidate
+    equals the flat-ADC distance (the restriction changes the candidate
+    SET, never the scores)."""
+    from flink_1_20_spark.catalog import read_table
+    from flink_1_20_spark.operators.simsearch import (
+        ivf_assign,
+        ivfpq_adc_topk,
+        pq_adc_topk,
+    )
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    got = ivfpq_adc_topk(
+        q, e, "vec_id", "embedding", topk=5, m=8, k=16, dim=64,
+        n_centroids=8, n_probe=3,
+    ).collect()
+    assert got, "ivfpq returned nothing"
+
+    cents = e.orderBy(F.col("vec_id").asc()).limit(8)
+    cells = {
+        r["vid"]: r["cell"]
+        for r in ivf_assign(e, cents, "vec_id", "embedding").collect()
+    }
+    # replicate the probe top-3 per query (same rounding/tiebreak)
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("qn") * F.col("cnrm")),
+        6,
+    )
+    cv = cents.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn(
+        "cnrm",
+        F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn(
+        "qn",
+        F.sqrt(F.aggregate(F.zip_with("qv", "qv", lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cid"))
+    probed = {}
+    for r in (
+        qv.crossJoin(F.broadcast(cv))
+        .withColumn("c", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    ):
+        probed.setdefault(r["query_id"], set()).add(r["cid"])
+    for r in got:
+        assert cells[r["cand_id"]] in probed[r["query_id"]], (
+            r["query_id"], r["cand_id"])
+
+    # score identity vs flat ADC on the overlap
+    flat = {
+        (r["query_id"], r["cand_id"]): r["adc_d2"]
+        for r in pq_adc_topk(
+            q, e, "vec_id", "embedding", topk=100, m=8, k=16, dim=64
+        ).collect()
+    }
+    shared = [r for r in got if (r["query_id"], r["cand_id"]) in flat]
+    assert shared, "no overlap between ivfpq and flat ADC top lists"
+    for r in shared:
+        assert abs(flat[(r["query_id"], r["cand_id"])] - r["adc_d2"]) < 1e-9
