@@ -802,33 +802,55 @@ def run_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
     key_types = dict(df.dtypes)
     if df.isStreaming:
         # streaming MATCH_RECOGNIZE (Flink's CEP SQL is inherently
-        # streaming): lower onto the keyed-state NFA operator. ONE ROW
-        # PER MATCH only — ALL ROWS streaming would need retraction.
-        if all_rows:
-            raise ValueError(
-                "ALL ROWS PER MATCH on a streaming table is not supported; "
-                "use ONE ROW PER MATCH (StreamExecMatch emits final "
-                "matches only here)"
-            )
+        # streaming): lower onto the keyed-state NFA operator. ALL ROWS
+        # PER MATCH emits one row per bound input row of each COMPLETED
+        # match (CepOperator.java:82 emits per-row through its process
+        # function the same way) — completed-match emission is append-
+        # safe, no retraction needed.
         from flink_1_20_spark.streaming.cep_stream import match_recognize_stream
 
-        schema = ", ".join(
-            [
-                *(f"{name} {_infer_measure_type(df, agg, var, col)}"
-                  for name, agg, var, col in measures),
-                *(f"{k} {key_types[k]}" for k in keys),
-            ]
-        )
         payload = [c for c in df.columns if c != ts_col]
-        out = match_recognize_stream(
-            df,
-            keys=keys,
-            ts=ts_col,
-            pattern=pat,
-            measures=measure_fn,
-            output_schema=schema,
-            payload_cols=payload,
-        ).select(*keys, *(name for name, *_ in measures))
+        if all_rows:
+            c_col = classifier_name or "classifier"
+            n_col = match_number_name or "match_number"
+            schema = ", ".join(
+                [
+                    *(f"{c} {t}" for c, t in df.dtypes),
+                    f"{c_col} string",
+                    f"{n_col} bigint",
+                    *(f"{name} {_infer_measure_type(df, agg, var, col)}"
+                      for name, agg, var, col in measures),
+                ]
+            )
+            out = match_recognize_stream(
+                df,
+                keys=keys,
+                ts=ts_col,
+                pattern=pat,
+                measures=measure_fn,
+                output_schema=schema,
+                payload_cols=payload,
+                all_rows=True,
+                classifier_col=c_col,
+                match_number_col=n_col,
+            )
+        else:
+            schema = ", ".join(
+                [
+                    *(f"{name} {_infer_measure_type(df, agg, var, col)}"
+                      for name, agg, var, col in measures),
+                    *(f"{k} {key_types[k]}" for k in keys),
+                ]
+            )
+            out = match_recognize_stream(
+                df,
+                keys=keys,
+                ts=ts_col,
+                pattern=pat,
+                measures=measure_fn,
+                output_schema=schema,
+                payload_cols=payload,
+            ).select(*keys, *(name for name, *_ in measures))
         view = f"__mr_{abs(hash(sql)) % 10**8}"
         out.createOrReplaceTempView(view)
         alias = f" {alias_m.group(1)}" if alias_m else ""

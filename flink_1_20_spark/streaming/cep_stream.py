@@ -57,9 +57,18 @@ def match_recognize_stream(
     output_schema: str,
     payload_cols: list[str],
     max_buffer: int = 10_000,
+    all_rows: bool = False,
+    classifier_col: str = "classifier",
+    match_number_col: str = "match_number",
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE. Output rows = measures() dict + key
-    columns (same contract as the batch match_recognize).
+    columns (same contract as the batch match_recognize), or — with
+    `all_rows=True` — SQL's ALL ROWS PER MATCH: one output row per
+    bound input row of each COMPLETED match, carrying CLASSIFIER(), a
+    per-key MATCH_NUMBER() (persisted in state so numbering is stable
+    across micro-batches), and measures with RUNNING semantics — the
+    same emission the batch operator produces. Only completed matches
+    emit, so no retraction is needed in append mode.
 
     `payload_cols`: event columns the predicates/measures read (these are
     what gets buffered in state — keep it to what the pattern needs;
@@ -67,7 +76,11 @@ def match_recognize_stream(
     key_cols = list(keys)
 
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
-        buf = json.loads(state.get[0]) if state.exists else []
+        if state.exists:
+            buf = json.loads(state.get[0])
+            match_no = int(state.get[1])
+        else:
+            buf, match_no = [], 0
         n_old = len(buf)  # rows carried from previous batches (in-order
         # contract: new rows sort strictly after them)
         for pdf in batches:
@@ -84,9 +97,28 @@ def match_recognize_stream(
         consumed_until = -1
 
         def render(m: list[tuple[str, int]]) -> tuple[dict, dict]:
+            nonlocal match_no
+            match_no += 1
             groups: dict[str, list[int]] = {}
             for name, idx in m:
                 groups.setdefault(name, []).append(idx)
+            if all_rows:
+                # one row per bound input row: source columns + the step
+                # that bound it + match number + RUNNING measures (the
+                # prefix of bindings up to and including the row)
+                prefix: dict[str, list[int]] = {}
+                for name, idx in m:
+                    prefix.setdefault(name, []).append(idx)
+                    src = pdf.iloc[idx].drop(labels="__ts").to_dict()
+                    src[classifier_col] = name
+                    src[match_number_col] = match_no
+                    src.update(
+                        measures({k: pdf.iloc[v] for k, v in prefix.items()})
+                    )
+                    for kc, kv in zip(key_cols, key):
+                        src[kc] = kv
+                    out_rows.append(src)
+                return {}, groups
             rendered = measures({k: pdf.iloc[v] for k, v in groups.items()})
             for kc, kv in zip(key_cols, key):
                 rendered[kc] = kv
@@ -102,14 +134,17 @@ def match_recognize_stream(
             for i in range(len(pdf)):
                 for m in _match_all_at(pattern, pdf, i, pre):
                     if m and max(idx for _, idx in m) >= n_old:
-                        out_rows.append(render(m)[0])
+                        rendered, _ = render(m)
+                        if not all_rows:  # all-rows mode appends inside
+                            out_rows.append(rendered)
         else:
             i = 0
             while i < len(pdf):
                 m = _match_at(pattern, pdf, i, pre)
                 if m:
                     rendered, groups = render(m)
-                    out_rows.append(rendered)
+                    if not all_rows:  # all-rows mode appends inside
+                        out_rows.append(rendered)
                     last_idx = max(idx for _, idx in m)
                     consumed_until = max(consumed_until, last_idx)
                     if pattern.skip == "PAST_LAST_EVENT":
@@ -135,14 +170,14 @@ def match_recognize_stream(
             tail = tail[tail[ts] >= cutoff]
         tail = tail.tail(max_buffer)
         new_buf = _buffer_records(tail, payload_cols, ts)
-        state.update((json.dumps(new_buf, default=_json_default),))
+        state.update((json.dumps(new_buf, default=_json_default), match_no))
         if out_rows:
             yield pd.DataFrame(out_rows)
 
     return df.groupBy(*key_cols).applyInPandasWithState(
         fn,
         output_schema,
-        "buf string",
+        "buf string, match_no bigint",
         "update",
         GroupStateTimeout.NoTimeout,
     )

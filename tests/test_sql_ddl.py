@@ -2024,16 +2024,77 @@ def test_streaming_match_recognize_through_executesql(spark, tmp_path):
         assert spark.table("cep_sql_stream_out").count() == 1
     finally:
         q.stop()
-    # ALL ROWS PER MATCH on streaming input rejects loudly
-    with pytest.raises(ValueError, match="ALL ROWS"):
-        env.execute_sql("""
-            SELECT * FROM cep_src MATCH_RECOGNIZE (
-                PARTITION BY uid ORDER BY ts
-                MEASURES CLASSIFIER() AS c
-                ALL ROWS PER MATCH
-                PATTERN (A) DEFINE A AS A.etype = 'click'
+
+
+def test_streaming_match_recognize_all_rows_per_match(spark, tmp_path):
+    """ALL ROWS PER MATCH over a STREAMING table: one output row per
+    bound input row of each COMPLETED match, with CLASSIFIER(), a
+    per-key MATCH_NUMBER() stable across micro-batches, and RUNNING
+    measures — the batch operator's emission, streamed append-safe."""
+    import json as _json
+
+    src = tmp_path / "cep_ar_src"
+    src.mkdir()
+    rows0 = [
+        {"uid": 1, "ts": "2024-01-01T10:00:00", "etype": "click"},
+        {"uid": 1, "ts": "2024-01-01T10:00:10", "etype": "view"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE cep_ar_src (
+            uid BIGINT, ts TIMESTAMP(3), etype STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT uid, ts, etype, step, mno, running_n
+        FROM cep_ar_src MATCH_RECOGNIZE (
+            PARTITION BY uid
+            ORDER BY ts
+            MEASURES CLASSIFIER() AS step,
+                     MATCH_NUMBER() AS mno,
+                     COUNT(*) AS running_n
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.etype = 'click',
+                   B AS B.etype = 'view'
+        )
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "cep_ar_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r["mno"], str(r["ts"]), r["step"], r["running_n"])
+            for r in spark.table("cep_ar_out").collect()
+        )
+        # first match: two rows, classifier per step, RUNNING count 1→2
+        assert rows == [
+            (1, "2024-01-01 10:00:00", "A", 1),
+            (1, "2024-01-01 10:00:10", "B", 2),
+        ]
+        # a SECOND match in a later batch gets match_number 2 (state-kept)
+        (src / "b1.jsonl").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"uid": 1, "ts": "2024-01-01T10:01:00", "etype": "click"},
+                    {"uid": 1, "ts": "2024-01-01T10:01:05", "etype": "view"},
+                ]
             )
-        """)
+            + "\n"
+        )
+        q.processAllAvailable()
+        mnos = {r["mno"] for r in spark.table("cep_ar_out").collect()}
+        assert mnos == {1, 2}
+        assert spark.table("cep_ar_out").count() == 4
+    finally:
+        q.stop()
 
 
 def test_streaming_dedup_rank_shape(spark, tmp_path):
