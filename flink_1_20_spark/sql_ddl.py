@@ -450,6 +450,38 @@ class TableEnvironment:
         # (SURVEY §7 — Spark's function registry is session-fixed), but
         # the listing surface reports the resolved state truthfully:
         # exactly the core module, enabled.
+        # SHOW PROCEDURES (SqlShowProcedures.java): the generic
+        # in-memory catalog exposes no procedures — an empty listing is
+        # the truthful answer (Flink's GenericInMemoryCatalog returns
+        # the same); CALL therefore always fails to resolve.
+        if re.match(r"SHOW\s+PROCEDURES(\s+.*)?$", u):
+            return self.spark.createDataFrame([], "procedure_name string")
+        m = re.match(r"CALL\s+(\S+)", s, re.I)
+        if m:
+            raise ValueError(
+                f"procedure not found: {m.group(1)} (the generic in-memory "
+                "catalog defines no procedures — SqlShowProcedures.java "
+                "surface; see SURVEY §7)"
+            )
+        # COMPILE/EXECUTE PLAN (SqlCompilePlan.java): Flink's JSON
+        # compiled plans are version-upgrade machinery for its own
+        # ExecNode graph — there is no Spark analog to persist
+        # (Catalyst plans are not a stable serialization format).
+        if re.match(r"(COMPILE|EXECUTE)\s+PLAN\b", u):
+            raise ValueError(
+                "COMPILE/EXECUTE PLAN is a documented non-goal: Flink's "
+                "JSON compiled plans pin its ExecNode graph across version "
+                "upgrades; Catalyst has no stable plan serialization to "
+                "target (SURVEY §7)"
+            )
+        if re.match(r"CREATE\s+(TEMPORARY\s+)?MODEL\b", u) or re.match(
+            r"SHOW\s+MODELS$", u
+        ):
+            raise ValueError(
+                "CREATE/SHOW MODEL is a documented non-goal: Flink's model "
+                "DDL (SqlCreateModel.java) fronts external model providers "
+                "the generic in-memory catalog does not have (SURVEY §7)"
+            )
         if re.match(r"SHOW\s+FULL\s+MODULES$", u):
             return self.spark.createDataFrame(
                 [("core", True)], "module_name string, used boolean"

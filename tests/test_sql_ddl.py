@@ -2620,3 +2620,22 @@ def test_streaming_cumulate_tvf_insert_end_to_end(spark, tmp_path):
     # the row never leaks into a later bucket's slices
     assert not any(s.startswith("2024-01-01 10:0") and s > "2024-01-01 10:00:00"
                    for s, _, _ in got)
+
+
+def test_parser_tail_surfaces(spark):
+    """The small parser-surface tail: SHOW PROCEDURES lists nothing
+    (truthful — the generic in-memory catalog has no procedures), CALL
+    fails to resolve, and COMPILE PLAN / CREATE MODEL raise the
+    documented non-goal messages instead of raw ParseExceptions."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.execute_sql("SHOW PROCEDURES").collect() == []
+    with pytest.raises(ValueError, match="procedure not found"):
+        env.execute_sql("CALL my_proc(1)")
+    with pytest.raises(ValueError, match="non-goal"):
+        env.execute_sql("COMPILE PLAN '/tmp/p.json' FOR INSERT INTO t SELECT 1")
+    with pytest.raises(ValueError, match="non-goal"):
+        env.execute_sql("EXECUTE PLAN '/tmp/p.json'")
+    with pytest.raises(ValueError, match="non-goal"):
+        env.execute_sql("CREATE MODEL m INPUT (x DOUBLE) OUTPUT (y DOUBLE) WITH ('provider'='x')")
