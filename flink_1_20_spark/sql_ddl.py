@@ -227,9 +227,20 @@ class TableEnvironment:
         # query/stop_event handles, last_error} — the backing TableMeta
         # is ALSO in self.tables so reads/DESCRIBE resolve normally
         self._materialized: dict[str, dict] = {}
+        # serializes statement lowering against the FULL-mode refresh
+        # timer: _batch_source_views swaps global temp views, and a user
+        # statement lowered mid-swap would see streaming sources as
+        # batch. RLock — execute_sql recurses (views, MT definitions)
+        import threading
+
+        self._ddl_lock = threading.RLock()
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
+        with self._ddl_lock:
+            return self._execute_sql_locked(stmt)
+
+    def _execute_sql_locked(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
         u = s.upper()
         # -- catalog statements (SqlCreateCatalogConverter.java,
@@ -588,9 +599,12 @@ class TableEnvironment:
         # managed warehouse path is derived when absent). Matched before
         # the plain CREATE TABLE branch; a column body right after the
         # table name keeps this regex from matching.
+        # a real token break (\s+) is required before WITH/AS so a table
+        # name merely ENDING in "as" (atlas, deltas) can never donate its
+        # tail to the AS keyword via backtracking
         m = re.match(
             r"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
-            r"(`?[\w.]+`?)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(.+)$",
+            r"(`?[\w.]+`?)(?:\s+WITH\s*\((.*?)\))?\s+AS\s+(.+)$",
             s,
             re.S | re.I,
         )
@@ -1205,6 +1219,28 @@ class TableEnvironment:
                 c for c, _ in meta.computed
             ]:
                 raise ValueError(f"column already exists: {new}")
+            # reject up front (as Flink does) when a computed column
+            # reads the renamed column — mutating first would wedge the
+            # table: _register's selectExpr fails AFTER meta changed
+            referencing = [
+                c
+                for c, expr in meta.computed
+                if re.search(rf"\b{re.escape(old)}\b", expr)
+            ]
+            if referencing:
+                raise ValueError(
+                    f"cannot rename {old}: computed column(s) "
+                    f"{referencing} reference it — drop/redefine them first"
+                )
+            if meta.watermark and re.search(
+                rf"\b{re.escape(old)}\b", meta.watermark[1]
+            ):
+                # the watermark delay expr is our own recorded text —
+                # rewrite references in place
+                meta.watermark = (
+                    meta.watermark[0],
+                    re.sub(rf"\b{re.escape(old)}\b", new, meta.watermark[1]),
+                )
             meta.columns = [
                 (new if c == old else c, t) for c, t in meta.columns
             ]
@@ -1604,6 +1640,15 @@ class TableEnvironment:
         # to the streaming form's schema; Flink derives it the same way)
         with self._batch_source_views():
             batch_df = self.execute_sql(definition)
+        if mode == "CONTINUOUS" and not self.execute_sql(definition).isStreaming:
+            # validate BEFORE any state mutation — a half-created MT
+            # would block the retry with "already exists"
+            raise ValueError(
+                f"materialized table {name!r}: REFRESH_MODE = CONTINUOUS "
+                "requires streaming-capable sources (monitored-dir tables "
+                "with 'scan.streaming'='true'); declare REFRESH_MODE = FULL "
+                "for bounded sources"
+            )
         meta = TableMeta(
             name=name,
             connector="filesystem",
@@ -1718,6 +1763,15 @@ class TableEnvironment:
         t.start()
 
     def _materialized_refresh(self, entry: dict, part_body: str | None = None):
+        # the timer thread enters here directly (not through execute_sql)
+        # — take the same lock so the batch-view swap can never interleave
+        # with a user statement's lowering
+        with self._ddl_lock:
+            return self._materialized_refresh_locked(entry, part_body)
+
+    def _materialized_refresh_locked(
+        self, entry: dict, part_body: str | None = None
+    ):
         meta = entry["meta"]
         q = entry.get("query")
         if q is not None and q.isActive:
@@ -1834,12 +1888,23 @@ class TableEnvironment:
             self._suspend_materialized(entry)
             entry["mode"] = new_mode
             entry["query"] = None
-            if was_running:
-                if new_mode == "CONTINUOUS":
+            if new_mode == "CONTINUOUS":
+                # the stream has no checkpoint yet and will re-ingest
+                # every source file — the existing full snapshot would
+                # duplicate all of it. Rebuild from empty (same reason
+                # the AS-query branch wipes): the stream IS the content.
+                meta = entry["meta"]
+                shutil.rmtree(entry["root"], ignore_errors=True)
+                shutil.rmtree(entry["root"] + "_checkpoint", ignore_errors=True)
+                entry["version"] = 0
+                with self._batch_source_views():
+                    batch_df = self.execute_sql(entry["definition"])
+                self._mt_new_version(entry, batch_df.limit(0))
+                if was_running:
                     self._start_continuous(entry)
-                else:
-                    self._materialized_refresh(entry)
-                    self._start_full_timer(entry)
+            elif was_running:
+                self._materialized_refresh(entry)
+                self._start_full_timer(entry)
             return None
         m = re.match(r"AS\s+(.*)$", action, re.S | re.I)
         if m:
@@ -1887,7 +1952,10 @@ class TableEnvironment:
                 self.spark.catalog.dropTempView(
                     _ctl_view_name(self.current_catalog, db, name)
                 )
-        self.spark.catalog.dropTempView(name)
+        if entry["db"] == self.current_db:
+            # the bare name belongs to the MT's own database — dropping
+            # it from another db would clobber a same-named table there
+            self.spark.catalog.dropTempView(name)
         shutil.rmtree(entry["root"], ignore_errors=True)
         shutil.rmtree(entry["root"] + "_checkpoint", ignore_errors=True)
         return None
@@ -2002,9 +2070,9 @@ class TableEnvironment:
             # when the bucket's MAX window passes the watermark, where
             # Flink's SliceAssigners emit each slice at its own end — the
             # emitted rows are identical, later.
-            fixed = query.replace(
-                "SELECT * EXCEPT(__wm, __we),", "SELECT * EXCEPT(__we),"
-            )
+            from flink_1_20_spark.sql_flink import CUMULATE_HIDDEN_PROJ
+
+            fixed = query.replace(CUMULATE_HIDDEN_PROJ, "SELECT * EXCEPT(__we),")
             fixed, n = re.subn(
                 r"(GROUP\s+BY\s+)(?=[\w\s,.`]*\bwindow_start\b)",
                 r"\1__wm, ",
@@ -2302,8 +2370,16 @@ class TableEnvironment:
                 raw = self.spark.read.text(meta.options["path"])
             fn = getattr(cdc, self._CDC_FORMATS[meta.options["format"]])
             df = fn(raw, "value", schema)
-            for cur, orig in meta.renames.items():
-                df = df.withColumnRenamed(orig, cur)
+            if meta.renames:
+                # one simultaneous projection (a sequential rename chain
+                # breaks on column swaps — two columns transiently share
+                # a name)
+                rev = {orig: cur for cur, orig in meta.renames.items()}
+                from pyspark.sql import functions as F
+
+                df = df.select(
+                    [F.col(c).alias(rev.get(c, c)) for c in df.columns]
+                )
             for cname, expr in meta.computed:
                 df = df.selectExpr("*", f"({expr}) AS {cname}")
             if meta.watermark and df.isStreaming:
@@ -2313,15 +2389,15 @@ class TableEnvironment:
                     df = df.withWatermark(
                         col, f"{wm.group(1)} {wm.group(2).lower()}"
                     )
-            df.createOrReplaceTempView(meta.name)
-            df.createOrReplaceTempView(
-                _db_view_name(db or self.current_db, meta.name)
-            )
-            df.createOrReplaceTempView(
-                _ctl_view_name(
-                    self.current_catalog, db or self.current_db, meta.name
-                )
-            )
+            # same namespace rules as the common tail below: the bare
+            # name belongs to the CURRENT db/catalog only
+            cat = catalog or self.current_catalog
+            tgt_db = db or self.current_db
+            df.createOrReplaceTempView(_ctl_view_name(cat, tgt_db, meta.name))
+            if cat == self.current_catalog:
+                df.createOrReplaceTempView(_db_view_name(tgt_db, meta.name))
+                if tgt_db == self.current_db:
+                    df.createOrReplaceTempView(meta.name)
             return
         if (
             meta.connector == "filesystem"
@@ -2365,9 +2441,13 @@ class TableEnvironment:
                 f"Could not find any factory for connector '{meta.connector}' "
                 "(supported here: filesystem, datagen, print, blackhole)"
             )
-        for cur, orig in meta.renames.items():
-            if orig in df.columns:
-                df = df.withColumnRenamed(orig, cur)
+        if meta.renames:
+            # one simultaneous projection — a sequential rename chain
+            # breaks on column swaps (two columns transiently share a name)
+            rev = {orig: cur for cur, orig in meta.renames.items()}
+            from pyspark.sql import functions as F
+
+            df = df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
         for cname, expr in meta.computed:
             df = df.selectExpr("*", f"({expr}) AS {cname}")
         if meta.watermark and df.isStreaming:

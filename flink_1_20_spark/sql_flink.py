@@ -124,6 +124,12 @@ def _find_close(s: str, open_idx: int) -> int:
 
 _TVF_HEAD = re.compile(r"\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(", re.I)
 
+# CUMULATE's hidden max-window struct projection — ONE definition shared
+# with sql_ddl's streaming re-lowering (which string-replaces it to
+# re-expose __wm for the GROUP BY); a drift between the two sites would
+# silently break the streaming path
+CUMULATE_HIDDEN_PROJ = "SELECT * EXCEPT(__wm, __we),"
+
 
 def _parse_source(arg: str) -> tuple[str, list[str]]:
     """`TABLE t [PARTITION BY a, b]` → (t, [a, b])."""
@@ -175,7 +181,7 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
         _, step_lit, _ = _parse_interval(args[2])
         max_dur, max_lit, _ = _parse_interval(args[3])
         return (
-            f"(SELECT * EXCEPT(__wm, __we), __wm.start AS window_start, "
+            f"({CUMULATE_HIDDEN_PROJ} __wm.start AS window_start, "
             f"__we AS window_end, "
             f"__we - INTERVAL '0.001' SECOND AS window_time "
             f"FROM (SELECT *, window(`{ts}`, '{max_dur}') AS __wm FROM {table}) "

@@ -244,3 +244,64 @@ def test_mt_validation_and_mode_derivation(env, tmp_path):
     with pytest.raises(ValueError, match="not found"):
         env.execute_sql("DROP MATERIALIZED TABLE mtd")
     env.execute_sql("DROP MATERIALIZED TABLE IF EXISTS mtd")
+
+
+def test_mt_mode_switch_full_to_continuous_no_duplicates(env, tmp_path):
+    """Review fix: switching a FULL-mode MT to CONTINUOUS rebuilds from
+    empty — the fresh stream re-ingests every source file, so keeping
+    the full snapshot would double every row."""
+    src = tmp_path / "srcm"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n2,20\n")
+    env.execute_sql(f"""
+        CREATE TABLE src_m (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{src}',
+            'format' = 'csv', 'scan.streaming' = 'true')
+    """)
+    env.execute_sql(f"""
+        CREATE MATERIALIZED TABLE mtsw
+        WITH ('path' = '{tmp_path}/mtsw')
+        FRESHNESS = INTERVAL '1' SECOND
+        REFRESH_MODE = FULL
+        AS SELECT k, v FROM src_m
+    """)
+    assert _count(env, "mtsw") == 2
+    env.execute_sql("ALTER MATERIALIZED TABLE mtsw SET REFRESH_MODE = CONTINUOUS")
+    assert env._materialized["mtsw"]["mode"] == "CONTINUOUS"
+    # stream re-ingests the file exactly once — still 2 rows, never 4
+    assert _poll(lambda: _count(env, "mtsw"), 2) == 2
+    import time as _t
+
+    _t.sleep(2.5)
+    assert _count(env, "mtsw") == 2
+    env.execute_sql("DROP MATERIALIZED TABLE mtsw")
+
+
+def test_mt_failed_continuous_create_leaves_no_state(env, tmp_path):
+    """Review fix: CONTINUOUS over bounded sources is rejected BEFORE
+    any state mutation, so the retry with FULL succeeds."""
+    src = tmp_path / "srcf"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n")
+    env.execute_sql(f"""
+        CREATE TABLE src_f (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{src}', 'format' = 'csv')
+    """)
+    with pytest.raises(ValueError, match="FULL"):
+        env.execute_sql(f"""
+            CREATE MATERIALIZED TABLE mtr
+            WITH ('path' = '{tmp_path}/mtr')
+            FRESHNESS = INTERVAL '5' SECOND
+            REFRESH_MODE = CONTINUOUS
+            AS SELECT * FROM src_f
+        """)
+    assert "mtr" not in env._materialized and "mtr" not in env.tables
+    env.execute_sql(f"""
+        CREATE MATERIALIZED TABLE mtr
+        WITH ('path' = '{tmp_path}/mtr')
+        FRESHNESS = INTERVAL '5' SECOND
+        REFRESH_MODE = FULL
+        AS SELECT * FROM src_f
+    """)
+    assert _count(env, "mtr") == 1
+    env.execute_sql("DROP MATERIALIZED TABLE mtr")

@@ -2639,3 +2639,48 @@ def test_parser_tail_surfaces(spark):
         env.execute_sql("EXECUTE PLAN '/tmp/p.json'")
     with pytest.raises(ValueError, match="non-goal"):
         env.execute_sql("CREATE MODEL m INPUT (x DOUBLE) OUTPUT (y DOUBLE) WITH ('provider'='x')")
+
+
+def test_ctas_regex_never_eats_table_names_ending_in_as(spark, tmp_path):
+    """Review fix: a plain CREATE TABLE whose name ends in 'as' (atlas)
+    must not backtrack its tail into the AS keyword and route to CTAS."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "atlas.csv"
+    src.write_text("a,b\n1,2\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE atlas (a BIGINT, b BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    assert env.tables["atlas"].columns == [("a", "bigint"), ("b", "bigint")]
+    assert env.execute_sql("SELECT a + b AS s FROM atlas").collect()[0]["s"] == 3
+
+
+def test_rename_column_swap_and_computed_guard(spark, tmp_path):
+    """Review fixes: (a) renaming a column referenced by a computed
+    column is rejected BEFORE any meta mutation; (b) a cyclic rename
+    (column swap) resolves as one simultaneous projection."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "swap.csv"
+    src.write_text("a,b\n1,10\n2,20\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE t_swap (
+            a BIGINT, b BIGINT, c AS a + 1
+        ) WITH ('connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    with pytest.raises(ValueError, match="computed"):
+        env.execute_sql("ALTER TABLE t_swap RENAME a TO x")
+    # meta untouched by the rejected rename — the table still reads
+    assert [c for c, _ in env.tables["t_swap"].columns] == ["a", "b"]
+    assert env.execute_sql("SELECT c FROM t_swap WHERE a = 1").collect()[0]["c"] == 2
+    env.execute_sql("ALTER TABLE t_swap DROP c")
+    # full swap: a->tmp, b->a, tmp->b
+    env.execute_sql("ALTER TABLE t_swap RENAME a TO tmp")
+    env.execute_sql("ALTER TABLE t_swap RENAME b TO a")
+    env.execute_sql("ALTER TABLE t_swap RENAME tmp TO b")
+    got = {tuple(r) for r in env.execute_sql("SELECT a, b FROM t_swap").collect()}
+    # a now carries the old b values and vice versa
+    assert got == {(10, 1), (20, 2)}
