@@ -530,14 +530,15 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH m AS (
           SELECT p.p_brand AS brand, month(l.l_shipdate) AS mon,
-                 sum(l.l_extendedprice) AS rev
+                 sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT)) AS rev_c
           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
           GROUP BY p.p_brand, month(l.l_shipdate))
-        SELECT brand, mon, round(rev, 2) AS rev,
-               round(avg_rev, 2) AS avg_rev
-        FROM (SELECT m.*, avg(rev) OVER (PARTITION BY brand) AS avg_rev
+        SELECT brand, mon, round(rev_c / 1e2, 2) AS rev,
+               round(avg_c / 1e2, 2) AS avg_rev
+        FROM (SELECT m.*, sum(rev_c) OVER (PARTITION BY brand) * 1e0
+                          / count(*) OVER (PARTITION BY brand) AS avg_c
               FROM m) x
-        WHERE abs(rev - avg_rev) > 0.05 * avg_rev
+        WHERE abs(rev_c - avg_c) > 0.05 * avg_c
         """,
     ),
     (
