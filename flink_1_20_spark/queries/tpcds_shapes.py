@@ -130,19 +130,22 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH m AS (
           SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
-                 month(o_orderdate) AS mon, sum(o_totalprice) AS s
+                 month(o_orderdate) AS mon,
+                 sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS s_c
           FROM orders GROUP BY o_orderpriority, year(o_orderdate), month(o_orderdate)),
         w AS (
-          SELECT pri, yr, mon, s,
-                 avg(s) OVER (PARTITION BY pri, yr) AS yr_avg,
-                 lag(s) OVER (PARTITION BY pri ORDER BY yr, mon) AS prev_s,
-                 lead(s) OVER (PARTITION BY pri ORDER BY yr, mon) AS next_s
+          SELECT pri, yr, mon, s_c,
+                 sum(s_c) OVER (PARTITION BY pri, yr) * 1e0
+                   / count(*) OVER (PARTITION BY pri, yr) AS yr_avg_c,
+                 lag(s_c) OVER (PARTITION BY pri ORDER BY yr, mon) AS prev_c,
+                 lead(s_c) OVER (PARTITION BY pri ORDER BY yr, mon) AS next_c
           FROM m)
-        SELECT pri, yr, mon, round(s, 2) AS s, round(yr_avg, 2) AS yr_avg,
-               round(prev_s, 2) AS prev_s, round(next_s, 2) AS next_s,
-               round(s - yr_avg, 2) AS dev
+        SELECT pri, yr, mon, round(s_c / 1e2, 2) AS s,
+               round(yr_avg_c / 1e2, 2) AS yr_avg,
+               round(prev_c / 1e2, 2) AS prev_s, round(next_c / 1e2, 2) AS next_s,
+               round((s_c - yr_avg_c) / 1e2, 2) AS dev
         FROM w
-        WHERE abs(s - yr_avg) / yr_avg > 0.1
+        WHERE abs(s_c - yr_avg_c) / yr_avg_c > 0.1
         """,
     ),
     (
