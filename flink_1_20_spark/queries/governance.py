@@ -322,3 +322,92 @@ def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+# Decontamination REMOVAL — the probe (text_contamination_ngram) tells
+# you who is contaminated; production pipelines then DROP those docs.
+# Threshold: >= 4 distinct benchmark 3-grams (single-gram collisions are
+# common English; multi-gram overlap is the Gopher/GPT-3 removal rule).
+_DECON_ORACLE = """
+WITH bench AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           AS gram
+  FROM documents WHERE doc_id % 97 = 0),
+doc_grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           AS gram
+  FROM documents WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT d.doc_id, count(DISTINCT d.gram) AS n_hit
+  FROM doc_grams d JOIN bench b ON d.gram = b.gram
+  GROUP BY d.doc_id),
+corpus AS (
+  SELECT d.doc_id, d.source,
+         len(list_filter(string_split_regex(
+               regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'),
+               '\\s+'), x -> x <> '')) AS n_tokens,
+         coalesce(h.n_hit, 0) >= 4 AS contaminated
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE d.doc_id % 97 <> 0)
+SELECT source,
+       CAST(count(*) FILTER (WHERE NOT contaminated) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE contaminated) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN contaminated THEN 0 ELSE n_tokens END)
+            AS BIGINT) AS kept_tokens
+FROM corpus GROUP BY source
+"""
+
+
+@register("pipeline_decontaminated_corpus", oracle=_DECON_ORACLE)
+def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination REMOVAL: drop every corpus document
+    sharing >= 4 distinct 3-gram shingles with the benchmark partition
+    (the Gopher/GPT-3 n-gram overlap rule — one shared gram is common
+    English, multi-gram overlap is leakage), then report per-source
+    kept/dropped counts and the surviving token budget.
+
+    Plan: the same broadcast benchmark-gram probe as the detector
+    (DISTINCT-collapsed, map-side), ONE per-doc hit aggregate, a left
+    anti-style gate folded into the final per-source aggregate — at
+    100 TB this adds one broadcast probe pass over the corpus scan and
+    one small shuffle on source."""
+    from flink_1_20_spark.operators.textdedup import normalized_words
+
+    d = T(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit"))
+    )
+    gated = (
+        corpus.select(
+            "doc_id",
+            "source",
+            F.size(normalized_words(F.col("text"))).alias("n_tokens"),
+        )
+        .join(hits, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce(F.col("n_hit"), F.lit(0)) >= 4)
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.when(~F.col("contaminated"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_dropped"),
+        F.sum(F.when(F.col("contaminated"), 0).otherwise(F.col("n_tokens")))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
