@@ -696,17 +696,37 @@ class TableEnvironment:
         if m:
             self.functions.pop(m.group(1).strip("`"), None)
             return None
-        if re.match(r"SHOW\s+TABLES$", u):
-            names = sorted(
-                n
-                for n in set(self.tables)
-                | {t.name for t in self.spark.catalog.listTables()}
-                if not n.startswith("__")  # internal helper views
-            )
+        # SHOW TABLES/VIEWS/FUNCTIONS [(FROM|IN) [catalog.]db]
+        # [[NOT] LIKE '<sql pattern>'] (SqlShowTables.java:52 — Flink
+        # 1.20 added the scoping/filter clauses to all three listings)
+        m = re.match(
+            r"SHOW\s+TABLES"
+            r"(?:\s+(?:FROM|IN)\s+(\S+))?"
+            r"(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?$",
+            s,
+            re.I,
+        )
+        if m:
+            if m.group(1):
+                scope = m.group(1).strip("`")
+                cat, _, db = scope.rpartition(".")
+                dbs = self._catalogs[cat]["dbs"] if cat else self._dbs
+                if db not in dbs:
+                    raise ValueError(f"database does not exist: {scope}")
+                names = set(dbs[db])
+            else:
+                names = set(self.tables) | {
+                    t.name for t in self.spark.catalog.listTables()
+                }
+            names = sorted(n for n in names if not n.startswith("__"))
+            names = self._like_filter(names, m.group(3), bool(m.group(2)))
             return self.spark.createDataFrame(
                 [(n,) for n in names], "table_name string"
             )
-        if re.match(r"SHOW\s+VIEWS$", u):
+        m = re.match(
+            r"SHOW\s+VIEWS(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?$", s, re.I
+        )
+        if m:
             names = sorted(
                 t.name
                 for t in self.spark.catalog.listTables()
@@ -714,13 +734,61 @@ class TableEnvironment:
                 and t.name not in self.tables
                 and not t.name.startswith("__")  # internal helper views
             )
+            names = self._like_filter(names, m.group(2), bool(m.group(1)))
             return self.spark.createDataFrame(
                 [(n,) for n in names], "view_name string"
             )
-        if re.match(r"SHOW\s+(?:USER\s+)?FUNCTIONS$", u):
-            return self.spark.createDataFrame(
-                [(n,) for n in sorted(self.functions)], "function_name string"
+        m = re.match(
+            r"SHOW\s+(?:USER\s+)?FUNCTIONS(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?$",
+            s,
+            re.I,
+        )
+        if m:
+            names = self._like_filter(
+                sorted(self.functions), m.group(2), bool(m.group(1))
             )
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "function_name string"
+            )
+        # ALTER VIEW v RENAME TO v2 / ALTER VIEW v AS <query>
+        # (SqlAlterViewRenameConverter.java, SqlAlterViewAsConverter.java)
+        m = re.match(
+            r"ALTER\s+VIEW\s+(\S+)\s+(?:RENAME\s+TO\s+(\S+)|AS\s+(.*))$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            vname = m.group(1).strip("`")
+            if vname not in self._view_sql:
+                raise ValueError(f"view not found: {vname}")
+            if m.group(2):
+                new = m.group(2).strip("`")
+                body = self._view_sql.pop(vname)
+                self.spark.catalog.dropTempView(vname)
+                self.execute_sql(body).createOrReplaceTempView(new)
+                self._view_sql[new] = body
+            else:
+                body = m.group(3).strip()
+                self.execute_sql(body).createOrReplaceTempView(vname)
+                self._view_sql[vname] = body
+            return None
+        # ALTER FUNCTION f AS 'new.target' (SqlAlterFunction.java)
+        m = re.match(
+            r"ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?:IF\s+EXISTS\s+)?(\S+)\s+AS\s+'([^']+)'"
+            r"(?:\s+LANGUAGE\s+\w+)?$",
+            s,
+            re.I,
+        )
+        if m:
+            fname = m.group(1).strip("`")
+            if fname not in self.functions and "IF EXISTS" not in u:
+                raise ValueError(f"function not found: {fname}")
+            if fname in self.functions:
+                # spark.udf.register overwrites in place — re-resolving
+                # the new target IS the replace
+                self._create_function(fname, m.group(2), "PYTHON")
+            return None
         m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\S+)$", s, re.I)
         if m and not re.match(r"(?:DESCRIBE|DESC)\s+(?:SELECT|WITH|VALUES)\b", s, re.I):
             return self._describe(m.group(1).strip("`"))
@@ -1027,6 +1095,16 @@ class TableEnvironment:
         return None
 
     # -- CREATE FUNCTION / SHOW / DESCRIBE -------------------------------
+    @staticmethod
+    def _like_filter(names: list[str], pattern: str | None, negate: bool) -> list[str]:
+        """SQL LIKE over a name listing (% = any run, _ = one char)."""
+        if pattern is None:
+            return list(names)
+        rx = re.compile(
+            "^" + re.escape(pattern).replace("%", ".*").replace("_", ".") + "$"
+        )
+        return [n for n in names if bool(rx.match(n)) != negate]
+
     def _create_function(self, name: str, path: str, language: str):
         """Resolve `module.attr` and register it under `name`.
 

@@ -2684,3 +2684,59 @@ def test_rename_column_swap_and_computed_guard(spark, tmp_path):
     got = {tuple(r) for r in env.execute_sql("SELECT a, b FROM t_swap").collect()}
     # a now carries the old b values and vice versa
     assert got == {(10, 1), (20, 2)}
+
+
+def test_show_listings_scoped_and_filtered(spark, tmp_path):
+    """SHOW TABLES (FROM|IN) db [[NOT] LIKE], SHOW VIEWS/FUNCTIONS LIKE
+    (SqlShowTables.java:52 family), ALTER VIEW RENAME TO / AS, and
+    ALTER FUNCTION re-resolution."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "sl.csv"
+    src.write_text("k\n1\n")
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE db_sl")
+    env.execute_sql(f"""
+        CREATE TABLE sl_alpha (k BIGINT) WITH (
+            'connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    env.execute_sql("USE db_sl")
+    env.execute_sql(f"""
+        CREATE TABLE sl_beta (k BIGINT) WITH (
+            'connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    env.execute_sql("USE default_database")
+    got = [r["table_name"] for r in env.execute_sql("SHOW TABLES FROM db_sl").collect()]
+    assert got == ["sl_beta"]
+    got = [r["table_name"] for r in
+           env.execute_sql("SHOW TABLES LIKE 'sl%'").collect()]
+    assert "sl_alpha" in got and "sl_beta" not in got
+    got = [r["table_name"] for r in
+           env.execute_sql("SHOW TABLES NOT LIKE 'sl%'").collect()]
+    assert "sl_alpha" not in got
+    # views
+    env.execute_sql("CREATE VIEW sl_view AS SELECT k FROM sl_alpha")
+    got = [r["view_name"] for r in
+           env.execute_sql("SHOW VIEWS LIKE 'sl_vie_'").collect()]
+    assert got == ["sl_view"]
+    # ALTER VIEW RENAME TO keeps the definition; AS swaps it
+    env.execute_sql("ALTER VIEW sl_view RENAME TO sl_view2")
+    assert env.execute_sql("SELECT * FROM sl_view2").collect()[0]["k"] == 1
+    env.execute_sql("ALTER VIEW sl_view2 AS SELECT k + 10 AS k FROM sl_alpha")
+    assert env.execute_sql("SELECT * FROM sl_view2").collect()[0]["k"] == 11
+    with pytest.raises(ValueError, match="view not found"):
+        env.execute_sql("ALTER VIEW nope RENAME TO other")
+    # functions: LIKE filter + ALTER re-resolution to a new target
+    env.execute_sql(
+        "CREATE FUNCTION sl_fn AS 'flink_1_20_spark.functions.udfs.clip_value'"
+    )
+    got = [r["function_name"] for r in
+           env.execute_sql("SHOW FUNCTIONS LIKE 'sl_f%'").collect()]
+    assert got == ["sl_fn"]
+    env.execute_sql(
+        "ALTER FUNCTION sl_fn AS 'flink_1_20_spark.functions.udfs.TaggedLength'"
+    )
+    assert env.functions["sl_fn"] == "flink_1_20_spark.functions.udfs.TaggedLength"
+    with pytest.raises(ValueError, match="function not found"):
+        env.execute_sql("ALTER FUNCTION sl_missing AS 'os.path.join'")
+    env.execute_sql("DROP TABLE sl_alpha")
