@@ -873,6 +873,9 @@ class TableEnvironment:
         dedup = self._try_streaming_dedup(s)
         if dedup is not None:
             return dedup
+        over = self._try_streaming_over(s)
+        if over is not None:
+            return over
         s = rewrite_streaming_session_tvf(s, self._is_streaming_table)
         s = rewrite_unnest(rewrite_legacy_group_windows(rewrite_window_tvfs(s)))
         s = rewrite_flink_builtins(s)
@@ -2038,6 +2041,126 @@ class TableEnvironment:
         shutil.rmtree(entry["root"] + "_checkpoint", ignore_errors=True)
         return None
 
+    # -- streaming OVER aggregation (StreamExecOverAggregate.java:74) ----
+    _OVER_ITEM = re.compile(
+        r"(SUM|COUNT|AVG)\s*\(\s*(\*|`?\w+`?)\s*\)\s*OVER\s+"
+        r"(\w+|\([^)]*\))\s+AS\s+`?(\w+)`?$",
+        re.S | re.I,
+    )
+    _OVER_STMT = re.compile(
+        r"SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s*"
+        r"(?:WINDOW\s+(\w+)\s+AS\s*\(([^)]*)\))?\s*$",
+        re.S | re.I,
+    )
+    _OVER_SPEC = re.compile(
+        r"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+`?(\w+)`?\s+"
+        r"(ROWS|RANGE)\s+BETWEEN\s+(.*?)\s+PRECEDING\s+AND\s+CURRENT\s+ROW$",
+        re.S | re.I,
+    )
+
+    def _try_streaming_over(self, stmt: str) -> DataFrame | None:
+        """Streaming over-aggregation — `SUM/COUNT/AVG(v) OVER
+        (PARTITION BY k ORDER BY rowtime ROWS n PRECEDING | RANGE
+        INTERVAL PRECEDING)` on a streaming table (Spark rejects window
+        functions on streams): lowered onto the keyed-state facades
+        streaming_over_rows / streaming_over_range
+        (RowTimeRowsBoundedPrecedingFunction.java:57 /
+        RowTimeRangeBoundedPrecedingFunction.java:64 — one emission per
+        input row, update mode). Recognized strictly: one streaming
+        table, one shared window spec (inline or a WINDOW clause) over
+        the declared rowtime, all aggregates over one value column
+        (COUNT(*) allowed), select items limited to keys/rowtime/value
+        plus the aggregates. Anything else returns None → Catalyst's
+        own error."""
+        m = self._OVER_STMT.match(stmt.strip())
+        if not m or "OVER" not in stmt.upper():
+            return None
+        tbl = m.group(2)
+        if not self._is_streaming_table(tbl):
+            return None
+        named = {m.group(3): m.group(4).strip()} if m.group(3) else {}
+        plain: list[tuple[str, str]] = []  # (source col, alias)
+        aggs: list[tuple[str, str, str]] = []  # (fn, col, alias)
+        spec_texts: set[str] = set()
+        for item in _split_top_all(m.group(1), ","):
+            item = item.strip()
+            om = self._OVER_ITEM.match(item)
+            if om:
+                spec = om.group(3)
+                if spec.startswith("("):
+                    spec_texts.add(spec[1:-1].strip())
+                elif spec in named:
+                    spec_texts.add(named[spec])
+                else:
+                    return None
+                aggs.append(
+                    (om.group(1).upper(), om.group(2).strip("`"), om.group(4))
+                )
+                continue
+            cm = re.match(r"`?(\w+)`?(?:\s+AS\s+`?(\w+)`?)?$", item, re.I)
+            if not cm:
+                return None
+            plain.append((cm.group(1), cm.group(2) or cm.group(1)))
+        if not aggs or len(spec_texts) != 1:
+            return None
+        sm = self._OVER_SPEC.match(spec_texts.pop())
+        if not sm:
+            return None
+        keys = [k.strip().strip("`") for k in sm.group(1).split(",")]
+        ts = sm.group(2)
+        meta = self._resolve_meta(tbl)
+        if not (meta and meta.watermark and meta.watermark[0] == ts):
+            return None  # rowtime ordering only (proc-time → Catalyst)
+        vcols = {c for f, c, _ in aggs if not (f == "COUNT" and c == "*")}
+        if len(vcols) > 1:
+            return None
+        v = vcols.pop() if vcols else None
+        for name, _alias in plain:
+            if name not in keys and name != ts and name != v:
+                return None  # facade carries keys/rowtime/value only
+        if v is None:
+            return None  # COUNT-only shape still needs the value column
+        from flink_1_20_spark.streaming.process import (
+            streaming_over_range,
+            streaming_over_rows,
+        )
+
+        df = self.spark.table(tbl)
+        types = dict(df.dtypes)
+        out_schema = ", ".join(
+            [
+                *(f"{k} {types[k]}" for k in keys),
+                f"ts {types[ts]}",
+                "value double",
+                "win_sum double",
+                "win_cnt bigint",
+                "win_avg double",
+            ]
+        )
+        bound = sm.group(4).strip()
+        if sm.group(3).upper() == "ROWS":
+            if not re.fullmatch(r"\d+", bound):
+                return None
+            out = streaming_over_rows(df, keys, ts, v, int(bound), out_schema)
+        else:
+            from flink_1_20_spark.sql_flink import _parse_interval
+
+            try:
+                secs = _parse_interval(bound)[2]
+            except Exception:
+                return None
+            out = streaming_over_range(df, keys, ts, v, int(secs), out_schema)
+        from pyspark.sql import functions as F
+
+        facade = {"SUM": "win_sum", "COUNT": "win_cnt", "AVG": "win_avg"}
+        sel = []
+        for name, alias in plain:
+            src = "ts" if name == ts else ("value" if name == v else name)
+            sel.append(F.col(src).alias(alias))
+        for fn_, _c, alias in aggs:
+            sel.append(F.col(facade[fn_]).alias(alias))
+        return out.select(*sel)
+
     _DEDUP_RANK = re.compile(
         r"^\s*SELECT\s+(?P<outer>.+?)\s+FROM\s*\(\s*"
         r"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*"
@@ -2650,6 +2773,7 @@ class TableEnvironment:
         from flink_1_20_spark.sql_flink import rewrite_streaming_session_tvf
 
         dedup = self._try_streaming_dedup(query)
+        over = self._try_streaming_over(query) if dedup is None else None
         query = rewrite_streaming_session_tvf(query, self._is_streaming_table)
         query = rewrite_unnest(
             rewrite_legacy_group_windows(rewrite_window_tvfs(query))
@@ -2657,6 +2781,8 @@ class TableEnvironment:
         query = rewrite_flink_builtins(query)
         if dedup is not None:
             df = dedup
+        elif over is not None:
+            df = over
         elif re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
             df = run_match_recognize(self.spark, query)
         else:

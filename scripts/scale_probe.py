@@ -67,6 +67,11 @@ HEAVY = [
     "embed_pq_encode",
     "simsearch_pq_adc_topk",
     "simsearch_recall_pq",
+    # r7 additions
+    "simsearch_ivfpq_adc_topk",
+    "simsearch_recall_ivfpq",
+    "dedup_cluster_best_representative",
+    "pipeline_decontaminated_corpus",
 ]
 
 

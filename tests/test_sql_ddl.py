@@ -2740,3 +2740,79 @@ def test_show_listings_scoped_and_filtered(spark, tmp_path):
     with pytest.raises(ValueError, match="function not found"):
         env.execute_sql("ALTER FUNCTION sl_missing AS 'os.path.join'")
     env.execute_sql("DROP TABLE sl_alpha")
+
+
+def test_streaming_over_aggregate_through_executesql(spark, tmp_path):
+    """Streaming OVER aggregation (StreamExecOverAggregate.java:74)
+    through executeSql: ROWS n PRECEDING and event-time RANGE INTERVAL
+    PRECEDING lower onto the keyed-state facades — one emission per
+    input row, windows spanning micro-batches."""
+    import json as _json
+
+    src = tmp_path / "ovr_src"
+    src.mkdir()
+    rows0 = [
+        {"uid": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"uid": 1, "ts": "2024-01-01T10:00:10", "v": 2.0},
+        {"uid": 1, "ts": "2024-01-01T10:00:20", "v": 4.0},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows0) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ovr_src (
+            uid BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT uid, ts, v,
+               SUM(v) OVER w AS s2,
+               COUNT(*) OVER w AS c2,
+               AVG(v) OVER w AS a2
+        FROM ovr_src
+        WINDOW w AS (PARTITION BY uid ORDER BY ts
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "ovr_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        got = {
+            str(r["ts"]): (r["s2"], r["c2"], r["a2"])
+            for r in spark.table("ovr_out").collect()
+        }
+        assert got["2024-01-01 10:00:00"] == (1.0, 1, 1.0)
+        assert got["2024-01-01 10:00:10"] == (3.0, 2, 1.5)
+        assert got["2024-01-01 10:00:20"] == (6.0, 2, 3.0)
+        # a later-batch row continues the SAME rolling window (state)
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"uid": 1, "ts": "2024-01-01T10:00:30", "v": 10.0}) + "\n"
+        )
+        q.processAllAvailable()
+        got = {
+            str(r["ts"]): (r["s2"], r["c2"])
+            for r in spark.table("ovr_out").collect()
+        }
+        assert got["2024-01-01 10:00:30"] == (14.0, 2)
+    finally:
+        q.stop()
+    # RANGE interval variant with an inline spec
+    out = env.execute_sql("""
+        SELECT uid, ts, SUM(v) OVER (PARTITION BY uid ORDER BY ts
+              RANGE BETWEEN INTERVAL '15' SECOND PRECEDING AND CURRENT ROW)
+              AS s15
+        FROM ovr_src
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "ovr_rng_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        got = {str(r["ts"]): r["s15"] for r in spark.table("ovr_rng_out").collect()}
+        assert got["2024-01-01 10:00:10"] == 3.0   # 10:00:00 inside 15s
+        assert got["2024-01-01 10:00:20"] == 6.0   # 00 and 10 inside
+        assert got["2024-01-01 10:00:30"] == 14.0  # only 20 inside
+    finally:
+        q.stop()
