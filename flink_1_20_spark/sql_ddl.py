@@ -1047,6 +1047,92 @@ class TableEnvironment:
         for dk, fk in zip(dim_keys, fact_keys):
             if dk != fk:
                 dim_df = dim_df.withColumnRenamed(dk, fk)
+        if fact_df.isStreaming:
+            # STREAMING temporal join (StreamExecTemporalJoin.java:70):
+            # both sides keyed into one state scope, events matched to
+            # the latest dim version at-or-before their rowtime
+            # (streaming/temporal_stream.temporal_join_stream).
+            if not dim_df.isStreaming:
+                raise ValueError(
+                    "streaming FOR SYSTEM_TIME AS OF needs a STREAMING "
+                    "versioned table (its updates are the version "
+                    "stream); for a static dimension use the lookup "
+                    "join (operators/lookup.py) instead"
+                )
+            if left_kw is None:
+                raise ValueError(
+                    "streaming FOR SYSTEM_TIME AS OF supports LEFT JOIN "
+                    "here (events with no version yet emit NULL dim "
+                    "columns; INNER would have to retract them when a "
+                    "late version arrives)"
+                )
+            if len(fact_keys) != 1:
+                raise ValueError(
+                    "streaming temporal join supports a single equi key"
+                )
+            from flink_1_20_spark.streaming.temporal_stream import (
+                temporal_join_stream,
+            )
+
+            # the registered views carry their DECLARED watermarks; the
+            # operator defines ITS OWN on the tagged union's time column
+            # and Spark forbids redefinition — rebuild both sides as
+            # unwatermarked streams from their table metadata
+            fmeta2 = self._resolve_meta(fact.strip("`"))
+            dmeta2 = self._resolve_meta(dim)
+            if fmeta2 is not None:
+                fact_df = self._unwatermarked_stream(fmeta2)
+            if dmeta2 is not None:
+                dim_df = self._unwatermarked_stream(dmeta2)
+                for dk, fk in zip(dim_keys, fact_keys):
+                    if dk != fk:
+                        dim_df = dim_df.withColumnRenamed(dk, fk)
+
+            key = fact_keys[0]
+            f_types = dict(fact_df.dtypes)
+            d_types = dict(dim_df.dtypes)
+            ev_payload = [
+                c for c in fact_df.columns if c not in (key, ts_col)
+            ]
+            dim_payload = [
+                c for c in dim_df.columns if c not in (key, dim_ts)
+            ]
+            out_schema = ", ".join(
+                [
+                    f"{key} {f_types[key]}",
+                    "ts timestamp",
+                    *(f"{c} {f_types[c]}" for c in ev_payload),
+                    *(f"{c} {d_types[c]}" for c in dim_payload),
+                ]
+            )
+            # the fact's declared watermark delay bounds how long events
+            # wait for late dim versions
+            fmeta = self._resolve_meta(fact.strip("`"))
+            delay = None
+            if fmeta is not None and fmeta.watermark is not None:
+                dm = re.search(
+                    r"INTERVAL\s+'([^']+)'\s+(\w+)", fmeta.watermark[1], re.I
+                )
+                if dm:
+                    delay = f"{dm.group(1)} {dm.group(2).lower()}"
+            joined = temporal_join_stream(
+                fact_df,
+                dim_df,
+                key=key,
+                event_ts=ts_col,
+                dim_ts=dim_ts,
+                event_payload=ev_payload,
+                dim_payload=dim_payload,
+                output_schema=out_schema,
+                watermark_delay=delay,
+            )
+            if ts_col != "ts":
+                joined = joined.withColumnRenamed("ts", ts_col)
+            view = "__temporal_join_stream_out"
+            joined.createOrReplaceTempView(view)
+            body = re.sub(rf"\b(?:{fa}|{da})\.", "", sel)
+            tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
+            return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
         dim_df = dim_df.withColumn("__version_ts", F.col(dim_ts))
         payload = [
             c
@@ -1071,6 +1157,47 @@ class TableEnvironment:
         tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
+
+    def _unwatermarked_stream(self, meta: TableMeta) -> DataFrame:
+        """The streaming source exactly as _register builds it, MINUS the
+        declared watermark — for operators that define their own (Spark
+        forbids watermark redefinition downstream)."""
+        schema = ", ".join(
+            f"{meta.renames.get(c, c)} {t}" for c, t in meta.columns
+        )
+        if (
+            meta.connector == "filesystem"
+            and meta.options.get("format") in self._CDC_FORMATS
+        ):
+            import flink_1_20_spark.sources.cdc as cdc
+
+            raw = self.spark.readStream.text(meta.options["path"])
+            fn = getattr(cdc, self._CDC_FORMATS[meta.options["format"]])
+            df = fn(raw, "value", schema)
+        elif (
+            meta.connector == "filesystem"
+            and meta.options.get("scan.streaming") == "true"
+        ):
+            from flink_1_20_spark.streaming.sources import file_source
+
+            df = file_source(
+                self.spark,
+                meta.options["path"],
+                schema,
+                fmt=meta.options.get("format", "parquet"),
+            )
+        else:
+            raise ValueError(
+                f"table {meta.name!r} is not a streaming source"
+            )
+        if meta.renames:
+            from pyspark.sql import functions as F
+
+            rev = {orig: cur for cur, orig in meta.renames.items()}
+            df = df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
+        for cname, expr in meta.computed:
+            df = df.selectExpr("*", f"({expr}) AS {cname}")
+        return df
 
     def _resolve_meta(self, name: str):
         """Look up TableMeta by bare name (current database) or by the

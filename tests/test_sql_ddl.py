@@ -2816,3 +2816,100 @@ def test_streaming_over_aggregate_through_executesql(spark, tmp_path):
         assert got["2024-01-01 10:00:30"] == 14.0  # only 20 inside
     finally:
         q.stop()
+
+
+def test_streaming_temporal_join_through_executesql(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF over STREAMING tables through executeSql
+    (StreamExecTemporalJoin.java:70): events match the latest dim
+    version at-or-before their rowtime, versions arriving in later
+    micro-batches apply to later events only."""
+    import json as _json
+
+    ev = tmp_path / "tj_ev"
+    dm = tmp_path / "tj_dim"
+    ev.mkdir()
+    dm.mkdir()
+    (dm / "d0.jsonl").write_text(
+        _json.dumps({"cur": "EUR", "rate": 1.0, "upd": "2024-01-01T00:00:00"}) + "\n"
+    )
+    (ev / "e0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"oid": 1, "cur": "EUR", "amt": 10.0, "ts": "2024-01-01T10:00:00"},
+                {"oid": 2, "cur": "EUR", "amt": 20.0, "ts": "2024-01-01T12:00:00"},
+            ]
+        )
+        + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE tj_ev (
+            oid BIGINT, cur STRING, amt DOUBLE, ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{ev}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE tj_dim (
+            cur STRING, rate DOUBLE, upd TIMESTAMP(3),
+            WATERMARK FOR upd AS upd - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{dm}',
+                'format'='json','scan.streaming'='true')
+    """)
+    from flink_1_20_spark.streaming import run_to_memory
+
+    out = env.execute_sql("""
+        SELECT e.oid, e.amt, d.rate
+        FROM tj_ev AS e
+        LEFT JOIN tj_dim FOR SYSTEM_TIME AS OF e.ts AS d
+        ON e.cur = d.cur
+    """)
+    assert out.isStreaming
+    q = run_to_memory(out, "tj_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # a NEW version lands in a later batch, valid from 11:00 — it
+        # must apply to the 12:00 event only on the NEXT event pass
+        (dm / "d1.jsonl").write_text(
+            _json.dumps(
+                {"cur": "EUR", "rate": 2.0, "upd": "2024-01-01T11:00:00"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        (ev / "e1.jsonl").write_text(
+            _json.dumps(
+                {"oid": 3, "cur": "EUR", "amt": 5.0, "ts": "2024-01-01T13:00:00"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        # the 13:00 event is watermark-held (delay = 1s) until a newer
+        # row advances the watermark past it — Flink's rowtime join
+        # holds events exactly the same way
+        (ev / "e2.jsonl").write_text(
+            _json.dumps(
+                {"oid": 4, "cur": "EUR", "amt": 1.0, "ts": "2024-01-01T14:00:00"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        (ev / "e3.jsonl").write_text(
+            _json.dumps(
+                {"oid": 5, "cur": "EUR", "amt": 1.0, "ts": "2024-01-01T15:00:00"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        got = {r["oid"]: r["rate"] for r in spark.table("tj_out").collect()}
+        assert got[1] == 1.0          # 10:00 event → version at 00:00
+        assert got[3] == 2.0          # 13:00 event → 11:00 version
+    finally:
+        q.stop()
+    # INNER temporal join on streams rejects with guidance
+    with pytest.raises(ValueError, match="LEFT"):
+        env.execute_sql("""
+            SELECT e.oid FROM tj_ev AS e
+            JOIN tj_dim FOR SYSTEM_TIME AS OF e.ts AS d ON e.cur = d.cur
+        """)
