@@ -272,9 +272,15 @@ class TableEnvironment:
         m = re.match(r"USE\s+CATALOG\s+(\S+)$", s, re.I)
         if m:
             return self._use_catalog(m.group(1).strip("`"))
-        if re.match(r"SHOW\s+CATALOGS$", u):
+        m = re.match(
+            r"SHOW\s+CATALOGS(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?$", s, re.I
+        )
+        if m:
+            names = self._like_filter(
+                sorted(self._catalogs), m.group(2), bool(m.group(1))
+            )
             return self.spark.createDataFrame(
-                [(c,) for c in sorted(self._catalogs)], "catalog_name string"
+                [(c,) for c in names], "catalog_name string"
             )
         if re.match(r"SHOW\s+CURRENT\s+CATALOG$", u):
             return self.spark.createDataFrame(
@@ -358,9 +364,15 @@ class TableEnvironment:
         m = re.match(r"USE\s+(\S+)$", s, re.I)
         if m and m.group(1).strip("`") in self._dbs:
             return self._use_database(m.group(1).strip("`"))
-        if re.match(r"SHOW\s+DATABASES$", u):
+        m = re.match(
+            r"SHOW\s+DATABASES(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?$", s, re.I
+        )
+        if m:
+            names = self._like_filter(
+                sorted(self._dbs), m.group(2), bool(m.group(1))
+            )
             return self.spark.createDataFrame(
-                [(d,) for d in sorted(self._dbs)], "database_name string"
+                [(d,) for d in names], "database_name string"
             )
         if re.match(r"SHOW\s+CURRENT\s+DATABASE$", u):
             return self.spark.createDataFrame(
@@ -825,6 +837,32 @@ class TableEnvironment:
         m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m and m.group(1).strip("`") in self.tables:
             return self._alter_table(m.group(1).strip("`"), m.group(2).strip())
+        # INSERT [INTO|OVERWRITE] t [PARTITION (k=v, ...)] [(col, ...)]
+        # <query> — static partition spec (SqlNodeToOperationConversion
+        # convertSqlInsert: staticPartitions) and partial-column inserts
+        # (Flink 1.14+ column lists; missing columns fill NULL)
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)"
+            r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+            r"\s*(?:\(([\w\s,`]+)\)\s*)?"
+            r"\s+(SELECT|WITH|VALUES|TABLE|FROM|\().*$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            body_start = m.start(5)
+            cols = (
+                [c.strip().strip("`") for c in m.group(4).split(",")]
+                if m.group(4)
+                else None
+            )
+            return self._insert_into(
+                m.group(2).strip("`"),
+                s[body_start:],
+                overwrite=m.group(1).upper() == "OVERWRITE",
+                static_partition=m.group(3),
+                columns=cols,
+            )
         m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
             return self._insert_into(
@@ -1157,6 +1195,55 @@ class TableEnvironment:
         tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
+
+    def _align_insert_columns(
+        self,
+        meta: TableMeta,
+        df: DataFrame,
+        static_partition: str | None,
+        columns: list[str] | None,
+    ) -> DataFrame:
+        """INSERT ... PARTITION (k=v) [(col, ...)]: the query's output
+        binds POSITIONALLY to the declared column list (or to every
+        non-static column in declared order when no list is given);
+        static-partition keys become literals cast to their declared
+        type; unmentioned columns fill NULL (Flink's partial-insert
+        semantics)."""
+        from pyspark.sql import functions as F
+
+        declared = [c for c, _ in meta.columns]
+        types = dict(meta.columns)
+        spec = (
+            self._parse_partition_spec(static_partition)
+            if static_partition
+            else {}
+        )
+        unknown = set(spec) - set(declared)
+        if unknown:
+            raise ValueError(f"not columns of {meta.name}: {sorted(unknown)}")
+        targets = columns or [c for c in declared if c not in spec]
+        bad = [c for c in targets if c not in declared or c in spec]
+        if bad:
+            raise ValueError(
+                f"INSERT column list names unknown/static columns: {bad}"
+            )
+        if len(df.columns) != len(targets):
+            raise ValueError(
+                f"INSERT query produces {len(df.columns)} columns for "
+                f"{len(targets)} target columns"
+            )
+        bound = df.select(
+            *[F.col(src).alias(tgt) for src, tgt in zip(df.columns, targets)]
+        )
+        out = []
+        for c in declared:
+            if c in spec:
+                out.append(F.lit(spec[c]).cast(types[c]).alias(c))
+            elif c in targets:
+                out.append(F.col(c))
+            else:
+                out.append(F.lit(None).cast(types[c]).alias(c))
+        return bound.select(*out)
 
     def _unwatermarked_stream(self, meta: TableMeta) -> DataFrame:
         """The streaming source exactly as _register builds it, MINUS the
@@ -2875,7 +2962,14 @@ class TableEnvironment:
                 _db_view_name(self.current_db, name)
             )
 
-    def _insert_into(self, name: str, query: str, overwrite: bool = False):
+    def _insert_into(
+        self,
+        name: str,
+        query: str,
+        overwrite: bool = False,
+        static_partition: str | None = None,
+        columns: list[str] | None = None,
+    ):
         if name in self._materialized:
             # Flink: materialized tables are refresh-managed; direct DML
             # is rejected at validation
@@ -2914,6 +3008,8 @@ class TableEnvironment:
             df = run_match_recognize(self.spark, query)
         else:
             df = self._sql_streaming_lowered(query)
+        if (static_partition or columns) and meta.columns:
+            df = self._align_insert_columns(meta, df, static_partition, columns)
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose

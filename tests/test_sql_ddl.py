@@ -2913,3 +2913,49 @@ def test_streaming_temporal_join_through_executesql(spark, tmp_path):
             SELECT e.oid FROM tj_ev AS e
             JOIN tj_dim FOR SYSTEM_TIME AS OF e.ts AS d ON e.cur = d.cur
         """)
+
+
+def test_insert_partition_and_column_list(spark, tmp_path):
+    """INSERT INTO t PARTITION (k=v) and INSERT INTO t (cols) — static
+    partition literals and positional partial-column binding with NULL
+    fill (convertSqlInsert staticPartitions / Flink partial inserts)."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ipc (dt STRING, k BIGINT, v BIGINT, note STRING)
+        PARTITIONED BY (dt)
+        WITH ('connector'='filesystem','path'='{tmp_path}/ipc','format'='parquet')
+    """)
+    env.execute_sql(
+        "INSERT INTO ipc PARTITION (dt = '2024-01-01') "
+        "SELECT 1 AS k, 10 AS v, 'a' AS note"
+    )
+    env.execute_sql(
+        "INSERT INTO ipc PARTITION (dt = '2024-01-02') (k, v) "
+        "SELECT 2 AS k, 20 AS v"
+    )
+    env.execute_sql("INSERT INTO ipc (dt, k) SELECT '2024-01-03', 3")
+    got = sorted(
+        (r["dt"], r["k"], r["v"], r["note"])
+        for r in env.execute_sql("SELECT * FROM ipc").collect()
+    )
+    assert got == [
+        ("2024-01-01", 1, 10, "a"),
+        ("2024-01-02", 2, 20, None),
+        ("2024-01-03", 3, None, None),
+    ]
+    # partition pruning works on the static-partition layout
+    assert os.path.isdir(f"{tmp_path}/ipc/dt=2024-01-02")
+    with pytest.raises(ValueError, match="unknown"):
+        env.execute_sql("INSERT INTO ipc (ghost) SELECT 1")
+    with pytest.raises(ValueError, match="not columns"):
+        env.execute_sql("INSERT INTO ipc PARTITION (zz = '1') SELECT 1, 2, 'x'")
+    # listings LIKE filters (1.20 SqlShowCatalogs/SqlShowDatabases)
+    env.execute_sql("CREATE DATABASE extra_db1")
+    got = [r["database_name"] for r in
+           env.execute_sql("SHOW DATABASES LIKE 'extra%'").collect()]
+    assert got == ["extra_db1"]
+    got = [r["catalog_name"] for r in
+           env.execute_sql("SHOW CATALOGS NOT LIKE 'zzz%'").collect()]
+    assert "default_catalog" in got
