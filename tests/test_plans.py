@@ -286,3 +286,22 @@ def test_r6_training_ops_plans(spark, sf_dir, queries):
         final = plan.split("== Initial Plan ==")[0]
         assert "CartesianProduct" not in final, name
         assert "BroadcastNestedLoopJoin" not in final, name
+
+
+def test_r7_ops_plans(spark, sf_dir, queries):
+    """r7 additions: the decontamination REMOVAL keeps the benchmark
+    side broadcast (map-side probe, no shuffle of raw text), and the
+    IVFADC composition's only nested-loop joins are the broadcast
+    centroid crossings (16-row side, by contract) — candidates reach
+    the ADC scoring through equi joins on cell/(query, m, code)."""
+    plan = _final_plan(queries["pipeline_decontaminated_corpus"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final  # the gram probe broadcasts
+
+    plan = _final_plan(queries["simsearch_ivfpq_adc_topk"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # two broadcast centroid crossings (corpus assignment + query probes)
+    assert final.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in final  # LUT / cell equi joins
