@@ -870,11 +870,44 @@ class TableEnvironment:
                 m.group(3),
                 overwrite=m.group(1).upper() == "OVERWRITE",
             )
-        # EXPLAIN [PLAN FOR] <stmt> — Flink's EXPLAIN surface; the body
-        # gets the dialect rewrites, the EXPLAIN itself goes to Catalyst
-        m = re.match(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", s, re.S | re.I)
+        # EXPLAIN [PLAN FOR | <details>] <stmt> — Flink's EXPLAIN surface
+        # (SqlRichExplain + ExplainDetail): ESTIMATED_COST maps to
+        # Spark's cost mode, JSON_EXECUTION_PLAN to the formatted plan
+        # (the structured rendering Spark offers); CHANGELOG_MODE has no
+        # Spark analog (Catalyst plans carry no RowKind annotation) and
+        # says so. EXPLAIN over an INSERT explains the SOURCE pipeline —
+        # the sink side is a connector write with no Catalyst plan.
+        m = re.match(
+            r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?"
+            r"(?:(ESTIMATED_COST|JSON_EXECUTION_PLAN|CHANGELOG_MODE)\s+)?(.*)$",
+            s,
+            re.S | re.I,
+        )
         if m and not re.match(r"EXPLAIN\s+(FORMATTED|EXTENDED|CODEGEN|COST)\b", s, re.I):
+            detail = (m.group(1) or "").upper()
+            if detail == "CHANGELOG_MODE":
+                raise ValueError(
+                    "EXPLAIN CHANGELOG_MODE is Flink-planner-specific "
+                    "(+I/-U/+U/-D annotations on every ExecNode); Catalyst "
+                    "plans carry no RowKind — use plain EXPLAIN, and the "
+                    "streaming sink's output mode (append/update) for the "
+                    "changelog contract"
+                )
+            mode = {"ESTIMATED_COST": "COST ", "JSON_EXECUTION_PLAN": "FORMATTED "}.get(
+                detail, ""
+            )
+            body = m.group(2)
+            im = re.match(
+                r"INSERT\s+(?:INTO|OVERWRITE)\s+\S+"
+                r"(?:\s+PARTITION\s*\([^)]*\))?\s*(?:\([\w\s,`]+\)\s*)?"
+                r"\s+(.*)$",
+                body,
+                re.S | re.I,
+            )
+            if im:
+                body = im.group(1)  # explain the source pipeline
             from flink_1_20_spark.sql_flink import (
+                rewrite_flink_builtins,
                 rewrite_legacy_group_windows,
                 rewrite_unnest,
                 rewrite_window_tvfs,
@@ -882,8 +915,11 @@ class TableEnvironment:
 
             return self.spark.sql(
                 "EXPLAIN "
-                + rewrite_unnest(
-                    rewrite_legacy_group_windows(rewrite_window_tvfs(m.group(1)))
+                + mode
+                + rewrite_flink_builtins(
+                    rewrite_unnest(
+                        rewrite_legacy_group_windows(rewrite_window_tvfs(body))
+                    )
                 )
             )
         if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", s, re.I):

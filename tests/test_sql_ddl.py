@@ -2959,3 +2959,32 @@ def test_insert_partition_and_column_list(spark, tmp_path):
     got = [r["catalog_name"] for r in
            env.execute_sql("SHOW CATALOGS NOT LIKE 'zzz%'").collect()]
     assert "default_catalog" in got
+
+
+def test_explain_details_and_insert(spark, tmp_path):
+    """EXPLAIN ESTIMATED_COST / JSON_EXECUTION_PLAN map onto Spark's
+    cost/formatted modes; EXPLAIN over an INSERT explains the source
+    pipeline; CHANGELOG_MODE raises the documented message."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "ex.csv"
+    src.write_text("k,v\n1,2\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ex_t (k BIGINT, v BIGINT) WITH (
+            'connector'='filesystem','path'='{src}','format'='csv')
+    """)
+    plain = env.execute_sql("EXPLAIN SELECT k FROM ex_t").collect()[0][0]
+    assert "Physical Plan" in plain
+    cost = env.execute_sql("EXPLAIN ESTIMATED_COST SELECT k FROM ex_t").collect()[0][0]
+    assert "Statistics" in cost or "sizeInBytes" in cost
+    fmt = env.execute_sql(
+        "EXPLAIN JSON_EXECUTION_PLAN SELECT k FROM ex_t"
+    ).collect()[0][0]
+    assert "(1)" in fmt  # formatted plan numbers its nodes
+    ins = env.execute_sql(
+        "EXPLAIN INSERT INTO ex_t SELECT k, v FROM ex_t"
+    ).collect()[0][0]
+    assert "Physical Plan" in ins
+    with pytest.raises(ValueError, match="CHANGELOG_MODE"):
+        env.execute_sql("EXPLAIN CHANGELOG_MODE SELECT k FROM ex_t")
