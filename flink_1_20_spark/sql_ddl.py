@@ -722,6 +722,8 @@ class TableEnvironment:
             if m.group(1):
                 scope = m.group(1).strip("`")
                 cat, _, db = scope.rpartition(".")
+                if cat and cat not in self._catalogs:
+                    raise ValueError(f"catalog does not exist: {cat}")
                 dbs = self._catalogs[cat]["dbs"] if cat else self._dbs
                 if db not in dbs:
                     raise ValueError(f"database does not exist: {scope}")
@@ -775,10 +777,16 @@ class TableEnvironment:
                 raise ValueError(f"view not found: {vname}")
             if m.group(2):
                 new = m.group(2).strip("`")
-                body = self._view_sql.pop(vname)
-                self.spark.catalog.dropTempView(vname)
+                if new in self._view_sql or new in self.tables:
+                    raise ValueError(f"object already exists: {new}")
+                body = self._view_sql[vname]
+                # re-derive under the NEW name first — a failing body
+                # must leave the old view fully intact (and only then
+                # mutate the bookkeeping)
                 self.execute_sql(body).createOrReplaceTempView(new)
                 self._view_sql[new] = body
+                self._view_sql.pop(vname)
+                self.spark.catalog.dropTempView(vname)
             else:
                 body = m.group(3).strip()
                 self.execute_sql(body).createOrReplaceTempView(vname)
@@ -840,29 +848,11 @@ class TableEnvironment:
         # INSERT [INTO|OVERWRITE] t [PARTITION (k=v, ...)] [(col, ...)]
         # <query> — static partition spec (SqlNodeToOperationConversion
         # convertSqlInsert: staticPartitions) and partial-column inserts
-        # (Flink 1.14+ column lists; missing columns fill NULL)
-        m = re.match(
-            r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)"
-            r"(?:\s+PARTITION\s*\(([^)]*)\))?"
-            r"\s*(?:\(([\w\s,`]+)\)\s*)?"
-            r"\s+(SELECT|WITH|VALUES|TABLE|FROM|\().*$",
-            s,
-            re.S | re.I,
-        )
-        if m:
-            body_start = m.start(5)
-            cols = (
-                [c.strip().strip("`") for c in m.group(4).split(",")]
-                if m.group(4)
-                else None
-            )
-            return self._insert_into(
-                m.group(2).strip("`"),
-                s[body_start:],
-                overwrite=m.group(1).upper() == "OVERWRITE",
-                static_partition=m.group(3),
-                columns=cols,
-            )
+        # (Flink 1.14+ column lists; missing columns fill NULL). One
+        # parser shared with EXECUTE STATEMENT SET.
+        parsed = self._parse_insert(s)
+        if parsed is not None:
+            return self._insert_into(*parsed[:2], **parsed[2])
         m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m:
             return self._insert_into(
@@ -1171,6 +1161,17 @@ class TableEnvironment:
             dim_payload = [
                 c for c in dim_df.columns if c not in (key, dim_ts)
             ]
+            clash = (set(ev_payload) & set(dim_payload)) | (
+                {"ts"} & (set(ev_payload) | set(dim_payload))
+            )
+            if clash:
+                # the flattened join output has one namespace; a shared
+                # payload name would produce duplicate columns
+                raise ValueError(
+                    f"streaming temporal join: column name(s) {sorted(clash)} "
+                    "appear on both sides (or collide with the reserved "
+                    "'ts' output) — alias them apart in the table schemas"
+                )
             out_schema = ", ".join(
                 [
                     f"{key} {f_types[key]}",
@@ -1181,11 +1182,10 @@ class TableEnvironment:
             )
             # the fact's declared watermark delay bounds how long events
             # wait for late dim versions
-            fmeta = self._resolve_meta(fact.strip("`"))
             delay = None
-            if fmeta is not None and fmeta.watermark is not None:
+            if fmeta2 is not None and fmeta2.watermark is not None:
                 dm = re.search(
-                    r"INTERVAL\s+'([^']+)'\s+(\w+)", fmeta.watermark[1], re.I
+                    r"INTERVAL\s+'([^']+)'\s+(\w+)", fmeta2.watermark[1], re.I
                 )
                 if dm:
                     delay = f"{dm.group(1)} {dm.group(2).lower()}"
@@ -1231,6 +1231,36 @@ class TableEnvironment:
         tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
+
+    _INSERT_STMT = re.compile(
+        r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)"
+        r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+        r"\s*(?:\(([\w\s,`]+)\)\s*)?"
+        r"\s+((?:SELECT|WITH|VALUES|TABLE|FROM|\().*)$",
+        re.S | re.I,
+    )
+
+    def _parse_insert(self, stmt: str):
+        """Parse an INSERT statement into (name, query, kwargs) — shared
+        by the executeSql dispatch and EXECUTE STATEMENT SET so both
+        surfaces accept the same PARTITION / column-list syntax."""
+        m = self._INSERT_STMT.match(stmt.strip().rstrip(";"))
+        if m is None:
+            return None
+        cols = (
+            [c.strip().strip("`") for c in m.group(4).split(",")]
+            if m.group(4)
+            else None
+        )
+        return (
+            m.group(2).strip("`"),
+            m.group(5),
+            {
+                "overwrite": m.group(1).upper() == "OVERWRITE",
+                "static_partition": m.group(3),
+                "columns": cols,
+            },
+        )
 
     def _align_insert_columns(
         self,
@@ -1350,7 +1380,11 @@ class TableEnvironment:
     # -- CREATE FUNCTION / SHOW / DESCRIBE -------------------------------
     @staticmethod
     def _like_filter(names: list[str], pattern: str | None, negate: bool) -> list[str]:
-        """SQL LIKE over a name listing (% = any run, _ = one char)."""
+        """SQL LIKE over a name listing (% = any run, _ = one char).
+        Deliberately NOT shared with functions/compat.similar_to: LIKE
+        treats every other character literally (hence re.escape), while
+        SIMILAR TO passes the SQL-regex subset (classes, alternation,
+        quantifiers) through unescaped."""
         if pattern is None:
             return list(names)
         rx = re.compile(
@@ -2329,8 +2363,11 @@ class TableEnvironment:
         if not self._is_streaming_table(tbl):
             return None
         named = {m.group(3): m.group(4).strip()} if m.group(3) else {}
-        plain: list[tuple[str, str]] = []  # (source col, alias)
-        aggs: list[tuple[str, str, str]] = []  # (fn, col, alias)
+        # items in SELECT-LIST ORDER — the output projection must
+        # preserve it (positional consumers: INSERT sinks, SELECT *)
+        items: list[tuple[str, tuple]] = []  # ("plain", (col, alias)) |
+        # ("agg", (fn, col, alias))
+        aggs: list[tuple[str, str, str]] = []
         spec_texts: set[str] = set()
         for item in _split_top_all(m.group(1), ","):
             item = item.strip()
@@ -2343,16 +2380,20 @@ class TableEnvironment:
                     spec_texts.add(named[spec])
                 else:
                     return None
-                aggs.append(
-                    (om.group(1).upper(), om.group(2).strip("`"), om.group(4))
-                )
+                fn_, col = om.group(1).upper(), om.group(2).strip("`")
+                if fn_ == "COUNT" and col != "*":
+                    return None  # COUNT(col) ≠ COUNT(*) under NULLs
+                entry = (fn_, col, om.group(4))
+                aggs.append(entry)
+                items.append(("agg", entry))
                 continue
             cm = re.match(r"`?(\w+)`?(?:\s+AS\s+`?(\w+)`?)?$", item, re.I)
             if not cm:
                 return None
-            plain.append((cm.group(1), cm.group(2) or cm.group(1)))
+            items.append(("plain", (cm.group(1), cm.group(2) or cm.group(1))))
         if not aggs or len(spec_texts) != 1:
             return None
+        plain = [p for kind, p in items if kind == "plain"]
         sm = self._OVER_SPEC.match(spec_texts.pop())
         if not sm:
             return None
@@ -2377,6 +2418,12 @@ class TableEnvironment:
 
         df = self.spark.table(tbl)
         types = dict(df.dtypes)
+        if any(k not in types for k in keys) or ts not in types or v not in types:
+            return None  # expression keys etc. → Catalyst's own error
+        # facade contract: the value and its aggregates are DOUBLE
+        # (Flink types SUM(BIGINT) as BIGINT; the keyed-state facade
+        # computes in float — documented divergence), and the value
+        # column must be non-null numeric
         out_schema = ", ".join(
             [
                 *(f"{k} {types[k]}" for k in keys),
@@ -2404,11 +2451,14 @@ class TableEnvironment:
 
         facade = {"SUM": "win_sum", "COUNT": "win_cnt", "AVG": "win_avg"}
         sel = []
-        for name, alias in plain:
-            src = "ts" if name == ts else ("value" if name == v else name)
-            sel.append(F.col(src).alias(alias))
-        for fn_, _c, alias in aggs:
-            sel.append(F.col(facade[fn_]).alias(alias))
+        for kind, payload in items:  # SELECT-LIST order preserved
+            if kind == "plain":
+                name, alias = payload
+                src = "ts" if name == ts else ("value" if name == v else name)
+                sel.append(F.col(src).alias(alias))
+            else:
+                fn_, _c, alias = payload
+                sel.append(F.col(facade[fn_]).alias(alias))
         return out.select(*sel)
 
     _DEDUP_RANK = re.compile(
@@ -2956,15 +3006,20 @@ class TableEnvironment:
         expressed as `.persist()` for the set's duration."""
         inserts = []
         for stmt in statements:
-            m = re.match(
-                r"\s*INSERT\s+INTO\s+(\S+)\s+(.*?);?\s*$", stmt, re.S | re.I
-            )
-            if not m:
-                raise ValueError(f"statement set accepts only INSERT INTO: {stmt[:80]!r}")
-            inserts.append((m.group(1).strip("`"), m.group(2)))
+            parsed = self._parse_insert(stmt)
+            if parsed is None:
+                m = re.match(
+                    r"\s*INSERT\s+INTO\s+(\S+)\s+(.*?);?\s*$", stmt, re.S | re.I
+                )
+                if not m:
+                    raise ValueError(
+                        f"statement set accepts only INSERT INTO: {stmt[:80]!r}"
+                    )
+                parsed = (m.group(1).strip("`"), m.group(2), {})
+            inserts.append(parsed)
 
         refs: dict[str, int] = {}
-        for _, query in inserts:
+        for _, query, _kw in inserts:
             for tbl in re.findall(r"\b(?:FROM|JOIN)\s+`?(\w+)`?", query, re.I):
                 if tbl in self.tables:
                     refs[tbl] = refs.get(tbl, 0) + 1
@@ -2976,8 +3031,8 @@ class TableEnvironment:
                 df.persist()
                 cached.append(df)
         try:
-            for name, query in inserts:
-                self._insert_into(name, query)
+            for name, query, kw in inserts:
+                self._insert_into(name, query, **kw)
         finally:
             for df in cached:
                 df.unpersist()
@@ -3096,9 +3151,32 @@ class TableEnvironment:
             fmt = meta.options.get("format", "parquet")
             mode = "overwrite" if overwrite else "append"
             if meta.partitioned_by:
-                write_partitioned(
-                    df, meta.options["path"], meta.partitioned_by, fmt=fmt, mode=mode
-                )
+                if overwrite and static_partition:
+                    # INSERT OVERWRITE t PARTITION (k=v): Flink replaces
+                    # ONLY the named partition; Spark's static overwrite
+                    # mode would truncate the whole table
+                    prev = self.spark.conf.get(
+                        "spark.sql.sources.partitionOverwriteMode"
+                    )
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                    )
+                    try:
+                        write_partitioned(
+                            df,
+                            meta.options["path"],
+                            meta.partitioned_by,
+                            fmt=fmt,
+                            mode=mode,
+                        )
+                    finally:
+                        self.spark.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode", prev
+                        )
+                else:
+                    write_partitioned(
+                        df, meta.options["path"], meta.partitioned_by, fmt=fmt, mode=mode
+                    )
             else:
                 write_file(df, meta.options["path"], fmt=fmt, mode=mode)
             # the write changed the data: ANALYZE stats are stale now, and

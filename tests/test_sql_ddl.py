@@ -2988,3 +2988,35 @@ def test_explain_details_and_insert(spark, tmp_path):
     assert "Physical Plan" in ins
     with pytest.raises(ValueError, match="CHANGELOG_MODE"):
         env.execute_sql("EXPLAIN CHANGELOG_MODE SELECT k FROM ex_t")
+
+
+def test_insert_overwrite_partition_replaces_only_named_partition(spark, tmp_path):
+    """Review fix: INSERT OVERWRITE t PARTITION (k=v) replaces ONLY the
+    named partition (dynamic overwrite) — Spark's static mode would
+    truncate the whole table. Also: the same PARTITION syntax works in
+    a STATEMENT SET, and ALTER VIEW RENAME survives a broken body."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE iop (dt STRING, k BIGINT)
+        PARTITIONED BY (dt)
+        WITH ('connector'='filesystem','path'='{tmp_path}/iop','format'='parquet')
+    """)
+    env.execute_sql("INSERT INTO iop PARTITION (dt = 'a') SELECT 1")
+    env.execute_sql("INSERT INTO iop PARTITION (dt = 'b') SELECT 2")
+    env.execute_sql("INSERT OVERWRITE iop PARTITION (dt = 'b') SELECT 20")
+    got = sorted(tuple(r) for r in env.execute_sql("SELECT dt, k FROM iop").collect())
+    assert got == [("a", 1), ("b", 20)]  # dt='a' untouched
+    # statement set accepts the partition syntax too
+    ss = env.create_statement_set()
+    ss.add_insert_sql("INSERT INTO iop PARTITION (dt = 'c') SELECT 3")
+    ss.execute()
+    got = sorted(tuple(r) for r in env.execute_sql("SELECT dt, k FROM iop").collect())
+    assert ("c", 3) in got and ("a", 1) in got
+    # ALTER VIEW RENAME over a broken body leaves the old view intact
+    env.execute_sql("CREATE VIEW iov AS SELECT k FROM iop")
+    env.execute_sql("DROP TABLE iop")
+    with pytest.raises(Exception):
+        env.execute_sql("ALTER VIEW iov RENAME TO iov2")
+    assert "iov" in env._view_sql and "iov2" not in env._view_sql
