@@ -19,29 +19,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_1_20_spark.queries._util import T, exact_avg, money, money_sum
+from flink_1_20_spark.queries._util import T, money, money_sum
 from flink_1_20_spark.registry import register
 
 
 @register(
     "tpch_q1_pricing_summary",
     oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS base_c,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS disc_c,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 1000000) AS BIGINT)) AS charge_c,
+               SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS discount_c,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                          AS BIGINT)) / 1e4, 2)                         AS sum_disc_price,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                * 1000000) AS BIGINT)) / 1e6, 2)      AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2
-                 / COUNT(*), 4)                                             AS avg_price,
-           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 1e2
-                 / COUNT(*), 4)                                             AS avg_disc,
-           COUNT(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           ROUND(qty, 2)                  AS sum_qty,
+           ROUND(base_c / 1e2, 2)         AS sum_base_price,
+           ROUND(disc_c / 1e4, 2)         AS sum_disc_price,
+           ROUND(charge_c / 1e6, 2)       AS sum_charge,
+           ROUND(qty / n, 4)              AS avg_qty,
+           ROUND(base_c / 1e2 / n, 4)     AS avg_price,
+           ROUND(discount_c / 1e2 / n, 4) AS avg_disc,
+           n                              AS count_order
+    FROM g
     """,
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,18 +61,38 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = T(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+
+    def cents(col, m):
+        # exact integer units — order-independent sums. +0.5-then-truncate
+        # == round for these strictly NON-NEGATIVE money columns and skips
+        # Spark round()'s per-value BigDecimal path (~30% off the agg)
+        return F.sum((col * m + F.lit(0.5)).cast("bigint"))
+
+    # ONE integer aggregate per money column; every rounded output —
+    # including the averages — derives from it, so the exact-sum
+    # conversion costs no duplicate aggregates
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money(F.sum("l_quantity")).alias("sum_qty"),
-            money(F.sum("l_extendedprice")).alias("sum_base_price"),
-            money_sum(disc_price, 4).alias("sum_disc_price"),
-            money_sum(charge, 6).alias("sum_charge"),
-            money(F.avg("l_quantity"), 4).alias("avg_qty"),
-            exact_avg("l_extendedprice", 2, 4).alias("avg_price"),
-            exact_avg("l_discount", 2, 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum("l_quantity").alias("qty"),
+            cents(F.col("l_extendedprice"), 100).alias("base_c"),
+            cents(disc_price, 10000).alias("disc_c"),
+            cents(charge, 1000000).alias("charge_c"),
+            cents(F.col("l_discount"), 100).alias("discount_c"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            money("qty").alias("sum_qty"),
+            F.round(F.col("base_c") / 1e2, 2).alias("sum_base_price"),
+            F.round(F.col("disc_c") / 1e4, 2).alias("sum_disc_price"),
+            F.round(F.col("charge_c") / 1e6, 2).alias("sum_charge"),
+            F.round(F.col("qty") / F.col("n"), 4).alias("avg_qty"),
+            F.round(F.col("base_c") / 1e2 / F.col("n"), 4).alias("avg_price"),
+            F.round(F.col("discount_c") / 1e2 / F.col("n"), 4).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
     )
 
