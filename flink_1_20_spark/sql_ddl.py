@@ -220,8 +220,10 @@ class TableEnvironment:
         self._jars: list[str] = []  # ADD JAR paths (SHOW JARS surface)
         # streaming queries this environment started (SHOW JOBS keeps
         # terminated ones visible with status FINISHED, as Flink does;
-        # Spark's manager only lists active queries)
+        # Spark's manager only lists active queries); start instants by
+        # query id feed DESCRIBE JOB's start_time column
         self._started_jobs: list = []
+        self._job_started_at: dict = {}
         # materialized tables (FLIP-435, CatalogMaterializedTable.java):
         # name -> {meta, definition, freshness_sec, mode, status,
         # query/stop_event handles, last_error} — the backing TableMeta
@@ -431,6 +433,30 @@ class TableEnvironment:
             return self.spark.createDataFrame(
                 list(listed.values()) or [],
                 "job_id string, job_name string, status string",
+            )
+        # DESCRIBE JOB '<id>' (SqlDescribeJob.java,
+        # OperationExecutor.callDescribeJobOperation: one row of
+        # job id / name / status / start time; a missing id is an error,
+        # not an empty result). Visibility contract matches SHOW JOBS:
+        # active session queries plus terminated env-started ones.
+        m = re.match(r"(?:DESCRIBE|DESC)\s+JOB\s+'([^']+)'$", s, re.I)
+        if m:
+            jid = m.group(1)
+            target = next(
+                (q for q in self.spark.streams.active if q.id == jid), None
+            )
+            status = "RUNNING"
+            if target is None:
+                target = next(
+                    (q for q in self._started_jobs if q.id == jid), None
+                )
+                status = "FINISHED"
+            if target is None:
+                raise ValueError(f"Described job {jid} does not exist")
+            return self.spark.createDataFrame(
+                [(jid, target.name or "", status, self._job_started_at.get(jid))],
+                "job_id string, job_name string, status string, "
+                "start_time timestamp",
             )
         m = re.match(
             r"STOP\s+JOB\s+'([^']+)'(\s+WITH\s+SAVEPOINT)?(\s+WITH\s+DRAIN)?$",
@@ -869,7 +895,7 @@ class TableEnvironment:
         # the sink side is a connector write with no Catalyst plan.
         m = re.match(
             r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?"
-            r"(?:(ESTIMATED_COST|JSON_EXECUTION_PLAN|CHANGELOG_MODE)\s+)?(.*)$",
+            r"(?:(ESTIMATED_COST|JSON_EXECUTION_PLAN|CHANGELOG_MODE|PLAN_ADVICE)\s+)?(.*)$",
             s,
             re.S | re.I,
         )
@@ -903,15 +929,14 @@ class TableEnvironment:
                 rewrite_window_tvfs,
             )
 
-            return self.spark.sql(
-                "EXPLAIN "
-                + mode
-                + rewrite_flink_builtins(
-                    rewrite_unnest(
-                        rewrite_legacy_group_windows(rewrite_window_tvfs(body))
-                    )
+            rewritten = rewrite_flink_builtins(
+                rewrite_unnest(
+                    rewrite_legacy_group_windows(rewrite_window_tvfs(body))
                 )
             )
+            if detail == "PLAN_ADVICE":
+                return self._explain_plan_advice(rewritten)
+            return self.spark.sql("EXPLAIN " + mode + rewritten)
         if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", s, re.I):
             return self._temporal_join(s)
         # Flink dialect → Spark SQL (window TVFs, legacy group windows,
@@ -988,6 +1013,102 @@ class TableEnvironment:
                 for meta in tbls.values():
                     if meta.stats is not None and "size_bytes" in meta.stats:
                         self._register(meta, db=db, catalog=cat)
+
+    def _track_job(self, q) -> None:
+        """Record an env-started streaming query for the job-lifecycle
+        surface: SHOW JOBS keeps it visible after termination, DESCRIBE
+        JOB reports its start instant (Flink's JobStatusMessage carries
+        the cluster-side start time; the env's observation of .start()
+        returning is the Spark-session equivalent)."""
+        import datetime as _dt
+
+        self._started_jobs.append(q)
+        self._job_started_at[q.id] = _dt.datetime.now()
+
+    def _explain_plan_advice(self, query: str) -> DataFrame:
+        """EXPLAIN PLAN_ADVICE (SqlRichExplain.java + ExplainDetail;
+        rendered like the reference's '== Optimized Physical Plan With
+        Advice ==' section with numbered advice lines, PlanAdvice.java).
+        Flink ships two PlanAnalyzers — GroupAggregationAnalyzer
+        (two-phase agg tuning) and NonDeterministicUpdateAnalyzer (NDU
+        correctness risk, FlinkStreamPlanAnalyzers.java); Catalyst
+        already plans two-phase aggregation unconditionally, so the
+        Spark-side analyzers target the plan risks that actually matter
+        here: quadratic joins, broadcast opportunities the ANALYZE
+        machinery can unlock, row-at-a-time Python, filters that never
+        reached the scan, and nondeterminism in streaming plans."""
+        df = self.spark.sql(query)
+        jqe = df._jdf.queryExecution()
+        try:
+            mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            plan = jqe.explainString(mode.fromString("formatted"))
+        except Exception:
+            plan = jqe.toString()
+        advice: list[tuple[str, str]] = []
+        if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan):
+            advice.append((
+                "WARNING",
+                "join without a usable equi-condition (CartesianProduct/"
+                "BroadcastNestedLoopJoin): O(|build| x |probe|) work at "
+                "scale — add an equality predicate, or quantize range/"
+                "interval conditions onto band keys so the join becomes "
+                "an equi-join",
+            ))
+        if "SortMergeJoin" in plan:
+            advice.append((
+                "ADVICE",
+                "sort-merge join in the plan: if one side is small, run "
+                "ANALYZE TABLE <t> COMPUTE STATISTICS so the measured "
+                "size drives a broadcast join under "
+                "'table.optimizer.join.broadcast-threshold' and the "
+                "shuffle+sort disappears",
+            ))
+        if "BatchEvalPython" in plan:
+            advice.append((
+                "WARNING",
+                "row-at-a-time Python UDF (BatchEvalPython): each row "
+                "crosses the JVM/Python boundary pickled — a pandas UDF "
+                "(ArrowEvalPython, vectorized over Arrow batches) is "
+                "typically 10-100x faster",
+            ))
+        # a pushed-filter list that is empty or carries only the
+        # IsNotNull guards means the real predicate stayed in a Filter
+        # node above the scan (Spark always pushes IsNotNull for
+        # non-null comparisons, so its presence alone is not pushdown)
+        if re.search(
+            r"PushedFilters:\s*\[(?:\s*IsNotNull\([^)]*\)\s*,?)*\]", plan
+        ) and re.search(r"\(\d+\)\s+Filter\b|\*\s+Filter\b", plan):
+            advice.append((
+                "ADVICE",
+                "a Filter sits above a scan whose PushedFilters is empty: "
+                "predicates on raw source columns push into the parquet "
+                "reader; predicates on computed expressions do not — "
+                "filter on the stored column (or store the derived "
+                "column) so row groups can be skipped",
+            ))
+        if df.isStreaming and re.search(
+            r"\b(?:rand|randn|uuid|shuffle|monotonically_increasing_id|"
+            r"current_timestamp|now|unix_timestamp)\s*\(",
+            query,
+            re.I,
+        ):
+            advice.append((
+                "WARNING",
+                "non-deterministic function in a streaming query: "
+                "micro-batch retries and changelog updates can recompute "
+                "it to a DIFFERENT value (the reference's "
+                "NonDeterministicUpdateAnalyzer raises the same NDU "
+                "warning) — materialize the value at ingestion time "
+                "instead of computing it in the pipeline",
+            ))
+        lines = "\n".join(
+            f"advice[{i}]: [{kind}] {content}"
+            for i, (kind, content) in enumerate(advice, start=1)
+        ) or "No available advice..."
+        return self.spark.createDataFrame(
+            [(f"== Physical Plan With Advice ==\n{plan}\n\n{lines}\n",)],
+            "plan string",
+        )
 
     def _reset_option(self, key: str) -> None:
         self.session_options.pop(key, None)
@@ -2106,7 +2227,7 @@ class TableEnvironment:
         )
         entry["query"] = q
         entry["status"] = "RUNNING"
-        self._started_jobs.append(q)
+        self._track_job(q)
 
     def _start_full_timer(self, entry: dict) -> None:
         import threading
@@ -2588,6 +2709,22 @@ class TableEnvironment:
                     "on the DataFrame API for other shapes"
                 )
             return self.spark.sql(fixed)
+        if df.isStreaming and query.count("EXCEPT(__w)") >= 2 and re.search(
+            r"\bJOIN\b", query, re.I
+        ):
+            # streaming window JOIN (StreamExecWindowJoin.java): two
+            # TVF-windowed streams joined on window_start AND window_end.
+            # Joining on the PROJECTED timestamps runs, but Spark derives
+            # NO state-cleanup watermark from them — join state grows
+            # forever (probed: 0 rows ever removed). Joining on the
+            # window STRUCT itself is the documented stream-stream
+            # window-join shape and evicts closed windows, so the
+            # lowering keeps __w on both sides and adds the struct
+            # equality to the ON condition (the start/end equalities it
+            # implies stay — they are harmless conjuncts).
+            upgraded = self._upgrade_streaming_window_join(query)
+            if upgraded is not None:
+                return upgraded
         if df.isStreaming and "__w" in query:
             fixed, n = re.subn(
                 r"(GROUP\s+BY\s+)(?=[\w\s,.`]*\bwindow_start\b)",
@@ -2599,6 +2736,45 @@ class TableEnvironment:
                 fixed = fixed.replace("SELECT * EXCEPT(__w),", "SELECT *,")
                 df = self.spark.sql(fixed)
         return df
+
+    def _upgrade_streaming_window_join(self, query: str) -> DataFrame | None:
+        """Rewrite a lowered streaming window join to keep the window
+        STRUCT and join on it (state-eviction contract — see caller).
+        Applies only to the canonical single-join shape with an explicit
+        select list; anything else returns None and the caller keeps the
+        already-planned form (correct rows, unbounded state — the 'SELECT
+        *' shape would leak the struct into the sink schema)."""
+        if re.match(r"\s*SELECT\s+\*", query, re.I):
+            return None
+        mw = re.search(
+            r"\bON\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+            query,
+            re.S | re.I,
+        )
+        if not mw:
+            return None
+        cond = mw.group(1)
+        ms = re.search(r"(\w+)\.window_start\s*=\s*(\w+)\.window_start", cond, re.I)
+        me = re.search(r"(\w+)\.window_end\s*=\s*(\w+)\.window_end", cond, re.I)
+        if not (ms and me) or set(ms.groups()) != set(me.groups()):
+            return None
+        la, ra = ms.group(1), ms.group(2)
+        fixed = query.replace(
+            "SELECT * EXCEPT(__w), __w.start AS window_start",
+            "SELECT *, __w.start AS window_start",
+        )
+        fixed = re.sub(
+            r"\bON\b",
+            f"ON {la}.__w = {ra}.__w AND ",
+            fixed,
+            count=1,
+            flags=re.I,
+        )
+        try:
+            df = self.spark.sql(fixed)
+            return df if df.isStreaming else None
+        except Exception:
+            return None
 
     def _is_streaming_table(self, name: str) -> bool:
         """True when `name` resolves to a streaming temp view — the
@@ -3143,7 +3319,7 @@ class TableEnvironment:
                 raise ValueError(
                     f"connector {meta.connector!r} is not stream-writable"
                 )
-            self._started_jobs.append(q)  # SHOW JOBS lifecycle visibility
+            self._track_job(q)  # SHOW JOBS lifecycle visibility
             return q
         if meta.connector == "filesystem":
             from flink_1_20_spark.sources.connectors import write_file, write_partitioned

@@ -1625,6 +1625,47 @@ def test_show_jobs_and_stop_job(spark, tmp_path):
             q.stop()
 
 
+def test_describe_job(spark, tmp_path):
+    """DESCRIBE JOB '<id>' (SqlDescribeJob.java / the gateway's
+    callDescribeJobOperation): one row of id/name/status/start_time;
+    a missing id raises. Env-started jobs stay describable with a
+    recorded start instant after termination."""
+    import datetime
+
+    import json as _json
+
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError):
+        env.execute_sql("DESCRIBE JOB 'no-such-id'")
+    src = tmp_path / "dj_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(_json.dumps({"v": 1}) + "\n")
+    env.execute_sql(f"""
+        CREATE TABLE dj_src (v INT) WITH (
+          'connector' = 'filesystem', 'path' = '{src}',
+          'format' = 'json', 'scan.streaming' = 'true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE dj_sink (v INT) WITH (
+          'connector' = 'filesystem', 'path' = '{tmp_path}/dj_sink',
+          'format' = 'parquet')
+    """)
+    q = env.execute_sql("INSERT INTO dj_sink SELECT v FROM dj_src")
+    try:
+        row = env.execute_sql(f"DESCRIBE JOB '{q.id}'").collect()[0]
+        assert row["job_id"] == q.id
+        assert row["status"] == "RUNNING"
+        assert isinstance(row["start_time"], datetime.datetime)
+    finally:
+        if q.isActive:
+            q.processAllAvailable()
+            q.stop()
+    # terminated but env-started: still describable, FINISHED
+    row = env.execute_sql(f"DESCRIBE JOB '{q.id}'").collect()[0]
+    assert row["status"] == "FINISHED"
+    assert isinstance(row["start_time"], datetime.datetime)
+
+
 def test_subset_count_star_not_inflated(fixture_env):
     """COUNT(*) counts match rows (primary variables only) — the SUBSET
     expansion must not double-count rows also bound to a union variable
@@ -1824,6 +1865,105 @@ def test_streaming_window_tvf_insert_end_to_end(spark, tmp_path):
     }
     assert ("2024-01-01 10:00:00", 2, 3.0) in got
     assert ("2024-01-01 10:01:00", 1, 10.0) in got
+
+
+def test_streaming_window_join_through_executesql(spark, tmp_path):
+    """Streaming window JOIN (StreamExecWindowJoin.java): two
+    watermarked monitored-dir streams, each windowed by a TUMBLE TVF,
+    joined on key + window_start + window_end — rows pair only within
+    the same window. Runs end-to-end through executeSql into a
+    filesystem sink."""
+    import json as _json
+
+    lsrc, rsrc = tmp_path / "wj_l", tmp_path / "wj_r"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    (lsrc / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T10:00:05", "k": 1, "lv": 10.0},
+                {"ts": "2024-01-01T10:00:50", "k": 2, "lv": 20.0},
+                {"ts": "2024-01-01T10:01:10", "k": 1, "lv": 30.0},
+            ]
+        )
+        + "\n"
+    )
+    (rsrc / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T10:00:20", "k": 1, "rv": 1.0},
+                # k=2 in a DIFFERENT window than the left k=2 row
+                {"ts": "2024-01-01T10:01:30", "k": 2, "rv": 2.0},
+                {"ts": "2024-01-01T10:01:40", "k": 1, "rv": 3.0},
+            ]
+        )
+        + "\n"
+    )
+    out = tmp_path / "wj_out"
+    env = TableEnvironment(spark)
+    for name, path, vcol in (("wj_l", lsrc, "lv"), ("wj_r", rsrc, "rv")):
+        env.execute_sql(f"""
+            CREATE TABLE {name} (
+                ts TIMESTAMP(3), k INT, {vcol} DOUBLE,
+                WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+            ) WITH ('connector'='filesystem','path'='{path}',
+                    'format'='json','scan.streaming'='true')
+        """)
+    env.execute_sql(f"""
+        CREATE TABLE wj_sink (
+            k INT, lv DOUBLE, rv DOUBLE, window_start TIMESTAMP(3)
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+                'checkpoint'='{tmp_path / "wj_ckpt"}')
+    """)
+    q = env.execute_sql("""
+        INSERT INTO wj_sink
+        SELECT L.k AS k, L.lv AS lv, R.rv AS rv,
+               L.window_start AS window_start
+        FROM (SELECT * FROM TABLE(TUMBLE(TABLE wj_l, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) L
+        JOIN (SELECT * FROM TABLE(TUMBLE(TABLE wj_r, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) R
+        ON L.k = R.k AND L.window_start = R.window_start
+           AND L.window_end = R.window_end
+    """)
+    try:
+        q.processAllAvailable()
+        # advance both watermarks so all windows can emit
+        for src in (lsrc, rsrc):
+            (src / "b1.jsonl").write_text(
+                _json.dumps(
+                    {"ts": "2024-01-01T10:10:00", "k": 9,
+                     ("lv" if src is lsrc else "rv"): 0.0}
+                )
+                + "\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["k"], r["lv"], r["rv"], str(r["window_start"]))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # window 10:00: (k=1, lv=10) x (k=1, rv=1). k=2 pairs nothing
+    # (left in 10:00, right in 10:01). window 10:01: (1, 30) x (1, 3).
+    assert (1, 10.0, 1.0, "2024-01-01 10:00:00") in got
+    assert (1, 30.0, 3.0, "2024-01-01 10:01:00") in got
+    assert all(k != 2 for k, *_ in got)
+    # the lowering must join on the window STRUCT (state eviction —
+    # probed: projected-timestamp equality never evicts join state)
+    df = env.execute_sql("""
+        SELECT L.k AS k, L.lv AS lv, R.rv AS rv
+        FROM (SELECT * FROM TABLE(TUMBLE(TABLE wj_l, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) L
+        JOIN (SELECT * FROM TABLE(TUMBLE(TABLE wj_r, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) R
+        ON L.k = R.k AND L.window_start = R.window_start
+           AND L.window_end = R.window_end
+    """)
+    assert df.isStreaming
+    assert "__w" in df._jdf.queryExecution().analyzed().toString()
 
 
 def test_streaming_session_tvf_insert_end_to_end(spark, tmp_path):
@@ -2988,6 +3128,55 @@ def test_explain_details_and_insert(spark, tmp_path):
     assert "Physical Plan" in ins
     with pytest.raises(ValueError, match="CHANGELOG_MODE"):
         env.execute_sql("EXPLAIN CHANGELOG_MODE SELECT k FROM ex_t")
+
+
+def test_explain_plan_advice(spark, tmp_path):
+    """EXPLAIN PLAN_ADVICE (SqlRichExplain + PlanAdvice.java): renders
+    the plan with numbered advice lines; a clean scan gets 'No
+    available advice...', a keyless join gets the quadratic-join
+    WARNING, an unpushable filter gets the pushdown ADVICE, and a
+    nondeterministic streaming query gets the NDU WARNING (the
+    NonDeterministicUpdateAnalyzer analog)."""
+    import json as _json
+
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = tmp_path / "pa"
+    src.mkdir()
+    spark.createDataFrame([(1, 2.0), (2, 3.0)], "k bigint, v double").write.mode(
+        "overwrite"
+    ).parquet(str(src / "t"))
+    env.execute_sql(f"""
+        CREATE TABLE pa_t (k BIGINT, v DOUBLE) WITH (
+            'connector'='filesystem','path'='{src / "t"}','format'='parquet')
+    """)
+    clean = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT k FROM pa_t WHERE k > 0"
+    ).collect()[0][0]
+    assert "Physical Plan With Advice" in clean
+    assert "No available advice..." in clean
+    keyless = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT * FROM pa_t a JOIN pa_t b ON a.v < b.v"
+    ).collect()[0][0]
+    assert "[WARNING]" in keyless and "equi" in keyless
+    unpushed = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT k FROM pa_t WHERE k + v > 3"
+    ).collect()[0][0]
+    assert "PushedFilters" in unpushed and "[ADVICE]" in unpushed
+    # streaming + rand(): the NDU warning
+    mon = tmp_path / "pa_mon"
+    mon.mkdir()
+    (mon / "b0.jsonl").write_text(_json.dumps({"v": 1}) + "\n")
+    env.execute_sql(f"""
+        CREATE TABLE pa_s (v INT) WITH (
+          'connector'='filesystem','path'='{mon}',
+          'format'='json','scan.streaming'='true')
+    """)
+    ndu = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT v, rand() AS r FROM pa_s"
+    ).collect()[0][0]
+    assert "non-deterministic" in ndu and "[WARNING]" in ndu
 
 
 def test_insert_overwrite_partition_replaces_only_named_partition(spark, tmp_path):
