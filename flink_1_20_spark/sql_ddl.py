@@ -453,8 +453,27 @@ class TableEnvironment:
                 status = "FINISHED"
             if target is None:
                 raise ValueError(f"Described job {jid} does not exist")
+            started = self._job_started_at.get(jid)
+            if started is None:
+                # active query this env did not start (e.g. a direct
+                # writeStream.start() on the shared session): Flink's
+                # JobStatusMessage always carries a start time, so
+                # best-effort one — the earliest progress-event
+                # timestamp, else the observation instant — and pin it
+                # so repeated DESCRIBEs stay stable.
+                import datetime as _dt
+
+                for p in target.recentProgress or []:
+                    ts = p.get("timestamp")
+                    if ts:
+                        started = _dt.datetime.fromisoformat(
+                            ts.replace("Z", "+00:00")
+                        ).replace(tzinfo=None)
+                        break
+                started = started or _dt.datetime.now()
+                self._job_started_at[jid] = started
             return self.spark.createDataFrame(
-                [(jid, target.name or "", status, self._job_started_at.get(jid))],
+                [(jid, target.name or "", status, started)],
                 "job_id string, job_name string, status string, "
                 "start_time timestamp",
             )
@@ -1074,8 +1093,12 @@ class TableEnvironment:
         # a pushed-filter list that is empty or carries only the
         # IsNotNull guards means the real predicate stayed in a Filter
         # node above the scan (Spark always pushes IsNotNull for
-        # non-null comparisons, so its presence alone is not pushdown)
-        if re.search(
+        # non-null comparisons, so its presence alone is not pushdown).
+        # Only claimed for single-scan plans: with several scans the
+        # empty list and the Filter node can belong to DIFFERENT scans
+        # (e.g. a join whose other side pushed its predicate fine), and
+        # pairing them textually would fabricate advice.
+        if plan.count("PushedFilters:") == 1 and re.search(
             r"PushedFilters:\s*\[(?:\s*IsNotNull\([^)]*\)\s*,?)*\]", plan
         ) and re.search(r"\(\d+\)\s+Filter\b|\*\s+Filter\b", plan):
             advice.append((
@@ -1086,10 +1109,20 @@ class TableEnvironment:
                 "filter on the stored column (or store the derived "
                 "column) so row groups can be skipped",
             ))
+        # string literals and back-quoted identifiers are stripped
+        # before the scan (a '%now(%' LIKE pattern is not a call);
+        # ANSI niladic forms (current_timestamp without parens) match
+        # as bare words, and unix_timestamp only in its zero-arg form
+        # (with arguments it is a deterministic parse)
+        scrubbed = re.sub(
+            r"`[^`]*`", "``", re.sub(r"'(?:[^']|'')*'", "''", query)
+        )
         if df.isStreaming and re.search(
-            r"\b(?:rand|randn|uuid|shuffle|monotonically_increasing_id|"
-            r"current_timestamp|now|unix_timestamp)\s*\(",
-            query,
+            r"\b(?:rand|randn|uuid|shuffle|monotonically_increasing_id"
+            r")\s*\(|\bunix_timestamp\s*\(\s*\)|"
+            r"\b(?:current_timestamp|current_date|localtimestamp|"
+            r"now\s*\(\s*\))",
+            scrubbed,
             re.I,
         ):
             advice.append((
@@ -2742,9 +2775,13 @@ class TableEnvironment:
         STRUCT and join on it (state-eviction contract — see caller).
         Applies only to the canonical single-join shape with an explicit
         select list; anything else returns None and the caller keeps the
-        already-planned form (correct rows, unbounded state — the 'SELECT
-        *' shape would leak the struct into the sink schema)."""
-        if re.match(r"\s*SELECT\s+\*", query, re.I):
+        already-planned form (correct rows, unbounded state — any star
+        projection (SELECT *, SELECT L.*, a star in an outer CTE query)
+        would leak the kept struct into the sink schema). The guard
+        strips the lowering's own 'SELECT * EXCEPT(__w)' markers and
+        rejects on ANY remaining '*' — over-rejecting (COUNT(*)) only
+        forgoes the state-eviction upgrade, never correctness."""
+        if "*" in query.replace("SELECT * EXCEPT(__w)", ""):
             return None
         mw = re.search(
             r"\bON\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)",

@@ -1664,6 +1664,22 @@ def test_describe_job(spark, tmp_path):
     row = env.execute_sql(f"DESCRIBE JOB '{q.id}'").collect()[0]
     assert row["status"] == "FINISHED"
     assert isinstance(row["start_time"], datetime.datetime)
+    # review fix: a query the env did NOT start (direct writeStream on
+    # the shared session) still reports a non-null, stable start_time
+    ext = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    try:
+        r1 = env.execute_sql(f"DESCRIBE JOB '{ext.id}'").collect()[0]
+        r2 = env.execute_sql(f"DESCRIBE JOB '{ext.id}'").collect()[0]
+        assert isinstance(r1["start_time"], datetime.datetime)
+        assert r1["start_time"] == r2["start_time"]
+    finally:
+        ext.stop()
 
 
 def test_subset_count_star_not_inflated(fixture_env):
@@ -1964,6 +1980,19 @@ def test_streaming_window_join_through_executesql(spark, tmp_path):
     """)
     assert df.isStreaming
     assert "__w" in df._jdf.queryExecution().analyzed().toString()
+    # review fix: a QUALIFIED star (SELECT L.*) must not take the
+    # struct-join upgrade — it would leak the hidden __w column into
+    # the output schema; the guard falls back to the EXCEPT(__w) form
+    starred = env.execute_sql("""
+        SELECT L.*, R.rv
+        FROM (SELECT * FROM TABLE(TUMBLE(TABLE wj_l, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) L
+        JOIN (SELECT * FROM TABLE(TUMBLE(TABLE wj_r, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) R
+        ON L.k = R.k AND L.window_start = R.window_start
+           AND L.window_end = R.window_end
+    """)
+    assert "__w" not in starred.columns
 
 
 def test_streaming_session_tvf_insert_end_to_end(spark, tmp_path):
@@ -3177,6 +3206,31 @@ def test_explain_plan_advice(spark, tmp_path):
         "EXPLAIN PLAN_ADVICE SELECT v, rand() AS r FROM pa_s"
     ).collect()[0][0]
     assert "non-deterministic" in ndu and "[WARNING]" in ndu
+    # review fixes: (a) a nondeterministic NAME inside a string literal
+    # is not a call; (b) the paren-less ANSI niladic current_timestamp
+    # IS nondeterministic in a streaming plan
+    env.execute_sql("""
+        CREATE TABLE pa_s2 (v INT, note STRING) WITH (
+          'connector'='filesystem','path'='{0}',
+          'format'='json','scan.streaming'='true')
+    """.format(mon))
+    lit = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT v FROM pa_s2 WHERE note LIKE '%now(%'"
+    ).collect()[0][0]
+    assert "non-deterministic" not in lit
+    bare = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT v, current_timestamp AS c FROM pa_s"
+    ).collect()[0][0]
+    assert "non-deterministic" in bare
+    # review fix: multi-scan plans never pair one scan's empty
+    # PushedFilters with ANOTHER scan's Filter node — a join where one
+    # side pushed its predicate and the other side is scanned bare must
+    # not claim a pushdown miss
+    multi = env.execute_sql(
+        "EXPLAIN PLAN_ADVICE SELECT a.k FROM pa_t a "
+        "JOIN pa_t b ON a.k = b.k WHERE a.k > 1"
+    ).collect()[0][0]
+    assert "whose PushedFilters is empty" not in multi
 
 
 def test_insert_overwrite_partition_replaces_only_named_partition(spark, tmp_path):
