@@ -224,6 +224,15 @@ class TableEnvironment:
         # query id feed DESCRIBE JOB's start_time column
         self._started_jobs: list = []
         self._job_started_at: dict = {}
+        # filesystem sink tables whose registered view needs a re-read:
+        # sink-first tables register as an EMPTY relation (no files at
+        # registration), and a streaming job writing a table freezes /
+        # (for upserts) invalidates any static file index — both are
+        # re-registered at statement entry by _refresh_sink_views so
+        # reads observe the current snapshot, as Flink reads the
+        # catalog table rather than a cached scan. Keyed by id(meta).
+        self._stale_sink_views: dict[int, tuple] = {}
+        self._live_sink_views: dict[int, tuple] = {}
         # materialized tables (FLIP-435, CatalogMaterializedTable.java):
         # name -> {meta, definition, freshness_sec, mode, status,
         # query/stop_event handles, last_error} — the backing TableMeta
@@ -245,6 +254,7 @@ class TableEnvironment:
     def _execute_sql_locked(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
         u = s.upper()
+        self._refresh_sink_views()
         # -- catalog statements (SqlCreateCatalogConverter.java,
         # SqlAlterCatalogOptionsConverter.java,
         # SqlDescribeCatalogConverter.java surface) ----------------------
@@ -613,6 +623,21 @@ class TableEnvironment:
             )
             self._register(meta, db=owner)
             return None
+        # DELETE FROM t [WHERE cond] / UPDATE t SET ... [WHERE cond]
+        # (FLIP-282 batch row-level modifications, Flink 1.17+:
+        # DeletePushDownUtils + SupportsRowLevelDelete/Update,
+        # DeleteTableITCase/UpdateTableITCase semantics — one
+        # rows-affected row back, streaming mode rejected)
+        m = re.match(r"DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$", s, re.S | re.I)
+        if m:
+            return self._delete_from(m.group(1).strip("`"), m.group(2))
+        m = re.match(
+            r"UPDATE\s+(\S+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s, re.S | re.I
+        )
+        if m:
+            return self._update_table(
+                m.group(1).strip("`"), m.group(2), m.group(3)
+            )
         # ANALYZE TABLE t [PARTITION(...)] COMPUTE STATISTICS
         # [FOR COLUMNS c1, ... | FOR ALL COLUMNS]
         # (SqlNodeToOperationConversion.java:1112 convertAnalyzeTable) —
@@ -3058,6 +3083,54 @@ class TableEnvironment:
         "ogg-json": "parse_ogg",
     }
 
+    def _refresh_sink_views(self) -> None:
+        """Re-read filesystem sink views whose static file index cannot
+        be trusted: tables registered EMPTY before any file existed
+        (`_stale_sink_views`, refreshed once data appears) and tables a
+        streaming job is actively writing (`_live_sink_views`, refreshed
+        every statement while the job lives — an upsert epoch swaps the
+        whole directory, so a frozen index would read deleted files).
+        Runs at statement entry; no-op when both maps are empty."""
+        import os
+
+        def has_data(meta: TableMeta) -> bool:
+            p = meta.options.get("path")
+            return bool(
+                p
+                and os.path.isdir(p)
+                and any(not e.startswith(("_", ".")) for e in os.listdir(p))
+            )
+
+        def is_current(meta: TableMeta, db: str, cat: str) -> bool:
+            return (
+                self._catalogs.get(cat, {}).get("dbs", {}).get(db, {}).get(
+                    meta.name
+                )
+                is meta
+            )
+
+        for key, (meta, db, cat) in list(self._stale_sink_views.items()):
+            if not is_current(meta, db, cat):
+                del self._stale_sink_views[key]  # dropped / replaced
+                continue
+            if has_data(meta):
+                try:
+                    self._register(meta, db=db, catalog=cat)
+                    del self._stale_sink_views[key]
+                except Exception:
+                    pass  # mid-write; retry at the next statement
+        for key, (meta, db, cat, q) in list(self._live_sink_views.items()):
+            if not is_current(meta, db, cat):
+                del self._live_sink_views[key]
+                continue
+            if has_data(meta):
+                try:
+                    self._register(meta, db=db, catalog=cat)
+                except Exception:
+                    pass  # mid-swap; the previous view stands
+            if not q.isActive:
+                del self._live_sink_views[key]
+
     def _register(
         self, meta: TableMeta, db: str | None = None, catalog: str | None = None
     ) -> None:
@@ -3136,9 +3209,16 @@ class TableEnvironment:
             try:
                 df = read_file(self.spark, path, fmt=fmt, schema=schema or None)
             except Exception as ex:
-                # sink-only table: path not yet populated — register lazily
+                # sink-only table: path not yet populated — register an
+                # empty relation now and let _refresh_sink_views re-read
+                # it once files appear
                 if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
                     df = self.spark.createDataFrame([], schema=schema)
+                    self._stale_sink_views[id(meta)] = (
+                        meta,
+                        db or self.current_db,
+                        catalog or self.current_catalog,
+                    )
                 else:
                     raise
         elif meta.connector == "datagen":
@@ -3266,6 +3346,280 @@ class TableEnvironment:
                 _db_view_name(self.current_db, name)
             )
 
+    def _upsert_materialized_insert(self, name: str, meta, df, fmt: str):
+        """Streaming INSERT whose plan emits an UPDATING changelog (a
+        non-windowed GROUP BY — StreamExecGroupAggregate — is the
+        canonical case): an append-only file sink cannot consume it, and
+        Flink rejects exactly this with "Table sink ... doesn't support
+        consuming update changes" unless the sink declares a PRIMARY KEY
+        and the planner inserts SinkUpsertMaterializer
+        (SinkUpsertMaterializer.java). Same contract here: the sink
+        table's PRIMARY KEY drives a per-epoch keyed parquet merge in
+        update output mode — each epoch carries only changed keys, and
+        the merge's per-key idempotence keeps restarts exactly-once at
+        the table level. The PK must be the update key (Flink raises
+        when the upsert key and primary key disagree); here that means
+        the GROUP BY columns."""
+        if not meta.primary_key:
+            raise ValueError(
+                f"Table sink {name!r} doesn't support consuming update "
+                "changes produced by this query (an unbounded "
+                "aggregation emits an updating changelog — "
+                "StreamExecGroupAggregate); declare PRIMARY KEY (...) "
+                "NOT ENFORCED on the sink table to materialize upserts "
+                "the way Flink's upsert sinks do"
+            )
+        if fmt != "parquet":
+            raise ValueError(
+                "upsert materialization rewrites the sink by parquet "
+                f"merge; format {fmt!r} is not supported for updating "
+                "streaming inserts"
+            )
+        missing = [c for c in meta.primary_key if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"sink primary key columns {missing} are absent from "
+                "the inserted query's output — the upsert key must be "
+                "the primary key"
+            )
+        from flink_1_20_spark.streaming.sinks import upsert_foreach_batch
+
+        path = meta.options["path"]
+        return upsert_foreach_batch(
+            df,
+            keys=list(meta.primary_key),
+            path=path,
+            output_mode="update",
+            checkpoint=meta.options.get("checkpoint", path + ".__ckpt__"),
+        )
+
+    # -- row-level modifications (FLIP-282) ---------------------------
+
+    def _row_level_target(self, op: str, name: str) -> TableMeta:
+        """Resolve and validate the target of DELETE/UPDATE: a batch
+        filesystem table (Flink: TableException for streaming mode —
+        DeleteTableITCase.testDeleteInStreamingMode; connectors without
+        SupportsRowLevelDelete/Update reject at planning)."""
+        if name in self._materialized:
+            raise ValueError(
+                f"{name} is a materialized table — its content is "
+                "managed by the refresh pipeline"
+            )
+        meta = self._resolve_meta(name)
+        if meta is None:
+            raise ValueError(f"unknown table {name!r}")
+        if meta.connector != "filesystem":
+            raise ValueError(
+                f"{op} statement requires a table whose connector "
+                f"supports row-level modification; {meta.connector!r} "
+                "does not"
+            )
+        if meta.options.get("scan.streaming", "false") == "true":
+            raise ValueError(
+                f"{op} statement is not supported for streaming mode now"
+            )
+        return meta
+
+    def _declared_frame(self, meta: TableMeta) -> DataFrame | None:
+        """Physical files → declared-name DataFrame (rename projection +
+        computed columns — the same mapping _register applies). None
+        when the path holds no data yet."""
+        import os
+
+        from flink_1_20_spark.sources.connectors import read_file
+
+        path = meta.options.get("path")
+        if not (
+            path
+            and os.path.isdir(path)
+            and any(not e.startswith(("_", ".")) for e in os.listdir(path))
+        ):
+            return None
+        schema = ", ".join(
+            f"{meta.renames.get(c, c)} {t}" for c, t in meta.columns
+        )
+        df = read_file(
+            self.spark, path, fmt=meta.options.get("format", "parquet"),
+            schema=schema or None,
+        )
+        if meta.renames:
+            from pyspark.sql import functions as F
+
+            rev = {orig: cur for cur, orig in meta.renames.items()}
+            df = df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
+        for cname, expr in meta.computed:
+            df = df.selectExpr("*", f"({expr}) AS {cname}")
+        return df
+
+    def _rewrite_table_files(self, meta: TableMeta, df: DataFrame) -> None:
+        """Replace a filesystem table's data with `df` (declared-name
+        frame): project back to physical names, drop computed columns,
+        write to a staging dir and swap — the write is fully distributed
+        and the live path is never deleted before its replacement is
+        committed (same crash-safe swap as the upsert materializer)."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        keep = [c for c, _ in meta.columns]
+        out = df.select([F.col(c).alias(meta.renames.get(c, c)) for c in keep])
+        path = meta.options["path"]
+        fmt = meta.options.get("format", "parquet")
+        tmp, old = path + ".__staging__", path + ".__old__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        writer = out.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        if meta.partitioned_by:
+            writer = writer.partitionBy(
+                *[meta.renames.get(c, c) for c in meta.partitioned_by]
+            )
+        writer.save(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        meta.stats = None  # data changed; never keep a broadcast verdict
+        owner = next(
+            (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
+            self.current_db,
+        )
+        self._register(meta, db=owner)
+
+    def _rows_affected(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], "rows_affected bigint")
+
+    def _partition_eq_spec(self, cond: str, meta: TableMeta) -> dict | None:
+        """`k1 = lit AND k2 = lit` over partition keys only → spec dict
+        (the SupportsDeletePushDown analog: such a DELETE drops whole
+        partition directories without scanning or rewriting data).
+        Anything else → None (row-level path)."""
+        if not meta.partitioned_by:
+            return None
+        spec: dict[str, str] = {}
+        for part in re.split(r"\s+AND\s+", cond.strip(), flags=re.I):
+            m = re.match(
+                r"`?(\w+)`?\s*=\s*('(?:[^']|'')*'|[\w.+-]+)\s*$", part.strip()
+            )
+            if not m:
+                return None
+            col, lit = m.group(1), m.group(2).strip("'")
+            if col not in meta.partitioned_by or col in spec:
+                return None
+            spec[col] = lit
+        return spec
+
+    def _delete_from(self, name: str, cond: str | None) -> DataFrame:
+        """DELETE FROM t [WHERE cond]: rows where cond is TRUE are
+        removed (NULL keeps the row, per SQL semantics). Partition-key
+        equality conditions take the pushdown path — matching partition
+        directories are dropped with no data rewrite; everything else
+        rewrites the remaining rows through the staging swap. Returns
+        one rows_affected row (Flink's DELETE TableResult)."""
+        import os
+        import shutil
+
+        meta = self._row_level_target("DELETE", name)
+        if cond is not None:
+            spec = self._partition_eq_spec(cond, meta)
+            if spec is not None:
+                root = meta.options["path"]
+                import glob as _glob
+
+                pattern = os.path.join(
+                    root,
+                    *[
+                        f"{k}={spec[k]}" if k in spec else "*"
+                        for k in meta.partitioned_by
+                    ],
+                )
+                dirs = [d for d in _glob.glob(pattern) if os.path.isdir(d)]
+                if not dirs:
+                    return self._rows_affected(0)
+                n = (
+                    self.spark.read.format(
+                        meta.options.get("format", "parquet")
+                    )
+                    .option("basePath", root)
+                    .load(dirs)
+                    .count()
+                )
+                for d in dirs:
+                    shutil.rmtree(d)
+                meta.stats = None
+                owner = next(
+                    (d for d, ts in self._dbs.items()
+                     if ts.get(meta.name) is meta),
+                    self.current_db,
+                )
+                self._register(meta, db=owner)
+                return self._rows_affected(n)
+        df = self._declared_frame(meta)
+        if df is None:
+            return self._rows_affected(0)
+        total = df.count()
+        if cond is None:
+            remaining = df.limit(0)
+        else:
+            remaining = df.filter(f"NOT ({cond}) OR ({cond}) IS NULL")
+        kept = remaining.count()
+        self._rewrite_table_files(meta, remaining)
+        return self._rows_affected(total - kept)
+
+    def _update_table(
+        self, name: str, set_clause: str, cond: str | None
+    ) -> DataFrame:
+        """UPDATE t SET c = expr[, ...] [WHERE cond]: every assignment
+        RHS sees the OLD row (standard SQL), results cast back to the
+        declared column types; partition keys and computed columns are
+        not assignable (moving a row across partition directories /
+        overriding a derived value — Flink rejects both at planning).
+        Returns one rows_affected row."""
+        meta = self._row_level_target("UPDATE", name)
+        declared = dict(meta.columns)
+        computed = {c for c, _ in meta.computed}
+        assignments: list[tuple[str, str]] = []
+        for part in _split_top_all(set_clause, ","):
+            am = re.match(r"\s*`?(\w+)`?\s*=\s*(.+)\s*$", part, re.S)
+            if not am:
+                raise ValueError(f"cannot parse SET assignment: {part!r}")
+            col, expr = am.group(1), am.group(2).strip()
+            if col in computed:
+                raise ValueError(
+                    f"UPDATE cannot assign computed column {col!r}"
+                )
+            if col in meta.partitioned_by:
+                raise ValueError(
+                    f"UPDATE cannot assign partition key {col!r}"
+                )
+            if col not in declared:
+                raise ValueError(f"unknown column {col!r} in SET clause")
+            assignments.append((col, expr))
+        df = self._declared_frame(meta)
+        if df is None:
+            return self._rows_affected(0)
+        guard = (
+            f"coalesce(CAST(({cond}) AS BOOLEAN), false)"
+            if cond is not None
+            else "true"
+        )
+        affected = df.filter(guard).count()
+        assigned = dict(assignments)
+        select = [
+            (
+                f"CAST(CASE WHEN {guard} THEN ({assigned[c]}) "
+                f"ELSE `{c}` END AS {declared[c]}) AS `{c}`"
+                if c in assigned
+                else f"`{c}`"
+            )
+            for c, _ in meta.columns
+        ]
+        self._rewrite_table_files(meta, df.selectExpr(*select))
+        return self._rows_affected(affected)
+
     def _insert_into(
         self,
         name: str,
@@ -3331,17 +3685,25 @@ class TableEnvironment:
                 q = df.writeStream.format("noop").outputMode(mode).start()
             elif meta.connector == "filesystem":
                 fmt = meta.options.get("format", "parquet")
-                q = (
-                    df.writeStream.format(fmt)
-                    .option("path", meta.options["path"])
-                    .option(
-                        "checkpointLocation",
-                        meta.options.get(
-                            "checkpoint", meta.options["path"] + "/_checkpoint"
-                        ),
+                try:
+                    q = (
+                        df.writeStream.format(fmt)
+                        .option("path", meta.options["path"])
+                        .option(
+                            "checkpointLocation",
+                            meta.options.get(
+                                "checkpoint", meta.options["path"] + "/_checkpoint"
+                            ),
+                        )
+                        .start()
                     )
-                    .start()
-                )
+                except Exception as ex:
+                    if "STREAMING_OUTPUT_MODE" not in str(ex) and (
+                        "not supported" not in str(ex)
+                        or "streaming aggregations" not in str(ex)
+                    ):
+                        raise
+                    q = self._upsert_materialized_insert(name, meta, df, fmt)
                 # a continuously-growing table must not keep a broadcast
                 # verdict ANALYZEd when it was small — same staleness rule
                 # as the batch write below
@@ -3352,6 +3714,14 @@ class TableEnvironment:
                     self.current_db,
                 )
                 self._register(meta, db=owner)
+                if meta.options.get("scan.streaming", "false") != "true":
+                    # batch-read sink being continuously written: its
+                    # static file index goes stale (and an upsert swap
+                    # invalidates it outright) — refresh per statement
+                    # while the job lives
+                    self._live_sink_views[id(meta)] = (
+                        meta, owner, self.current_catalog, q
+                    )
             else:
                 raise ValueError(
                     f"connector {meta.connector!r} is not stream-writable"

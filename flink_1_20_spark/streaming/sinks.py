@@ -9,6 +9,7 @@ Reference parity (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -49,6 +50,8 @@ def upsert_foreach_batch(
     keys: list[str],
     path: str,
     order_col: str | None = None,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
 ) -> "StreamingQuery":  # noqa: F821
     """Upsert each micro-batch into a parquet table at `path`.
 
@@ -58,7 +61,23 @@ def upsert_foreach_batch(
     out replaced keys, append the batch. At scale, swap the parquet
     rewrite for a MERGE INTO on a table format (Delta/Iceberg) — the
     foreachBatch contract is identical.
+
+    `output_mode="update"` materializes an UPDATING plan (non-windowed
+    streaming aggregation — each epoch carries only the changed keys);
+    the per-key merge makes redelivered epochs idempotent, so restart
+    from `checkpoint` stays exactly-once at the table level. The
+    checkpoint must live OUTSIDE `path`: the merge swaps the whole data
+    directory per epoch, and a checkpoint inside it would be swapped
+    away mid-stream.
     """
+    if checkpoint is not None and os.path.abspath(checkpoint).startswith(
+        os.path.abspath(path) + os.sep
+    ):
+        raise ValueError(
+            f"checkpoint {checkpoint!r} lies inside the upsert table "
+            f"path {path!r} — the per-epoch directory swap would "
+            "destroy it; use a sibling directory"
+        )
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -81,7 +100,13 @@ def upsert_foreach_batch(
             # crashed mid-swap last time (after path→old, before
             # staging→path): roll the previous table back
             os.rename(old, path)
-        if os.path.exists(path):
+        # the directory can pre-exist holding only metadata droppings
+        # (a _checkpoint from a rejected append attempt, _SUCCESS) —
+        # data means non-hidden entries
+        has_data = os.path.exists(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        )
+        if has_data:
             current = spark.read.parquet(path)
             merged = current.join(batch.select(*keys), on=keys, how="left_anti").unionByName(
                 batch
@@ -103,7 +128,10 @@ def upsert_foreach_batch(
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    return df.writeStream.foreachBatch(merge).start()
+    writer = df.writeStream.foreachBatch(merge).outputMode(output_mode)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def console_sink(df: DataFrame, output_mode: str = "append") -> "StreamingQuery":  # noqa: F821

@@ -1995,6 +1995,162 @@ def test_streaming_window_join_through_executesql(spark, tmp_path):
     assert "__w" not in starred.columns
 
 
+def test_delete_from_and_update(spark, tmp_path):
+    """FLIP-282 batch row-level modifications (DeleteTableITCase /
+    UpdateTableITCase semantics): DELETE removes rows where the
+    condition is TRUE (NULL keeps the row), UPDATE applies assignments
+    whose right-hand sides see the OLD row values, both return one
+    rows_affected row, and streaming tables reject with Flink's
+    message."""
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 5.0), (3, "a", None), (4, "c", 1.0)],
+        "id int, g string, v double",
+    ).write.parquet(str(tmp_path / "t"))
+    env.execute_sql(f"""
+        CREATE TABLE rl_t (id INT, g STRING, v DOUBLE) WITH (
+            'connector'='filesystem','path'='{tmp_path / "t"}',
+            'format'='parquet')
+    """)
+    r = env.execute_sql("DELETE FROM rl_t WHERE v > 1.5").collect()
+    assert r == [(2,)]  # NULL condition keeps id=3
+    got = sorted(tuple(x) for x in env.execute_sql("SELECT * FROM rl_t").collect())
+    assert got == [(3, "a", None), (4, "c", 1.0)]
+    # UPDATE: both assignments see the OLD row; declared types kept
+    r = env.execute_sql(
+        "UPDATE rl_t SET v = coalesce(v, 0) + 10, g = upper(g) WHERE id = 3"
+    ).collect()
+    assert r == [(1,)]
+    got = sorted(tuple(x) for x in env.execute_sql("SELECT * FROM rl_t").collect())
+    assert got == [(3, "A", 10.0), (4, "c", 1.0)]
+    assert env.execute_sql("SELECT * FROM rl_t").schema["v"].dataType.typeName() == "double"
+    # unconditional DELETE empties the table
+    r = env.execute_sql("DELETE FROM rl_t").collect()
+    assert r == [(2,)]
+    assert env.execute_sql("SELECT * FROM rl_t").collect() == []
+    # validation: unknown column / computed-column assignment
+    with pytest.raises(ValueError, match="unknown column"):
+        env.execute_sql("UPDATE rl_t SET nope = 1")
+
+
+def test_delete_partition_pushdown(spark, tmp_path):
+    """Partition-key equality DELETE takes the pushdown path
+    (DeletePushDownUtils analog): matching partition directories are
+    dropped without rewriting data; non-partition predicates take the
+    row-level rewrite; partition keys are not assignable by UPDATE."""
+    import os
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(1, "x", "2024-01-01"), (2, "y", "2024-01-02"), (3, "z", "2024-01-01")],
+        "id int, s string, dt string",
+    ).write.partitionBy("dt").parquet(str(tmp_path / "p"))
+    env.execute_sql(f"""
+        CREATE TABLE rl_p (id INT, s STRING, dt STRING)
+        PARTITIONED BY (dt) WITH (
+            'connector'='filesystem','path'='{tmp_path / "p"}',
+            'format'='parquet')
+    """)
+    r = env.execute_sql("DELETE FROM rl_p WHERE dt = '2024-01-01'").collect()
+    assert r == [(2,)]
+    # the directory itself is gone — no rewrite of the surviving one
+    assert not os.path.exists(tmp_path / "p" / "dt=2024-01-01")
+    assert os.path.exists(tmp_path / "p" / "dt=2024-01-02")
+    got = sorted(tuple(x) for x in env.execute_sql("SELECT * FROM rl_p").collect())
+    assert got == [(2, "y", "2024-01-02")]
+    # row-level path on a partitioned table preserves the layout
+    r = env.execute_sql("DELETE FROM rl_p WHERE s = 'nope'").collect()
+    assert r == [(0,)]
+    assert os.path.exists(tmp_path / "p" / "dt=2024-01-02")
+    with pytest.raises(ValueError, match="partition key"):
+        env.execute_sql("UPDATE rl_p SET dt = 'x' WHERE id = 2")
+    # streaming targets reject with Flink's TableException text
+    src = tmp_path / "rl_s"
+    src.mkdir()
+    env.execute_sql(f"""
+        CREATE TABLE rl_s (v INT) WITH (
+          'connector'='filesystem','path'='{src}',
+          'format'='json','scan.streaming'='true')
+    """)
+    with pytest.raises(ValueError, match="streaming mode"):
+        env.execute_sql("DELETE FROM rl_s WHERE v = 1")
+    with pytest.raises(ValueError, match="streaming mode"):
+        env.execute_sql("UPDATE rl_s SET v = 2")
+
+
+def test_streaming_group_agg_upsert_insert(spark, tmp_path):
+    """Non-windowed streaming GROUP BY through executeSql
+    (StreamExecGroupAggregate — Flink's canonical continuous query):
+    the plan emits an updating changelog, so an append-only file sink
+    must reject it unless the sink declares a PRIMARY KEY, in which
+    case the insert runs as per-epoch keyed upsert materialization
+    (SinkUpsertMaterializer.java). Reads through the environment see
+    the current snapshot — including before any data exists and after
+    upsert epochs swap the backing directory."""
+    import json as _json
+
+    src = tmp_path / "ua_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"k": 1, "v": 2.0}) + "\n"
+        + _json.dumps({"k": 2, "v": 5.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ua_src (k INT, v DOUBLE) WITH (
+          'connector'='filesystem','path'='{src}',
+          'format'='json','scan.streaming'='true')
+    """)
+    # append-only sink (no PK): Flink's exact rejection class
+    env.execute_sql(f"""
+        CREATE TABLE ua_nopk (k INT, cnt BIGINT, total DOUBLE) WITH (
+          'connector'='filesystem','path'='{tmp_path}/ua_nopk',
+          'format'='parquet')
+    """)
+    with pytest.raises(ValueError, match="update changes"):
+        env.execute_sql(
+            "INSERT INTO ua_nopk SELECT k, COUNT(*) AS cnt, "
+            "SUM(v) AS total FROM ua_src GROUP BY k"
+        )
+    env.execute_sql(f"""
+        CREATE TABLE ua_sink (
+            k INT, cnt BIGINT, total DOUBLE,
+            PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{tmp_path}/ua_sink',
+                'format'='parquet')
+    """)
+    # sink-first read: registered before any file exists
+    assert env.execute_sql("SELECT * FROM ua_sink").collect() == []
+    q = env.execute_sql(
+        "INSERT INTO ua_sink SELECT k, COUNT(*) AS cnt, "
+        "SUM(v) AS total FROM ua_src GROUP BY k"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in env.execute_sql("SELECT * FROM ua_sink").collect()
+        }
+        assert got == {(1, 1, 2.0), (2, 1, 5.0)}
+        # second batch UPDATES key 1 in place (not append)
+        (src / "b1.jsonl").write_text(_json.dumps({"k": 1, "v": 3.0}) + "\n")
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in env.execute_sql("SELECT * FROM ua_sink").collect()
+        }
+        assert got == {(1, 2, 5.0), (2, 1, 5.0)}
+    finally:
+        q.stop()
+    # after the job ends the final snapshot stays readable and the
+    # per-statement refresh list drains
+    got = {
+        tuple(r) for r in env.execute_sql("SELECT * FROM ua_sink").collect()
+    }
+    assert got == {(1, 2, 5.0), (2, 1, 5.0)}
+    assert env._live_sink_views == {}
+
+
 def test_streaming_session_tvf_insert_end_to_end(spark, tmp_path):
     """Streaming SESSION window TVF through executeSql: the lowering
     switches to Spark's native session_window struct for streaming
