@@ -14,10 +14,39 @@ column in the directory, so readers prune whole directories
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 _FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def has_data_files(path: str | None) -> bool:
+    """True when `path` is a directory holding at least one non-hidden
+    entry (data, not `_checkpoint`/`_SUCCESS`/dotfile droppings).
+    Race-safe against a concurrent directory swap: a path renamed away
+    between the isdir check and the listing reads as no-data rather
+    than raising into the caller's statement."""
+    try:
+        return bool(
+            path
+            and os.path.isdir(path)
+            and any(not e.startswith(("_", ".")) for e in os.listdir(path))
+        )
+    except OSError:
+        return False
+
+
+def recover_swap(path: str) -> None:
+    """Roll back a crashed staging swap: if the live directory is gone
+    but its `.__old__` parking spot survives, the previous table is
+    restored (the write-then-swap protocol in the upsert materializer
+    and the row-level rewrites parks the old data there between the
+    two renames)."""
+    old = f"{path}.__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
 
 
 def read_file(

@@ -135,6 +135,19 @@ def _split_top(s: str, sep: str) -> tuple[str, str]:
     return parts[0], sep.join(parts[1:])
 
 
+def _split_on_where(text: str) -> tuple[str, str | None]:
+    """Split at the first WHERE keyword OUTSIDE string literals —
+    `SET note = 'a WHERE b'` must not split inside the literal."""
+    parts = re.split(r"('(?:[^']|'')*')", text)
+    for i in range(0, len(parts), 2):  # even indices: non-literal text
+        m = re.search(r"\sWHERE\s", parts[i], re.I)
+        if m:
+            before = "".join(parts[:i]) + parts[i][: m.start()]
+            after = parts[i][m.end():] + "".join(parts[i + 1:])
+            return before, after
+    return text, None
+
+
 # ------------------------------------------------------------------ model
 
 
@@ -631,13 +644,12 @@ class TableEnvironment:
         m = re.match(r"DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$", s, re.S | re.I)
         if m:
             return self._delete_from(m.group(1).strip("`"), m.group(2))
-        m = re.match(
-            r"UPDATE\s+(\S+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", s, re.S | re.I
-        )
+        m = re.match(r"UPDATE\s+(\S+)\s+SET\s+(.*)$", s, re.S | re.I)
         if m:
-            return self._update_table(
-                m.group(1).strip("`"), m.group(2), m.group(3)
-            )
+            # WHERE split must ignore literals ('a WHERE b' in a SET
+            # value is data, not a clause boundary)
+            set_clause, cond = _split_on_where(m.group(2))
+            return self._update_table(m.group(1).strip("`"), set_clause, cond)
         # ANALYZE TABLE t [PARTITION(...)] COMPUTE STATISTICS
         # [FOR COLUMNS c1, ... | FOR ALL COLUMNS]
         # (SqlNodeToOperationConversion.java:1112 convertAnalyzeTable) —
@@ -3091,15 +3103,10 @@ class TableEnvironment:
         every statement while the job lives — an upsert epoch swaps the
         whole directory, so a frozen index would read deleted files).
         Runs at statement entry; no-op when both maps are empty."""
-        import os
+        from flink_1_20_spark.sources.connectors import has_data_files
 
         def has_data(meta: TableMeta) -> bool:
-            p = meta.options.get("path")
-            return bool(
-                p
-                and os.path.isdir(p)
-                and any(not e.startswith(("_", ".")) for e in os.listdir(p))
-            )
+            return has_data_files(meta.options.get("path"))
 
         def is_current(meta: TableMeta, db: str, cat: str) -> bool:
             return (
@@ -3400,14 +3407,16 @@ class TableEnvironment:
         filesystem table (Flink: TableException for streaming mode —
         DeleteTableITCase.testDeleteInStreamingMode; connectors without
         SupportsRowLevelDelete/Update reject at planning)."""
-        if name in self._materialized:
+        meta = self._resolve_meta(name)
+        if meta is None:
+            raise ValueError(f"unknown table {name!r}")
+        # identity check, not name check — a qualified/mangled reference
+        # (db.mt → __cat_db__mt) must not bypass the guard
+        if any(e.get("meta") is meta for e in self._materialized.values()):
             raise ValueError(
                 f"{name} is a materialized table — its content is "
                 "managed by the refresh pipeline"
             )
-        meta = self._resolve_meta(name)
-        if meta is None:
-            raise ValueError(f"unknown table {name!r}")
         if meta.connector != "filesystem":
             raise ValueError(
                 f"{op} statement requires a table whose connector "
@@ -3423,17 +3432,19 @@ class TableEnvironment:
     def _declared_frame(self, meta: TableMeta) -> DataFrame | None:
         """Physical files → declared-name DataFrame (rename projection +
         computed columns — the same mapping _register applies). None
-        when the path holds no data yet."""
-        import os
-
-        from flink_1_20_spark.sources.connectors import read_file
+        when the path holds no data yet. A crashed staging swap is
+        rolled back first so the parked previous table is never read
+        as empty."""
+        from flink_1_20_spark.sources.connectors import (
+            has_data_files,
+            read_file,
+            recover_swap,
+        )
 
         path = meta.options.get("path")
-        if not (
-            path
-            and os.path.isdir(path)
-            and any(not e.startswith(("_", ".")) for e in os.listdir(path))
-        ):
+        if path:
+            recover_swap(path)
+        if not has_data_files(path):
             return None
         schema = ", ".join(
             f"{meta.renames.get(c, c)} {t}" for c, t in meta.columns
@@ -3483,11 +3494,16 @@ class TableEnvironment:
         os.rename(tmp, path)
         shutil.rmtree(old)
         meta.stats = None  # data changed; never keep a broadcast verdict
-        owner = next(
+        self._register(meta, db=self._owner_db(meta))
+
+    def _owner_db(self, meta: TableMeta) -> str:
+        """The current catalog's db holding exactly this meta (falls
+        back to the current db — e.g. a meta resolved via a qualified
+        reference into the current catalog)."""
+        return next(
             (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
             self.current_db,
         )
-        self._register(meta, db=owner)
 
     def _rows_affected(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "rows_affected bigint")
@@ -3506,7 +3522,9 @@ class TableEnvironment:
             )
             if not m:
                 return None
-            col, lit = m.group(1), m.group(2).strip("'")
+            col, lit = m.group(1), m.group(2)
+            if lit.startswith("'"):
+                lit = lit[1:-1].replace("''", "'")  # SQL quote unescape
             if col not in meta.partitioned_by or col in spec:
                 return None
             spec[col] = lit
@@ -3529,33 +3547,33 @@ class TableEnvironment:
                 root = meta.options["path"]
                 import glob as _glob
 
+                from flink_1_20_spark.sources.connectors import recover_swap
+
+                recover_swap(root)
+                # directory names carry PHYSICAL column names (a renamed
+                # partition key keeps its on-disk name) and literal
+                # values must not act as glob metacharacters
                 pattern = os.path.join(
                     root,
                     *[
-                        f"{k}={spec[k]}" if k in spec else "*"
+                        _glob.escape(f"{meta.renames.get(k, k)}={spec[k]}")
+                        if k in spec
+                        else "*"
                         for k in meta.partitioned_by
                     ],
                 )
                 dirs = [d for d in _glob.glob(pattern) if os.path.isdir(d)]
                 if not dirs:
                     return self._rows_affected(0)
-                n = (
-                    self.spark.read.format(
-                        meta.options.get("format", "parquet")
-                    )
-                    .option("basePath", root)
-                    .load(dirs)
-                    .count()
-                )
+                fmt = meta.options.get("format", "parquet")
+                reader = self.spark.read.format(fmt).option("basePath", root)
+                if fmt == "csv":
+                    reader = reader.option("header", "true")
+                n = reader.load(dirs).count()
                 for d in dirs:
                     shutil.rmtree(d)
                 meta.stats = None
-                owner = next(
-                    (d for d, ts in self._dbs.items()
-                     if ts.get(meta.name) is meta),
-                    self.current_db,
-                )
-                self._register(meta, db=owner)
+                self._register(meta, db=self._owner_db(meta))
                 return self._rows_affected(n)
         df = self._declared_frame(meta)
         if df is None:
@@ -3668,6 +3686,25 @@ class TableEnvironment:
             df = self._sql_streaming_lowered(query)
         if (static_partition or columns) and meta.columns:
             df = self._align_insert_columns(meta, df, static_partition, columns)
+        elif meta.columns:
+            # Flink binds INSERT output to the sink POSITIONALLY with
+            # implicit casts (DynamicSinkUtils.validateSchemaAndApplyImplicitCast)
+            # — without this, `INSERT INTO t VALUES (...)` writes col1/
+            # col2/... into the files and by-name reads see NULLs
+            if len(df.columns) != len(meta.columns):
+                raise ValueError(
+                    f"INSERT query produces {len(df.columns)} columns "
+                    f"for {len(meta.columns)} declared columns of "
+                    f"{meta.name}"
+                )
+            # df[src], not F.col(src): a source alias like `sum(v)`
+            # must resolve as a NAME, never parse as an expression
+            df = df.select(
+                [
+                    df[src].cast(t).alias(c)
+                    for src, (c, t) in zip(df.columns, meta.columns)
+                ]
+            )
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose

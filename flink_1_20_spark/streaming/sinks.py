@@ -70,8 +70,11 @@ def upsert_foreach_batch(
     directory per epoch, and a checkpoint inside it would be swapped
     away mid-stream.
     """
-    if checkpoint is not None and os.path.abspath(checkpoint).startswith(
-        os.path.abspath(path) + os.sep
+    if checkpoint is not None and (
+        os.path.abspath(checkpoint) == os.path.abspath(path)
+        or os.path.abspath(checkpoint).startswith(
+            os.path.abspath(path) + os.sep
+        )
     ):
         raise ValueError(
             f"checkpoint {checkpoint!r} lies inside the upsert table "
@@ -95,18 +98,19 @@ def upsert_foreach_batch(
         import os
         import shutil
 
-        old = f"{path}.__old__"
-        if not os.path.exists(path) and os.path.exists(old):
-            # crashed mid-swap last time (after path→old, before
-            # staging→path): roll the previous table back
-            os.rename(old, path)
-        # the directory can pre-exist holding only metadata droppings
-        # (a _checkpoint from a rejected append attempt, _SUCCESS) —
-        # data means non-hidden entries
-        has_data = os.path.exists(path) and any(
-            not e.startswith(("_", ".")) for e in os.listdir(path)
+        from flink_1_20_spark.sources.connectors import (
+            has_data_files,
+            recover_swap,
         )
-        if has_data:
+
+        old = f"{path}.__old__"
+        # crashed mid-swap last time (after path→old, before
+        # staging→path): roll the previous table back. The directory
+        # can also pre-exist holding only metadata droppings (a
+        # _checkpoint from a rejected append attempt, _SUCCESS) —
+        # data means non-hidden entries.
+        recover_swap(path)
+        if has_data_files(path):
             current = spark.read.parquet(path)
             merged = current.join(batch.select(*keys), on=keys, how="left_anti").unionByName(
                 batch

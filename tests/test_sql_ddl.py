@@ -2031,6 +2031,12 @@ def test_delete_from_and_update(spark, tmp_path):
     # validation: unknown column / computed-column assignment
     with pytest.raises(ValueError, match="unknown column"):
         env.execute_sql("UPDATE rl_t SET nope = 1")
+    # review fix: WHERE inside a SET string literal is data, not a
+    # clause boundary
+    env.execute_sql("INSERT INTO rl_t VALUES (1, 'x', 0.0)")
+    r = env.execute_sql("UPDATE rl_t SET g = 'a WHERE b' WHERE id = 1").collect()
+    assert r == [(1,)]
+    assert env.execute_sql("SELECT g FROM rl_t").collect()[0][0] == "a WHERE b"
 
 
 def test_delete_partition_pushdown(spark, tmp_path):
@@ -2064,6 +2070,18 @@ def test_delete_partition_pushdown(spark, tmp_path):
     assert os.path.exists(tmp_path / "p" / "dt=2024-01-02")
     with pytest.raises(ValueError, match="partition key"):
         env.execute_sql("UPDATE rl_p SET dt = 'x' WHERE id = 2")
+    # review fix: a glob metacharacter in the literal is DATA, not a
+    # wildcard — it matches no directory instead of every directory
+    r = env.execute_sql("DELETE FROM rl_p WHERE dt = '*'").collect()
+    assert r == [(0,)]
+    assert os.path.exists(tmp_path / "p" / "dt=2024-01-02")
+    # review fix: after RENAME COLUMN the directories keep the PHYSICAL
+    # name — pushdown must glob dt=..., not day=...
+    env.execute_sql("ALTER TABLE rl_p RENAME dt TO day")
+    r = env.execute_sql("DELETE FROM rl_p WHERE day = '2024-01-02'").collect()
+    assert r == [(1,)]
+    assert not os.path.exists(tmp_path / "p" / "dt=2024-01-02")
+    assert env.execute_sql("SELECT * FROM rl_p").collect() == []
     # streaming targets reject with Flink's TableException text
     src = tmp_path / "rl_s"
     src.mkdir()
