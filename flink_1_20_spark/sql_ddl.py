@@ -169,6 +169,10 @@ class TableMeta:
     # underlying files (existing data keeps its physical column names;
     # the registered view reads by the original name then renames)
     renames: dict[str, str] = field(default_factory=dict)
+    # DISTRIBUTED BY (FLIP-376 bucketed tables, SqlDistribution.java):
+    # (kind 'HASH'|'RANGE', bucket columns, bucket count or None) —
+    # writes cluster by the key into the bucket count
+    distribution: tuple[str, list[str], int | None] | None = None
 
 
 def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
@@ -314,6 +318,21 @@ class TableEnvironment:
         m = re.match(r"DESCRIBE\s+CATALOG\s+(EXTENDED\s+)?(\S+)$", s, re.I)
         if m:
             return self._describe_catalog(m.group(2).strip("`"), bool(m.group(1)))
+        # SHOW CREATE CATALOG (SqlShowCreateCatalog.java): reconstruct
+        # the DDL from the recorded type/comment/options
+        m = re.match(r"SHOW\s+CREATE\s+CATALOG\s+(\S+)$", s, re.I)
+        if m:
+            cname = m.group(1).strip("`")
+            entry = self._catalogs.get(cname)
+            if entry is None:
+                raise ValueError(f"catalog does not exist: {cname}")
+            opts = {"type": entry["type"], **entry["options"]}
+            comment = (
+                f"\nCOMMENT '{entry['comment']}'" if entry["comment"] else ""
+            )
+            body = ",\n".join(f"  '{k}' = '{v}'" for k, v in opts.items())
+            ddl = f"CREATE CATALOG `{cname}`{comment} WITH (\n{body}\n)"
+            return self.spark.createDataFrame([(ddl,)], "result string")
         m = re.match(r"ALTER\s+CATALOG\s+(\S+)\s+(.*)$", s, re.S | re.I)
         if m and m.group(1).strip("`") in self._catalogs:
             return self._alter_catalog(m.group(1).strip("`"), m.group(2).strip())
@@ -579,6 +598,22 @@ class TableEnvironment:
             )
         if re.match(r"SHOW\s+MODULES$", u):
             return self.spark.createDataFrame([("core",)], "module_name string")
+        # USE MODULES m1[, m2...] (SqlUseModules.java): re-orders the
+        # enabled set among LOADED modules — only core is ever loaded
+        # here (LOAD MODULE is the documented non-goal), so the only
+        # valid ordering is ['core']; anything else is the reference's
+        # "module ... is not loaded" validation error
+        m = re.match(r"USE\s+MODULES\s+(.+)$", s, re.I)
+        if m:
+            mods = [x.strip().strip("`") for x in m.group(1).split(",")]
+            bad = [x for x in mods if x.lower() != "core"]
+            if bad:
+                raise ValueError(
+                    f"No module with name '{bad[0]}' exists (only the "
+                    "core module is loaded; LOAD MODULE is a documented "
+                    "non-goal — SURVEY §7)"
+                )
+            return None
         # qualified-name rewrites, ONE regex pass each (not a loop over
         # every registered table): extract dotted candidates, rewrite
         # only those that resolve to a registered table. 3-part
@@ -1726,6 +1761,19 @@ class TableEnvironment:
             lines.append(f"  PRIMARY KEY ({cols}) NOT ENFORCED")
         opts = {"connector": meta.connector, **meta.options}
         with_clause = ",\n".join(f"  '{k}' = '{v}'" for k, v in opts.items())
+        dist = ""
+        if meta.distribution is not None:
+            kind, dcols, buckets = meta.distribution
+            into = f" INTO {buckets} BUCKETS" if buckets else ""
+            dist = (
+                f"DISTRIBUTED INTO {buckets} BUCKETS\n"
+                if not dcols
+                else "DISTRIBUTED BY "
+                + kind
+                + "("
+                + ", ".join(f"`{c}`" for c in dcols)
+                + f"){into}\n"
+            )
         part = (
             "PARTITIONED BY ("
             + ", ".join(f"`{c}`" for c in meta.partitioned_by)
@@ -1736,7 +1784,7 @@ class TableEnvironment:
         ddl = (
             f"CREATE TABLE `{name}` (\n"
             + ",\n".join(lines)
-            + f"\n) {part}WITH (\n{with_clause}\n)"
+            + f"\n) {dist}{part}WITH (\n{with_clause}\n)"
         )
         return self.spark.createDataFrame([(ddl,)], "result string")
 
@@ -1807,6 +1855,11 @@ class TableEnvironment:
             meta.partitioned_by = [
                 new if c == old else c for c in meta.partitioned_by
             ]
+            if meta.distribution is not None:
+                kind, dcols, buckets = meta.distribution
+                meta.distribution = (
+                    kind, [new if c == old else c for c in dcols], buckets
+                )
             if meta.watermark and meta.watermark[0] == old:
                 meta.watermark = (new, meta.watermark[1])
             meta.stats = None  # per-column stats are keyed by old names
@@ -1869,6 +1922,37 @@ class TableEnvironment:
                 meta.options[km.group(1)] = km.group(2)
             self._register(meta)
             return None
+        # RESET ('k' [, ...]) (SqlAlterTableReset.java): drop options
+        # back to their defaults; the connector identity is not an
+        # option that can be reset
+        m = re.match(r"RESET\s*\((.*)\)$", action, re.S | re.I)
+        if m:
+            keys = [
+                k.strip().strip("'")
+                for k in _split_top_all(m.group(1), ",")
+                if k.strip()
+            ]
+            if "connector" in keys:
+                raise ValueError("ALTER TABLE RESET does not support changing 'connector'")
+            for k in keys:
+                meta.options.pop(k, None)
+            self._register(meta)
+            return None
+        # DROP DISTRIBUTION (SqlAlterTableDropDistribution.java,
+        # FLIP-376): subsequent writes stop clustering by the bucket key
+        if re.match(r"DROP\s+DISTRIBUTION$", action, re.I):
+            if meta.distribution is None:
+                raise ValueError(f"table {name} has no distribution to drop")
+            meta.distribution = None
+            return None
+        # COMPACT (SqlAlterTableCompact.java → the filesystem
+        # connector's small-file compaction): rewrite the table's (or
+        # one partition's) files into the target layout
+        m = re.match(r"PARTITION\s*\((.*?)\)\s+COMPACT$", action, re.S | re.I)
+        if m:
+            return self._compact_table(meta, m.group(1))
+        if re.match(r"COMPACT$", action, re.I):
+            return self._compact_table(meta, None)
         m = re.match(r"ADD\s*\(?\s*(.*?)\)?$", action, re.S | re.I)
         if m and m.group(1) and not action.upper().startswith("ADD CONSTRAINT"):
             for coldef in _split_top_all(m.group(1), ","):
@@ -3028,6 +3112,27 @@ class TableEnvironment:
         return self._insert_into(name, query, overwrite=not df.isStreaming)
 
     def _create_table(self, s: str) -> None:
+        # DISTRIBUTED BY [HASH|RANGE] (cols) [INTO n BUCKETS] /
+        # DISTRIBUTED INTO n BUCKETS (FLIP-376, SqlDistribution.java) —
+        # extracted before the main patterns (it sits between the column
+        # body and PARTITIONED BY/WITH)
+        distribution = None
+        dm = re.search(
+            r"\bDISTRIBUTED\s+(?:BY\s+(?:(HASH|RANGE)\s*)?\(([^)]*)\)\s*"
+            r"(?:INTO\s+(\d+)\s+BUCKETS)?|INTO\s+(\d+)\s+BUCKETS)",
+            s,
+            re.I,
+        )
+        if dm:
+            kind = (dm.group(1) or "HASH").upper()
+            cols = [
+                c.strip().strip("`")
+                for c in (dm.group(2) or "").split(",")
+                if c.strip()
+            ]
+            buckets = int(dm.group(3) or dm.group(4) or 0) or None
+            distribution = (kind, cols, buckets)
+            s = s[: dm.start()] + s[dm.end():]
         # PARTITIONED BY is matched by a dedicated pattern FIRST: in the
         # combined pattern the greedy column-body group would swallow the
         # optional clause (regex backtracking prefers the longer body
@@ -3085,6 +3190,15 @@ class TableEnvironment:
             cname, ctype = col.split(None, 1)
             meta.columns.append((cname.strip("`"), flink_type_to_spark(ctype)))
 
+        if distribution is not None:
+            declared = {c for c, _ in meta.columns}
+            bad = [c for c in distribution[1] if c not in declared]
+            if bad:
+                raise ValueError(
+                    f"invalid bucket key {bad}: distribution keys must "
+                    "be physical columns of the table"
+                )
+            meta.distribution = distribution
         self._register(meta)
         self.tables[name] = meta
 
@@ -3496,6 +3610,107 @@ class TableEnvironment:
         meta.stats = None  # data changed; never keep a broadcast verdict
         self._register(meta, db=self._owner_db(meta))
 
+    def _apply_distribution(self, df: DataFrame, meta: TableMeta) -> DataFrame:
+        """DISTRIBUTED BY (FLIP-376 bucketed tables): cluster rows by
+        the bucket key into the declared bucket count before a write —
+        HASH keeps same-key rows in one file (co-located reads,
+        join/agg locality at scale), RANGE keeps sort affinity; a
+        bare bucket count just sizes the file count."""
+        kind, dcols, buckets = meta.distribution
+        if not dcols:
+            return df.repartition(buckets)
+        if kind == "RANGE":
+            return (
+                df.repartitionByRange(buckets, *dcols)
+                if buckets
+                else df.repartitionByRange(*dcols)
+            )
+        return df.repartition(buckets, *dcols) if buckets else df.repartition(*dcols)
+
+    def _compact_table(self, meta: TableMeta, partition_spec: str | None):
+        """ALTER TABLE [PARTITION (...)] COMPACT (SqlAlterTableCompact
+        .java → the filesystem connector's batch compaction): rewrite
+        the target's files into the bucketed layout when the table is
+        DISTRIBUTED, else into a size-targeted file count (128 MiB per
+        file, the connector's compaction.file-size default) — through
+        the crash-safe staging swap, so concurrent readers never see a
+        half-compacted table."""
+        import math
+        import os
+        import shutil
+
+        if meta.connector != "filesystem":
+            raise ValueError(
+                f"ALTER TABLE COMPACT: connector {meta.connector!r} has "
+                "no files to compact"
+            )
+        if meta.options.get("scan.streaming", "false") == "true":
+            raise ValueError(
+                "ALTER TABLE COMPACT runs in batch mode; a streaming "
+                "sink compacts through its rolling policy"
+            )
+
+        def dir_bytes(p: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
+            return total
+
+        try:
+            target = int(meta.options.get("compaction.file-size", ""))
+        except ValueError:
+            target = 128 * 1024 * 1024
+        fmt = meta.options.get("format", "parquet")
+        if partition_spec is not None:
+            spec = self._parse_partition_spec(partition_spec)
+            if set(spec) != set(meta.partitioned_by):
+                raise ValueError(
+                    f"partition spec {sorted(spec)} must name exactly "
+                    f"the partition keys {meta.partitioned_by}"
+                )
+            d = os.path.join(
+                meta.options["path"],
+                *[
+                    f"{meta.renames.get(k, k)}={spec[k]}"
+                    for k in meta.partitioned_by
+                ],
+            )
+            if not os.path.isdir(d):
+                raise ValueError(f"partition does not exist: {d}")
+            n = max(1, math.ceil(dir_bytes(d) / target))
+            reader = self.spark.read.format(fmt)
+            if fmt == "csv":
+                reader = reader.option("header", "true")
+            part_df = reader.load(d).coalesce(n)
+            tmp, old = d + ".__staging__", d + ".__old__"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            writer = part_df.write.format(fmt).mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            writer.save(tmp)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+            self._register(meta, db=self._owner_db(meta))
+            return None
+        df = self._declared_frame(meta)
+        if df is None:
+            return None  # nothing to compact
+        if meta.distribution is not None:
+            df = self._apply_distribution(df, meta)
+        else:
+            n = max(1, math.ceil(dir_bytes(meta.options["path"]) / target))
+            df = df.coalesce(n)
+        self._rewrite_table_files(meta, df)
+        return None
+
     def _owner_db(self, meta: TableMeta) -> str:
         """The current catalog's db holding exactly this meta (falls
         back to the current db — e.g. a meta resolved via a qualified
@@ -3705,6 +3920,15 @@ class TableEnvironment:
                     for src, (c, t) in zip(df.columns, meta.columns)
                 ]
             )
+        if meta.distribution is not None:
+            df = self._apply_distribution(df, meta)
+        if meta.renames and meta.columns:
+            # files keep their PHYSICAL column names across RENAME
+            # COLUMN — writing the declared name would orphan the
+            # column for every read through the rename mapping
+            df = df.select(
+                [df[c].alias(meta.renames.get(c, c)) for c in df.columns]
+            )
         if df.isStreaming:
             # streaming INSERT: start a continuous query into the sink
             # (TableEnvironment.executeSql returns a TableResult whose
@@ -3785,7 +4009,7 @@ class TableEnvironment:
                         write_partitioned(
                             df,
                             meta.options["path"],
-                            meta.partitioned_by,
+                            [meta.renames.get(c, c) for c in meta.partitioned_by],
                             fmt=fmt,
                             mode=mode,
                         )
@@ -3795,7 +4019,11 @@ class TableEnvironment:
                         )
                 else:
                     write_partitioned(
-                        df, meta.options["path"], meta.partitioned_by, fmt=fmt, mode=mode
+                        df,
+                        meta.options["path"],
+                        [meta.renames.get(c, c) for c in meta.partitioned_by],
+                        fmt=fmt,
+                        mode=mode,
                     )
             else:
                 write_file(df, meta.options["path"], fmt=fmt, mode=mode)

@@ -1995,6 +1995,139 @@ def test_streaming_window_join_through_executesql(spark, tmp_path):
     assert "__w" not in starred.columns
 
 
+def test_distributed_by_bucketed_table(spark, tmp_path):
+    """FLIP-376 bucketed tables (SqlDistribution.java): DISTRIBUTED BY
+    [HASH|RANGE] (cols) [INTO n BUCKETS] clusters every write by the
+    bucket key into the bucket count — same-key rows land in one file
+    (co-located reads); SHOW CREATE TABLE renders the clause; ALTER
+    TABLE DROP DISTRIBUTION removes it; bucket keys must be physical
+    columns."""
+    import os
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE bt (k INT, v DOUBLE)
+        DISTRIBUTED BY HASH(k) INTO 2 BUCKETS
+        WITH ('connector'='filesystem','path'='{tmp_path}/bt',
+              'format'='parquet')
+    """)
+    env.execute_sql(
+        "INSERT INTO bt SELECT id AS k, CAST(id AS DOUBLE) AS v "
+        "FROM (SELECT explode(sequence(1, 100)) AS id)"
+    )
+    files = [
+        f for f in os.listdir(tmp_path / "bt")
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert len(files) == 2  # bucket count drives the file count
+    # each key lives in exactly ONE file (hash clustering)
+    per_file = [
+        {r["k"] for r in spark.read.parquet(str(tmp_path / "bt" / f)).collect()}
+        for f in files
+    ]
+    assert per_file[0].isdisjoint(per_file[1])
+    assert per_file[0] | per_file[1] == set(range(1, 101))
+    ddl = env.execute_sql("SHOW CREATE TABLE bt").collect()[0][0]
+    assert "DISTRIBUTED BY HASH(`k`) INTO 2 BUCKETS" in ddl
+    env.execute_sql("ALTER TABLE bt DROP DISTRIBUTION")
+    assert "DISTRIBUTED" not in env.execute_sql(
+        "SHOW CREATE TABLE bt"
+    ).collect()[0][0]
+    with pytest.raises(ValueError, match="physical columns"):
+        env.execute_sql(f"""
+            CREATE TABLE bt2 (k INT) DISTRIBUTED BY (nope) WITH (
+              'connector'='filesystem','path'='{tmp_path}/bt2',
+              'format'='parquet')
+        """)
+
+
+def test_compact_reset_modules_show_create_catalog(spark, tmp_path):
+    """ALTER TABLE [PARTITION] COMPACT rewrites small files into the
+    size-targeted count (SqlAlterTableCompact.java — filesystem batch
+    compaction) without changing rows; ALTER TABLE RESET drops options;
+    USE MODULES validates against the loaded set; SHOW CREATE CATALOG
+    reconstructs the DDL."""
+    import os
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ct (k INT, v DOUBLE) WITH (
+          'connector'='filesystem','path'='{tmp_path}/ct',
+          'format'='parquet')
+    """)
+    # 5 separate inserts → at least 5 small files
+    for i in range(5):
+        env.execute_sql(f"INSERT INTO ct VALUES ({i}, {float(i)})")
+    n_files = lambda: len([
+        f for f in os.listdir(tmp_path / "ct")
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ])
+    assert n_files() >= 5
+    before = sorted(tuple(r) for r in env.execute_sql("SELECT * FROM ct").collect())
+    env.execute_sql("ALTER TABLE ct COMPACT")
+    assert n_files() == 1  # tiny table → one target-size file
+    after = sorted(tuple(r) for r in env.execute_sql("SELECT * FROM ct").collect())
+    assert after == before
+    # partition-scoped compaction touches only the named partition
+    env.execute_sql(f"""
+        CREATE TABLE cp (id INT, dt STRING) PARTITIONED BY (dt) WITH (
+          'connector'='filesystem','path'='{tmp_path}/cp',
+          'format'='parquet')
+    """)
+    for i in range(3):
+        env.execute_sql(f"INSERT INTO cp VALUES ({i}, '2024-01-01')")
+    env.execute_sql("INSERT INTO cp VALUES (9, '2024-01-02')")
+    env.execute_sql("ALTER TABLE cp PARTITION (dt='2024-01-01') COMPACT")
+    p1 = [
+        f for f in os.listdir(tmp_path / "cp" / "dt=2024-01-01")
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert len(p1) == 1
+    got = sorted(tuple(r) for r in env.execute_sql("SELECT * FROM cp").collect())
+    assert got == [(0, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")]
+    # ALTER TABLE RESET drops an option; connector is not resettable
+    env.execute_sql("ALTER TABLE ct SET ('k1' = 'v1')")
+    assert "'k1' = 'v1'" in env.execute_sql("SHOW CREATE TABLE ct").collect()[0][0]
+    env.execute_sql("ALTER TABLE ct RESET ('k1')")
+    assert "'k1'" not in env.execute_sql("SHOW CREATE TABLE ct").collect()[0][0]
+    with pytest.raises(ValueError, match="connector"):
+        env.execute_sql("ALTER TABLE ct RESET ('connector')")
+    # USE MODULES
+    env.execute_sql("USE MODULES core")
+    with pytest.raises(ValueError, match="hive"):
+        env.execute_sql("USE MODULES hive, core")
+    # SHOW CREATE CATALOG
+    env.execute_sql("CREATE CATALOG sc_cat COMMENT 'c' WITH ('type'='generic_in_memory')")
+    ddl = env.execute_sql("SHOW CREATE CATALOG sc_cat").collect()[0][0]
+    assert "CREATE CATALOG `sc_cat`" in ddl and "COMMENT 'c'" in ddl
+
+
+def test_insert_positional_binding_and_rename(spark, tmp_path):
+    """INSERT binds the query output to the sink columns POSITIONALLY
+    with implicit casts (DynamicSinkUtils.validateSchemaAndApplyImplicitCast):
+    VALUES tuples with generated names land in the declared columns,
+    and after RENAME COLUMN new files keep the PHYSICAL column name so
+    reads through the rename mapping see every row."""
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, 2.0)], "id int, v double").write.parquet(
+        str(tmp_path / "t")
+    )
+    env.execute_sql(f"""
+        CREATE TABLE pb (id INT, v DOUBLE) WITH (
+          'connector'='filesystem','path'='{tmp_path}/t',
+          'format'='parquet')
+    """)
+    env.execute_sql("INSERT INTO pb VALUES (2, 9)")  # int 9 casts to DOUBLE
+    got = sorted(tuple(r) for r in env.execute_sql("SELECT * FROM pb").collect())
+    assert got == [(1, 2.0), (2, 9.0)]
+    env.execute_sql("ALTER TABLE pb RENAME v TO val")
+    env.execute_sql("INSERT INTO pb VALUES (3, 7.5)")
+    got = sorted(tuple(r) for r in env.execute_sql("SELECT id, val FROM pb").collect())
+    assert got == [(1, 2.0), (2, 9.0), (3, 7.5)]
+    with pytest.raises(ValueError, match="columns"):
+        env.execute_sql("INSERT INTO pb VALUES (1)")
+
+
 def test_delete_from_and_update(spark, tmp_path):
     """FLIP-282 batch row-level modifications (DeleteTableITCase /
     UpdateTableITCase semantics): DELETE removes rows where the
