@@ -38,15 +38,46 @@ def has_data_files(path: str | None) -> bool:
         return False
 
 
+COMPACT_OLD_PREFIX = ".__compact_old__"
+COMPACT_STAGING_PREFIX = ".__compact_staging__"
+
+
 def recover_swap(path: str) -> None:
     """Roll back a crashed staging swap: if the live directory is gone
     but its `.__old__` parking spot survives, the previous table is
     restored (the write-then-swap protocol in the upsert materializer
     and the row-level rewrites parks the old data there between the
-    two renames)."""
+    two renames). Partition-scoped compaction parks inside the table
+    root under dot-prefixed names (invisible to Spark's scan) — any
+    parked partition whose live directory is missing is restored, and
+    leftover staging dirs are dropped (a staging dir only survives a
+    crash that never touched the live directory)."""
     old = f"{path}.__old__"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
+    if not os.path.isdir(path):
+        return
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return
+    import shutil
+
+    for e in entries:
+        full = os.path.join(path, e)
+        if e.startswith(COMPACT_OLD_PREFIX):
+            target = os.path.join(
+                path, e[len(COMPACT_OLD_PREFIX):].replace("%2F", os.sep)
+            )
+            if not os.path.exists(target):
+                # not os.renames: its empty-parent pruning could remove
+                # the table root itself
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                os.rename(full, target)
+            else:
+                shutil.rmtree(full)
+        elif e.startswith(COMPACT_STAGING_PREFIX):
+            shutil.rmtree(full)
 
 
 def read_file(

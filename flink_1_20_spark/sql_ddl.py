@@ -327,6 +327,9 @@ class TableEnvironment:
             if entry is None:
                 raise ValueError(f"catalog does not exist: {cname}")
             opts = {"type": entry["type"], **entry["options"]}
+            declared_db = entry.get("default_db", self.DEFAULT_DB)
+            if declared_db != self.DEFAULT_DB:
+                opts["default-database"] = declared_db
             comment = (
                 f"\nCOMMENT '{entry['comment']}'" if entry["comment"] else ""
             )
@@ -1932,8 +1935,22 @@ class TableEnvironment:
                 for k in _split_top_all(m.group(1), ",")
                 if k.strip()
             ]
+            if not keys:
+                raise ValueError("ALTER TABLE RESET requires at least one key")
             if "connector" in keys:
                 raise ValueError("ALTER TABLE RESET does not support changing 'connector'")
+            # options the factory REQUIRES have no default to reset to —
+            # Flink's factory revalidation rejects; popping them here
+            # would wedge the table (a mutated meta _register cannot read)
+            required = (
+                {"path", "format"} if meta.connector == "filesystem" else set()
+            )
+            bad = sorted(required & set(keys))
+            if bad:
+                raise ValueError(
+                    f"ALTER TABLE RESET cannot remove required option(s) "
+                    f"{bad} of the {meta.connector!r} connector"
+                )
             for k in keys:
                 meta.options.pop(k, None)
             self._register(meta)
@@ -1993,6 +2010,9 @@ class TableEnvironment:
             "type": ctype,
             "comment": comment,
             "options": options,
+            # the DECLARED default database (current_db drifts with USE;
+            # SHOW CREATE CATALOG must replay the original declaration)
+            "default_db": default_db,
             "dbs": {default_db: {}},
             "current_db": default_db,
         }
@@ -3117,22 +3137,36 @@ class TableEnvironment:
         # extracted before the main patterns (it sits between the column
         # body and PARTITIONED BY/WITH)
         distribution = None
-        dm = re.search(
-            r"\bDISTRIBUTED\s+(?:BY\s+(?:(HASH|RANGE)\s*)?\(([^)]*)\)\s*"
-            r"(?:INTO\s+(\d+)\s+BUCKETS)?|INTO\s+(\d+)\s+BUCKETS)",
-            s,
-            re.I,
-        )
-        if dm:
+        # scan only OUTSIDE string literals — a path option like
+        # '/data/DISTRIBUTED INTO 3 BUCKETS' is data, not the clause
+        parts = re.split(r"('(?:[^']|'')*')", s)
+        for i in range(0, len(parts), 2):
+            dm = re.search(
+                r"\bDISTRIBUTED\s+(?:BY\s+(?:(HASH|RANGE)\s*)?\(([^)]*)\)\s*"
+                r"(?:INTO\s+(\d+)\s+BUCKETS)?|INTO\s+(\d+)\s+BUCKETS)",
+                parts[i],
+                re.I,
+            )
+            if not dm:
+                continue
             kind = (dm.group(1) or "HASH").upper()
             cols = [
                 c.strip().strip("`")
                 for c in (dm.group(2) or "").split(",")
                 if c.strip()
             ]
-            buckets = int(dm.group(3) or dm.group(4) or 0) or None
+            raw_buckets = dm.group(3) or dm.group(4)
+            buckets = int(raw_buckets) if raw_buckets is not None else None
+            if buckets is not None and buckets < 1:
+                raise ValueError("bucket count must be at least 1")
+            if not cols and buckets is None:
+                raise ValueError(
+                    "DISTRIBUTED requires bucket columns or a bucket count"
+                )
             distribution = (kind, cols, buckets)
-            s = s[: dm.start()] + s[dm.end():]
+            parts[i] = parts[i][: dm.start()] + parts[i][dm.end():]
+            s = "".join(parts)
+            break
         # PARTITIONED BY is matched by a dedicated pattern FIRST: in the
         # combined pattern the greedy column-body group would swallow the
         # optional clause (regex backtracking prefers the longer body
@@ -3660,33 +3694,65 @@ class TableEnvironment:
                 )
             return total
 
-        try:
-            target = int(meta.options.get("compaction.file-size", ""))
-        except ValueError:
+        # Flink's compaction.file-size is a MemorySize ('64mb', '1 gb',
+        # plain bytes); unparseable or non-positive values are ERRORS,
+        # not a silent fall-through to the 128 MiB default
+        raw = meta.options.get("compaction.file-size")
+        if raw is None:
             target = 128 * 1024 * 1024
+        else:
+            sm = re.match(
+                r"\s*(\d+)\s*(b|kb|mb|gb|tb)?\s*$", raw, re.I
+            )
+            if not sm:
+                raise ValueError(
+                    f"cannot parse compaction.file-size {raw!r} "
+                    "(expected a MemorySize like '128mb')"
+                )
+            target = int(sm.group(1)) * {
+                "b": 1, "kb": 1024, "mb": 1024**2,
+                "gb": 1024**3, "tb": 1024**4,
+            }[(sm.group(2) or "b").lower()]
+            if target <= 0:
+                raise ValueError("compaction.file-size must be positive")
         fmt = meta.options.get("format", "parquet")
         if partition_spec is not None:
+            from flink_1_20_spark.sources.connectors import (
+                COMPACT_OLD_PREFIX,
+                COMPACT_STAGING_PREFIX,
+                read_file,
+            )
+
             spec = self._parse_partition_spec(partition_spec)
             if set(spec) != set(meta.partitioned_by):
                 raise ValueError(
                     f"partition spec {sorted(spec)} must name exactly "
                     f"the partition keys {meta.partitioned_by}"
                 )
-            d = os.path.join(
-                meta.options["path"],
+            root = meta.options["path"]
+            rel = os.path.join(
                 *[
                     f"{meta.renames.get(k, k)}={spec[k]}"
                     for k in meta.partitioned_by
-                ],
+                ]
             )
+            d = os.path.join(root, rel)
             if not os.path.isdir(d):
                 raise ValueError(f"partition does not exist: {d}")
-            n = max(1, math.ceil(dir_bytes(d) / target))
-            reader = self.spark.read.format(fmt)
-            if fmt == "csv":
-                reader = reader.option("header", "true")
-            part_df = reader.load(d).coalesce(n)
-            tmp, old = d + ".__staging__", d + ".__old__"
+            part_df = read_file(self.spark, d, fmt=fmt)
+            if meta.distribution is not None:
+                # the bucketed layout holds WITHIN each partition
+                part_df = self._apply_distribution(part_df, meta)
+            else:
+                n = max(1, math.ceil(dir_bytes(d) / target))
+                part_df = part_df.coalesce(n)
+            # staging/old park INSIDE the root under dot-prefixed names
+            # (outside names shaped key=value would be scanned as bogus
+            # partitions); recover_swap restores a parked partition
+            # whose live dir went missing mid-swap
+            enc = rel.replace(os.sep, "%2F")
+            tmp = os.path.join(root, COMPACT_STAGING_PREFIX + enc)
+            old = os.path.join(root, COMPACT_OLD_PREFIX + enc)
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             writer = part_df.write.format(fmt).mode("overwrite")
@@ -3994,6 +4060,7 @@ class TableEnvironment:
 
             fmt = meta.options.get("format", "parquet")
             mode = "overwrite" if overwrite else "append"
+            phys_parts = [meta.renames.get(c, c) for c in meta.partitioned_by]
             if meta.partitioned_by:
                 if overwrite and static_partition:
                     # INSERT OVERWRITE t PARTITION (k=v): Flink replaces
@@ -4009,7 +4076,7 @@ class TableEnvironment:
                         write_partitioned(
                             df,
                             meta.options["path"],
-                            [meta.renames.get(c, c) for c in meta.partitioned_by],
+                            phys_parts,
                             fmt=fmt,
                             mode=mode,
                         )
@@ -4019,11 +4086,7 @@ class TableEnvironment:
                         )
                 else:
                     write_partitioned(
-                        df,
-                        meta.options["path"],
-                        [meta.renames.get(c, c) for c in meta.partitioned_by],
-                        fmt=fmt,
-                        mode=mode,
+                        df, meta.options["path"], phys_parts, fmt=fmt, mode=mode
                     )
             else:
                 write_file(df, meta.options["path"], fmt=fmt, mode=mode)

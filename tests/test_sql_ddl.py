@@ -2039,6 +2039,31 @@ def test_distributed_by_bucketed_table(spark, tmp_path):
               'connector'='filesystem','path'='{tmp_path}/bt2',
               'format'='parquet')
         """)
+    # review fixes: degenerate specs rejected at CREATE time
+    with pytest.raises(ValueError, match="at least 1"):
+        env.execute_sql(f"""
+            CREATE TABLE bt3 (k INT) DISTRIBUTED BY (k) INTO 0 BUCKETS
+            WITH ('connector'='filesystem','path'='{tmp_path}/bt3',
+                  'format'='parquet')
+        """)
+    with pytest.raises(ValueError, match="bucket columns or a bucket count"):
+        env.execute_sql(f"""
+            CREATE TABLE bt4 (k INT) DISTRIBUTED BY () WITH (
+              'connector'='filesystem','path'='{tmp_path}/bt4',
+              'format'='parquet')
+        """)
+    # review fix: DISTRIBUTED text inside a string literal is DATA —
+    # the clause scan must not excise it from the stored option
+    weird = tmp_path / "DISTRIBUTED INTO 3 BUCKETS"
+    env.execute_sql(f"""
+        CREATE TABLE bt5 (k INT) WITH (
+          'connector'='filesystem','path'='{weird}','format'='parquet')
+    """)
+    ddl5 = env.execute_sql("SHOW CREATE TABLE bt5").collect()[0][0]
+    assert "DISTRIBUTED INTO 3 BUCKETS'" in ddl5  # path intact
+    assert not ddl5.strip().startswith("CREATE TABLE `bt5` (\n\n)")
+    env.execute_sql("INSERT INTO bt5 VALUES (1)")
+    assert env.execute_sql("SELECT * FROM bt5").collect() == [(1,)]
 
 
 def test_compact_reset_modules_show_create_catalog(spark, tmp_path):
@@ -2085,6 +2110,37 @@ def test_compact_reset_modules_show_create_catalog(spark, tmp_path):
     assert len(p1) == 1
     got = sorted(tuple(r) for r in env.execute_sql("SELECT * FROM cp").collect())
     assert got == [(0, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")]
+    # review fix: a crashed partition swap (live dir renamed to the
+    # dot-prefixed park, replacement never landed) is recovered by the
+    # next maintenance op before it reads anything
+    import shutil as _sh
+
+    _sh.move(
+        str(tmp_path / "cp" / "dt=2024-01-02"),
+        str(tmp_path / "cp" / ".__compact_old__dt=2024-01-02"),
+    )
+    env.execute_sql("ALTER TABLE cp COMPACT")
+    got = sorted(tuple(r) for r in env.execute_sql("SELECT * FROM cp").collect())
+    assert got == [(0, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")]
+    # partitioned + DISTRIBUTED: partition-scoped compaction rewrites
+    # into the bucketed layout, not a size-based coalesce
+    env.execute_sql(f"""
+        CREATE TABLE cpd (id INT, dt STRING)
+        DISTRIBUTED BY HASH(id) INTO 2 BUCKETS
+        PARTITIONED BY (dt) WITH (
+          'connector'='filesystem','path'='{tmp_path}/cpd',
+          'format'='parquet')
+    """)
+    env.execute_sql(
+        "INSERT INTO cpd SELECT id, '2024-01-01' FROM "
+        "(SELECT explode(sequence(1, 20)) AS id)"
+    )
+    env.execute_sql("ALTER TABLE cpd PARTITION (dt='2024-01-01') COMPACT")
+    pfiles = [
+        f for f in os.listdir(tmp_path / "cpd" / "dt=2024-01-01")
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert len(pfiles) == 2  # bucket count, not 1 size-based file
     # ALTER TABLE RESET drops an option; connector is not resettable
     env.execute_sql("ALTER TABLE ct SET ('k1' = 'v1')")
     assert "'k1' = 'v1'" in env.execute_sql("SHOW CREATE TABLE ct").collect()[0][0]
@@ -2092,14 +2148,33 @@ def test_compact_reset_modules_show_create_catalog(spark, tmp_path):
     assert "'k1'" not in env.execute_sql("SHOW CREATE TABLE ct").collect()[0][0]
     with pytest.raises(ValueError, match="connector"):
         env.execute_sql("ALTER TABLE ct RESET ('connector')")
+    # review fixes: required factory options cannot be reset (popping
+    # 'path' would wedge the table), empty key lists are an error, and
+    # compaction.file-size parses MemorySize units / rejects zero
+    with pytest.raises(ValueError, match="required option"):
+        env.execute_sql("ALTER TABLE ct RESET ('path')")
+    with pytest.raises(ValueError, match="at least one key"):
+        env.execute_sql("ALTER TABLE ct RESET ()")
+    env.execute_sql("ALTER TABLE ct SET ('compaction.file-size' = '64mb')")
+    env.execute_sql("ALTER TABLE ct COMPACT")  # parses the unit form
+    assert n_files() == 1
+    env.execute_sql("ALTER TABLE ct SET ('compaction.file-size' = '0')")
+    with pytest.raises(ValueError, match="positive"):
+        env.execute_sql("ALTER TABLE ct COMPACT")
+    env.execute_sql("ALTER TABLE ct RESET ('compaction.file-size')")
     # USE MODULES
     env.execute_sql("USE MODULES core")
     with pytest.raises(ValueError, match="hive"):
         env.execute_sql("USE MODULES hive, core")
-    # SHOW CREATE CATALOG
-    env.execute_sql("CREATE CATALOG sc_cat COMMENT 'c' WITH ('type'='generic_in_memory')")
+    # SHOW CREATE CATALOG (review fix: declared default-database must
+    # replay, and USE drift must not change it)
+    env.execute_sql(
+        "CREATE CATALOG sc_cat COMMENT 'c' WITH "
+        "('type'='generic_in_memory','default-database'='mydb')"
+    )
     ddl = env.execute_sql("SHOW CREATE CATALOG sc_cat").collect()[0][0]
     assert "CREATE CATALOG `sc_cat`" in ddl and "COMMENT 'c'" in ddl
+    assert "'default-database' = 'mydb'" in ddl
 
 
 def test_insert_positional_binding_and_rename(spark, tmp_path):
