@@ -2594,6 +2594,39 @@ class TableEnvironment:
                 if was_running:
                     self._start_full_timer(entry)
             return None
+        # SET ('k'='v') / RESET ('k') (SqlAlterMaterializedTableOptions
+        # .java, SqlAlterMaterializedTableReset.java): table options on
+        # the backing catalog object; the managed identity (connector,
+        # path) is not an option
+        m = re.match(r"SET\s*\((.*)\)$", action, re.S | re.I)
+        if m:
+            kvs = re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(1))
+            if any(k in ("connector", "path") for k, _ in kvs):
+                raise ValueError(
+                    "ALTER MATERIALIZED TABLE SET cannot change the "
+                    "managed 'connector'/'path'"
+                )
+            entry["meta"].options.update(kvs)
+            return None
+        m = re.match(r"RESET\s*\((.*)\)$", action, re.S | re.I)
+        if m:
+            keys = [
+                k.strip().strip("'")
+                for k in _split_top_all(m.group(1), ",")
+                if k.strip()
+            ]
+            if not keys:
+                raise ValueError(
+                    "ALTER MATERIALIZED TABLE RESET requires at least one key"
+                )
+            if any(k in ("connector", "path") for k in keys):
+                raise ValueError(
+                    "ALTER MATERIALIZED TABLE RESET cannot remove the "
+                    "managed 'connector'/'path'"
+                )
+            for k in keys:
+                entry["meta"].options.pop(k, None)
+            return None
         raise ValueError(f"unsupported ALTER MATERIALIZED TABLE action: {action!r}")
 
     def _drop_materialized_table(self, name: str, if_exists: bool):

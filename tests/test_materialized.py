@@ -240,6 +240,18 @@ def test_mt_validation_and_mode_derivation(env, tmp_path):
     # DESCRIBE resolves through the backing table meta
     cols = [r["name"] for r in env.execute_sql("DESCRIBE mtd").collect()]
     assert cols == ["k", "v"]
+    # SET/RESET options (SqlAlterMaterializedTableOptions/Reset): plain
+    # options round-trip; the managed identity is protected
+    env.execute_sql("ALTER MATERIALIZED TABLE mtd SET ('custom.opt' = 'x')")
+    assert env._materialized["mtd"]["meta"].options["custom.opt"] == "x"
+    env.execute_sql("ALTER MATERIALIZED TABLE mtd RESET ('custom.opt')")
+    assert "custom.opt" not in env._materialized["mtd"]["meta"].options
+    with pytest.raises(ValueError, match="managed"):
+        env.execute_sql("ALTER MATERIALIZED TABLE mtd SET ('path' = '/x')")
+    with pytest.raises(ValueError, match="managed"):
+        env.execute_sql("ALTER MATERIALIZED TABLE mtd RESET ('connector')")
+    with pytest.raises(ValueError, match="at least one key"):
+        env.execute_sql("ALTER MATERIALIZED TABLE mtd RESET ()")
     env.execute_sql("DROP MATERIALIZED TABLE mtd")
     with pytest.raises(ValueError, match="not found"):
         env.execute_sql("DROP MATERIALIZED TABLE mtd")
