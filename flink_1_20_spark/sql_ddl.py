@@ -262,6 +262,14 @@ class TableEnvironment:
         import threading
 
         self._ddl_lock = threading.RLock()
+        # Flink's map semantics keep the LAST value on duplicate keys
+        # (MAP_UNION, map literals — MapUnionFunction); Spark's default
+        # dedup policy throws instead
+        try:
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        except Exception:
+            pass  # conf locked down (e.g. a connect session) — map
+            # duplicate keys then raise, which is at least loud
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:

@@ -1077,6 +1077,117 @@ def _bi_json_query(a):
     return f"(CASE WHEN substring({g}, 1, 1) IN ('{{', '[') THEN {g} END)"
 
 
+def _bi_str_to_map(a):
+    # Flink's defaults are pair ',' / key-value '=' (StrToMapFunction);
+    # Spark's NATIVE str_to_map defaults the kv delimiter to ':' — the
+    # bare 1-arg call MUST pin Flink's, or results silently mis-split
+    p = a[1] if len(a) > 1 else "','"
+    kv = a[2] if len(a) > 2 else "'='"
+    return f"str_to_map({a[0]}, {p}, {kv})"
+
+
+def _bi_to_timestamp_ltz(a):
+    # TO_TIMESTAMP_LTZ(epoch, precision): 0 = seconds, 3 = millis
+    # (BuiltInFunctionDefinitions.TO_TIMESTAMP_LTZ)
+    prec = (a[1] if len(a) > 1 else "0").strip()
+    if prec == "0":
+        return f"timestamp_seconds({a[0]})"
+    if prec == "3":
+        return f"timestamp_millis({a[0]})"
+    raise ValueError(
+        f"TO_TIMESTAMP_LTZ precision must be 0 or 3, got {prec!r}"
+    )
+
+
+def _bi_array_slice(a):
+    # ARRAY_SLICE(arr, start[, end]): INCLUSIVE 1-based end index
+    # (Flink 1.19+); Spark's slice() takes a LENGTH
+    if len(a) == 2:
+        return f"slice({a[0]}, {a[1]}, greatest(size({a[0]}) - ({a[1]}) + 1, 0))"
+    return f"slice({a[0]}, {a[1]}, greatest(({a[2]}) - ({a[1]}) + 1, 0))"
+
+
+def _bi_json_array(a):
+    # JSON_ARRAY(v1, ... [ABSENT|NULL ON NULL]) — ABSENT is the default
+    # (SqlJsonArrayFunction); to_json keeps nulls, so ABSENT filters
+    keep_nulls = False
+    if a and re.search(r"\bNULL\s+ON\s+NULL\s*$", a[-1], re.I):
+        keep_nulls = True
+        a = a[:-1] + [re.sub(r"\s*NULL\s+ON\s+NULL\s*$", "", a[-1], flags=re.I)]
+    elif a and re.search(r"\bABSENT\s+ON\s+NULL\s*$", a[-1], re.I):
+        a = a[:-1] + [
+            re.sub(r"\s*ABSENT\s+ON\s+NULL\s*$", "", a[-1], flags=re.I)
+        ]
+    a = [x for x in a if x.strip()]
+    if not a:
+        return "'[]'"
+    arr = f"array({', '.join(a)})"
+    if not keep_nulls:
+        arr = f"filter({arr}, __jae -> __jae IS NOT NULL)"
+    return f"to_json({arr})"
+
+
+def _bi_json_object(a):
+    # JSON_OBJECT([KEY] 'k' VALUE v, ... [NULL|ABSENT ON NULL]) —
+    # NULL ON NULL is the default (SqlJsonObjectFunction); to_json
+    # drops null fields unless told otherwise
+    absent = False
+    if a and re.search(r"\bABSENT\s+ON\s+NULL\s*$", a[-1], re.I):
+        absent = True
+        a = a[:-1] + [
+            re.sub(r"\s*ABSENT\s+ON\s+NULL\s*$", "", a[-1], flags=re.I)
+        ]
+    elif a and re.search(r"\bNULL\s+ON\s+NULL\s*$", a[-1], re.I):
+        a = a[:-1] + [re.sub(r"\s*NULL\s+ON\s+NULL\s*$", "", a[-1], flags=re.I)]
+    pairs = []
+    for item in a:
+        if not item.strip():
+            continue
+        m = re.match(
+            r"\s*(?:KEY\s+)?(.+?)\s+VALUE\s+(.+)\s*$", item, re.S | re.I
+        )
+        if not m:
+            raise ValueError(f"cannot parse JSON_OBJECT entry: {item!r}")
+        pairs.append(f"{m.group(1)}, {m.group(2)}")
+    if not pairs:
+        return "'{}'"
+    struct = f"named_struct({', '.join(pairs)})"
+    if absent:
+        return f"to_json({struct})"
+    return f"to_json({struct}, map('ignoreNullFields', 'false'))"
+
+
+def _bi_json_string(a):
+    # JSON_STRING(x): serialize one value as JSON text; NULL in → NULL
+    # out (JsonStringFunction) — to_json(array(x)) with the brackets
+    # stripped serializes any type without a wrapping struct key
+    x = a[0]
+    body = f"to_json(array({x}))"
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE substring({body}, 2, length({body}) - 2) END)"
+    )
+
+
+def _bi_json_quote(a):
+    return _bi_json_string([f"CAST(({a[0]}) AS STRING)"])
+
+
+def _bi_json_unquote(a):
+    # JSON_UNQUOTE: unquote a valid JSON string literal, pass anything
+    # else (invalid JSON, objects, arrays) through unchanged —
+    # get_json_object's root read unquotes strings and is NULL on
+    # malformed input (from_json cannot target a scalar schema)
+    return f"coalesce(get_json_object(({a[0]}), '$'), ({a[0]}))"
+
+
+def _bi_current_watermark(a):
+    # CURRENT_WATERMARK(rowtime): Flink returns NULL when no watermark
+    # has been emitted — the batch-mode answer is always NULL
+    # (BuiltInFunctionDefinitions.CURRENT_WATERMARK)
+    return "CAST(NULL AS TIMESTAMP)"
+
+
 _BUILTIN_REWRITES: dict[str, Callable[[list[str]], str]] = {
     "SPLIT_INDEX": _bi_split_index,
     "TO_BASE64": _bi_to_base64,
@@ -1087,6 +1198,18 @@ _BUILTIN_REWRITES: dict[str, Callable[[list[str]], str]] = {
     "JSON_EXISTS": _bi_json_exists,
     "JSON_VALUE": _bi_json_value,
     "JSON_QUERY": _bi_json_query,
+    "STR_TO_MAP": _bi_str_to_map,
+    "TO_TIMESTAMP_LTZ": _bi_to_timestamp_ltz,
+    "ARRAY_CONCAT": lambda a: f"concat({', '.join(a)})",
+    "ARRAY_REVERSE": lambda a: f"reverse({a[0]})",
+    "ARRAY_SLICE": _bi_array_slice,
+    "MAP_UNION": lambda a: f"map_concat({', '.join(a)})",
+    "JSON_ARRAY": _bi_json_array,
+    "JSON_OBJECT": _bi_json_object,
+    "JSON_STRING": _bi_json_string,
+    "JSON_QUOTE": _bi_json_quote,
+    "JSON_UNQUOTE": _bi_json_unquote,
+    "CURRENT_WATERMARK": _bi_current_watermark,
 }
 
 _BUILTIN_HEAD = re.compile(
@@ -1094,18 +1217,130 @@ _BUILTIN_HEAD = re.compile(
 )
 
 
+_COLLECTION_LITERAL = re.compile(r"\b(ARRAY|MAP)\s*\[", re.I)
+
+
+def _find_close_bracket(s: str, open_idx: int) -> int:
+    """Index of the ']' matching the '[' at open_idx (quote aware)."""
+    depth, q = 0, None
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced brackets")
+
+
+def _rewrite_collection_literals(sql: str) -> str:
+    """Calcite's bracket collection constructors — ARRAY[1, 2] and
+    MAP['k', v] (Flink's literal forms) — onto Spark's array()/map()
+    calls. One bracket pair per pass; nested literals resolve on later
+    passes. The keyword scan skips string literals ('ARRAY[...]' in a
+    string is data)."""
+    while True:
+        found = None
+        offset = 0
+        for i, p in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
+            if i % 2 == 0:  # non-literal segment
+                mm = _COLLECTION_LITERAL.search(p)
+                if mm:
+                    found = (offset + mm.start(), offset + mm.end(), mm.group(1))
+                    break
+            offset += len(p)
+        if found is None:
+            return sql
+        start, end, kw = found
+        open_idx = sql.index("[", end - 1)
+        close = _find_close_bracket(sql, open_idx)
+        sql = (
+            sql[:start]
+            + kw.lower()
+            + "("
+            + sql[open_idx + 1 : close]
+            + ")"
+            + sql[close + 1 :]
+        )
+
+
+_IS_JSON = re.compile(
+    r"('(?:[^']|'')*'|`[^`]+`|\w+(?:\.\w+)*(?:\([^()]*\))?)"
+    r"\s+IS\s+(NOT\s+)?JSON(?:\s+(VALUE|SCALAR|OBJECT|ARRAY))?\b",
+    re.I,
+)
+
+_OVERLAPS = re.compile(
+    r"\(([^(),]+),([^(),]+)\)\s+OVERLAPS\s+\(([^(),]+),([^(),]+)\)", re.I
+)
+
+
+def _rewrite_is_json(m: "re.Match") -> str:
+    """`x IS [NOT] JSON [VALUE|SCALAR|OBJECT|ARRAY]` (SqlJsonPredicate):
+    validity via get_json_object's parse (NULL on malformed input),
+    shape via the first non-space character."""
+    x, neg, shape = m.group(1), m.group(2), (m.group(3) or "VALUE").upper()
+    valid = f"(get_json_object({x}, '$') IS NOT NULL)"
+    head = f"substring(ltrim(CAST({x} AS STRING)), 1, 1)"
+    if shape == "OBJECT":
+        cond = f"({valid} AND {head} = '{{')"
+    elif shape == "ARRAY":
+        cond = f"({valid} AND {head} = '[')"
+    elif shape == "SCALAR":
+        cond = f"({valid} AND {head} NOT IN ('{{', '['))"
+    else:
+        cond = valid
+    return f"(NOT {cond})" if neg else cond
+
+
+def _rewrite_overlaps(m: "re.Match") -> str:
+    """SQL-standard (S1, E1) OVERLAPS (S2, E2): TRUE when the periods
+    share a point other than a touching boundary — max(start) <
+    min(end), with equal starts always overlapping (Calcite's
+    SqlOverlapsOperator semantics, endpoints given in either order)."""
+    s1, e1, s2, e2 = (g.strip() for g in m.groups())
+    lo1, hi1 = f"least({s1}, {e1})", f"greatest({s1}, {e1})"
+    lo2, hi2 = f"least({s2}, {e2})", f"greatest({s2}, {e2})"
+    return (
+        f"(greatest({lo1}, {lo2}) < least({hi1}, {hi2}) "
+        f"OR {lo1} = {lo2})"
+    )
+
+
 def rewrite_flink_builtins(sql: str) -> str:
     """Replace Flink-named builtin calls with Spark SQL equivalents
-    (innermost-first so nested calls resolve)."""
+    (innermost-first so nested calls resolve), then the two
+    non-call-shaped forms: the IS JSON predicate and row-syntax
+    OVERLAPS."""
+    # bracket literals FIRST: _split_args does not track '[' depth, so
+    # a call argument like ARRAY[1, 2] would split at its inner comma
+    sql = _rewrite_collection_literals(sql)
+    # fixpoint loop: some rewrites are self-named (STR_TO_MAP pins
+    # Flink's delimiters onto Spark's same-named function), so progress
+    # is "the replacement differs from the matched text", not "a match
+    # exists" — the latter never terminates
     while True:
-        matches = list(_BUILTIN_HEAD.finditer(sql))
-        if not matches:
-            return sql
-        # innermost first: take the LAST match (deepest in left-to-right
-        # nesting the earlier ones re-scan next iteration)
-        m = matches[-1]
-        open_idx = sql.index("(", m.end() - 1)
-        close_idx = _find_close(sql, open_idx)
-        args = _split_args(sql[open_idx + 1 : close_idx])
-        repl = _BUILTIN_REWRITES[m.group(1).upper()](args)
-        sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
+        changed = False
+        # innermost first: scan matches from the right (deepest in
+        # left-to-right nesting), restart after every edit (indices
+        # shift)
+        for m in reversed(list(_BUILTIN_HEAD.finditer(sql))):
+            open_idx = sql.index("(", m.end() - 1)
+            close_idx = _find_close(sql, open_idx)
+            args = _split_args(sql[open_idx + 1 : close_idx])
+            repl = _BUILTIN_REWRITES[m.group(1).upper()](args)
+            if repl != sql[m.start() : close_idx + 1]:
+                sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
+                changed = True
+                break
+        if not changed:
+            break
+    sql = _IS_JSON.sub(_rewrite_is_json, sql)
+    sql = _OVERLAPS.sub(_rewrite_overlaps, sql)
+    return sql

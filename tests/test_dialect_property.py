@@ -96,3 +96,69 @@ def test_split_index_delimiters(env, delim):
         f"SPLIT_INDEX('{payload}', '{delim}', 5) AS oob"
     ).collect()[0]
     assert (r.a, r.c, r.oob) == ("x", "z", None)
+
+
+def test_collection_literals_and_new_builtins(env):
+    """The r7 builtin batch: bracket collection constructors
+    (ARRAY[..]/MAP[..] — Calcite's literal forms Spark does not parse),
+    STR_TO_MAP pinning Flink's '=' key-value delimiter over Spark's
+    ':' default (silent mis-split otherwise), TO_TIMESTAMP_LTZ, the
+    array/map aliases, the JSON constructor family, the IS JSON
+    predicate, row-syntax OVERLAPS, and CURRENT_WATERMARK's batch NULL
+    (BuiltInFunctionDefinitions.java names; SqlJsonArrayFunction /
+    SqlJsonObjectFunction ON NULL defaults)."""
+    got = env.execute_sql("""
+        SELECT
+          STR_TO_MAP('a=1,b=2') AS stm,
+          STR_TO_MAP('a:1;b:2', ';', ':') AS stm3,
+          ARRAY_CONCAT(ARRAY[1,2], ARRAY[3]) AS ac,
+          ARRAY_REVERSE(ARRAY[1,2]) AS ar,
+          ARRAY_SLICE(ARRAY[1,2,3,4], 2, 3) AS asl,
+          ARRAY_SLICE(ARRAY[1,2,3,4], 2) AS asl2,
+          MAP_UNION(MAP['a',1,'b',9], MAP['b',2]) AS mu,
+          TO_TIMESTAMP_LTZ(1700000000, 0) AS ltz,
+          JSON_ARRAY('a', CAST(NULL AS STRING), 'b') AS ja,
+          JSON_ARRAY('a', CAST(NULL AS STRING) NULL ON NULL) AS jan,
+          JSON_OBJECT('k' VALUE 'v', 'n' VALUE CAST(NULL AS STRING)) AS jo,
+          JSON_OBJECT(KEY 'k' VALUE 'v',
+                      'n' VALUE CAST(NULL AS STRING) ABSENT ON NULL) AS joa,
+          JSON_STRING(12) AS js,
+          JSON_STRING(CAST(NULL AS INT)) AS jsn,
+          JSON_QUOTE('ab') AS jq,
+          JSON_UNQUOTE('"ab"') AS ju,
+          JSON_UNQUOTE('ab') AS jub,
+          '{"a":1}' IS JSON AS ij,
+          'nope{' IS NOT JSON AS inj,
+          '[1]' IS JSON ARRAY AS ija,
+          '[1]' IS JSON OBJECT AS ijo,
+          '12' IS JSON SCALAR AS ijs,
+          (TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:00:00')
+            OVERLAPS
+          (TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 03:00:00') AS ovt,
+          (TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 01:00:00')
+            OVERLAPS
+          (TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 03:00:00') AS ovf,
+          CURRENT_WATERMARK(CAST(NULL AS TIMESTAMP)) AS cw,
+          'ARRAY[kept, as, data]' AS lit
+    """).collect()[0]
+    assert got.stm == {"a": "1", "b": "2"}
+    assert got.stm3 == {"a": "1", "b": "2"}
+    assert got.ac == [1, 2, 3]
+    assert got.ar == [2, 1]
+    assert got.asl == [2, 3]
+    assert got.asl2 == [2, 3, 4]
+    assert got.mu == {"a": 1, "b": 2}  # MAP_UNION: last map wins on dups
+    assert got.ltz is not None
+    assert got.ja == '["a","b"]'          # ABSENT ON NULL is the default
+    assert got.jan == '["a",null]'
+    assert got.jo == '{"k":"v","n":null}'  # NULL ON NULL is the default
+    assert got.joa == '{"k":"v"}'
+    assert got.js == "12"
+    assert got.jsn is None
+    assert got.jq == '"ab"'
+    assert got.ju == "ab"
+    assert got.jub == "ab"
+    assert got.ij and got.inj and got.ija and got.ijs and not got.ijo
+    assert got.ovt is True and got.ovf is False
+    assert got.cw is None
+    assert got.lit == "ARRAY[kept, as, data]"  # literals never rewritten
