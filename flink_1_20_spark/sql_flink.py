@@ -101,8 +101,10 @@ def _split_args(s: str) -> list[str]:
     return out
 
 
-def _find_close(s: str, open_idx: int) -> int:
-    """Index of the ')' matching the '(' at open_idx (quote aware)."""
+def _find_close(s: str, open_idx: int, pair: str = "()") -> int:
+    """Index of the closer matching the opener at open_idx (quote
+    aware); `pair` picks the delimiter pair — '()' or '[]'."""
+    opener, closer = pair
     depth, q = 0, None
     for i in range(open_idx, len(s)):
         ch = s[i]
@@ -111,13 +113,13 @@ def _find_close(s: str, open_idx: int) -> int:
                 q = None
         elif ch in "'\"":
             q = ch
-        elif ch == "(":
+        elif ch == opener:
             depth += 1
-        elif ch == ")":
+        elif ch == closer:
             depth -= 1
             if depth == 0:
                 return i
-    raise ValueError("unbalanced parentheses")
+    raise ValueError(f"unbalanced {pair}")
 
 
 # ----------------------------------------------------------- window TVFs
@@ -1088,8 +1090,14 @@ def _bi_str_to_map(a):
 
 def _bi_to_timestamp_ltz(a):
     # TO_TIMESTAMP_LTZ(epoch, precision): 0 = seconds, 3 = millis
-    # (BuiltInFunctionDefinitions.TO_TIMESTAMP_LTZ)
-    prec = (a[1] if len(a) > 1 else "0").strip()
+    # (BuiltInFunctionDefinitions.TO_TIMESTAMP_LTZ). Flink 1.20 has no
+    # 1-arg form — silently assuming a precision would be off by 1000x
+    if len(a) < 2:
+        raise ValueError(
+            "TO_TIMESTAMP_LTZ requires (epoch, precision) — precision "
+            "0 (seconds) or 3 (milliseconds)"
+        )
+    prec = a[1].strip()
     if prec == "0":
         return f"timestamp_seconds({a[0]})"
     if prec == "3":
@@ -1100,11 +1108,32 @@ def _bi_to_timestamp_ltz(a):
 
 
 def _bi_array_slice(a):
-    # ARRAY_SLICE(arr, start[, end]): INCLUSIVE 1-based end index
-    # (Flink 1.19+); Spark's slice() takes a LENGTH
-    if len(a) == 2:
-        return f"slice({a[0]}, {a[1]}, greatest(size({a[0]}) - ({a[1]}) + 1, 0))"
-    return f"slice({a[0]}, {a[1]}, greatest(({a[2]}) - ({a[1]}) + 1, 0))"
+    # ARRAY_SLICE(arr, start[, end]): INCLUSIVE 1-based end index,
+    # negative offsets count from the end (Flink 1.19+
+    # ArraySliceFunction); Spark's slice() takes a LENGTH and requires
+    # start >= 1 after normalization
+    arr, s = a[0], a[1]
+    e = a[2] if len(a) > 2 else f"size({arr})"
+    norm_s = f"(CASE WHEN ({s}) < 0 THEN size({arr}) + ({s}) + 1 ELSE ({s}) END)"
+    norm_e = f"(CASE WHEN ({e}) < 0 THEN size({arr}) + ({e}) + 1 ELSE ({e}) END)"
+    start = f"greatest({norm_s}, 1)"
+    return f"slice({arr}, {start}, greatest({norm_e} - {start} + 1, 0))"
+
+
+def _json_operand(x: str) -> str:
+    """A JSON-constructor element/value as a VARIANT: an already-
+    rewritten nested constructor (its text is a to_json(...) call or
+    the JSON_STRING CASE form) is parsed back so the outer serializer
+    splices it RAW — Flink nests constructors structurally, not as
+    quoted strings; anything else casts to VARIANT, which also keeps
+    heterogeneous element types their own JSON type (a bare array()
+    would coerce everything to the common string type)."""
+    stripped = x.strip()
+    if stripped.startswith("to_json(") or (
+        stripped.startswith("(CASE WHEN") and "to_json(array(" in stripped
+    ):
+        return f"parse_json({x})"
+    return f"CAST(({x}) AS VARIANT)"
 
 
 def _bi_json_array(a):
@@ -1121,7 +1150,7 @@ def _bi_json_array(a):
     a = [x for x in a if x.strip()]
     if not a:
         return "'[]'"
-    arr = f"array({', '.join(a)})"
+    arr = f"array({', '.join(_json_operand(x) for x in a)})"
     if not keep_nulls:
         arr = f"filter({arr}, __jae -> __jae IS NOT NULL)"
     return f"to_json({arr})"
@@ -1143,12 +1172,24 @@ def _bi_json_object(a):
     for item in a:
         if not item.strip():
             continue
-        m = re.match(
-            r"\s*(?:KEY\s+)?(.+?)\s+VALUE\s+(.+)\s*$", item, re.S | re.I
-        )
-        if not m:
+        # split at the first VALUE keyword OUTSIDE string literals —
+        # a key like 'my value key' must not split at its inner word
+        kv = None
+        offset = 0
+        for i, p in enumerate(re.split(r"('(?:[^']|'')*')", item)):
+            if i % 2 == 0:
+                vm = re.search(r"\sVALUE\s", p, re.I)
+                if vm:
+                    kv = (
+                        item[: offset + vm.start()],
+                        item[offset + vm.end():],
+                    )
+                    break
+            offset += len(p)
+        if kv is None:
             raise ValueError(f"cannot parse JSON_OBJECT entry: {item!r}")
-        pairs.append(f"{m.group(1)}, {m.group(2)}")
+        key = re.sub(r"^\s*KEY\s+", "", kv[0].strip(), flags=re.I)
+        pairs.append(f"{key}, {_json_operand(kv[1])}")
     if not pairs:
         return "'{}'"
     struct = f"named_struct({', '.join(pairs)})"
@@ -1160,7 +1201,10 @@ def _bi_json_object(a):
 def _bi_json_string(a):
     # JSON_STRING(x): serialize one value as JSON text; NULL in → NULL
     # out (JsonStringFunction) — to_json(array(x)) with the brackets
-    # stripped serializes any type without a wrapping struct key
+    # stripped serializes any type without a wrapping struct key.
+    # The argument is spliced textually and evaluates more than once
+    # (the module-wide rewrite convention, same as TRUNCATE) —
+    # precompute non-deterministic values in a subquery first.
     x = a[0]
     body = f"to_json(array({x}))"
     return (
@@ -1222,21 +1266,7 @@ _COLLECTION_LITERAL = re.compile(r"\b(ARRAY|MAP)\s*\[", re.I)
 
 def _find_close_bracket(s: str, open_idx: int) -> int:
     """Index of the ']' matching the '[' at open_idx (quote aware)."""
-    depth, q = 0, None
-    for i in range(open_idx, len(s)):
-        ch = s[i]
-        if q:
-            if ch == q:
-                q = None
-        elif ch in "'\"":
-            q = ch
-        elif ch == "[":
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-            if depth == 0:
-                return i
-    raise ValueError("unbalanced brackets")
+    return _find_close(s, open_idx, pair="[]")
 
 
 def _rewrite_collection_literals(sql: str) -> str:
@@ -1271,22 +1301,54 @@ def _rewrite_collection_literals(sql: str) -> str:
 
 
 _IS_JSON = re.compile(
-    r"('(?:[^']|'')*'|`[^`]+`|\w+(?:\.\w+)*(?:\([^()]*\))?)"
-    r"\s+IS\s+(NOT\s+)?JSON(?:\s+(VALUE|SCALAR|OBJECT|ARRAY))?\b",
+    r"(?P<op>'(?:[^']|'')*'|`[^`]+`|\w+(?:\.\w+)*(?:\([^()]*\))?)"
+    r"\s+(?P<kw>IS)\s+(?P<neg>NOT\s+)?JSON"
+    r"(?:\s+(?P<shape>VALUE|SCALAR|OBJECT|ARRAY))?\b",
     re.I,
 )
 
 _OVERLAPS = re.compile(
-    r"\(([^(),]+),([^(),]+)\)\s+OVERLAPS\s+\(([^(),]+),([^(),]+)\)", re.I
+    r"\((?P<s1>[^(),]+),(?P<e1>[^(),]+)\)\s+(?P<kw>OVERLAPS)\s+"
+    r"\((?P<s2>[^(),]+),(?P<e2>[^(),]+)\)",
+    re.I,
 )
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    return [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
+
+
+def _in_literal(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(s <= pos < e for s, e in spans)
+
+
+def _guarded_sub(sql: str, regex: "re.Pattern", fn) -> str:
+    """regex.sub that skips matches whose KEYWORD (the 'kw' group) lies
+    inside a string literal — the operand of IS JSON may legitimately
+    BE a literal, so the guard anchors on the keyword, not the match
+    start."""
+    spans = _literal_spans(sql)
+
+    def repl(m: "re.Match") -> str:
+        if _in_literal(spans, m.start("kw")):
+            return m.group(0)
+        return fn(m)
+
+    return regex.sub(repl, sql)
 
 
 def _rewrite_is_json(m: "re.Match") -> str:
     """`x IS [NOT] JSON [VALUE|SCALAR|OBJECT|ARRAY]` (SqlJsonPredicate):
-    validity via get_json_object's parse (NULL on malformed input),
-    shape via the first non-space character."""
-    x, neg, shape = m.group(1), m.group(2), (m.group(3) or "VALUE").upper()
-    valid = f"(get_json_object({x}, '$') IS NOT NULL)"
+    validity via get_json_object's parse (NULL on malformed input —
+    with the literal 'null' special-cased, which parses to JSON null),
+    shape via the first non-space character. A NULL operand yields
+    UNKNOWN (NULL), per the standard."""
+    x, neg = m.group("op"), m.group("neg")
+    shape = (m.group("shape") or "VALUE").upper()
+    valid = (
+        f"(get_json_object({x}, '$') IS NOT NULL "
+        f"OR trim(CAST({x} AS STRING)) = 'null')"
+    )
     head = f"substring(ltrim(CAST({x} AS STRING)), 1, 1)"
     if shape == "OBJECT":
         cond = f"({valid} AND {head} = '{{')"
@@ -1296,19 +1358,25 @@ def _rewrite_is_json(m: "re.Match") -> str:
         cond = f"({valid} AND {head} NOT IN ('{{', '['))"
     else:
         cond = valid
-    return f"(NOT {cond})" if neg else cond
+    if neg:
+        cond = f"(NOT {cond})"
+    return f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) ELSE {cond} END)"
 
 
 def _rewrite_overlaps(m: "re.Match") -> str:
-    """SQL-standard (S1, E1) OVERLAPS (S2, E2): TRUE when the periods
-    share a point other than a touching boundary — max(start) <
-    min(end), with equal starts always overlapping (Calcite's
-    SqlOverlapsOperator semantics, endpoints given in either order)."""
-    s1, e1, s2, e2 = (g.strip() for g in m.groups())
+    """SQL-standard (S1, E1) OVERLAPS (S2, E2) — the standard's exact
+    disjunct expansion over order-normalized endpoints (Calcite's
+    SqlOverlapsOperator): equal starts always overlap, and a
+    zero-length period strictly inside the other overlaps it (the
+    simplified max(start) < min(end) form misses that case)."""
+    s1, e1, s2, e2 = (
+        m.group(g).strip() for g in ("s1", "e1", "s2", "e2")
+    )
     lo1, hi1 = f"least({s1}, {e1})", f"greatest({s1}, {e1})"
     lo2, hi2 = f"least({s2}, {e2})", f"greatest({s2}, {e2})"
     return (
-        f"(greatest({lo1}, {lo2}) < least({hi1}, {hi2}) "
+        f"(({lo2} > {lo1} AND NOT ({lo2} >= {hi1} AND {hi2} >= {hi1})) "
+        f"OR ({lo1} > {lo2} AND NOT ({lo1} >= {hi2} AND {hi1} >= {hi2})) "
         f"OR {lo1} = {lo2})"
     )
 
@@ -1327,10 +1395,13 @@ def rewrite_flink_builtins(sql: str) -> str:
     # exists" — the latter never terminates
     while True:
         changed = False
+        spans = _literal_spans(sql)
         # innermost first: scan matches from the right (deepest in
         # left-to-right nesting), restart after every edit (indices
-        # shift)
+        # shift); a head inside a string literal is data, not a call
         for m in reversed(list(_BUILTIN_HEAD.finditer(sql))):
+            if _in_literal(spans, m.start()):
+                continue
             open_idx = sql.index("(", m.end() - 1)
             close_idx = _find_close(sql, open_idx)
             args = _split_args(sql[open_idx + 1 : close_idx])
@@ -1341,6 +1412,6 @@ def rewrite_flink_builtins(sql: str) -> str:
                 break
         if not changed:
             break
-    sql = _IS_JSON.sub(_rewrite_is_json, sql)
-    sql = _OVERLAPS.sub(_rewrite_overlaps, sql)
+    sql = _guarded_sub(sql, _IS_JSON, _rewrite_is_json)
+    sql = _guarded_sub(sql, _OVERLAPS, _rewrite_overlaps)
     return sql

@@ -162,3 +162,46 @@ def test_collection_literals_and_new_builtins(env):
     assert got.ovt is True and got.ovf is False
     assert got.cw is None
     assert got.lit == "ARRAY[kept, as, data]"  # literals never rewritten
+
+
+def test_builtin_tail_review_fixes(env):
+    """Review fixes on the r7 builtin batch: negative ARRAY_SLICE
+    offsets (from-the-end, ArraySliceFunction), nested JSON
+    constructors splice RAW (variant parse, not double-encoded
+    strings), mixed-type JSON_ARRAY keeps each element's JSON type,
+    zero-length OVERLAPS periods inside the other period, IS JSON on
+    the literal 'null' and on NULL operands, keyword text inside
+    string literals never rewritten, quote-aware JSON_OBJECT VALUE
+    split, and 1-arg TO_TIMESTAMP_LTZ rejected."""
+    got = env.execute_sql("""
+        SELECT
+          ARRAY_SLICE(ARRAY[1,2,3,4,5], 2, -1) AS neg_end,
+          ARRAY_SLICE(ARRAY[1,2,3,4,5], -3, 4) AS neg_start,
+          JSON_OBJECT(KEY 'n' VALUE JSON_OBJECT(KEY 'v' VALUE 42)) AS nested_obj,
+          JSON_ARRAY(JSON_ARRAY(1)) AS nested_arr,
+          JSON_ARRAY('a', 1) AS mixed,
+          JSON_OBJECT('my value key' VALUE 'v') AS kv_lit,
+          (TIMESTAMP '2024-01-01 03:00:00', TIMESTAMP '2024-01-01 03:00:00')
+            OVERLAPS
+          (TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 05:00:00') AS point_in,
+          'null' IS JSON AS null_lit,
+          CAST(NULL AS STRING) IS JSON AS null_op,
+          CAST(NULL AS STRING) IS NOT JSON AS null_op_neg,
+          'payload IS JSON' AS lit1,
+          'use STR_TO_MAP(a=1)' AS lit2
+    """).collect()[0]
+    assert got.neg_end == [2, 3, 4, 5]
+    assert got.neg_start == [3, 4]
+    assert got.nested_obj == '{"n":{"v":42}}'
+    assert got.nested_arr == "[[1]]"
+    assert got.mixed == '["a",1]'
+    assert got.kv_lit == '{"my value key":"v"}'
+    assert got.point_in is True
+    assert got.null_lit is True
+    assert got.null_op is None and got.null_op_neg is None
+    assert got.lit1 == "payload IS JSON"
+    assert got.lit2 == "use STR_TO_MAP(a=1)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision"):
+        env.execute_sql("SELECT TO_TIMESTAMP_LTZ(1700000000000) AS x")
