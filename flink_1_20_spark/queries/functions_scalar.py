@@ -786,3 +786,68 @@ def fn_flink_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                JSON_VALUE(props, '$.k') AS k_val
         FROM events WHERE event_id <= 500
     """)
+
+
+_BUILTIN_TAIL_ORACLE = """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) AS stm_a,
+       event_type || ',x' AS ac,
+       'q,' || event_type || ',p' AS ar,
+       array_to_string(
+           list_slice(['a','b','c','d','e'], 1 + (event_id % 3), 4), ','
+       ) AS asl,
+       CAST(event_id % 5 AS BIGINT) AS mu,
+       '["' || event_type || '","z"]' AS ja,
+       '{"t":"' || event_type || '","n":null}' AS jo,
+       CAST(event_id AS VARCHAR) AS js,
+       event_type AS jq,
+       (event_id % 2 = 0) AS ij,
+       ((event_id % 3) <= 1) AS ov
+FROM events WHERE event_id <= 500
+"""
+
+
+@register("fn_builtin_tail", oracle=_BUILTIN_TAIL_ORACLE)
+def fn_builtin_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 builtin-tail batch through the SQL dialect
+    (sql_flink.rewrite_flink_builtins): bracket collection literals,
+    STR_TO_MAP with Flink's '=' default, ARRAY_CONCAT/REVERSE/SLICE
+    (inclusive end, modulo-driven start), MAP_UNION (last map wins on
+    duplicate keys), the JSON constructor family with their ON NULL
+    defaults, JSON_QUOTE/UNQUOTE round-trip, the IS JSON predicate,
+    and SQL-standard row-syntax OVERLAPS over the event timestamps
+    (offsets 0/40/80 minutes against a 1-hour period — the 80-minute
+    start clears the period, so overlap is (event_id % 3) <= 1).
+    DuckDB replays each result from its algebraic ground truth
+    (list_slice is 1-based inclusive, matching Flink's ARRAY_SLICE)."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    V(spark, sf_dir, "events")
+    env = TableEnvironment(spark)
+    return env.execute_sql("""
+        SELECT event_id,
+               STR_TO_MAP(
+                   concat('a=', CAST(event_id AS STRING), ',b=2')
+               )['a'] AS stm_a,
+               concat_ws(',', ARRAY_CONCAT(ARRAY[event_type], ARRAY['x'])) AS ac,
+               concat_ws(',', ARRAY_REVERSE(ARRAY['p', event_type, 'q'])) AS ar,
+               concat_ws(',', ARRAY_SLICE(ARRAY['a','b','c','d','e'],
+                                          1 + CAST(event_id % 3 AS INT), 4)) AS asl,
+               CAST(MAP_UNION(MAP['k', CAST(1 AS BIGINT)],
+                              MAP['k', event_id % 5])['k'] AS BIGINT) AS mu,
+               JSON_ARRAY(event_type, CAST(NULL AS STRING), 'z') AS ja,
+               JSON_OBJECT('t' VALUE event_type,
+                           'n' VALUE CAST(NULL AS STRING)) AS jo,
+               JSON_STRING(event_id) AS js,
+               JSON_UNQUOTE(JSON_QUOTE(event_type)) AS jq,
+               maybe_json IS JSON AS ij,
+               (ts, ts + INTERVAL '1' HOUR) OVERLAPS
+                 (timestampadd(MINUTE, 40 * CAST(event_id % 3 AS INT), ts),
+                  timestampadd(MINUTE, 40 * CAST(event_id % 3 AS INT) + 60, ts)) AS ov
+        FROM (
+            SELECT *,
+                   CASE WHEN event_id % 2 = 0 THEN props
+                        ELSE 'not json' END AS maybe_json
+            FROM events
+        ) WHERE event_id <= 500
+    """)

@@ -1307,11 +1307,6 @@ _IS_JSON = re.compile(
     re.I,
 )
 
-_OVERLAPS = re.compile(
-    r"\((?P<s1>[^(),]+),(?P<e1>[^(),]+)\)\s+(?P<kw>OVERLAPS)\s+"
-    r"\((?P<s2>[^(),]+),(?P<e2>[^(),]+)\)",
-    re.I,
-)
 
 
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
@@ -1363,15 +1358,12 @@ def _rewrite_is_json(m: "re.Match") -> str:
     return f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) ELSE {cond} END)"
 
 
-def _rewrite_overlaps(m: "re.Match") -> str:
+def _overlaps_expr(s1: str, e1: str, s2: str, e2: str) -> str:
     """SQL-standard (S1, E1) OVERLAPS (S2, E2) — the standard's exact
     disjunct expansion over order-normalized endpoints (Calcite's
     SqlOverlapsOperator): equal starts always overlap, and a
     zero-length period strictly inside the other overlaps it (the
     simplified max(start) < min(end) form misses that case)."""
-    s1, e1, s2, e2 = (
-        m.group(g).strip() for g in ("s1", "e1", "s2", "e2")
-    )
     lo1, hi1 = f"least({s1}, {e1})", f"greatest({s1}, {e1})"
     lo2, hi2 = f"least({s2}, {e2})", f"greatest({s2}, {e2})"
     return (
@@ -1379,6 +1371,56 @@ def _rewrite_overlaps(m: "re.Match") -> str:
         f"OR ({lo1} > {lo2} AND NOT ({lo1} >= {hi2} AND {hi1} >= {hi2})) "
         f"OR {lo1} = {lo2})"
     )
+
+
+def _rewrite_overlaps_scan(sql: str) -> str:
+    """Row-syntax `(S1, E1) OVERLAPS (S2, E2)` onto _overlaps_expr.
+    Scan-based (not a regex): the operands are matched as BALANCED
+    paren groups around each OVERLAPS keyword found outside string
+    literals, so arbitrarily nested calls with commas work. A keyword
+    whose neighbors are not two 2-element row groups is left alone."""
+    pos = 0
+    while True:
+        spans = _literal_spans(sql)
+        m = None
+        for mm in re.finditer(r"\bOVERLAPS\b", sql[pos:], re.I):
+            if not _in_literal(spans, pos + mm.start()):
+                m = mm
+                break
+        if m is None:
+            return sql
+        k_start, k_end = pos + m.start(), pos + m.end()
+        j = k_start - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        ok = j >= 0 and sql[j] == ")"
+        if ok:
+            # match the opener by scanning the prefix REVERSED with the
+            # swapped pair — quote spans ('' escapes included) are
+            # palindromic, so the quote-aware scanner still works
+            rev = sql[: j + 1][::-1]
+            try:
+                open1 = j - _find_close(rev, 0, pair=")(")
+            except ValueError:
+                ok = False
+        if ok:
+            i = k_end
+            while i < len(sql) and sql[i].isspace():
+                i += 1
+            ok = i < len(sql) and sql[i] == "("
+        if ok:
+            close2 = _find_close(sql, i)
+            a1 = _split_args(sql[open1 + 1 : j])
+            a2 = _split_args(sql[i + 1 : close2])
+            ok = len(a1) == 2 and len(a2) == 2
+        if not ok:
+            pos = k_end
+            continue
+        repl = _overlaps_expr(
+            a1[0].strip(), a1[1].strip(), a2[0].strip(), a2[1].strip()
+        )
+        sql = sql[:open1] + repl + sql[close2 + 1 :]
+        pos = open1 + len(repl)
 
 
 def rewrite_flink_builtins(sql: str) -> str:
@@ -1413,5 +1455,5 @@ def rewrite_flink_builtins(sql: str) -> str:
         if not changed:
             break
     sql = _guarded_sub(sql, _IS_JSON, _rewrite_is_json)
-    sql = _guarded_sub(sql, _OVERLAPS, _rewrite_overlaps)
+    sql = _rewrite_overlaps_scan(sql)
     return sql
