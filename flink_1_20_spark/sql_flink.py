@@ -1380,8 +1380,8 @@ def _rewrite_overlaps_scan(sql: str) -> str:
     literals, so arbitrarily nested calls with commas work. A keyword
     whose neighbors are not two 2-element row groups is left alone."""
     pos = 0
+    spans = _literal_spans(sql)
     while True:
-        spans = _literal_spans(sql)
         m = None
         for mm in re.finditer(r"\bOVERLAPS\b", sql[pos:], re.I):
             if not _in_literal(spans, pos + mm.start()):
@@ -1404,15 +1404,31 @@ def _rewrite_overlaps_scan(sql: str) -> str:
             except ValueError:
                 ok = False
         if ok:
+            # a ROW constructor, not a call's argument list: the char
+            # before the opener must not be part of an identifier
+            ok = open1 == 0 or not (
+                sql[open1 - 1].isalnum() or sql[open1 - 1] in "_`$."
+            )
+        if ok:
             i = k_end
             while i < len(sql) and sql[i].isspace():
                 i += 1
             ok = i < len(sql) and sql[i] == "("
         if ok:
-            close2 = _find_close(sql, i)
+            try:
+                close2 = _find_close(sql, i)
+            except ValueError:
+                ok = False  # e.g. a '(' inside a trailing comment
+        if ok:
             a1 = _split_args(sql[open1 + 1 : j])
             a2 = _split_args(sql[i + 1 : close2])
-            ok = len(a1) == 2 and len(a2) == 2
+            ok = (
+                len(a1) == 2
+                and len(a2) == 2
+                # a 2-column subquery also splits into 2 — leave it
+                and not a1[0].lstrip().upper().startswith("SELECT")
+                and not a2[0].lstrip().upper().startswith("SELECT")
+            )
         if not ok:
             pos = k_end
             continue
@@ -1421,6 +1437,7 @@ def _rewrite_overlaps_scan(sql: str) -> str:
         )
         sql = sql[:open1] + repl + sql[close2 + 1 :]
         pos = open1 + len(repl)
+        spans = _literal_spans(sql)
 
 
 def rewrite_flink_builtins(sql: str) -> str:

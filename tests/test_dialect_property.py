@@ -205,3 +205,27 @@ def test_builtin_tail_review_fixes(env):
 
     with _pytest.raises(ValueError, match="precision"):
         env.execute_sql("SELECT TO_TIMESTAMP_LTZ(1700000000000) AS x")
+
+
+def test_overlaps_scan_edges(env):
+    """The scan-based OVERLAPS matcher: operands with top-level commas
+    inside nested calls (the case the regex form could not match),
+    call argument lists and identifier-prefixed groups left intact,
+    and unmatched parens after the keyword degrade to a no-op instead
+    of raising."""
+    from flink_1_20_spark.sql_flink import rewrite_flink_builtins
+
+    got = env.execute_sql("""
+        SELECT (timestampadd(MINUTE, 10 + 20, TIMESTAMP '2024-01-01 00:00:00'),
+                timestampadd(HOUR, 2, TIMESTAMP '2024-01-01 00:00:00'))
+               OVERLAPS
+               (TIMESTAMP '2024-01-01 01:00:00',
+                timestampadd(MINUTE, 30, TIMESTAMP '2024-01-01 01:00:00')) AS x
+    """).collect()[0]
+    assert got.x is True  # 00:30-02:00 vs 01:00-01:30
+    # a call's 2-arg list before the keyword is NOT a row constructor
+    s = rewrite_flink_builtins("SELECT foo(a,b) OVERLAPS (c,d) FROM t")
+    assert "foo(a,b)" in s and "least" not in s
+    # unmatched '(' after the keyword (comment text): no crash, no edit
+    frag = "SELECT x FROM t -- (a,b) OVERLAPS (see docs\nWHERE x > 1"
+    assert rewrite_flink_builtins(frag) == frag
