@@ -84,9 +84,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q22_inventory_rollup",
     "tpcds_q26_urgent_avg_grid",
     "tpcds_q73_order_size_band",
-    # representative of the changed SUM(SUM(BIGINT)) OVER ratio form
-    # (confirmed r6 under the old oracle; the idiom changed)
-    "tpcds_q12_revenue_share_by_class",
+    # the r7 builtin-tail battery (collection literals, STR_TO_MAP
+    # defaults, JSON constructors, IS JSON, OVERLAPS) — brand-new
+    # rewrite machinery, driver-proof it immediately; it displaced
+    # tpcds_q12 (confirmed r6; its idiom-change re-proof is covered by
+    # the 15 sibling converted queries above)
+    "fn_builtin_tail",
     # scalar-function batteries, never confirmed
     "fn_math_trig",
     "fn_math_misc",
