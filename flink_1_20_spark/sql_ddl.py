@@ -2898,7 +2898,22 @@ class TableEnvironment:
         between GROUP BY and window_start, so GROUP BYs of unrelated
         subqueries (crossing parentheses) are never touched. Shared by
         the SELECT fallthrough and the INSERT body path."""
-        df = self.spark.sql(query)
+        try:
+            df = self.spark.sql(query)
+        except Exception as ex:
+            # OUTER stream-stream joins fail ANALYSIS without a
+            # watermark in the join keys — for the window-join shape
+            # the struct upgrade IS that watermarked key, so the plain
+            # form never gets far enough for the inner-join path's
+            # post-hoc upgrade; attempt it straight from the text
+            if (
+                "watermark in the join keys" in str(ex)
+                and query.count("EXCEPT(__w)") >= 2
+            ):
+                upgraded = self._upgrade_streaming_window_join(query)
+                if upgraded is not None:
+                    return upgraded
+            raise
         if df.isStreaming and "__cum" in query:
             # streaming CUMULATE: expose the hidden max-window struct and
             # group by it — (__wm, window_end) keys each slice, and the
@@ -2955,15 +2970,18 @@ class TableEnvironment:
     def _upgrade_streaming_window_join(self, query: str) -> DataFrame | None:
         """Rewrite a lowered streaming window join to keep the window
         STRUCT and join on it (state-eviction contract — see caller).
-        Applies only to the canonical single-join shape with an explicit
-        select list; anything else returns None and the caller keeps the
-        already-planned form (correct rows, unbounded state — any star
-        projection (SELECT *, SELECT L.*, a star in an outer CTE query)
-        would leak the kept struct into the sink schema). The guard
-        strips the lowering's own 'SELECT * EXCEPT(__w)' markers and
-        rejects on ANY remaining '*' — over-rejecting (COUNT(*)) only
-        forgoes the state-eviction upgrade, never correctness."""
-        if "*" in query.replace("SELECT * EXCEPT(__w)", ""):
+        Applies only to the canonical single-join shape whose OUTERMOST
+        select list is star-free; anything else returns None and the
+        caller keeps the already-planned form (correct rows, unbounded
+        state). Only the outermost list decides the output schema — a
+        star there (SELECT *, SELECT L.*) would leak the kept struct
+        into the sink; wrapper stars INSIDE subqueries (the idiomatic
+        `SELECT * FROM TABLE(TUMBLE(...))`) merely forward columns and
+        must not disqualify the upgrade (a prior guard rejected on any
+        star anywhere, silently disabling it for every canonical TVF
+        query). Over-rejecting unknown shapes (WITH, COUNT(*)) only
+        forgoes state eviction, never correctness."""
+        if self._outer_select_has_star(query):
             return None
         mw = re.search(
             r"\bON\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
@@ -2994,6 +3012,37 @@ class TableEnvironment:
             return df if df.isStreaming else None
         except Exception:
             return None
+
+    @staticmethod
+    def _outer_select_has_star(query: str) -> bool:
+        """True when the OUTERMOST select list (leading SELECT up to its
+        paren-depth-0 FROM) contains a '*' — or when the shape is not a
+        leading SELECT at all (WITH, etc.), conservatively."""
+        s = query.lstrip()
+        m = re.match(r"SELECT\s", s, re.I)
+        if not m:
+            return True
+        depth, q, i = 0, None, m.end()
+        while i < len(s):
+            ch = s[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch in "Ff"
+                and re.match(r"FROM\b", s[i:], re.I)
+                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            ):
+                break
+            i += 1
+        return "*" in s[m.end() : i]
 
     def _is_streaming_table(self, name: str) -> bool:
         """True when `name` resolves to a streaming temp view — the

@@ -1979,7 +1979,36 @@ def test_streaming_window_join_through_executesql(spark, tmp_path):
            AND L.window_end = R.window_end
     """)
     assert df.isStreaming
-    assert "__w" in df._jdf.queryExecution().analyzed().toString()
+    # the JOIN CONDITION itself must equate the window structs — mere
+    # __w presence in the plan is satisfied by the EXCEPT projections
+    # of the non-upgraded form too (a prior assert passed spuriously)
+    import re as _re
+
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert _re.search(r"__w#\d+\S* = __w#\d+", analyzed)
+    # LEFT window join: Spark rejects outer stream-stream joins without
+    # a watermarked join key — the struct upgrade IS that key
+    ldf = env.execute_sql("""
+        SELECT L.k AS k, L.lv AS lv, R.rv AS rv
+        FROM (SELECT * FROM TABLE(TUMBLE(TABLE wj_l, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) L
+        LEFT JOIN (SELECT * FROM TABLE(TUMBLE(TABLE wj_r, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) R
+        ON L.k = R.k AND L.window_start = R.window_start
+           AND L.window_end = R.window_end
+    """)
+    lq = ldf.writeStream.format("memory").queryName("wj_left").start()
+    try:
+        lq.processAllAvailable()
+    finally:
+        lq.stop()
+    # left rows survive unmatched (k=2 pairs nothing but must appear
+    # once its window closes — watermark already advanced by b1)
+    left_rows = {
+        (r["k"], r["lv"], r["rv"])
+        for r in spark.sql("SELECT * FROM wj_left").collect()
+    }
+    assert (2, 20.0, None) in left_rows
     # review fix: a QUALIFIED star (SELECT L.*) must not take the
     # struct-join upgrade — it would leak the hidden __w column into
     # the output schema; the guard falls back to the EXCEPT(__w) form
