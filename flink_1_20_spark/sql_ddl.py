@@ -2965,6 +2965,10 @@ class TableEnvironment:
             if n:
                 fixed = fixed.replace("SELECT * EXCEPT(__w),", "SELECT *,")
                 df = self.spark.sql(fixed)
+        if df.isStreaming:
+            lowered = self._maybe_streaming_setop(query)
+            if lowered is not None:
+                return lowered
         return df
 
     def _upgrade_streaming_window_join(self, query: str) -> DataFrame | None:
@@ -3012,6 +3016,67 @@ class TableEnvironment:
             return df if df.isStreaming else None
         except Exception:
             return None
+
+    def _maybe_streaming_setop(self, query: str):
+        """Streaming INTERSECT / EXCEPT (StreamExecIntersect/Minus —
+        Flink computes both over the retraction changelog). Spark's
+        checker rejects Intersect/Except on streams outright (and semi
+        joins demand watermarked keys), but INTERSECT DISTINCT lowers
+        to supported pieces: dropDuplicates each side (append-mode
+        streaming dedup), then a plain stream-stream INNER join on
+        null-safe key equality — both sides unique, so each common row
+        emits exactly once when both have arrived. EXCEPT needs to observe
+        ABSENCE on an unbounded stream (left anti is not a supported
+        stream-stream join), so it points to the changelog facade
+        (operators/changelog_join.py how='anti') instead of letting
+        the raw checker error surface at query start."""
+        found = None
+        depth, q, i = 0, None, 0
+        while i < len(query):
+            ch = query[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "IiEe":
+                m = re.match(r"(INTERSECT|EXCEPT)\b(\s+ALL\b)?", query[i:], re.I)
+                if m and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")):
+                    found = (i, i + m.end(), m.group(1).upper(), bool(m.group(2)))
+                    break
+            i += 1
+        if found is None:
+            return None
+        start, end, op, is_all = found
+        if op == "EXCEPT":
+            raise ValueError(
+                "EXCEPT over unbounded streams needs retraction state "
+                "(Flink's StreamExecMinus) — Spark has no stream-stream "
+                "anti join; use the changelog facade "
+                "flink_1_20_spark.operators.changelog_join with "
+                "how='anti' for the incremental form"
+            )
+        if is_all:
+            raise ValueError(
+                "streaming INTERSECT ALL keeps multiset multiplicities "
+                "(retraction state) — only INTERSECT [DISTINCT] lowers "
+                "here; use the changelog facade for ALL semantics"
+            )
+        left = self.spark.sql(query[:start]).dropDuplicates()
+        right = self.spark.sql(query[end:]).dropDuplicates()
+        if len(left.columns) != len(right.columns):
+            raise ValueError("INTERSECT sides must have equal column counts")
+        cond = None
+        for lc, rc in zip(left.columns, right.columns):
+            c = left[lc].eqNullSafe(right[rc])
+            cond = c if cond is None else cond & c
+        return left.join(right, on=cond, how="inner").select(
+            *[left[c] for c in left.columns]
+        )
 
     @staticmethod
     def _outer_select_has_star(query: str) -> bool:

@@ -2333,6 +2333,51 @@ def test_delete_partition_pushdown(spark, tmp_path):
         env.execute_sql("UPDATE rl_s SET v = 2")
 
 
+def test_streaming_intersect_and_except(spark, tmp_path):
+    """Streaming set ops through executeSql: INTERSECT [DISTINCT]
+    lowers to dedup-both-sides + stream-stream inner join on null-safe
+    keys (StreamExecIntersect semantics in append mode — each common
+    row emits once, including matches completed by a LATER batch);
+    EXCEPT and INTERSECT ALL need retraction state and reject with a
+    pointer to the changelog facade instead of Spark's raw
+    checker error at query start."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    for name, ks in (("si_a", [1, 2, 2, 3]), ("si_b", [2, 3, 4])):
+        p = tmp_path / name
+        p.mkdir()
+        (p / "b0.jsonl").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in ks) + "\n"
+        )
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k INT) WITH (
+              'connector'='filesystem','path'='{p}',
+              'format'='json','scan.streaming'='true')
+        """)
+    df = env.execute_sql("SELECT k FROM si_a INTERSECT SELECT k FROM si_b")
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("si_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a later batch completes the k=1 match
+        (tmp_path / "si_b" / "b1.jsonl").write_text(_json.dumps({"k": 1}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in spark.sql("SELECT * FROM si_out").collect())
+    assert got == [1, 2, 3]  # distinct; 4 is right-only
+    with pytest.raises(ValueError, match="changelog facade"):
+        env.execute_sql("SELECT k FROM si_a EXCEPT SELECT k FROM si_b")
+    with pytest.raises(ValueError, match="INTERSECT ALL"):
+        env.execute_sql("SELECT k FROM si_a INTERSECT ALL SELECT k FROM si_b")
+
+
 def test_streaming_group_agg_upsert_insert(spark, tmp_path):
     """Non-windowed streaming GROUP BY through executeSql
     (StreamExecGroupAggregate — Flink's canonical continuous query):
