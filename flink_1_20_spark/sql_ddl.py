@@ -2898,22 +2898,7 @@ class TableEnvironment:
         between GROUP BY and window_start, so GROUP BYs of unrelated
         subqueries (crossing parentheses) are never touched. Shared by
         the SELECT fallthrough and the INSERT body path."""
-        try:
-            df = self.spark.sql(query)
-        except Exception as ex:
-            # OUTER stream-stream joins fail ANALYSIS without a
-            # watermark in the join keys — for the window-join shape
-            # the struct upgrade IS that watermarked key, so the plain
-            # form never gets far enough for the inner-join path's
-            # post-hoc upgrade; attempt it straight from the text
-            if (
-                "watermark in the join keys" in str(ex)
-                and query.count("EXCEPT(__w)") >= 2
-            ):
-                upgraded = self._upgrade_streaming_window_join(query)
-                if upgraded is not None:
-                    return upgraded
-            raise
+        df = self.spark.sql(query)
         if df.isStreaming and "__cum" in query:
             # streaming CUMULATE: expose the hidden max-window struct and
             # group by it — (__wm, window_end) keys each slice, and the
@@ -2955,6 +2940,13 @@ class TableEnvironment:
             upgraded = self._upgrade_streaming_window_join(query)
             if upgraded is not None:
                 return upgraded
+        if df.isStreaming:
+            # set ops FIRST: each side gets its own full lowering
+            # recursively (incl. the GROUP-BY-__w pass below, which
+            # must never run across a set-op boundary)
+            lowered = self._maybe_streaming_setop(query)
+            if lowered is not None:
+                return lowered
         if df.isStreaming and "__w" in query:
             fixed, n = re.subn(
                 r"(GROUP\s+BY\s+)(?=[\w\s,.`]*\bwindow_start\b)",
@@ -2965,10 +2957,6 @@ class TableEnvironment:
             if n:
                 fixed = fixed.replace("SELECT * EXCEPT(__w),", "SELECT *,")
                 df = self.spark.sql(fixed)
-        if df.isStreaming:
-            lowered = self._maybe_streaming_setop(query)
-            if lowered is not None:
-                return lowered
         return df
 
     def _upgrade_streaming_window_join(self, query: str) -> DataFrame | None:
@@ -3037,16 +3025,29 @@ class TableEnvironment:
             if q:
                 if ch == q:
                     q = None
-            elif ch in "'\"":
+            elif ch in "'\"`":
                 q = ch
             elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
             elif depth == 0 and ch in "IiEe":
-                m = re.match(r"(INTERSECT|EXCEPT)\b(\s+ALL\b)?", query[i:], re.I)
+                # a SET OPERATOR is followed by a query — `SELECT *
+                # EXCEPT(col)` projections, comment text, and quoted
+                # identifiers must never match
+                m = re.match(
+                    r"(INTERSECT|EXCEPT)\b(\s+(?:ALL|DISTINCT)\b)?"
+                    r"(?=\s*\(?\s*SELECT\b)",
+                    query[i:],
+                    re.I,
+                )
                 if m and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")):
-                    found = (i, i + m.end(), m.group(1).upper(), bool(m.group(2)))
+                    found = (
+                        i,
+                        i + m.end(),
+                        m.group(1).upper(),
+                        (m.group(2) or "").strip().upper() == "ALL",
+                    )
                     break
             i += 1
         if found is None:
@@ -3066,8 +3067,13 @@ class TableEnvironment:
                 "(retraction state) — only INTERSECT [DISTINCT] lowers "
                 "here; use the changelog facade for ALL semantics"
             )
-        left = self.spark.sql(query[:start]).dropDuplicates()
-        right = self.spark.sql(query[end:]).dropDuplicates()
+        # each side takes the FULL streaming lowering recursively —
+        # windowed-aggregate sides get their GROUP-BY-__w pass, and a
+        # chained `A INTERSECT B INTERSECT C` right side lowers itself
+        # (INTERSECT is commutative/associative, so first-keyword
+        # splitting is order-safe; EXCEPT anywhere raises above)
+        left = self._sql_streaming_lowered(query[:start]).dropDuplicates()
+        right = self._sql_streaming_lowered(query[end:]).dropDuplicates()
         if len(left.columns) != len(right.columns):
             raise ValueError("INTERSECT sides must have equal column counts")
         cond = None
@@ -3081,33 +3087,48 @@ class TableEnvironment:
     @staticmethod
     def _outer_select_has_star(query: str) -> bool:
         """True when the OUTERMOST select list (leading SELECT up to its
-        paren-depth-0 FROM) contains a '*' — or when the shape is not a
-        leading SELECT at all (WITH, etc.), conservatively."""
+        paren-depth-0 FROM) contains a PROJECTION star — `*` or `L.*` at
+        list position (start of list, after a comma, or after a dot),
+        at depth 0. Multiplication (`a * 2`) and stars inside calls
+        (COUNT(*)) are not projection stars. Non-SELECT-leading shapes
+        (WITH, ...) read as True, conservatively — the caller then
+        forgoes the struct upgrade, which for OUTER window joins means
+        the query fails Spark's outer-join watermark check at start
+        (documented cost of the unknown shape, not a correctness risk
+        for anything that runs)."""
         s = query.lstrip()
         m = re.match(r"SELECT\s", s, re.I)
         if not m:
             return True
         depth, q, i = 0, None, m.end()
+        # last significant depth-0 char, for star-position classification
+        prev = ","  # list start behaves like 'after a comma'
         while i < len(s):
             ch = s[i]
             if q:
                 if ch == q:
                     q = None
-            elif ch in "'\"":
+            elif ch in "'\"`":
                 q = ch
+                if depth == 0:
+                    prev = "x"  # a literal/identifier, not a list break
             elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif (
-                depth == 0
-                and ch in "Ff"
-                and re.match(r"FROM\b", s[i:], re.I)
-                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            ):
-                break
+                if depth == 0:
+                    prev = "x"
+            elif depth == 0:
+                if ch in "Ff" and re.match(r"FROM\b", s[i:], re.I) and not (
+                    s[i - 1].isalnum() or s[i - 1] == "_"
+                ):
+                    return False
+                if ch == "*" and prev in (",", "."):
+                    return True
+                if not ch.isspace():
+                    prev = ch if ch in ",." else "x"
             i += 1
-        return "*" in s[m.end() : i]
+        return False
 
     def _is_streaming_table(self, name: str) -> bool:
         """True when `name` resolves to a streaming temp view — the

@@ -2009,6 +2009,27 @@ def test_streaming_window_join_through_executesql(spark, tmp_path):
         for r in spark.sql("SELECT * FROM wj_left").collect()
     }
     assert (2, 20.0, None) in left_rows
+    # review fix: a MULTIPLICATION star in the outermost list is not a
+    # projection star — the upgrade still applies (without it, this
+    # LEFT join could not start at all)
+    mdf = env.execute_sql("""
+        SELECT L.k AS k, L.lv * 2 AS dlv, R.rv AS rv
+        FROM (SELECT * FROM TABLE(TUMBLE(TABLE wj_l, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) L
+        LEFT JOIN (SELECT * FROM TABLE(TUMBLE(TABLE wj_r, DESCRIPTOR(ts),
+                                         INTERVAL '1' MINUTE))) R
+        ON L.k = R.k AND L.window_start = R.window_start
+           AND L.window_end = R.window_end
+    """)
+    mq = mdf.writeStream.format("memory").queryName("wj_mult").start()
+    try:
+        mq.processAllAvailable()
+    finally:
+        mq.stop()
+    assert (2, 40.0, None) in {
+        (r["k"], r["dlv"], r["rv"])
+        for r in spark.sql("SELECT * FROM wj_mult").collect()
+    }
     # review fix: a QUALIFIED star (SELECT L.*) must not take the
     # struct-join upgrade — it would leak the hidden __w column into
     # the output schema; the guard falls back to the EXCEPT(__w) form
@@ -2376,6 +2397,22 @@ def test_streaming_intersect_and_except(spark, tmp_path):
         env.execute_sql("SELECT k FROM si_a EXCEPT SELECT k FROM si_b")
     with pytest.raises(ValueError, match="INTERSECT ALL"):
         env.execute_sql("SELECT k FROM si_a INTERSECT ALL SELECT k FROM si_b")
+    # review fixes: the scanner matches SET OPERATORS only — a
+    # star-EXCEPT projection and comment text are not set ops
+    df = env.execute_sql("SELECT * EXCEPT(k), k FROM si_a")
+    assert df.isStreaming and df.columns == ["k"]
+    df = env.execute_sql("SELECT k FROM si_a -- except late rows")
+    assert df.isStreaming
+    # explicit DISTINCT spelling and a chained INTERSECT both lower
+    df = env.execute_sql(
+        "SELECT k FROM si_a INTERSECT DISTINCT SELECT k FROM si_b"
+    )
+    assert df.isStreaming
+    df = env.execute_sql(
+        "SELECT k FROM si_a INTERSECT SELECT k FROM si_b "
+        "INTERSECT SELECT k FROM si_a"
+    )
+    assert df.isStreaming
 
 
 def test_streaming_group_agg_upsert_insert(spark, tmp_path):
