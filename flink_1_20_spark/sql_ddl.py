@@ -1889,6 +1889,7 @@ class TableEnvironment:
         if m and m.group(1):
             declared = {c for c, _ in meta.columns}
             for coldef in _split_top_all(m.group(1), ","):
+                coldef, pos = self._strip_position(coldef)
                 cm = re.match(r"\s*`?(\w+)`?\s+(.+?)\s*$", coldef, re.S)
                 if not cm or cm.group(1) not in declared:
                     raise ValueError(
@@ -1898,6 +1899,8 @@ class TableEnvironment:
                 meta.columns = [
                     (c, new_t if c == cm.group(1) else t) for c, t in meta.columns
                 ]
+                if pos is not None:
+                    self._place_column(meta, cm.group(1), pos)
             self._register(meta)
             return None
         # ADD CONSTRAINT <name> PRIMARY KEY (...) NOT ENFORCED
@@ -1981,19 +1984,25 @@ class TableEnvironment:
         m = re.match(r"ADD\s*\(?\s*(.*?)\)?$", action, re.S | re.I)
         if m and m.group(1) and not action.upper().startswith("ADD CONSTRAINT"):
             for coldef in _split_top_all(m.group(1), ","):
+                coldef, pos = self._strip_position(coldef)
                 cm = re.match(r"\s*`?(\w+)`?\s+(.+?)\s*$", coldef, re.S)
                 if not cm:
                     raise ValueError(f"cannot parse column: {coldef!r}")
                 meta.columns.append(
                     (cm.group(1), flink_type_to_spark(cm.group(2)))
                 )
+                if pos is not None:
+                    self._place_column(meta, cm.group(1), pos)
             self._register(meta)
             return None
-        m = re.match(r"DROP\s*\(?\s*`?(\w+)`?\s*\)?$", action, re.I)
+        # DROP (c1[, c2 ...]) / DROP c (SqlAlterTableDropColumn.java
+        # takes a column LIST)
+        m = re.match(r"DROP\s*\(?\s*([\w`\s,]+?)\s*\)?$", action, re.I)
         if m:
-            col = m.group(1)
-            meta.columns = [(c, t) for c, t in meta.columns if c != col]
-            meta.computed = [(c, e) for c, e in meta.computed if c != col]
+            for col in m.group(1).split(","):
+                col = col.strip().strip("`")
+                meta.columns = [(c, t) for c, t in meta.columns if c != col]
+                meta.computed = [(c, e) for c, e in meta.computed if c != col]
             self._register(meta)
             return None
         raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
@@ -3952,6 +3961,44 @@ class TableEnvironment:
             df = df.coalesce(n)
         self._rewrite_table_files(meta, df)
         return None
+
+    @staticmethod
+    def _strip_position(coldef: str) -> tuple[str, tuple[str, str | None] | None]:
+        """Trailing `FIRST` / `AFTER <col>` (SqlColumnPosSpec.java on
+        ADD/MODIFY schema changes) → (definition without the spec,
+        ('FIRST', None) | ('AFTER', anchor) | None)."""
+        m = re.match(r"(.*?)\s+FIRST\s*$", coldef, re.S | re.I)
+        if m:
+            return m.group(1), ("FIRST", None)
+        m = re.match(r"(.*?)\s+AFTER\s+`?(\w+)`?\s*$", coldef, re.S | re.I)
+        if m:
+            return m.group(1), ("AFTER", m.group(2))
+        return coldef, None
+
+    def _place_column(
+        self, meta: TableMeta, name: str, pos: tuple[str, str | None]
+    ) -> None:
+        """Reorder `name` in meta.columns per a FIRST/AFTER spec.
+        Catalog-order changes are safe for by-NAME formats; csv binds
+        file columns positionally, so reordering would silently
+        mis-read existing data — rejected."""
+        if meta.options.get("format") == "csv":
+            raise ValueError(
+                "FIRST/AFTER column positions are not supported on csv "
+                "tables — csv files bind columns by position, and a "
+                "catalog reorder would mis-read existing data"
+            )
+        entry = next((c, t) for c, t in meta.columns if c == name)
+        cols = [(c, t) for c, t in meta.columns if c != name]
+        if pos[0] == "FIRST":
+            idx = 0
+        else:
+            names = [c for c, _ in cols]
+            if pos[1] not in names:
+                raise ValueError(f"AFTER column not found: {pos[1]}")
+            idx = names.index(pos[1]) + 1
+        cols.insert(idx, entry)
+        meta.columns = cols
 
     def _owner_db(self, meta: TableMeta) -> str:
         """The current catalog's db holding exactly this meta (falls

@@ -3756,3 +3756,46 @@ def test_insert_overwrite_partition_replaces_only_named_partition(spark, tmp_pat
     with pytest.raises(Exception):
         env.execute_sql("ALTER VIEW iov RENAME TO iov2")
     assert "iov" in env._view_sql and "iov2" not in env._view_sql
+
+
+def test_alter_column_positions_and_multi_drop(spark, tmp_path):
+    """SqlColumnPosSpec: ADD/MODIFY ... FIRST / AFTER <col> reorder the
+    catalog schema (by-name parquet reads are order-safe; csv rejects —
+    its files bind positionally), and DESCRIBE + positional INSERT
+    follow the new order. SqlAlterTableDropColumn takes a column LIST."""
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, 2.0)], "a int, b double").write.parquet(
+        str(tmp_path / "t")
+    )
+    env.execute_sql(f"""
+        CREATE TABLE pt (a INT, b DOUBLE) WITH (
+          'connector'='filesystem','path'='{tmp_path}/t',
+          'format'='parquet')
+    """)
+    env.execute_sql("ALTER TABLE pt ADD (c STRING FIRST, d INT AFTER a)")
+    cols = [r["name"] for r in env.execute_sql("DESCRIBE pt").collect()]
+    assert cols == ["c", "a", "d", "b"]
+    # positional INSERT follows the NEW order
+    env.execute_sql("INSERT INTO pt VALUES ('x', 7, 9, 3.5)")
+    got = {
+        (r["c"], r["a"], r["d"], r["b"])
+        for r in env.execute_sql("SELECT * FROM pt").collect()
+    }
+    assert ("x", 7, 9, 3.5) in got and (None, 1, None, 2.0) in got
+    env.execute_sql("ALTER TABLE pt MODIFY (b DOUBLE FIRST)")
+    cols = [r["name"] for r in env.execute_sql("DESCRIBE pt").collect()]
+    assert cols == ["b", "c", "a", "d"]
+    with pytest.raises(ValueError, match="AFTER column not found"):
+        env.execute_sql("ALTER TABLE pt MODIFY (b DOUBLE AFTER nope)")
+    # multi-column DROP
+    env.execute_sql("ALTER TABLE pt DROP (c, d)")
+    cols = [r["name"] for r in env.execute_sql("DESCRIBE pt").collect()]
+    assert cols == ["b", "a"]
+    # csv tables reject reorders (files bind positionally)
+    env.execute_sql(f"""
+        CREATE TABLE pcsv (a INT, b DOUBLE) WITH (
+          'connector'='filesystem','path'='{tmp_path}/csv',
+          'format'='csv')
+    """)
+    with pytest.raises(ValueError, match="csv"):
+        env.execute_sql("ALTER TABLE pcsv ADD (c STRING FIRST)")
