@@ -1999,8 +1999,20 @@ class TableEnvironment:
         # takes a column LIST)
         m = re.match(r"DROP\s*\(?\s*([\w`\s,]+?)\s*\)?$", action, re.I)
         if m:
-            for col in m.group(1).split(","):
-                col = col.strip().strip("`")
+            cols = [c.strip().strip("`") for c in m.group(1).split(",")]
+            # structural members first (Flink's schema validation):
+            # dropping a partition key orphans the directory layout,
+            # dropping a PK member invalidates the constraint
+            bad = [c for c in cols if c in meta.partitioned_by]
+            if bad:
+                raise ValueError(f"cannot drop partition key column(s) {bad}")
+            bad = [c for c in cols if c in meta.primary_key]
+            if bad:
+                raise ValueError(
+                    f"cannot drop primary key column(s) {bad} — DROP "
+                    "PRIMARY KEY first"
+                )
+            for col in cols:
                 meta.columns = [(c, t) for c, t in meta.columns if c != col]
                 meta.computed = [(c, e) for c, e in meta.computed if c != col]
             self._register(meta)

@@ -3799,3 +3799,14 @@ def test_alter_column_positions_and_multi_drop(spark, tmp_path):
     """)
     with pytest.raises(ValueError, match="csv"):
         env.execute_sql("ALTER TABLE pcsv ADD (c STRING FIRST)")
+    # structural members are protected from DROP
+    env.execute_sql(f"""
+        CREATE TABLE pdrop (k INT, dt STRING, PRIMARY KEY (k) NOT ENFORCED)
+        PARTITIONED BY (dt) WITH (
+          'connector'='filesystem','path'='{tmp_path}/pd',
+          'format'='parquet')
+    """)
+    with pytest.raises(ValueError, match="partition key"):
+        env.execute_sql("ALTER TABLE pdrop DROP dt")
+    with pytest.raises(ValueError, match="primary key"):
+        env.execute_sql("ALTER TABLE pdrop DROP k")
