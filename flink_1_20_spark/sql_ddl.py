@@ -1888,6 +1888,11 @@ class TableEnvironment:
         m = re.match(r"MODIFY\s*\(?\s*(.*?)\)?$", action, re.S | re.I)
         if m and m.group(1):
             declared = {c for c, _ in meta.columns}
+            # parse + validate the WHOLE list before touching the live
+            # meta — a failure on the Nth entry must not leave entries
+            # 1..N-1 (or a type change whose position spec then fails)
+            # half-applied on the shared registry object
+            entries: list[tuple[str, str, tuple | None]] = []
             for coldef in _split_top_all(m.group(1), ","):
                 coldef, pos = self._strip_position(coldef)
                 cm = re.match(r"\s*`?(\w+)`?\s+(.+?)\s*$", coldef, re.S)
@@ -1895,12 +1900,17 @@ class TableEnvironment:
                     raise ValueError(
                         f"MODIFY: unknown column in {coldef.strip()!r}"
                     )
-                new_t = flink_type_to_spark(cm.group(2))
+                if pos is not None:
+                    self._validate_position(meta, pos, declared)
+                entries.append(
+                    (cm.group(1), flink_type_to_spark(cm.group(2)), pos)
+                )
+            for name_, new_t, pos in entries:
                 meta.columns = [
-                    (c, new_t if c == cm.group(1) else t) for c, t in meta.columns
+                    (c, new_t if c == name_ else t) for c, t in meta.columns
                 ]
                 if pos is not None:
-                    self._place_column(meta, cm.group(1), pos)
+                    self._place_column(meta, name_, pos)
             self._register(meta)
             return None
         # ADD CONSTRAINT <name> PRIMARY KEY (...) NOT ENFORCED
@@ -1983,16 +1993,28 @@ class TableEnvironment:
             return self._compact_table(meta, None)
         m = re.match(r"ADD\s*\(?\s*(.*?)\)?$", action, re.S | re.I)
         if m and m.group(1) and not action.upper().startswith("ADD CONSTRAINT"):
+            # parse + validate everything BEFORE mutating the live meta
+            # (a failing position spec must not leave a phantom column)
+            entries = []
             for coldef in _split_top_all(m.group(1), ","):
                 coldef, pos = self._strip_position(coldef)
                 cm = re.match(r"\s*`?(\w+)`?\s+(.+?)\s*$", coldef, re.S)
                 if not cm:
                     raise ValueError(f"cannot parse column: {coldef!r}")
-                meta.columns.append(
-                    (cm.group(1), flink_type_to_spark(cm.group(2)))
+                entries.append(
+                    (cm.group(1), flink_type_to_spark(cm.group(2)), pos)
                 )
+            # AFTER may anchor on an existing column or one added
+            # EARLIER in this same statement (placement is sequential)
+            available = {c for c, _ in meta.columns}
+            for name_, _, pos in entries:
                 if pos is not None:
-                    self._place_column(meta, cm.group(1), pos)
+                    self._validate_position(meta, pos, available)
+                available.add(name_)
+            for name_, t, pos in entries:
+                meta.columns.append((name_, t))
+                if pos is not None:
+                    self._place_column(meta, name_, pos)
             self._register(meta)
             return None
         # DROP (c1[, c2 ...]) / DROP c (SqlAlterTableDropColumn.java
@@ -2000,9 +2022,20 @@ class TableEnvironment:
         m = re.match(r"DROP\s*\(?\s*([\w`\s,]+?)\s*\)?$", action, re.I)
         if m:
             cols = [c.strip().strip("`") for c in m.group(1).split(",")]
-            # structural members first (Flink's schema validation):
-            # dropping a partition key orphans the directory layout,
-            # dropping a PK member invalidates the constraint
+            bad = [c for c in cols if not re.fullmatch(r"\w+", c)]
+            if bad:
+                raise ValueError(
+                    f"cannot parse DROP column list near {bad[0]!r}"
+                )
+            known = {c for c, _ in meta.columns} | {c for c, _ in meta.computed}
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(f"DROP: unknown column(s) {bad}")
+            # structural members (Flink's schema validation): dropping a
+            # partition key orphans the directory layout, a PK member
+            # invalidates the constraint, the watermark column breaks
+            # event-time, a bucket key dangles the distribution, and a
+            # column a computed column reads wedges re-registration
             bad = [c for c in cols if c in meta.partitioned_by]
             if bad:
                 raise ValueError(f"cannot drop partition key column(s) {bad}")
@@ -2012,6 +2045,42 @@ class TableEnvironment:
                     f"cannot drop primary key column(s) {bad} — DROP "
                     "PRIMARY KEY first"
                 )
+            if meta.watermark and meta.watermark[0] in cols:
+                raise ValueError(
+                    f"cannot drop watermark column {meta.watermark[0]!r} "
+                    "— DROP WATERMARK first"
+                )
+            if meta.distribution is not None:
+                bad = [c for c in cols if c in meta.distribution[1]]
+                if bad:
+                    raise ValueError(
+                        f"cannot drop distribution bucket column(s) {bad} "
+                        "— DROP DISTRIBUTION first"
+                    )
+            dropped = set(cols)
+            for cname, expr in meta.computed:
+                if cname in dropped:
+                    continue
+                refs = [
+                    c for c in dropped
+                    if re.search(rf"\b{re.escape(c)}\b", expr)
+                ]
+                if refs:
+                    raise ValueError(
+                        f"cannot drop column(s) {refs}: computed column "
+                        f"{cname!r} reads them — drop it first"
+                    )
+            if meta.options.get("format") == "csv":
+                # csv files bind columns by POSITION: only a strict
+                # SUFFIX of the declared order can go without shifting
+                # every later column onto the wrong file data
+                remaining = [c for c, _ in meta.columns if c not in dropped]
+                if remaining != [c for c, _ in meta.columns][: len(remaining)]:
+                    raise ValueError(
+                        "csv tables can only drop TRAILING columns — "
+                        "files bind columns by position, and removing "
+                        "an interior column would mis-read existing data"
+                    )
             for col in cols:
                 meta.columns = [(c, t) for c, t in meta.columns if c != col]
                 meta.computed = [(c, e) for c, e in meta.computed if c != col]
@@ -3987,19 +4056,34 @@ class TableEnvironment:
             return m.group(1), ("AFTER", m.group(2))
         return coldef, None
 
-    def _place_column(
-        self, meta: TableMeta, name: str, pos: tuple[str, str | None]
+    def _validate_position(
+        self, meta: TableMeta, pos: tuple[str, str | None], available: set
     ) -> None:
-        """Reorder `name` in meta.columns per a FIRST/AFTER spec.
-        Catalog-order changes are safe for by-NAME formats; csv binds
-        file columns positionally, so reordering would silently
-        mis-read existing data — rejected."""
+        """Reject a FIRST/AFTER spec BEFORE any meta mutation: csv
+        tables bind file columns positionally (a catalog reorder would
+        silently mis-read existing data), an AFTER anchor must exist,
+        and computed columns cannot anchor (they always render at the
+        end of the schema in this model, after the physical columns)."""
         if meta.options.get("format") == "csv":
             raise ValueError(
                 "FIRST/AFTER column positions are not supported on csv "
                 "tables — csv files bind columns by position, and a "
                 "catalog reorder would mis-read existing data"
             )
+        if pos[0] == "AFTER" and pos[1] not in available:
+            if pos[1] in {c for c, _ in meta.computed}:
+                raise ValueError(
+                    f"AFTER {pos[1]}: computed columns render at the "
+                    "end of the schema here — anchor on a physical "
+                    "column"
+                )
+            raise ValueError(f"AFTER column not found: {pos[1]}")
+
+    def _place_column(
+        self, meta: TableMeta, name: str, pos: tuple[str, str | None]
+    ) -> None:
+        """Reorder `name` in meta.columns per a VALIDATED FIRST/AFTER
+        spec (see _validate_position)."""
         entry = next((c, t) for c, t in meta.columns if c == name)
         cols = [(c, t) for c, t in meta.columns if c != name]
         if pos[0] == "FIRST":

@@ -3810,3 +3810,48 @@ def test_alter_column_positions_and_multi_drop(spark, tmp_path):
         env.execute_sql("ALTER TABLE pdrop DROP dt")
     with pytest.raises(ValueError, match="primary key"):
         env.execute_sql("ALTER TABLE pdrop DROP k")
+    # review fixes: a failing position spec must not half-apply — the
+    # csv-rejected ADD leaves NO phantom column, the csv-rejected
+    # MODIFY keeps the original type
+    cols = [r["name"] for r in env.execute_sql("DESCRIBE pcsv").collect()]
+    assert cols == ["a", "b"]  # the rejected ADD above left nothing
+    with pytest.raises(ValueError, match="csv"):
+        env.execute_sql("ALTER TABLE pcsv MODIFY (b STRING FIRST)")
+    types = {
+        r["name"]: r["type"]
+        for r in env.execute_sql("DESCRIBE pcsv").collect()
+    }
+    assert types["b"].lower() == "double"  # type change not half-applied
+    # DROP validation: garbage tokens and unknown names raise, not no-op
+    with pytest.raises(ValueError, match="cannot parse"):
+        env.execute_sql("ALTER TABLE pt DROP COLUMN b")
+    with pytest.raises(ValueError, match="unknown column"):
+        env.execute_sql("ALTER TABLE pt DROP nope")
+    # computed / watermark / distribution dependencies are protected
+    env.execute_sql(f"""
+        CREATE TABLE pdep (
+            a INT, c AS a + 1,
+            ts TIMESTAMP(3), WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem','path'='{tmp_path}/pdep',
+                'format'='parquet')
+    """)
+    with pytest.raises(ValueError, match="computed column"):
+        env.execute_sql("ALTER TABLE pdep DROP a")
+    with pytest.raises(ValueError, match="watermark column"):
+        env.execute_sql("ALTER TABLE pdep DROP ts")
+    # AFTER anchored on a computed column gets the informative error
+    with pytest.raises(ValueError, match="computed columns render"):
+        env.execute_sql("ALTER TABLE pdep ADD (x INT AFTER c)")
+    env.execute_sql(f"""
+        CREATE TABLE pdist (k INT, v DOUBLE)
+        DISTRIBUTED BY HASH(k) INTO 2 BUCKETS
+        WITH ('connector'='filesystem','path'='{tmp_path}/pdist',
+              'format'='parquet')
+    """)
+    with pytest.raises(ValueError, match="bucket column"):
+        env.execute_sql("ALTER TABLE pdist DROP k")
+    # csv: only TRAILING columns can go (positional file binding)
+    with pytest.raises(ValueError, match="TRAILING"):
+        env.execute_sql("ALTER TABLE pcsv DROP a")
+    env.execute_sql("ALTER TABLE pcsv DROP b")  # suffix: fine
+    assert [r["name"] for r in env.execute_sql("DESCRIBE pcsv").collect()] == ["a"]
