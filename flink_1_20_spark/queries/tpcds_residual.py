@@ -239,10 +239,11 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         WITH v1 AS (
           SELECT p.p_brand, n.n_name,
                  year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
-                 ROUND(SUM(l.l_extendedprice), 4) AS sum_sales,
-                 AVG(SUM(l.l_extendedprice)) OVER
+                 ROUND(SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS BIGINT))
+                       / 1e2, 4) AS sum_sales,
+                 AVG(SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS BIGINT))) OVER
                    (PARTITION BY p.p_brand, n.n_name, year(o.o_orderdate))
-                   AS avg_monthly_sales,
+                   AS avg_monthly_c,
                  RANK() OVER (PARTITION BY p.p_brand, n.n_name
                               ORDER BY year(o.o_orderdate), month(o.o_orderdate))
                    AS rn
@@ -256,7 +257,7 @@ _SHAPES: list[tuple[str, list[str], str]] = [
           GROUP BY p.p_brand, n.n_name,
                    year(o.o_orderdate), month(o.o_orderdate))
         SELECT v1.p_brand, v1.n_name, v1.yr, v1.mo,
-               ROUND(v1.avg_monthly_sales, 4) AS avg_monthly_sales,
+               ROUND(v1.avg_monthly_c / 1e2, 4) AS avg_monthly_sales,
                v1.sum_sales,
                v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
         FROM v1
@@ -267,9 +268,9 @@ _SHAPES: list[tuple[str, list[str], str]] = [
                        AND v1.n_name = v1_lead.n_name
                        AND v1.rn = v1_lead.rn - 1
         WHERE v1.yr = 1996
-          AND v1.avg_monthly_sales > 0
-          AND abs(v1.sum_sales - v1.avg_monthly_sales)
-              / v1.avg_monthly_sales > 0.1
+          AND v1.avg_monthly_c > 0
+          AND abs(v1.sum_sales - v1.avg_monthly_c / 1e2)
+              / (v1.avg_monthly_c / 1e2) > 0.1
         """,
     ),
     (
@@ -312,9 +313,11 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         SELECT * FROM (
           SELECT p.p_size AS manager, month(o.o_orderdate) AS mo,
-                 ROUND(SUM(l.l_extendedprice), 4) AS sum_sales,
-                 ROUND(AVG(SUM(l.l_extendedprice))
-                       OVER (PARTITION BY p.p_size), 4) AS avg_monthly_sales
+                 ROUND(SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS BIGINT))
+                       / 1e2, 4) AS sum_sales,
+                 ROUND(AVG(SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS BIGINT)))
+                       OVER (PARTITION BY p.p_size) / 1e2, 4)
+                   AS avg_monthly_sales
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN part p   ON l.l_partkey = p.p_partkey

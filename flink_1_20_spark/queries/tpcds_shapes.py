@@ -47,17 +47,18 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH cust_returns AS (
           SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
-                 sum(l.l_extendedprice * (1 - l.l_discount)) AS ret_amt
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                          AS BIGINT)) AS ret_units
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN customer c ON o.o_custkey = c.c_custkey
           WHERE l.l_returnflag = 'R'
           GROUP BY c.c_custkey, c.c_nationkey)
-        SELECT cr.custkey, round(cr.ret_amt, 2) AS ret_amt
+        SELECT cr.custkey, round(cr.ret_units / 1e4, 2) AS ret_amt
         FROM cust_returns cr
-        WHERE cr.ret_amt > (SELECT avg(cr2.ret_amt) * 1.2
-                            FROM cust_returns cr2
-                            WHERE cr2.nationkey = cr.nationkey)
+        WHERE cr.ret_units > (SELECT avg(cr2.ret_units) * 1.2e0
+                              FROM cust_returns cr2
+                              WHERE cr2.nationkey = cr.nationkey)
         """,
     ),
     (
@@ -65,15 +66,17 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q11_yoy_spend",
         ["orders"],
         """
-        WITH y95 AS (SELECT o_custkey, sum(o_totalprice) AS t
+        WITH y95 AS (SELECT o_custkey,
+                            sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS t
                      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
-             y96 AS (SELECT o_custkey, sum(o_totalprice) AS t
+             y96 AS (SELECT o_custkey,
+                            sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS t
                      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
         SELECT y95.o_custkey AS custkey,
-               round(y95.t, 2) AS spend_95, round(y96.t, 2) AS spend_96,
-               round(y96.t / y95.t, 4) AS ratio
+               round(y95.t / 1e2, 2) AS spend_95, round(y96.t / 1e2, 2) AS spend_96,
+               round(y96.t * 1e0 / y95.t, 4) AS ratio
         FROM y95 JOIN y96 ON y95.o_custkey = y96.o_custkey
-        WHERE y96.t / y95.t > 1.1
+        WHERE y96.t * 1e0 / y95.t > 1.1
         """,
     ),
     (
@@ -181,14 +184,15 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH b AS (
           SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
-                 sum(l_extendedprice) AS s
+                 sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS s_c
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand, year(l_shipdate), month(l_shipdate))
         SELECT brand, yr, mon, s, brand_avg, round(ratio, 4) AS ratio
         FROM (
-          SELECT p_brand AS brand, yr, mon, round(s, 2) AS s,
-                 round(avg(s) OVER (PARTITION BY p_brand), 2) AS brand_avg,
-                 s / avg(s) OVER (PARTITION BY p_brand) AS ratio
+          SELECT p_brand AS brand, yr, mon, round(s_c / 1e2, 2) AS s,
+                 round(avg(s_c) OVER (PARTITION BY p_brand) / 1e2, 2)
+                   AS brand_avg,
+                 s_c / avg(s_c) OVER (PARTITION BY p_brand) AS ratio
           FROM b) t
         WHERE ratio > 1.3
         """,
@@ -198,14 +202,16 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q44_best_worst",
         ["lineitem"],
         """
-        WITH s AS (SELECT l_suppkey, avg(l_discount) AS ad
+        WITH s AS (SELECT l_suppkey,
+                          avg(CAST(round(l_discount * 1e2) AS BIGINT)) AS ad
                    FROM lineitem GROUP BY l_suppkey),
              r AS (SELECT l_suppkey, ad,
                           rank() OVER (ORDER BY ad DESC, l_suppkey) AS rk_best,
                           rank() OVER (ORDER BY ad ASC, l_suppkey) AS rk_worst
                    FROM s)
         SELECT b.rk_best AS rnk, b.l_suppkey AS best_supp, w.l_suppkey AS worst_supp,
-               round(b.ad, 6) AS best_avg_disc, round(w.ad, 6) AS worst_avg_disc
+               round(b.ad / 1e2, 6) AS best_avg_disc,
+               round(w.ad / 1e2, 6) AS worst_avg_disc
         FROM r b JOIN r w ON b.rk_best = w.rk_worst
         WHERE b.rk_best <= 5
         """,
@@ -290,16 +296,22 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem"],
         """
         SELECT CASE WHEN count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 15) > 20000
-                    THEN round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 1 AND 15), 2)
-                    ELSE round(avg(l_discount) FILTER (WHERE l_quantity BETWEEN 1 AND 15), 6)
+                    THEN round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 1 AND 15) / 1e2, 2)
+                    ELSE round(avg(CAST(round(l_discount * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 1 AND 15) / 1e2, 6)
                END AS bucket1,
                CASE WHEN count(*) FILTER (WHERE l_quantity BETWEEN 16 AND 35) > 20000
-                    THEN round(avg(l_extendedprice) FILTER (WHERE l_quantity BETWEEN 16 AND 35), 2)
-                    ELSE round(avg(l_discount) FILTER (WHERE l_quantity BETWEEN 16 AND 35), 6)
+                    THEN round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 16 AND 35) / 1e2, 2)
+                    ELSE round(avg(CAST(round(l_discount * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 16 AND 35) / 1e2, 6)
                END AS bucket2,
                CASE WHEN count(*) FILTER (WHERE l_quantity > 35) > 20000
-                    THEN round(avg(l_extendedprice) FILTER (WHERE l_quantity > 35), 2)
-                    ELSE round(avg(l_discount) FILTER (WHERE l_quantity > 35), 6)
+                    THEN round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity > 35) / 1e2, 2)
+                    ELSE round(avg(CAST(round(l_discount * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity > 35) / 1e2, 6)
                END AS bucket3,
                count(*) AS n_total
         FROM lineitem
@@ -406,24 +418,26 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["orders", "customer", "nation", "lineitem"],
         """
         WITH o_by AS (
-          SELECT n_name, year(o_orderdate) AS yr, sum(o_totalprice) AS s
+          SELECT n_name, year(o_orderdate) AS yr,
+                 sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS s
           FROM orders JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name, year(o_orderdate)),
         l_by AS (
           SELECT n_name, year(l_shipdate) AS yr,
-                 sum(l_extendedprice * (1 - l_discount)) AS s
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                          AS BIGINT)) AS s
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name, year(l_shipdate))
         SELECT o1.n_name, o2.yr AS yr,
-               round(o2.s / o1.s, 4) AS order_growth,
-               round(l2.s / l1.s, 4) AS lineitem_growth
+               round(o2.s * 1e0 / o1.s, 4) AS order_growth,
+               round(l2.s * 1e0 / l1.s, 4) AS lineitem_growth
         FROM o_by o1 JOIN o_by o2 ON o1.n_name = o2.n_name AND o2.yr = o1.yr + 1
         JOIN l_by l1 ON l1.n_name = o1.n_name AND l1.yr = o1.yr
         JOIN l_by l2 ON l2.n_name = o1.n_name AND l2.yr = o2.yr
-        WHERE o2.s / o1.s > l2.s / l1.s
+        WHERE o2.s * 1e0 / o1.s > l2.s * 1e0 / l1.s
         """,
     ),
     (
@@ -526,7 +540,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["customer", "orders", "lineitem"],
         """
         SELECT c.c_mktsegment, count(*) AS n,
-               round(avg(c.c_acctbal), 4) AS bal_avg,
+               round(avg(CAST(round(c.c_acctbal * 1e2) AS BIGINT)) / 1e2, 4)
+                 AS bal_avg,
                round(max(c.c_acctbal), 2) AS bal_max,
                round(min(c.c_acctbal), 2) AS bal_min
         FROM customer c
@@ -547,26 +562,32 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q58_tolerance_band",
         ["lineitem", "part"],
         """
-        WITH y1 AS (SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS s
+        WITH y1 AS (SELECT p_brand,
+                           sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                          * 1e4) AS BIGINT)) AS s
                     FROM lineitem JOIN part ON l_partkey = p_partkey
                     WHERE year(l_shipdate) = 1996 GROUP BY p_brand),
-        y2 AS (SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS s
+        y2 AS (SELECT p_brand,
+                      sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 1e4) AS BIGINT)) AS s
                FROM lineitem JOIN part ON l_partkey = p_partkey
                WHERE year(l_shipdate) = 1997 GROUP BY p_brand),
-        y3 AS (SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS s
+        y3 AS (SELECT p_brand,
+                      sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 1e4) AS BIGINT)) AS s
                FROM lineitem JOIN part ON l_partkey = p_partkey
                WHERE year(l_shipdate) = 1998 GROUP BY p_brand)
         SELECT y1.p_brand,
-               round(y1.s, 2) AS s1996, round(y2.s, 2) AS s1997,
-               round(y3.s, 2) AS s1998
+               round(y1.s / 1e4, 2) AS s1996, round(y2.s / 1e4, 2) AS s1997,
+               round(y3.s / 1e4, 2) AS s1998
         FROM y1 JOIN y2 ON y1.p_brand = y2.p_brand
         JOIN y3 ON y1.p_brand = y3.p_brand
-        WHERE y1.s BETWEEN 0.9 * (y1.s + y2.s + y3.s) / 3
-                       AND 1.1 * (y1.s + y2.s + y3.s) / 3
-          AND y2.s BETWEEN 0.9 * (y1.s + y2.s + y3.s) / 3
-                       AND 1.1 * (y1.s + y2.s + y3.s) / 3
-          AND y3.s BETWEEN 0.9 * (y1.s + y2.s + y3.s) / 3
-                       AND 1.1 * (y1.s + y2.s + y3.s) / 3
+        WHERE y1.s BETWEEN 0.9e0 * (y1.s + y2.s + y3.s) / 3
+                       AND 1.1e0 * (y1.s + y2.s + y3.s) / 3
+          AND y2.s BETWEEN 0.9e0 * (y1.s + y2.s + y3.s) / 3
+                       AND 1.1e0 * (y1.s + y2.s + y3.s) / 3
+          AND y3.s BETWEEN 0.9e0 * (y1.s + y2.s + y3.s) / 3
+                       AND 1.1e0 * (y1.s + y2.s + y3.s) / 3
         """,
     ),
     (
@@ -701,7 +722,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH ch AS (
           SELECT o.o_orderstatus AS channel, p.p_brand,
-                 sum(l.l_extendedprice * (1 - l.l_discount)) AS s
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                          AS BIGINT)) AS s
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN part p ON l.l_partkey = p.p_partkey
@@ -711,7 +733,7 @@ _SHAPES: list[tuple[str, list[str], str]] = [
           INTERSECT SELECT p_brand FROM ch WHERE channel = 'O'
           INTERSECT SELECT p_brand FROM ch WHERE channel = 'P'),
         avgs AS (SELECT channel, avg(s) AS a FROM ch GROUP BY channel)
-        SELECT c.channel, c.p_brand, round(c.s, 2) AS revenue
+        SELECT c.channel, c.p_brand, round(c.s / 1e4, 2) AS revenue
         FROM ch c
         JOIN common USING (p_brand)
         JOIN avgs a ON c.channel = a.channel

@@ -134,11 +134,11 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH pe AS (
           SELECT day(o_orderdate) AS dom, year(o_orderdate) AS yr,
-                 sum(o_totalprice) AS t
+                 sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS t
           FROM orders
           GROUP BY day(o_orderdate), year(o_orderdate))
-        SELECT p1.dom, round(p1.t, 2) AS t_a, round(p2.t, 2) AS t_b,
-               round(p2.t / p1.t, 4) AS ratio
+        SELECT p1.dom, round(p1.t / 1e2, 2) AS t_a, round(p2.t / 1e2, 2) AS t_b,
+               round(p2.t * 1e0 / p1.t, 4) AS ratio
         FROM pe p1 JOIN pe p2 ON p1.dom = p2.dom
         WHERE p1.yr = 1995 AND p2.yr = 1996
         """,
@@ -205,14 +205,15 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH per_cust AS (
           SELECT c.c_custkey AS custkey, c.c_name AS name,
-                 sum(l.l_extendedprice * (1 - l.l_discount)) AS amt
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                          AS BIGINT)) AS amt_units
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN customer c ON o.o_custkey = c.c_custkey
           GROUP BY c.c_custkey, c.c_name)
-        SELECT custkey, name, round(amt, 2) AS amt
+        SELECT custkey, name, round(amt_units / 1e4, 2) AS amt
         FROM per_cust
-        WHERE amt > (SELECT 1.5 * avg(amt) FROM per_cust)
+        WHERE amt_units > (SELECT 1.5e0 * avg(amt_units) FROM per_cust)
         """,
     ),
     (
@@ -341,19 +342,19 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         SELECT band, n, avg_price, n_distinct FROM (
           SELECT 'b1' AS band, count(*) AS n,
-                 round(avg(l_extendedprice), 2) AS avg_price,
+                 round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2, 2) AS avg_price,
                  count(DISTINCT l_partkey) AS n_distinct
           FROM lineitem WHERE l_quantity BETWEEN 1 AND 10
           UNION ALL
-          SELECT 'b2', count(*), round(avg(l_extendedprice), 2),
+          SELECT 'b2', count(*), round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2, 2),
                  count(DISTINCT l_partkey)
           FROM lineitem WHERE l_quantity BETWEEN 11 AND 20
           UNION ALL
-          SELECT 'b3', count(*), round(avg(l_extendedprice), 2),
+          SELECT 'b3', count(*), round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2, 2),
                  count(DISTINCT l_partkey)
           FROM lineitem WHERE l_quantity BETWEEN 21 AND 30
           UNION ALL
-          SELECT 'b4', count(*), round(avg(l_extendedprice), 2),
+          SELECT 'b4', count(*), round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2, 2),
                  count(DISTINCT l_partkey)
           FROM lineitem WHERE l_quantity BETWEEN 31 AND 40
         ) u
@@ -365,13 +366,14 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q61_promo_share_ratio",
         ["lineitem", "part"],
         """
-        SELECT round(promo.s, 2) AS promo_sales,
-               round(total.s, 2) AS total_sales,
-               round(promo.s / total.s, 6) AS share
-        FROM (SELECT sum(l.l_extendedprice) AS s
+        SELECT round(promo.s / 1e2, 2) AS promo_sales,
+               round(total.s / 1e2, 2) AS total_sales,
+               round(promo.s * 1e0 / total.s, 6) AS share
+        FROM (SELECT sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT)) AS s
               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
               WHERE p.p_type = 'PROMO') promo,
-             (SELECT sum(l_extendedprice) AS s FROM lineitem) total
+             (SELECT sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS s
+              FROM lineitem) total
         """,
     ),
     (
@@ -492,17 +494,20 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """
         WITH p AS (
           SELECT year(o_orderdate) AS yr,
-                 round(sum(CASE WHEN month(o_orderdate) <= 4
-                                THEN o_totalprice ELSE 0 END), 2) AS t1,
-                 round(sum(CASE WHEN month(o_orderdate) BETWEEN 5 AND 8
-                                THEN o_totalprice ELSE 0 END), 2) AS t2,
-                 round(sum(CASE WHEN month(o_orderdate) >= 9
-                                THEN o_totalprice ELSE 0 END), 2) AS t3
+                 sum(CAST(round(CASE WHEN month(o_orderdate) <= 4
+                                THEN o_totalprice ELSE 0 END * 1e2)
+                          AS BIGINT)) AS t1,
+                 sum(CAST(round(CASE WHEN month(o_orderdate) BETWEEN 5 AND 8
+                                THEN o_totalprice ELSE 0 END * 1e2)
+                          AS BIGINT)) AS t2,
+                 sum(CAST(round(CASE WHEN month(o_orderdate) >= 9
+                                THEN o_totalprice ELSE 0 END * 1e2)
+                          AS BIGINT)) AS t3
           FROM orders GROUP BY year(o_orderdate))
         SELECT a.yr AS yr_a,
-               round(b.t1 / a.t1, 4) AS r1,
-               round(b.t2 / a.t2, 4) AS r2,
-               round(b.t3 / a.t3, 4) AS r3
+               round(b.t1 * 1e0 / a.t1, 4) AS r1,
+               round(b.t2 * 1e0 / a.t2, 4) AS r2,
+               round(b.t3 * 1e0 / a.t3, 4) AS r3
         FROM p a JOIN p b ON a.yr + 1 = b.yr
         """,
     ),
@@ -548,11 +553,13 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "part"],
         """
         WITH s AS (SELECT p.p_type AS ptype, p.p_brand AS brand,
-                          sum(l.l_extendedprice) AS rev
+                          sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT))
+                            AS rev_c
                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
                    GROUP BY p.p_type, p.p_brand)
-        SELECT ptype, brand, round(rev, 2) AS rev,
-               round(rev / sum(rev) OVER (PARTITION BY ptype), 4) AS share
+        SELECT ptype, brand, round(rev_c / 1e2, 2) AS rev,
+               round(rev_c * 1e0 / sum(rev_c) OVER (PARTITION BY ptype), 4)
+                 AS share
         FROM s
         """,
     ),

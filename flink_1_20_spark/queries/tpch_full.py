@@ -188,7 +188,8 @@ _QUERIES: dict[str, str] = {
     """,
     # q17: small-quantity-order revenue (correlated avg subquery)
     "tpch_q17_small_quantity": """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT))
+                 / 7.0e0 / 1e2, 2) AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3'
       AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
