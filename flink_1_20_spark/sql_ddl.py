@@ -136,15 +136,28 @@ def _split_top(s: str, sep: str) -> tuple[str, str]:
 
 
 def _split_on_where(text: str) -> tuple[str, str | None]:
-    """Split at the first WHERE keyword OUTSIDE string literals —
-    `SET note = 'a WHERE b'` must not split inside the literal."""
+    """Split at the first WHERE keyword OUTSIDE string literals AND at
+    paren depth 0 — `SET note = 'a WHERE b'` must not split inside the
+    literal, and `SET a = (SELECT x FROM u WHERE u.k = t.k)` must not
+    split at the subquery's inner WHERE."""
     parts = re.split(r"('(?:[^']|'')*')", text)
-    for i in range(0, len(parts), 2):  # even indices: non-literal text
-        m = re.search(r"\sWHERE\s", parts[i], re.I)
-        if m:
-            before = "".join(parts[:i]) + parts[i][: m.start()]
-            after = parts[i][m.end():] + "".join(parts[i + 1:])
-            return before, after
+    depth = 0
+    consumed = 0  # characters of `text` before the current part
+    for i, part in enumerate(parts):
+        if i % 2:  # string literal: parens inside are text
+            consumed += len(part)
+            continue
+        for m in re.finditer(r"[()]|\sWHERE\s", part, re.I):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                before = text[: consumed + m.start()]
+                after = text[consumed + m.end() :]
+                return before, after
+        consumed += len(part)
     return text, None
 
 
@@ -196,7 +209,20 @@ def _ctl_view_name(cat: str, db: str, table: str) -> str:
 
 
 class TableEnvironment:
-    """Minimal executeSql host: DDL → connector mapping, DQL/DML → Catalyst."""
+    """Minimal executeSql host: DDL → connector mapping, DQL/DML → Catalyst.
+
+    SESSION-GLOBAL SIDE EFFECT: constructing a TableEnvironment sets
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` on the shared SparkSession
+    for its whole lifetime — Flink's map semantics keep the last value
+    on duplicate keys (MapUnionFunction), Spark's default throws.  This
+    cannot be scoped to dialect statements: execute_sql returns LAZY
+    DataFrames (the caller may collect after any restore) and streaming
+    queries evaluate on micro-batch threads long after lowering, so a
+    set/restore would flip map semantics mid-query.  Non-dialect Spark
+    code sharing the session therefore also gets last-wins duplicate
+    map keys; set the conf back explicitly if that code needs the
+    EXCEPTION policy (and do not run it concurrently with dialect
+    streams that rely on LAST_WIN)."""
 
     DEFAULT_DB = "default_database"  # Flink's default database name
     DEFAULT_CATALOG = "default_catalog"  # Flink's default catalog name
@@ -2511,7 +2537,7 @@ class TableEnvironment:
         def loop():
             while not stop.wait(entry["freshness_sec"]):
                 try:
-                    self._materialized_refresh(entry)
+                    self._materialized_refresh(entry, from_timer=stop)
                 except Exception as ex:  # recorded, cadence continues
                     entry["last_error"] = repr(ex)
 
@@ -2520,11 +2546,27 @@ class TableEnvironment:
         )
         t.start()
 
-    def _materialized_refresh(self, entry: dict, part_body: str | None = None):
+    def _materialized_refresh(
+        self,
+        entry: dict,
+        part_body: str | None = None,
+        from_timer=None,
+    ):
         # the timer thread enters here directly (not through execute_sql)
         # — take the same lock so the batch-view swap can never interleave
         # with a user statement's lowering
         with self._ddl_lock:
+            if from_timer is not None and (
+                from_timer.is_set()
+                or self._materialized.get(entry["meta"].name) is not entry
+                or entry.get("stop_event") is not from_timer
+            ):
+                # stale tick: it fired, then blocked here while DROP /
+                # SUSPEND / SET REFRESH_MODE / SET FRESHNESS held the
+                # lock. Running it now would resurrect a dropped
+                # table's snapshot dir and temp views (or duplicate a
+                # re-cadenced refresh) — discard it instead
+                return None
             return self._materialized_refresh_locked(entry, part_body)
 
     def _materialized_refresh_locked(
@@ -3191,6 +3233,11 @@ class TableEnvironment:
         if not m:
             return True
         depth, q, i = 0, None, m.end()
+        # skip a set quantifier so SELECT DISTINCT * / SELECT ALL *
+        # still classify the star as the first list item
+        sq = re.match(r"\s*(DISTINCT|ALL)\b", s[i:], re.I)
+        if sq:
+            i += sq.end()
         # last significant depth-0 char, for star-position classification
         prev = ","  # list start behaves like 'after a comma'
         while i < len(s):

@@ -229,3 +229,18 @@ def test_overlaps_scan_edges(env):
     # unmatched '(' after the keyword (comment text): no crash, no edit
     frag = "SELECT x FROM t -- (a,b) OVERLAPS (see docs\nWHERE x > 1"
     assert rewrite_flink_builtins(frag) == frag
+
+
+def test_array_slice_end_zero_normalizes_to_one(env):
+    """ArraySliceFunction.java normalizes endIndex == 0 to 1: with
+    start <= 1 the slice keeps the first element; with start > 1 the
+    range is empty (r8 advice fix — the rewrite previously computed a
+    zero length and always returned [])."""
+    got = env.execute_sql("""
+        SELECT ARRAY_SLICE(ARRAY[1,2,3,4], 1, 0) AS from1,
+               ARRAY_SLICE(ARRAY[1,2,3,4], -4, 0) AS from_neg,
+               ARRAY_SLICE(ARRAY[1,2,3,4], 2, 0) AS from2
+    """).collect()[0]
+    assert got.from1 == [1]
+    assert got.from_neg == [1]
+    assert got.from2 == []

@@ -317,3 +317,76 @@ def test_mt_failed_continuous_create_leaves_no_state(env, tmp_path):
     """)
     assert _count(env, "mtr") == 1
     env.execute_sql("DROP MATERIALIZED TABLE mtr")
+
+
+def test_mt_stale_timer_tick_discarded_after_drop(env, tmp_path):
+    """A FULL-mode timer tick that fired but blocked on the DDL lock
+    while DROP MATERIALIZED TABLE held it must NOT run its refresh
+    after the drop completes — that would re-create the deleted
+    snapshot directory and re-register the dropped table's views.
+    Simulated deterministically: grab the live entry and its timer's
+    stop event, drop the table, then deliver the tick by hand."""
+    src = tmp_path / "srcs"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n")
+    env.execute_sql(f"""
+        CREATE TABLE src_s (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{src}', 'format' = 'csv')
+    """)
+    env.execute_sql(f"""
+        CREATE MATERIALIZED TABLE mts
+        WITH ('path' = '{tmp_path}/mts')
+        FRESHNESS = INTERVAL '1' DAY
+        REFRESH_MODE = FULL
+        AS SELECT count(*) AS n FROM src_s
+    """)
+    entry = env._materialized["mts"]
+    ev = entry.get("stop_event")
+    if ev is None:  # cadence too long for an auto-timer: fabricate one
+        import threading
+
+        ev = threading.Event()
+        entry["stop_event"] = ev
+    root = entry["root"]
+    env.execute_sql("DROP MATERIALIZED TABLE mts")
+    assert not os.path.exists(root)
+    # the stale tick arrives now (it was blocked on the lock)
+    assert env._materialized_refresh(entry, from_timer=ev) is None
+    assert not os.path.exists(root), "stale tick resurrected the snapshot dir"
+    assert "mts" not in env._materialized
+    with pytest.raises(Exception):
+        env.execute_sql("SELECT * FROM mts").collect()
+
+
+def test_mt_stale_tick_discarded_after_recadence(env, tmp_path):
+    """Same race against SET FRESHNESS: the re-cadence replaces the
+    timer (new stop event); a tick holding the OLD event must be
+    discarded, while the new timer's own ticks still refresh."""
+    src = tmp_path / "srcr2"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n")
+    env.execute_sql(f"""
+        CREATE TABLE src_r2 (k BIGINT, v BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{src}', 'format' = 'csv')
+    """)
+    env.execute_sql(f"""
+        CREATE MATERIALIZED TABLE mtr2
+        WITH ('path' = '{tmp_path}/mtr2')
+        FRESHNESS = INTERVAL '1' SECOND
+        REFRESH_MODE = FULL
+        AS SELECT count(*) AS n FROM src_r2
+    """)
+    entry = env._materialized["mtr2"]
+    old_ev = entry["stop_event"]
+    assert old_ev is not None
+    v_before = entry["version"]
+    env.execute_sql("ALTER MATERIALIZED TABLE mtr2 SET FRESHNESS = INTERVAL '1' DAY")
+    v_after_recadence = entry["version"]
+    # stale tick with the pre-recadence event: discarded (no new version)
+    assert env._materialized_refresh(entry, from_timer=old_ev) is None
+    assert entry["version"] == v_after_recadence
+    # the CURRENT timer's tick still refreshes
+    env._materialized_refresh(entry, from_timer=entry["stop_event"])
+    assert entry["version"] == v_after_recadence + 1
+    assert v_before <= v_after_recadence
+    env.execute_sql("DROP MATERIALIZED TABLE mtr2")

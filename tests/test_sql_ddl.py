@@ -2295,6 +2295,15 @@ def test_delete_from_and_update(spark, tmp_path):
     r = env.execute_sql("UPDATE rl_t SET g = 'a WHERE b' WHERE id = 1").collect()
     assert r == [(1,)]
     assert env.execute_sql("SELECT g FROM rl_t").collect()[0][0] == "a WHERE b"
+    # r8 advice fix: a WHERE inside a SET subquery is the subquery's,
+    # not the statement's — the split is paren-depth-aware
+    env.execute_sql("INSERT INTO rl_t VALUES (2, 'y', 7.0)")
+    r = env.execute_sql(
+        "UPDATE rl_t SET v = (SELECT max(v) FROM rl_t WHERE g = 'y') WHERE id = 1"
+    ).collect()
+    assert r == [(1,)]
+    got = sorted(tuple(x) for x in env.execute_sql("SELECT id, v FROM rl_t").collect())
+    assert got == [(1, 7.0), (2, 7.0)]
 
 
 def test_delete_partition_pushdown(spark, tmp_path):
@@ -3855,3 +3864,18 @@ def test_alter_column_positions_and_multi_drop(spark, tmp_path):
         env.execute_sql("ALTER TABLE pcsv DROP a")
     env.execute_sql("ALTER TABLE pcsv DROP b")  # suffix: fine
     assert [r["name"] for r in env.execute_sql("DESCRIBE pcsv").collect()] == ["a"]
+
+
+def test_outer_select_star_classifier_set_quantifiers():
+    """r8 advice fix: SELECT DISTINCT * (and SELECT ALL *) carry a
+    projection star — classifying them star-free let the streaming
+    window-join struct upgrade leak retained __w struct columns into
+    the output schema. Multiplication after DISTINCT stays star-free."""
+    has_star = TableEnvironment._outer_select_has_star
+    assert has_star("SELECT DISTINCT * FROM x")
+    assert has_star("SELECT ALL * FROM x")
+    assert has_star("SELECT DISTINCT t.* FROM x t")
+    assert not has_star("SELECT DISTINCT a * 2 AS b FROM x")
+    assert not has_star("SELECT DISTINCT count(*) AS n FROM x")
+    assert not has_star("SELECT a, b FROM x")
+    assert has_star("SELECT *, a FROM x")
