@@ -161,6 +161,46 @@ def _split_on_where(text: str) -> tuple[str, str | None]:
     return text, None
 
 
+def _scan_streaming_setops(query: str) -> list[tuple[int, int, str, bool]]:
+    """Every paren-depth-0 set operator in `query`, in order:
+    (start, end, 'INTERSECT'|'EXCEPT', is_all).  A SET OPERATOR is
+    followed by a query — `SELECT * EXCEPT(col)` projections, comment
+    text, and quoted identifiers never match."""
+    found = []
+    depth, q, i = 0, None, 0
+    while i < len(query):
+        ch = query[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "IiEe":
+            m = re.match(
+                r"(INTERSECT|EXCEPT)\b(\s+(?:ALL|DISTINCT)\b)?"
+                r"(?=\s*\(?\s*SELECT\b)",
+                query[i:],
+                re.I,
+            )
+            if m and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")):
+                found.append(
+                    (
+                        i,
+                        i + m.end(),
+                        m.group(1).upper(),
+                        (m.group(2) or "").strip().upper() == "ALL",
+                    )
+                )
+                i += m.end()
+                continue
+        i += 1
+    return found
+
+
 # ------------------------------------------------------------------ model
 
 
@@ -3145,59 +3185,28 @@ class TableEnvironment:
         to supported pieces: dropDuplicates each side (append-mode
         streaming dedup), then a plain stream-stream INNER join on
         null-safe key equality — both sides unique, so each common row
-        emits exactly once when both have arrived. EXCEPT needs to observe
-        ABSENCE on an unbounded stream (left anti is not a supported
-        stream-stream join), so it points to the changelog facade
-        (operators/changelog_join.py how='anti') instead of letting
-        the raw checker error surface at query start."""
-        found = None
-        depth, q, i = 0, None, 0
-        while i < len(query):
-            ch = query[i]
-            if q:
-                if ch == q:
-                    q = None
-            elif ch in "'\"`":
-                q = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and ch in "IiEe":
-                # a SET OPERATOR is followed by a query — `SELECT *
-                # EXCEPT(col)` projections, comment text, and quoted
-                # identifiers must never match
-                m = re.match(
-                    r"(INTERSECT|EXCEPT)\b(\s+(?:ALL|DISTINCT)\b)?"
-                    r"(?=\s*\(?\s*SELECT\b)",
-                    query[i:],
-                    re.I,
-                )
-                if m and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")):
-                    found = (
-                        i,
-                        i + m.end(),
-                        m.group(1).upper(),
-                        (m.group(2) or "").strip().upper() == "ALL",
-                    )
-                    break
-            i += 1
-        if found is None:
+        emits exactly once when both have arrived. EXCEPT [ALL] and
+        INTERSECT ALL need retraction state (their result UPDATES as
+        right-side rows arrive), which no append DataFrame can carry —
+        they reject here with a pointer to INSERT INTO a filesystem
+        sink, where _try_streaming_setop_insert materializes the
+        signed-count composition (streaming/setops.py), or to the
+        changelog facade (operators/changelog_join.py) for direct
+        DataFrame use."""
+        found = _scan_streaming_setops(query)
+        if not found:
             return None
-        start, end, op, is_all = found
-        if op == "EXCEPT":
+        start, end, op, is_all = found[0]
+        if op == "EXCEPT" or is_all:
+            what = "EXCEPT" if op == "EXCEPT" else "INTERSECT ALL"
             raise ValueError(
-                "EXCEPT over unbounded streams needs retraction state "
-                "(Flink's StreamExecMinus) — Spark has no stream-stream "
-                "anti join; use the changelog facade "
-                "flink_1_20_spark.operators.changelog_join with "
-                "how='anti' for the incremental form"
-            )
-        if is_all:
-            raise ValueError(
-                "streaming INTERSECT ALL keeps multiset multiplicities "
-                "(retraction state) — only INTERSECT [DISTINCT] lowers "
-                "here; use the changelog facade for ALL semantics"
+                f"streaming {what} needs retraction state (Flink's "
+                "StreamExecMinus/Intersect keep per-row multiset "
+                "counts) — an updating result cannot be returned as an "
+                "append DataFrame; INSERT INTO a filesystem sink to "
+                "materialize it (the signed-count state of "
+                "operators/changelog_join.py, managed per epoch), or "
+                "use the changelog facade directly"
             )
         # each side takes the FULL streaming lowering recursively —
         # windowed-aggregate sides get their GROUP-BY-__w pass, and a
@@ -4285,6 +4294,112 @@ class TableEnvironment:
         self._rewrite_table_files(meta, df.selectExpr(*select))
         return self._rows_affected(affected)
 
+    def _try_streaming_setop_insert(
+        self,
+        name: str,
+        meta,
+        query: str,
+        static_partition: str | None,
+        columns: list[str] | None,
+    ):
+        """Streaming EXCEPT [ALL] / INTERSECT ALL materialized into a
+        filesystem sink (StreamExecMinus / StreamExecIntersect with
+        retraction — Flink keeps per-row multiset counts on both sides
+        and emits an updating changelog as multiplicities change).
+        Spark cannot return that as a DataFrame, so the INSERT runs the
+        signed-count composition of streaming/setops.py: one tagged
+        union stream, per-epoch count-state fold, affected-key sink
+        merge — the sink table always holds the current result, with
+        retraction (a right arrival removing an EXCEPT row) applied in
+        place.  Returns the StreamingQuery, or None when the query has
+        no retraction-requiring set op (the INTERSECT DISTINCT lowering
+        and the batch path handle everything else)."""
+        ops = _scan_streaming_setops(query)
+        if not any(o[2] == "EXCEPT" or o[3] for o in ops):
+            return None
+        if not self.spark.sql(query).isStreaming:
+            return None  # bounded: Spark's native exceptAll/intersectAll
+        if len(ops) > 1:
+            raise ValueError(
+                "chained streaming set operations are not supported — "
+                "materialize one EXCEPT / INTERSECT ALL per INSERT "
+                "(stage intermediate results through a table)"
+            )
+        if static_partition or columns:
+            raise ValueError(
+                "PARTITION / explicit column lists are not supported "
+                "for streaming set-op materialization"
+            )
+        if meta.connector != "filesystem" or (
+            meta.options.get("format", "parquet") != "parquet"
+        ):
+            raise ValueError(
+                "streaming set-op materialization rewrites the sink by "
+                "parquet merge; only filesystem parquet sinks are "
+                "supported"
+            )
+        start, end, op, is_all = ops[0]
+        left = self._sql_streaming_lowered(query[:start])
+        right = self._sql_streaming_lowered(query[end:])
+        if not (left.isStreaming and right.isStreaming):
+            raise ValueError(
+                "streaming EXCEPT / INTERSECT ALL requires both sides "
+                "streaming; stage a bounded side through a monitored "
+                "directory table"
+            )
+        if len(left.columns) != len(right.columns):
+            raise ValueError("set-op sides must have equal column counts")
+        from pyspark.sql import functions as F
+
+        from flink_1_20_spark.streaming.setops import (
+            SIDE_COL,
+            setop_foreach_batch,
+        )
+
+        right = right.select(
+            [right[c].alias(lc) for c, lc in zip(right.columns, left.columns)]
+        )
+        combined = left.withColumn(SIDE_COL, F.lit(1)).unionByName(
+            right.withColumn(SIDE_COL, F.lit(0))
+        )
+        if meta.columns:
+            if len(left.columns) != len(meta.columns):
+                raise ValueError(
+                    f"INSERT query produces {len(left.columns)} columns "
+                    f"for {len(meta.columns)} declared columns of "
+                    f"{meta.name}"
+                )
+            # positional bind + physical names, like the main INSERT path
+            combined = combined.select(
+                [
+                    combined[src].cast(t).alias(meta.renames.get(c, c))
+                    for src, (c, t) in zip(left.columns, meta.columns)
+                ]
+                + [combined[SIDE_COL]]
+            )
+        value_cols = [c for c in combined.columns if c != SIDE_COL]
+        path = meta.options["path"]
+        q = setop_foreach_batch(
+            combined,
+            value_cols,
+            op,
+            is_all,
+            path,
+            checkpoint=meta.options.get("checkpoint", path + ".__ckpt__"),
+        )
+        meta.stats = None  # the sink content changes per epoch
+        owner = next(
+            (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
+            self.current_db,
+        )
+        self._register(meta, db=owner)
+        if meta.options.get("scan.streaming", "false") != "true":
+            self._live_sink_views[id(meta)] = (
+                meta, owner, self.current_catalog, q
+            )
+        self._track_job(q)
+        return q
+
     def _insert_into(
         self,
         name: str,
@@ -4323,6 +4438,11 @@ class TableEnvironment:
             rewrite_legacy_group_windows(rewrite_window_tvfs(query))
         )
         query = rewrite_flink_builtins(query)
+        setop_job = self._try_streaming_setop_insert(
+            name, meta, query, static_partition, columns
+        )
+        if setop_job is not None:
+            return setop_job
         if dedup is not None:
             df = dedup
         elif over is not None:

@@ -1,0 +1,189 @@
+"""Streaming EXCEPT / INTERSECT ALL materialization (StreamExecMinus /
+StreamExecIntersect with retraction, FLIP — Flink computes both set
+operations over unbounded streams by keeping per-row multiset counts on
+each side and emitting a retraction changelog as multiplicities change:
+flink-table-planner's rewrite of Minus/Intersect plus the retract
+machinery of flink-table-runtime).
+
+Spark has no stream-stream anti join and no retracting DataFrame, so
+the result cannot be RETURNED as a streaming DataFrame — but it can be
+MATERIALIZED into a table, which is what a Flink upsert/retract sink
+does with the changelog anyway.  Spark-first composition, reusing the
+signed-count multiset model proven in operators/changelog_join.py:
+
+1. both (append-only) sides union into ONE stream with a __side tag —
+   a single source of micro-batches, so the two sides can never race
+   on the state;
+2. foreachBatch folds each batch's per-row counts into a persisted
+   state table (row values -> cnt_l, cnt_r): exactly the state
+   StreamExecMinus keeps, stored as a versioned parquet snapshot whose
+   directory name carries the epoch id — replayed epochs (crash
+   between state commit and sink commit) are detected and NOT
+   re-folded, which keeps the pipeline exactly-once at the table
+   level;
+3. the output multiplicity per distinct row is pure algebra over the
+   state — EXCEPT ALL: max(cnt_l - cnt_r, 0); EXCEPT [DISTINCT]:
+   1 if cnt_l > 0 and cnt_r = 0; INTERSECT ALL: min(cnt_l, cnt_r) —
+   and only the keys touched by the batch are rewritten in the sink
+   (read current table, null-safe anti-join out the affected keys,
+   append their recomputed copies, write-then-swap like
+   streaming/sinks.upsert_foreach_batch).
+
+Retraction happens naturally: a right-side arrival that kills an
+EXCEPT row makes its recomputed multiplicity 0, so the merge removes
+its copies from the sink — the behavior Flink's retract sink shows.
+
+100 TB scale: state is O(distinct rows across both inputs) — the same
+bound as Flink's Minus state — partitioned by row hash; every step is
+a keyed join/aggregate (no collect, no cross join).  The per-epoch
+sink rewrite is the parquet-sink limitation shared with
+upsert_foreach_batch; swap in a MERGE-capable table format
+(Delta/Iceberg) for in-place deletes — the foreachBatch contract is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIDE_COL = "__side"
+_STATE_SUFFIX = ".__setop_state__"
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _multiplicity(op: str, is_all: bool) -> Column:
+    l, r = F.col("cnt_l"), F.col("cnt_r")
+    if op == "EXCEPT" and is_all:
+        return F.greatest(l - r, F.lit(0))
+    if op == "EXCEPT":
+        return F.when((l > 0) & (r == 0), F.lit(1)).otherwise(F.lit(0))
+    if op == "INTERSECT" and is_all:
+        return F.least(l, r)
+    return F.when((l > 0) & (r > 0), F.lit(1)).otherwise(F.lit(0))
+
+
+def _state_dir(root: str) -> tuple[str | None, int]:
+    """(current snapshot path, its epoch id); (None, -1) before epoch 0.
+    Snapshots are named e<id> and committed atomically by rename, so the
+    newest complete directory is always a consistent state."""
+    if not os.path.isdir(root):
+        return None, -1
+    best = -1
+    for d in os.listdir(root):
+        m = re.fullmatch(r"e(\d+)", d)
+        if m:
+            best = max(best, int(m.group(1)))
+    return (os.path.join(root, f"e{best}"), best) if best >= 0 else (None, -1)
+
+
+def setop_foreach_batch(
+    tagged: DataFrame,
+    value_cols: list[str],
+    op: str,
+    is_all: bool,
+    path: str,
+    checkpoint: str,
+):
+    """Start the materializing query over the __side-tagged union
+    stream; the sink table at `path` always holds the current set-op
+    result (ALL variants as physical row copies)."""
+    if op not in ("EXCEPT", "INTERSECT"):
+        raise ValueError(f"unsupported set op {op!r}")
+    state_root = path + _STATE_SUFFIX
+    if os.path.abspath(checkpoint).startswith(os.path.abspath(path) + os.sep) or (
+        os.path.abspath(checkpoint) == os.path.abspath(path)
+    ):
+        raise ValueError(
+            f"checkpoint {checkpoint!r} lies inside the sink path "
+            f"{path!r} — the per-epoch swap would destroy it"
+        )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        from flink_1_20_spark.sources.connectors import has_data_files, recover_swap
+
+        cur_state, cur_epoch = _state_dir(state_root)
+        if epoch_id > cur_epoch:
+            # fold this batch's per-side counts into the state
+            delta = batch.groupBy(*value_cols).agg(
+                F.sum(F.when(F.col(SIDE_COL) == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("cnt_l"),
+                F.sum(F.when(F.col(SIDE_COL) == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("cnt_r"),
+            )
+            if cur_state is not None:
+                old = spark.read.parquet(cur_state)
+                merged = (
+                    old.unionByName(delta)
+                    .groupBy(*value_cols)
+                    .agg(
+                        F.sum("cnt_l").alias("cnt_l"),
+                        F.sum("cnt_r").alias("cnt_r"),
+                    )
+                )
+            else:
+                merged = delta
+            staging = os.path.join(state_root, f"__staging_e{epoch_id}__")
+            merged.write.mode("overwrite").parquet(staging)
+            os.rename(staging, os.path.join(state_root, f"e{epoch_id}"))
+            if cur_state is not None:  # keep only the committed snapshot
+                shutil.rmtree(cur_state, ignore_errors=True)
+            affected = delta.select(*value_cols)
+            state = spark.read.parquet(os.path.join(state_root, f"e{epoch_id}"))
+        else:
+            # replayed epoch (crash after state commit): the state
+            # already contains it — rebuild the sink for ALL keys
+            affected = None
+            state = spark.read.parquet(cur_state)
+
+        out = (
+            state.withColumn("__m", _multiplicity(op, is_all).cast("int"))
+            .filter(F.col("__m") > 0)
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__m"))))
+            .select(*value_cols)
+        )
+        recover_swap(path)
+        if affected is not None and has_data_files(path):
+            current = spark.read.parquet(path)
+            kept = current.join(
+                affected, on=_null_safe_on(current, affected, value_cols),
+                how="left_anti",
+            )
+            new_rows = out.join(
+                affected, on=_null_safe_on(out, affected, value_cols),
+                how="left_semi",
+            )
+            merged_sink = kept.unionByName(new_rows)
+        else:
+            merged_sink = out
+        tmp, old_dir = f"{path}.__staging__", f"{path}.__old__"
+        merged_sink.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.exists(path):
+            os.rename(path, old_dir)
+        os.rename(tmp, path)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+
+    os.makedirs(state_root, exist_ok=True)
+    return (
+        tagged.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

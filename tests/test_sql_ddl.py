@@ -3879,3 +3879,85 @@ def test_outer_select_star_classifier_set_quantifiers():
     assert not has_star("SELECT DISTINCT count(*) AS n FROM x")
     assert not has_star("SELECT a, b FROM x")
     assert has_star("SELECT *, a FROM x")
+
+
+def test_streaming_except_and_intersect_all_materialized(spark, tmp_path):
+    """Streaming EXCEPT / INTERSECT ALL through executeSql
+    (StreamExecMinus / StreamExecIntersect retraction semantics):
+    an updating result cannot come back as a DataFrame, so the bare
+    SELECT still rejects with the materialization pointer, while
+    INSERT INTO a parquet sink runs the signed-count composition —
+    per-row multiset counts folded per epoch, sink rewritten for the
+    affected keys. Multiplicity semantics are checked against Spark's
+    batch exceptAll/intersectAll on the same data, and a later right
+    batch RETRACTS previously-emitted EXCEPT rows from the sink."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    a_rows, b_rows = [1, 2, 2, 2, 3], [2, 3, 3, 4]
+    for name, ks in (("se_a", a_rows), ("se_b", b_rows)):
+        p = tmp_path / name
+        p.mkdir()
+        (p / "b0.jsonl").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in ks) + "\n"
+        )
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k INT) WITH (
+              'connector'='filesystem','path'='{p}',
+              'format'='json','scan.streaming'='true')
+        """)
+    # the bare streaming SELECT still rejects, pointing at INSERT INTO
+    with pytest.raises(ValueError, match="INSERT INTO"):
+        env.execute_sql("SELECT k FROM se_a EXCEPT SELECT k FROM se_b")
+    with pytest.raises(ValueError, match="INSERT INTO"):
+        env.execute_sql("SELECT k FROM se_a INTERSECT ALL SELECT k FROM se_b")
+
+    a_df = spark.createDataFrame([(k,) for k in a_rows], "k int")
+    b_df = spark.createDataFrame([(k,) for k in b_rows], "k int")
+    for sink, stmt in (
+        ("se_exc", "SELECT k FROM se_a EXCEPT SELECT k FROM se_b"),
+        ("se_exca", "SELECT k FROM se_a EXCEPT ALL SELECT k FROM se_b"),
+        ("se_inta", "SELECT k FROM se_a INTERSECT ALL SELECT k FROM se_b"),
+    ):
+        env.execute_sql(f"""
+            CREATE TABLE {sink} (k INT) WITH (
+              'connector'='filesystem','path'='{tmp_path}/{sink}',
+              'format'='parquet')
+        """)
+        q = env.execute_sql(f"INSERT INTO {sink} {stmt}")
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                r[0] for r in env.execute_sql(f"SELECT * FROM {sink}").collect()
+            )
+            if sink == "se_exc":
+                want = sorted(r[0] for r in a_df.dropDuplicates()
+                              .join(b_df, "k", "left_anti").collect())
+                assert got == [1] == want
+            elif sink == "se_exca":
+                want = sorted(r[0] for r in a_df.exceptAll(b_df).collect())
+                assert got == [1, 2, 2] == want
+            else:
+                want = sorted(r[0] for r in a_df.intersectAll(b_df).collect())
+                assert got == [2, 3] == want
+        finally:
+            q.stop()
+    # retraction across a RESTART: k=1 arriving on the right kills the
+    # previously-emitted EXCEPT row; the re-issued INSERT resumes from
+    # its checkpoint (exactly-once — earlier batches are not re-folded)
+    (tmp_path / "se_b" / "b1.jsonl").write_text(_json.dumps({"k": 1}) + "\n")
+    q = env.execute_sql("INSERT INTO se_exc SELECT k FROM se_a EXCEPT SELECT k FROM se_b")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r[0] for r in env.execute_sql("SELECT * FROM se_exc").collect()
+        )
+        assert got == []
+    finally:
+        q.stop()
+    # chained / mixed set ops reject with the staging pointer
+    with pytest.raises(ValueError, match="chained"):
+        env.execute_sql(
+            "INSERT INTO se_exc SELECT k FROM se_a EXCEPT "
+            "SELECT k FROM se_b EXCEPT SELECT k FROM se_b"
+        )
