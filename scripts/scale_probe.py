@@ -98,6 +98,19 @@ def run(spark, dst: str) -> None:
         t0 = time.time()
         cnt = qs[name](spark, dst).count()
         print(f"{time.time() - t0:7.2f}s {cnt:9d} rows  {name}", flush=True)
+    # r8: trained-centroid IVFADC gate — unregistered (k-means is not
+    # SQL-expressible, so it has no oracle), probed here for scale and
+    # for the recall/balance numbers at 10x
+    from flink_1_20_spark.queries.training_prep import ivfpq_trained_gate
+
+    t0 = time.time()
+    row = ivfpq_trained_gate(spark, dst).collect()[0]
+    print(
+        f"{time.time() - t0:7.2f}s {1:9d} rows  ivfpq_trained_gate "
+        f"(recall_vs_flat={row['recall_vs_flat']}, "
+        f"balance_ratio={row['balance_ratio']})",
+        flush=True,
+    )
 
 
 def main() -> None:

@@ -487,3 +487,22 @@ def test_ivfpq_candidates_restricted_to_probed_cells(spark, sf_dir):
     assert shared, "no overlap between ivfpq and flat ADC top lists"
     for r in shared:
         assert abs(flat[(r["query_id"], r["cand_id"])] - r["adc_d2"]) < 1e-9
+
+
+def test_ivfpq_trained_gate_recall_and_cell_balance(spark, sf_dir):
+    """IVFADC over TRAINED k-means centroids (r8 gate): the recall-vs-
+    flat-ADC number isolates the cell-restriction loss with balanced
+    cells, and the max/mean cell-population ratio bounds per-query
+    probe cost — the scale risk the stand-in centroids (first-N corpus
+    rows) cannot bound. Non-oracle by design: pyspark.ml KMeans is not
+    SQL-expressible, so this gate lives in pytest + the scale probe."""
+    from flink_1_20_spark.queries.training_prep import ivfpq_trained_gate
+
+    row = ivfpq_trained_gate(spark, sf_dir).collect()[0]
+    assert row["n_queries"] > 0
+    assert row["n_cells"] == 16  # every trained cell is populated
+    # probing 4 of 16 balanced cells must beat the uniform-cell floor
+    assert row["recall_vs_flat"] >= 0.25
+    # bounded probe cost: no cell swallows the corpus
+    assert row["balance_ratio"] < 4.0
+    assert row["max_cell"] < 0.5 * row["n_cells"] * row["mean_cell"]
