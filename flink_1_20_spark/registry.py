@@ -57,69 +57,65 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # the two r6 hash-reds, fixed in r7 (exact integer money sums /
-    # cross-engine dtype casts) — kept in window to prove the fix
+    # dtype-cast regression sentinel (red r6, green r7)
     "fn_math_basic",
-    "tpch_q9_product_profit",
+    # the r7 hash-red, fixed in r8 (integer-units sum at the CTE sum
+    # site — the lineage-resolved ROUND(SUM(double)) class): kept in
+    # window to prove the fix
+    "tpcds_q1_returns_above_avg",
     # decimal-output-ban regression sentinel (red r4-r5, green r6)
     "join_range_banded",
-    # ---- r7 rotation: 42 slots. First the queries whose oracles moved
-    # to the order-independent integer-money idiom this round (changed
-    # SQL must be driver-re-proven), then the never-confirmed fn_*
-    # batteries, the never-confirmed pipeline/ANN ops, and the TPC-H /
-    # TPC-DS tail (113 queries had no driver confirmation entering r7;
-    # every slot below except tpcds_q12 is from that set) ----
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpcds_q5_channel_union",
-    "tpcds_q80_channel_returns_rollup",
-    "tpcds_q19_or_join_bands",
-    "tpcds_q91_two_dim_loss",
-    "tpcds_q10_active_customer_profile",
-    "tpcds_q7_avg_grid",
-    "tpcds_q13_or_band_averages",
-    "tpcds_q18_rollup_decimal_avgs",
-    "tpcds_q22_inventory_rollup",
-    "tpcds_q26_urgent_avg_grid",
-    "tpcds_q73_order_size_band",
-    # the r7 builtin-tail battery (collection literals, STR_TO_MAP
-    # defaults, JSON constructors, IS JSON, OVERLAPS) — brand-new
-    # rewrite machinery, driver-proof it immediately; it displaced
-    # tpcds_q12 (confirmed r6; its idiom-change re-proof is covered by
-    # the 15 sibling converted queries above)
-    "fn_builtin_tail",
-    # scalar-function batteries, never confirmed
-    "fn_math_trig",
-    "fn_math_misc",
-    "fn_temporal_arith",
-    "fn_temporal_format",
-    "fn_conditional",
-    "fn_array_basic",
-    "fn_array_setops",
-    "fn_hash",
-    "fn_flink_names",
-    # pipeline / dedup / ANN ops, never confirmed
-    "dedup_cross_corpus",
-    "dedup_incremental_batch",
-    "embed_pq_encode",
-    "simsearch_pq_adc_topk",
-    "simsearch_recall_pq",
-    "text_domain_mix_report",
-    "pipeline_train_val_test_split",
-    # TPC-H full-suite tail, never confirmed
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_suppliers",
-    "tpch_q17_small_quantity",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # TPC-DS family breadth, never confirmed
-    "tpcds_q1_returns_above_avg",
-    "tpcds_q38_intersect_customers",
-    "tpcds_q47_monthly_lag_lead",
-    "tpcds_q44_best_worst",
+    # ---- r8 rotation: 42 slots, all from the 76 never-driver-
+    # confirmed set (after this window: 33 remain for r9). First the
+    # four r7 pipeline/ANN ops with zero driver history, then the
+    # TPC-DS shapes whose oracles moved to the order-independent
+    # integer-units idiom this round (the q1 class, converted at the
+    # sum site before rotation so they arrive deterministic), then the
+    # never-confirmed TPC-DS tail in registration order ----
+    "simsearch_ivfpq_adc_topk",
+    "simsearch_recall_ivfpq",
+    "dedup_cluster_best_representative",
+    "pipeline_decontaminated_corpus",
+    # converted in r8 (lineage-aware ROUND/SUM sweep)
+    "tpcds_q58_tolerance_band",
+    "tpcds_q14_cross_channel_common",
+    "tpcds_q24_above_global_avg",
+    "tpcds_q11_yoy_spend",
+    "tpcds_q53_ratio_to_avg",
+    "tpcds_q9_bucket_case",
+    "tpcds_q31_yoy_two_channels",
+    "tpcds_q35_exists_stats",
+    "tpcds_q2_period_share",
+    "tpcds_q28_band_agg_union",
+    "tpcds_q61_promo_share_ratio",
+    "tpcds_q59_period_pivot_compare",
+    "tpcds_q63_monthly_deviation_or_of_ands",
+    "tpcds_q98_revenue_share_window",
+    # never-confirmed TPC-DS tail, registration order
+    "tpcds_q87_except_customers",
+    "tpcds_q51_cumulative_compare",
+    "tpcds_q16_exists_shape",
+    "tpcds_q67_rollup_topk",
+    "tpcds_q32_excess_revenue",
+    "tpcds_q88_count_grid",
+    "tpcds_q90_am_pm_ratio",
+    "tpcds_q34_count_band",
+    "tpcds_q48_or_of_ands",
+    "tpcds_q93_adjusted_sales",
+    "tpcds_q23_frequent_keys",
+    "tpcds_q41_distinct_exists_dim",
+    "tpcds_q17_quantity_stats",
+    "tpcds_q21_before_after_ratio",
+    "tpcds_q25_return_reorder_chain",
+    "tpcds_q66_month_pivot",
+    "tpcds_q75_yoy_decline",
+    "tpcds_q39_consecutive_cov",
+    "tpcds_q54_followup_cohort",
+    "tpcds_q49_return_ratio_rank",
+    "tpcds_q95_exists_self_join",
+    "tpcds_q94_late_unreturned",
+    "tpcds_q4_tri_channel_ratio",
+    "tpcds_q69_semi_anti_profile",
 )
 
 

@@ -106,6 +106,15 @@ def main() -> int:
         help="use a bare SparkSession (UTC only, no engine configs) — "
         "mirrors the driver, catches engine-session config dependence",
     )
+    ap.add_argument(
+        "--perturb",
+        action="store_true",
+        help="odd parallelism + shuffle-partition count (local[5], 7 "
+        "partitions): a second pass that flips partial-agg/accumulation "
+        "order, catching outputs that only matched under the default "
+        "partitioning (the order-dependence class the driver hits "
+        "run-to-run)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -120,15 +129,19 @@ def main() -> int:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
-    if args.bare:
+    if args.bare or args.perturb:
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("verify-bare")
+        builder = (
+            SparkSession.builder.master(
+                "local[5]" if args.perturb else "local[8]"
+            )
+            .appName("verify-perturb" if args.perturb else "verify-bare")
             .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate()
         )
+        if args.perturb:
+            builder = builder.config("spark.sql.shuffle.partitions", "7")
+        spark = builder.getOrCreate()
     else:
         spark = get_spark("verify-local")
 
