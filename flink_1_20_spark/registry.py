@@ -67,11 +67,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_range_banded",
     # ---- r8 rotation: 42 slots, all from the 76 never-driver-
     # confirmed set (after this window: 33 remain for r9). First the
-    # four r7 pipeline/ANN ops with zero driver history, then the
-    # TPC-DS shapes whose oracles moved to the order-independent
-    # integer-units idiom this round (the q1 class, converted at the
-    # sum site before rotation so they arrive deterministic), then the
-    # never-confirmed TPC-DS tail in registration order ----
+    # four r7 pipeline/ANN ops with zero driver history, then the 14
+    # never-confirmed TPC-DS shapes whose oracles moved to the
+    # order-independent integer-units idiom this round (the q1 class,
+    # converted at the sum site before rotation so they arrive
+    # deterministic), then the never-confirmed TPC-DS tail in
+    # registration order. Three DRIVER-CONFIRMED queries also had
+    # their oracles converted this round (tpch_q17, tpcds_q44,
+    # tpcds_q57) and are NOT re-rotated: the conversion is
+    # value-identical by construction, both verify_local passes
+    # (driver-mirror + --perturb order-flip) re-proved them at sf0.01,
+    # and the idiom itself is the most driver-proven form in the repo
+    # — never-confirmed debt outranks re-proof of a proven idiom ----
     "simsearch_ivfpq_adc_topk",
     "simsearch_recall_ivfpq",
     "dedup_cluster_best_representative",

@@ -139,8 +139,11 @@ def _split_on_where(text: str) -> tuple[str, str | None]:
     """Split at the first WHERE keyword OUTSIDE string literals AND at
     paren depth 0 — `SET note = 'a WHERE b'` must not split inside the
     literal, and `SET a = (SELECT x FROM u WHERE u.k = t.k)` must not
-    split at the subquery's inner WHERE."""
-    parts = re.split(r"('(?:[^']|'')*')", text)
+    split at the subquery's inner WHERE.  Double-quoted literals and
+    backticked identifiers are excluded from BOTH the WHERE scan and
+    the paren count (an unbalanced '(' inside "a(b" must not wedge the
+    depth)."""
+    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\"|`[^`]*`)", text)
     depth = 0
     consumed = 0  # characters of `text` before the current part
     for i, part in enumerate(parts):
@@ -3196,6 +3199,15 @@ class TableEnvironment:
         found = _scan_streaming_setops(query)
         if not found:
             return None
+        if re.match(r"\s*WITH\b", query, re.I):
+            # splitting the TEXT at the operator would strip the CTE
+            # scope from the right side — fail with the workaround
+            # instead of an unresolved-view error at analysis
+            raise ValueError(
+                "streaming set operations under a WITH/CTE scope are "
+                "not supported — inline the CTE or stage it through a "
+                "table"
+            )
         start, end, op, is_all = found[0]
         if op == "EXCEPT" or is_all:
             what = "EXCEPT" if op == "EXCEPT" else "INTERSECT ALL"
@@ -4325,6 +4337,14 @@ class TableEnvironment:
                 "materialize one EXCEPT / INTERSECT ALL per INSERT "
                 "(stage intermediate results through a table)"
             )
+        if re.match(r"\s*WITH\b", query, re.I):
+            # the lowering splits the TEXT at the operator, so a WITH
+            # scope would be lost for the right side (unresolved views)
+            raise ValueError(
+                "streaming set operations under a WITH/CTE scope are "
+                "not supported — inline the CTE or stage it through a "
+                "table"
+            )
         if static_partition or columns:
             raise ValueError(
                 "PARTITION / explicit column lists are not supported "
@@ -4387,7 +4407,16 @@ class TableEnvironment:
             path,
             checkpoint=meta.options.get("checkpoint", path + ".__ckpt__"),
         )
-        meta.stats = None  # the sink content changes per epoch
+        self._register_streaming_sink(meta, q)
+        return q
+
+    def _register_streaming_sink(self, meta, q):
+        """Shared bookkeeping for every streaming INSERT that keeps
+        writing a registered table: stats invalidated (a continuously-
+        growing table must not keep a small-table broadcast verdict),
+        views re-registered, batch-read sinks put on the per-statement
+        refresh list while the job lives, job tracked for SHOW JOBS."""
+        meta.stats = None
         owner = next(
             (d for d, ts in self._dbs.items() if ts.get(meta.name) is meta),
             self.current_db,
@@ -4398,7 +4427,6 @@ class TableEnvironment:
                 meta, owner, self.current_catalog, q
             )
         self._track_job(q)
-        return q
 
     def _insert_into(
         self,
@@ -4517,24 +4545,8 @@ class TableEnvironment:
                     ):
                         raise
                     q = self._upsert_materialized_insert(name, meta, df, fmt)
-                # a continuously-growing table must not keep a broadcast
-                # verdict ANALYZEd when it was small — same staleness rule
-                # as the batch write below
-                meta.stats = None
-                owner = next(
-                    (d for d, ts in self._dbs.items()
-                     if ts.get(meta.name) is meta),
-                    self.current_db,
-                )
-                self._register(meta, db=owner)
-                if meta.options.get("scan.streaming", "false") != "true":
-                    # batch-read sink being continuously written: its
-                    # static file index goes stale (and an upsert swap
-                    # invalidates it outright) — refresh per statement
-                    # while the job lives
-                    self._live_sink_views[id(meta)] = (
-                        meta, owner, self.current_catalog, q
-                    )
+                self._register_streaming_sink(meta, q)
+                return q
             else:
                 raise ValueError(
                     f"connector {meta.connector!r} is not stream-writable"

@@ -1115,12 +1115,11 @@ def _bi_array_slice(a):
     arr, s = a[0], a[1]
     e = a[2] if len(a) > 2 else f"size({arr})"
     norm_s = f"(CASE WHEN ({s}) < 0 THEN size({arr}) + ({s}) + 1 ELSE ({s}) END)"
-    # end = 0 normalizes to 1 (ArraySliceFunction.java: endIndex == 0
-    # -> 1), so slice(arr, 1, 0) returns the first element, not []
-    norm_e = (
-        f"(CASE WHEN ({e}) = 0 THEN 1 "
-        f"WHEN ({e}) < 0 THEN size({arr}) + ({e}) + 1 ELSE ({e}) END)"
-    )
+    # ArraySliceFunction.java order: negative ends normalize from the
+    # array end FIRST, and THEN an end of 0 normalizes to 1 — so both
+    # end = 0 and end = -(size+1) keep the first element when start <= 1
+    neg_e = f"(CASE WHEN ({e}) < 0 THEN size({arr}) + ({e}) + 1 ELSE ({e}) END)"
+    norm_e = f"(CASE WHEN {neg_e} = 0 THEN 1 ELSE {neg_e} END)"
     start = f"greatest({norm_s}, 1)"
     return f"slice({arr}, {start}, greatest({norm_e} - {start} + 1, 0))"
 

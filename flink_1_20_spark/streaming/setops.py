@@ -101,6 +101,12 @@ def setop_foreach_batch(
     result (ALL variants as physical row copies)."""
     if op not in ("EXCEPT", "INTERSECT"):
         raise ValueError(f"unsupported set op {op!r}")
+    reserved = {SIDE_COL, "cnt_l", "cnt_r", "__m", "__i"} & set(value_cols)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by the "
+            "set-op materializer — alias them in the query"
+        )
     state_root = path + _STATE_SUFFIX
     if os.path.abspath(checkpoint).startswith(os.path.abspath(path) + os.sep) or (
         os.path.abspath(checkpoint) == os.path.abspath(path)
@@ -109,14 +115,27 @@ def setop_foreach_batch(
             f"checkpoint {checkpoint!r} lies inside the sink path "
             f"{path!r} — the per-epoch swap would destroy it"
         )
+    # A FRESH checkpoint (no committed offsets) replays every source
+    # file from scratch with epoch ids restarting at 0.  Surviving
+    # count state from an earlier run (its epoch ids arbitrarily high)
+    # would make every replayed batch look like a duplicate and be
+    # silently discarded — and folding them instead would double-count.
+    # The stream IS the content: reset the state so the first epochs
+    # rebuild it (same rule as the materialized-table FULL→CONTINUOUS
+    # rebuild).
+    offsets = os.path.join(checkpoint, "offsets")
+    if not (os.path.isdir(offsets) and os.listdir(offsets)):
+        shutil.rmtree(state_root, ignore_errors=True)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         from flink_1_20_spark.sources.connectors import has_data_files, recover_swap
 
         cur_state, cur_epoch = _state_dir(state_root)
+        delta = None
         if epoch_id > cur_epoch:
-            # fold this batch's per-side counts into the state
+            # fold this batch's per-side counts into the state; persist
+            # — the delta feeds the state write AND both sink joins
             delta = batch.groupBy(*value_cols).agg(
                 F.sum(F.when(F.col(SIDE_COL) == 1, 1).otherwise(0))
                 .cast("long")
@@ -124,7 +143,7 @@ def setop_foreach_batch(
                 F.sum(F.when(F.col(SIDE_COL) == 0, 1).otherwise(0))
                 .cast("long")
                 .alias("cnt_r"),
-            )
+            ).persist()
             if cur_state is not None:
                 old = spark.read.parquet(cur_state)
                 merged = (
@@ -171,7 +190,11 @@ def setop_foreach_batch(
         else:
             merged_sink = out
         tmp, old_dir = f"{path}.__staging__", f"{path}.__old__"
-        merged_sink.write.mode("overwrite").parquet(tmp)
+        try:
+            merged_sink.write.mode("overwrite").parquet(tmp)
+        finally:
+            if delta is not None:
+                delta.unpersist()
         if os.path.exists(old_dir):
             shutil.rmtree(old_dir)
         if os.path.exists(path):

@@ -192,7 +192,8 @@ def _agg_spans(expr: str, fn: str) -> list[str]:
 
 
 def _money_count(summand: str) -> int:
-    words = set(w.lower() for w in _WORD_RE.findall(summand))
+    # counts REPEATED references on purpose: each money factor adds 2
+    # decimal digits to the product's grid
     return sum(1 for w in _WORD_RE.findall(summand.lower()) if w in MONEY_COLS)
 
 

@@ -239,8 +239,11 @@ def test_array_slice_end_zero_normalizes_to_one(env):
     got = env.execute_sql("""
         SELECT ARRAY_SLICE(ARRAY[1,2,3,4], 1, 0) AS from1,
                ARRAY_SLICE(ARRAY[1,2,3,4], -4, 0) AS from_neg,
-               ARRAY_SLICE(ARRAY[1,2,3,4], 2, 0) AS from2
+               ARRAY_SLICE(ARRAY[1,2,3,4], 2, 0) AS from2,
+               ARRAY_SLICE(ARRAY[1,2,3,4], 1, -5) AS neg_to_zero
     """).collect()[0]
     assert got.from1 == [1]
     assert got.from_neg == [1]
     assert got.from2 == []
+    # negative ends normalize BEFORE the 0 -> 1 rule: -5 + (4+1) = 0 -> 1
+    assert got.neg_to_zero == [1]

@@ -3961,3 +3961,90 @@ def test_streaming_except_and_intersect_all_materialized(spark, tmp_path):
             "INSERT INTO se_exc SELECT k FROM se_a EXCEPT "
             "SELECT k FROM se_b EXCEPT SELECT k FROM se_b"
         )
+
+
+def test_streaming_setop_review_guards(spark, tmp_path):
+    """r8 review fixes on the set-op materializer: WITH/CTE scopes
+    reject with the staging pointer (the text split would strip the
+    CTE from the right side), reserved materializer column names
+    reject instead of colliding, and a FRESH checkpoint against a
+    surviving state directory resets the state rather than silently
+    discarding every replayed batch as a duplicate epoch."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    for name, ks in (("sg_a", [1, 2, 2]), ("sg_b", [2])):
+        p = tmp_path / name
+        p.mkdir()
+        (p / "b0.jsonl").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in ks) + "\n"
+        )
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k INT) WITH (
+              'connector'='filesystem','path'='{p}',
+              'format'='json','scan.streaming'='true')
+        """)
+    env.execute_sql(f"""
+        CREATE TABLE sg_sink (k INT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/sg_sink',
+          'format'='parquet')
+    """)
+    # CTE scope guard (both the INSERT path and the bare-SELECT path)
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "INSERT INTO sg_sink WITH c AS (SELECT k FROM sg_a) "
+            "SELECT k FROM c EXCEPT SELECT k FROM sg_b"
+        )
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "WITH c AS (SELECT k FROM sg_a) "
+            "SELECT k FROM c INTERSECT SELECT k FROM sg_b"
+        )
+    # reserved materializer columns reject up front
+    env.execute_sql(f"""
+        CREATE TABLE sg_bad (cnt_l INT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/sg_bad',
+          'format'='parquet')
+    """)
+    with pytest.raises(ValueError, match="reserved"):
+        env.execute_sql(
+            "INSERT INTO sg_bad SELECT k FROM sg_a "
+            "EXCEPT ALL SELECT k FROM sg_b"
+        )
+    # fresh checkpoint + surviving state: first run materializes,
+    # then the checkpoint is wiped (simulating DROP/re-CREATE with a
+    # new checkpoint) — the rerun must REPROCESS from scratch, not
+    # discard every batch against the stale epoch counter
+    q = env.execute_sql(
+        "INSERT INTO sg_sink SELECT k FROM sg_a EXCEPT ALL SELECT k FROM sg_b"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in env.execute_sql("SELECT * FROM sg_sink").collect())
+    assert got == [1, 2]
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/sg_sink.__ckpt__")
+    q = env.execute_sql(
+        "INSERT INTO sg_sink SELECT k FROM sg_a EXCEPT ALL SELECT k FROM sg_b"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in env.execute_sql("SELECT * FROM sg_sink").collect())
+    assert got == [1, 2], "fresh checkpoint must rebuild, not double-count or starve"
+
+
+def test_split_on_where_quoted_paren_not_counted():
+    """r8 review fix: an unbalanced '(' inside a double-quoted literal
+    or backticked identifier must not wedge the paren depth and
+    swallow the real WHERE."""
+    from flink_1_20_spark.sql_ddl import _split_on_where
+
+    assert _split_on_where('g = "a(b" WHERE id = 1') == ('g = "a(b"', "id = 1")
+    assert _split_on_where("g = `weird(col` WHERE id = 1") == (
+        "g = `weird(col`", "id = 1"
+    )
