@@ -664,13 +664,39 @@ class TableEnvironment:
                 "upgrades; Catalyst has no stable plan serialization to "
                 "target (SURVEY §7)"
             )
-        if re.match(r"CREATE\s+(TEMPORARY\s+)?MODEL\b", u) or re.match(
-            r"SHOW\s+MODELS$", u
+        # EXECUTE STATEMENT SET BEGIN <insert>; ... END (SqlStatementSet
+        # .java) — textual form of the programmatic statement set: shared
+        # scans persisted for the set's duration, every INSERT runs
+        m = re.match(
+            r"EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*?)\s*;?\s*END$",
+            s,
+            re.S | re.I,
+        )
+        if m:
+            stmts = [x.strip() for x in _split_top_all(m.group(1), ";") if x.strip()]
+            if not stmts:
+                raise ValueError("empty STATEMENT SET")
+            return self.execute_statement_set(stmts)
+        # EXECUTE <statement> (SqlExecute.java): a transparent wrapper —
+        # unwrap and re-dispatch (PLAN / STATEMENT SET matched above)
+        m = re.match(r"EXECUTE\s+(.+)$", s, re.S | re.I)
+        if m:
+            return self._execute_sql_locked(m.group(1))
+        if (
+            re.match(r"CREATE\s+(TEMPORARY\s+)?MODEL\b", u)
+            or re.match(r"(DROP|ALTER)\s+MODEL\b", u)
+            or re.match(r"DESCRIBE\s+MODEL\b", u)
+            or re.match(r"SHOW\s+CREATE\s+MODEL\b", u)
+            or re.match(r"SHOW\s+MODELS$", u)
         ):
+            # the whole family (SqlCreateModel/SqlAlterModel/SqlDropModel/
+            # SqlRichDescribeModel/SqlShowCreateModel/SqlShowModels) fails
+            # with ONE documented message instead of a raw ParseException
             raise ValueError(
-                "CREATE/SHOW MODEL is a documented non-goal: Flink's model "
-                "DDL (SqlCreateModel.java) fronts external model providers "
-                "the generic in-memory catalog does not have (SURVEY §7)"
+                "model DDL is a documented non-goal: Flink's model "
+                "statements (SqlCreateModel.java and siblings) front "
+                "external model providers the generic in-memory catalog "
+                "does not have (SURVEY §7)"
             )
         if re.match(r"SHOW\s+FULL\s+MODULES$", u):
             return self.spark.createDataFrame(

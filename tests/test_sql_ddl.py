@@ -3310,6 +3310,17 @@ def test_parser_tail_surfaces(spark):
         env.execute_sql("EXECUTE PLAN '/tmp/p.json'")
     with pytest.raises(ValueError, match="non-goal"):
         env.execute_sql("CREATE MODEL m INPUT (x DOUBLE) OUTPUT (y DOUBLE) WITH ('provider'='x')")
+    # r8: the REST of the model family fails with the same documented
+    # message, not a raw ParseException
+    for stmt in (
+        "DROP MODEL m",
+        "ALTER MODEL m SET ('k'='v')",
+        "DESCRIBE MODEL m",
+        "SHOW CREATE MODEL m",
+        "SHOW MODELS",
+    ):
+        with pytest.raises(ValueError, match="non-goal"):
+            env.execute_sql(stmt)
 
 
 def test_ctas_regex_never_eats_table_names_ending_in_as(spark, tmp_path):
@@ -4048,3 +4059,41 @@ def test_split_on_where_quoted_paren_not_counted():
     assert _split_on_where("g = `weird(col` WHERE id = 1") == (
         "g = `weird(col`", "id = 1"
     )
+
+
+def test_execute_textual_forms(spark, tmp_path):
+    """SqlExecute.java / SqlStatementSet.java textual forms: EXECUTE
+    STATEMENT SET BEGIN ...; ...; END fans one source out to two sinks
+    through executeSql (the programmatic path already covered), and a
+    bare EXECUTE <statement> unwraps transparently."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    src = tmp_path / "ex.csv"
+    src.write_text("k,v\n1,5\n2,50\n3,500\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE ex_src (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='csv')"
+    )
+    for t, cols in (("ex_a", "k BIGINT, v BIGINT"), ("ex_b", "k BIGINT, big BIGINT")):
+        env.execute_sql(
+            f"CREATE TABLE {t} ({cols}) WITH ('connector'='filesystem',"
+            f"'path'='{tmp_path}/{t}','format'='parquet')"
+        )
+    env.execute_sql("""
+        EXECUTE STATEMENT SET
+        BEGIN
+          INSERT INTO ex_a SELECT k, v FROM ex_src WHERE v < 100;
+          INSERT INTO ex_b SELECT k, v AS big FROM ex_src WHERE v >= 100;
+        END
+    """)
+    assert env.execute_sql("SELECT count(*) AS n FROM ex_a").collect()[0].n == 2
+    assert env.execute_sql("SELECT count(*) AS n FROM ex_b").collect()[0].n == 1
+    # bare EXECUTE wrapper around a SELECT and an INSERT
+    got = env.execute_sql("EXECUTE SELECT 1 AS one").collect()
+    assert [tuple(r) for r in got] == [(1,)]
+    env.execute_sql("EXECUTE INSERT INTO ex_a SELECT k, v FROM ex_src WHERE v = 500")
+    assert env.execute_sql("SELECT count(*) AS n FROM ex_a").collect()[0].n == 3
+    # EXECUTE PLAN still raises the documented non-goal
+    with pytest.raises(ValueError, match="non-goal"):
+        env.execute_sql("EXECUTE PLAN '/tmp/p.json'")
