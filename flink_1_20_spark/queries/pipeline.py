@@ -282,3 +282,149 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").cast("long").alias("sampled_tokens"),
         F.round(F.first("rate"), 6).alias("rate"),
     )
+
+
+# ---------------------------------------------------------------- DSIR
+# (Data Selection via Importance Resampling, Xie et al. 2023,
+# arXiv:2302.03169): select raw pre-training documents whose hashed
+# n-gram distribution looks like a TARGET corpus, by importance weight
+# log p_target(doc) - log p_raw(doc) under bag-of-hashed-ngrams
+# unigram models. The published method Gumbel-samples by weight; the
+# deterministic oracle-checkable form here takes top-K by weight (the
+# zero-temperature limit), which is also what curation pipelines run
+# when they want reproducible selections.
+#
+# Determinism contract (the lesson of rounds 6-8): the per-bucket log
+# ratio c_b is quantized to integer micro-units FIRST
+# (CAST(round(c_b * 1e6) AS BIGINT) — deterministic because c_b is a
+# scalar, not an aggregate), so every document weight is an exact
+# BIGINT dot product count_b * c_units_b: order-independent across
+# engines and partitionings. A raw double sum of logs would sit one
+# ULP from a rank flip whenever two docs' true weights tie (duplicated
+# text makes exact ties common in real corpora).
+#
+# 100 TB scale: one scan of documents → occurrence-level n-gram
+# explode (the same shape as the MinHash shingle explode, shuffle ≈
+# n-grams/doc rows); the bucket model is 64 rows (broadcast join);
+# per-doc weights are ONE groupBy(doc_id) shuffle; the final rank
+# window runs over post-aggregation doc weights (one row per raw doc).
+# At corpus scale replace the global rank with a weight-threshold
+# filter (the top-K contract is for the oracle's total order).
+
+_DSIR_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, source, unnest(w || [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+  FROM base),
+bucketed AS (
+  SELECT doc_id, source, source IN ('src0','src1') AS tgt,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+  FROM grams),
+bc AS (
+  SELECT b,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_t,
+         sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cnt_r
+  FROM bucketed GROUP BY b),
+tot AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM bc),
+cb AS (
+  SELECT b, CAST(round((ln((cnt_t + 1e0) / (tot_t + 64e0))
+                       - ln((cnt_r + 1e0) / (tot_r + 64e0))) * 1e6) AS BIGINT) AS c_units
+  FROM bc, tot),
+doc_b AS (
+  SELECT doc_id, source, b, count(*) AS n
+  FROM bucketed WHERE NOT tgt GROUP BY doc_id, source, b),
+wts AS (
+  SELECT d.doc_id, d.source, sum(d.n * cb.c_units) AS w_units
+  FROM doc_b d JOIN cb USING (b) GROUP BY d.doc_id, d.source),
+ranked AS (
+  SELECT doc_id, source, w_units,
+         rank() OVER (ORDER BY w_units DESC, doc_id) AS rnk
+  FROM wts)
+SELECT doc_id, source, round(w_units / 1e6, 6) AS weight, rnk
+FROM ranked WHERE rnk <= 50 ORDER BY rnk
+"""
+
+
+@register("pipeline_dsir_select", oracle=_DSIR_ORACLE)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection: top-50 raw docs whose hashed
+    unigram+bigram distribution is most target-like, with src0/src1 as
+    the deterministic target stand-in. See the module comment for the
+    integer-microunits determinism contract and the scale shape."""
+    from flink_1_20_spark.operators.textdedup import hash32
+
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        normalized_words(F.col("text")).alias("w"),
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.when(
+                    F.size("w") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id",
+        "source",
+        F.col("source").isin("src0", "src1").alias("tgt"),
+        (hash32(F.col("g")) % 64).alias("b"),
+    )
+    bc = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cnt_r"),
+    )
+    tot = bc.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    cb = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("cnt_t") + F.lit(1.0)) / (F.col("tot_t") + F.lit(64.0)))
+                - F.log((F.col("cnt_r") + F.lit(1.0)) / (F.col("tot_r") + F.lit(64.0)))
+            )
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("c_units"),
+    )
+    doc_b = (
+        bucketed.filter(~F.col("tgt"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wts = (
+        doc_b.join(F.broadcast(cb), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n") * F.col("c_units")).alias("w_units"))
+    )
+    ranked = wts.withColumn(
+        "rnk",
+        F.rank().over(Window.orderBy(F.desc("w_units"), F.asc("doc_id"))),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 50)
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("w_units") / F.lit(1e6), 6).alias("weight"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )

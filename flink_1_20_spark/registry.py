@@ -122,7 +122,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q95_exists_self_join",
     "tpcds_q94_late_unreturned",
     "tpcds_q4_tri_channel_ratio",
-    "tpcds_q69_semi_anti_profile",
+    # r8-new operator (DSIR importance selection) — new code outranks
+    # one more tail shape for immediate driver proof
+    "pipeline_dsir_select",
 )
 
 

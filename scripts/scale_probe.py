@@ -72,6 +72,8 @@ HEAVY = [
     "simsearch_recall_ivfpq",
     "dedup_cluster_best_representative",
     "pipeline_decontaminated_corpus",
+    # r8 addition
+    "pipeline_dsir_select",
 ]
 
 
