@@ -296,12 +296,20 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism contract (the lesson of rounds 6-8): the per-bucket log
 # ratio c_b is quantized to integer micro-units FIRST
-# (CAST(round(c_b * 1e6) AS BIGINT) — deterministic because c_b is a
-# scalar, not an aggregate), so every document weight is an exact
-# BIGINT dot product count_b * c_units_b: order-independent across
-# engines and partitionings. A raw double sum of logs would sit one
-# ULP from a rank flip whenever two docs' true weights tie (duplicated
-# text makes exact ties common in real corpora).
+# (CAST(round(c_b * 1e6) AS BIGINT)), so every document weight is an
+# exact BIGINT dot product count_b * c_units_b: ORDER-independent
+# across engines and partitionings. A raw double sum of logs would sit
+# one ULP from a rank flip whenever two docs' true weights tie
+# (duplicated text makes exact ties common in real corpora). One
+# residual cross-engine risk remains, documented rather than
+# eliminable: c_b itself comes out of libm ln (JVM Math.log has a
+# 1-ulp contract; DuckDB uses the platform libm), so a bucket whose
+# true c_b*1e6 lies within ~1 ulp of a half-integer could quantize
+# differently per engine. At c_b*1e6 magnitudes ~1e6-1e7 the flip
+# window is ~2e-10 of each unit interval → ~1e-8 per 64-bucket model:
+# orders of magnitude below the 1e-3/row money-rounding class this
+# repo structurally eliminated, and detectable by the oracle compare
+# the moment a dataset ever hits it.
 #
 # 100 TB scale: one scan of documents → occurrence-level n-gram
 # explode (the same shape as the MinHash shingle explode, shuffle ≈

@@ -72,7 +72,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # order-independent integer-units idiom this round (the q1 class,
     # converted at the sum site before rotation so they arrive
     # deterministic), then the never-confirmed TPC-DS tail in
-    # registration order. Three DRIVER-CONFIRMED queries also had
+    # registration order (23 after the DSIR swap below). Three
+    # DRIVER-CONFIRMED queries also had
     # their oracles converted this round (tpch_q17, tpcds_q44,
     # tpcds_q57) and are NOT re-rotated: the conversion is
     # value-identical by construction, both verify_local passes

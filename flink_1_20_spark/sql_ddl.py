@@ -685,9 +685,9 @@ class TableEnvironment:
         if (
             re.match(r"CREATE\s+(TEMPORARY\s+)?MODEL\b", u)
             or re.match(r"(DROP|ALTER)\s+MODEL\b", u)
-            or re.match(r"DESCRIBE\s+MODEL\b", u)
+            or re.match(r"(DESCRIBE|DESC)\s+MODEL\b", u)
             or re.match(r"SHOW\s+CREATE\s+MODEL\b", u)
-            or re.match(r"SHOW\s+MODELS$", u)
+            or re.match(r"SHOW\s+MODELS\b", u)
         ):
             # the whole family (SqlCreateModel/SqlAlterModel/SqlDropModel/
             # SqlRichDescribeModel/SqlShowCreateModel/SqlShowModels) fails
@@ -3206,6 +3206,29 @@ class TableEnvironment:
         except Exception:
             return None
 
+    def _lower_setop_side(self, full_query: str, side: str):
+        """Lower one split side of a streaming set op.  The split is
+        TEXTUAL, so a WITH/CTE scope declared at the head of the full
+        query is invisible to the right side; when THAT is why the side
+        fails to resolve, fail with the workaround instead of the raw
+        unresolved-view error.  A WITH whose CTEs the right side never
+        references keeps working (the left side retains the full
+        prefix)."""
+        try:
+            return self._sql_streaming_lowered(side)
+        except Exception as exc:
+            if re.match(r"\s*WITH\b", full_query, re.I) and (
+                "TABLE_OR_VIEW_NOT_FOUND" in str(exc)
+                or "cannot be found" in str(exc)
+            ):
+                raise ValueError(
+                    "streaming set operations whose right side references "
+                    "a WITH/CTE name are not supported (the lowering "
+                    "splits the text at the operator, losing the CTE "
+                    "scope) — inline the CTE or stage it through a table"
+                ) from exc
+            raise
+
     def _maybe_streaming_setop(self, query: str):
         """Streaming INTERSECT / EXCEPT (StreamExecIntersect/Minus —
         Flink computes both over the retraction changelog). Spark's
@@ -3225,15 +3248,6 @@ class TableEnvironment:
         found = _scan_streaming_setops(query)
         if not found:
             return None
-        if re.match(r"\s*WITH\b", query, re.I):
-            # splitting the TEXT at the operator would strip the CTE
-            # scope from the right side — fail with the workaround
-            # instead of an unresolved-view error at analysis
-            raise ValueError(
-                "streaming set operations under a WITH/CTE scope are "
-                "not supported — inline the CTE or stage it through a "
-                "table"
-            )
         start, end, op, is_all = found[0]
         if op == "EXCEPT" or is_all:
             what = "EXCEPT" if op == "EXCEPT" else "INTERSECT ALL"
@@ -3252,7 +3266,7 @@ class TableEnvironment:
         # (INTERSECT is commutative/associative, so first-keyword
         # splitting is order-safe; EXCEPT anywhere raises above)
         left = self._sql_streaming_lowered(query[:start]).dropDuplicates()
-        right = self._sql_streaming_lowered(query[end:]).dropDuplicates()
+        right = self._lower_setop_side(query, query[end:]).dropDuplicates()
         if len(left.columns) != len(right.columns):
             raise ValueError("INTERSECT sides must have equal column counts")
         cond = None
@@ -4363,14 +4377,6 @@ class TableEnvironment:
                 "materialize one EXCEPT / INTERSECT ALL per INSERT "
                 "(stage intermediate results through a table)"
             )
-        if re.match(r"\s*WITH\b", query, re.I):
-            # the lowering splits the TEXT at the operator, so a WITH
-            # scope would be lost for the right side (unresolved views)
-            raise ValueError(
-                "streaming set operations under a WITH/CTE scope are "
-                "not supported — inline the CTE or stage it through a "
-                "table"
-            )
         if static_partition or columns:
             raise ValueError(
                 "PARTITION / explicit column lists are not supported "
@@ -4386,7 +4392,7 @@ class TableEnvironment:
             )
         start, end, op, is_all = ops[0]
         left = self._sql_streaming_lowered(query[:start])
-        right = self._sql_streaming_lowered(query[end:])
+        right = self._lower_setop_side(query, query[end:])
         if not (left.isStreaming and right.isStreaming):
             raise ValueError(
                 "streaming EXCEPT / INTERSECT ALL requires both sides "
@@ -4402,6 +4408,14 @@ class TableEnvironment:
             setop_foreach_batch,
         )
 
+        if SIDE_COL in left.columns or SIDE_COL in right.columns:
+            # withColumn would silently REPLACE a user column named
+            # __side before the materializer's reserved-name guard can
+            # see it — reject at the source instead
+            raise ValueError(
+                f"column name {SIDE_COL!r} is reserved by the set-op "
+                "materializer — alias it in the query"
+            )
         right = right.select(
             [right[c].alias(lc) for c, lc in zip(right.columns, left.columns)]
         )

@@ -120,12 +120,17 @@ def setop_foreach_batch(
     # count state from an earlier run (its epoch ids arbitrarily high)
     # would make every replayed batch look like a duplicate and be
     # silently discarded — and folding them instead would double-count.
-    # The stream IS the content: reset the state so the first epochs
-    # rebuild it (same rule as the materialized-table FULL→CONTINUOUS
-    # rebuild).
+    # The stream IS the content: reset the state AND the sink so the
+    # first epochs rebuild both (the affected-key merge only rewrites
+    # keys present in some batch, so stale sink rows whose keys never
+    # reappear would otherwise pollute the result forever — same rule
+    # as the materialized-table FULL→CONTINUOUS rebuild).
     offsets = os.path.join(checkpoint, "offsets")
     if not (os.path.isdir(offsets) and os.listdir(offsets)):
-        shutil.rmtree(state_root, ignore_errors=True)
+        if _state_dir(state_root)[1] >= 0:
+            shutil.rmtree(state_root, ignore_errors=True)
+            for stale in (path, f"{path}.__old__", f"{path}.__staging__"):
+                shutil.rmtree(stale, ignore_errors=True)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -133,66 +138,71 @@ def setop_foreach_batch(
 
         cur_state, cur_epoch = _state_dir(state_root)
         delta = None
-        if epoch_id > cur_epoch:
-            # fold this batch's per-side counts into the state; persist
-            # — the delta feeds the state write AND both sink joins
-            delta = batch.groupBy(*value_cols).agg(
-                F.sum(F.when(F.col(SIDE_COL) == 1, 1).otherwise(0))
-                .cast("long")
-                .alias("cnt_l"),
-                F.sum(F.when(F.col(SIDE_COL) == 0, 1).otherwise(0))
-                .cast("long")
-                .alias("cnt_r"),
-            ).persist()
-            if cur_state is not None:
-                old = spark.read.parquet(cur_state)
-                merged = (
-                    old.unionByName(delta)
-                    .groupBy(*value_cols)
-                    .agg(
-                        F.sum("cnt_l").alias("cnt_l"),
-                        F.sum("cnt_r").alias("cnt_r"),
+        try:
+            if epoch_id > cur_epoch:
+                # fold this batch's per-side counts into the state;
+                # persist — the delta feeds the state write AND both
+                # sink joins
+                delta = batch.groupBy(*value_cols).agg(
+                    F.sum(F.when(F.col(SIDE_COL) == 1, 1).otherwise(0))
+                    .cast("long")
+                    .alias("cnt_l"),
+                    F.sum(F.when(F.col(SIDE_COL) == 0, 1).otherwise(0))
+                    .cast("long")
+                    .alias("cnt_r"),
+                ).persist()
+                if cur_state is not None:
+                    old = spark.read.parquet(cur_state)
+                    merged = (
+                        old.unionByName(delta)
+                        .groupBy(*value_cols)
+                        .agg(
+                            F.sum("cnt_l").alias("cnt_l"),
+                            F.sum("cnt_r").alias("cnt_r"),
+                        )
                     )
+                else:
+                    merged = delta
+                staging = os.path.join(state_root, f"__staging_e{epoch_id}__")
+                merged.write.mode("overwrite").parquet(staging)
+                os.rename(staging, os.path.join(state_root, f"e{epoch_id}"))
+                if cur_state is not None:  # keep only the committed snapshot
+                    shutil.rmtree(cur_state, ignore_errors=True)
+                affected = delta.select(*value_cols)
+                state = spark.read.parquet(
+                    os.path.join(state_root, f"e{epoch_id}")
                 )
             else:
-                merged = delta
-            staging = os.path.join(state_root, f"__staging_e{epoch_id}__")
-            merged.write.mode("overwrite").parquet(staging)
-            os.rename(staging, os.path.join(state_root, f"e{epoch_id}"))
-            if cur_state is not None:  # keep only the committed snapshot
-                shutil.rmtree(cur_state, ignore_errors=True)
-            affected = delta.select(*value_cols)
-            state = spark.read.parquet(os.path.join(state_root, f"e{epoch_id}"))
-        else:
-            # replayed epoch (crash after state commit): the state
-            # already contains it — rebuild the sink for ALL keys
-            affected = None
-            state = spark.read.parquet(cur_state)
+                # replayed epoch (crash after state commit): the state
+                # already contains it — rebuild the sink for ALL keys
+                affected = None
+                state = spark.read.parquet(cur_state)
 
-        out = (
-            state.withColumn("__m", _multiplicity(op, is_all).cast("int"))
-            .filter(F.col("__m") > 0)
-            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__m"))))
-            .select(*value_cols)
-        )
-        recover_swap(path)
-        if affected is not None and has_data_files(path):
-            current = spark.read.parquet(path)
-            kept = current.join(
-                affected, on=_null_safe_on(current, affected, value_cols),
-                how="left_anti",
+            out = (
+                state.withColumn("__m", _multiplicity(op, is_all).cast("int"))
+                .filter(F.col("__m") > 0)
+                .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__m"))))
+                .select(*value_cols)
             )
-            new_rows = out.join(
-                affected, on=_null_safe_on(out, affected, value_cols),
-                how="left_semi",
-            )
-            merged_sink = kept.unionByName(new_rows)
-        else:
-            merged_sink = out
-        tmp, old_dir = f"{path}.__staging__", f"{path}.__old__"
-        try:
+            recover_swap(path)
+            if affected is not None and has_data_files(path):
+                current = spark.read.parquet(path)
+                kept = current.join(
+                    affected, on=_null_safe_on(current, affected, value_cols),
+                    how="left_anti",
+                )
+                new_rows = out.join(
+                    affected, on=_null_safe_on(out, affected, value_cols),
+                    how="left_semi",
+                )
+                merged_sink = kept.unionByName(new_rows)
+            else:
+                merged_sink = out
+            tmp, old_dir = f"{path}.__staging__", f"{path}.__old__"
             merged_sink.write.mode("overwrite").parquet(tmp)
         finally:
+            # covers the STATE write too — a disk-full/schema failure
+            # there must not leak the cached delta across restarts
             if delta is not None:
                 delta.unpersist()
         if os.path.exists(old_dir):

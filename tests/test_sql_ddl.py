@@ -4000,16 +4000,30 @@ def test_streaming_setop_review_guards(spark, tmp_path):
           'connector'='filesystem','path'='{tmp_path}/sg_sink',
           'format'='parquet')
     """)
-    # CTE scope guard (both the INSERT path and the bare-SELECT path)
+    # CTE guard fires only when the RIGHT side actually references a
+    # CTE name (the text split strips the scope from it); a WITH whose
+    # CTEs only the left side uses keeps working
     with pytest.raises(ValueError, match="WITH/CTE"):
         env.execute_sql(
             "INSERT INTO sg_sink WITH c AS (SELECT k FROM sg_a) "
-            "SELECT k FROM c EXCEPT SELECT k FROM sg_b"
+            "SELECT k FROM c EXCEPT SELECT k FROM c"
         )
     with pytest.raises(ValueError, match="WITH/CTE"):
         env.execute_sql(
-            "WITH c AS (SELECT k FROM sg_a) "
-            "SELECT k FROM c INTERSECT SELECT k FROM sg_b"
+            "WITH c AS (SELECT k FROM sg_b) "
+            "SELECT k FROM sg_a INTERSECT SELECT k FROM c"
+        )
+    df = env.execute_sql(
+        "WITH c AS (SELECT k FROM sg_a) "
+        "SELECT k FROM c INTERSECT SELECT k FROM sg_b"
+    )
+    assert df.isStreaming  # left keeps the WITH prefix
+    # a user column named __side would be silently replaced by the tag
+    # before the materializer sees it — rejected at the source
+    with pytest.raises(ValueError, match="__side"):
+        env.execute_sql(
+            "INSERT INTO sg_sink SELECT k AS `__side` FROM sg_a "
+            "EXCEPT ALL SELECT k FROM sg_b"
         )
     # reserved materializer columns reject up front
     env.execute_sql(f"""
