@@ -4111,3 +4111,77 @@ def test_execute_textual_forms(spark, tmp_path):
     # EXECUTE PLAN still raises the documented non-goal
     with pytest.raises(ValueError, match="non-goal"):
         env.execute_sql("EXECUTE PLAN '/tmp/p.json'")
+
+
+@pytest.mark.parametrize("op_sql,opname", [
+    ("EXCEPT", "exc"),
+    ("EXCEPT ALL", "exca"),
+    ("INTERSECT ALL", "inta"),
+])
+def test_streaming_setop_randomized_incremental(spark, tmp_path, op_sql, opname):
+    """Randomized incremental-correctness property (seeded): feed
+    interleaved random multiset batches to both sides of a streaming
+    EXCEPT / EXCEPT ALL / INTERSECT ALL materialization and assert the
+    sink equals Spark's batch exceptAll/intersectAll of the cumulative
+    data AFTER EVERY BATCH — the multiset count algebra must hold at
+    every prefix, not just at the end."""
+    import json as _json
+    import random
+
+    rng = random.Random(20260815)
+    env = TableEnvironment(spark)
+    for side in ("a", "b"):
+        (tmp_path / f"rs_{opname}_{side}").mkdir()
+        env.execute_sql(f"""
+            CREATE TABLE rs_{opname}_{side} (k INT) WITH (
+              'connector'='filesystem','path'='{tmp_path}/rs_{opname}_{side}',
+              'format'='json','scan.streaming'='true')
+        """)
+    env.execute_sql(f"""
+        CREATE TABLE rs_{opname}_sink (k INT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/rs_{opname}_sink',
+          'format'='parquet')
+    """)
+    seen = {"a": [], "b": []}
+
+    def write_batch(side, i):
+        ks = [rng.randint(0, 6) for _ in range(rng.randint(1, 8))]
+        seen[side].extend(ks)
+        (tmp_path / f"rs_{opname}_{side}" / f"b{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in ks) + "\n"
+        )
+
+    write_batch("a", 0)
+    write_batch("b", 0)
+    q = env.execute_sql(
+        f"INSERT INTO rs_{opname}_sink "
+        f"SELECT k FROM rs_{opname}_a {op_sql} SELECT k FROM rs_{opname}_b"
+    )
+    try:
+        for i in range(1, 5):
+            q.processAllAvailable()
+            a_df = spark.createDataFrame([(k,) for k in seen["a"]], "k int")
+            b_df = spark.createDataFrame([(k,) for k in seen["b"]], "k int")
+            if op_sql == "EXCEPT":
+                want = a_df.dropDuplicates().join(b_df, "k", "left_anti")
+            elif op_sql == "EXCEPT ALL":
+                want = a_df.exceptAll(b_df)
+            else:
+                want = a_df.intersectAll(b_df)
+            got = sorted(
+                r[0]
+                for r in env.execute_sql(
+                    f"SELECT * FROM rs_{opname}_sink"
+                ).collect()
+            )
+            assert got == sorted(r[0] for r in want.collect()), (
+                f"{op_sql} diverged after batch round {i}: "
+                f"a={sorted(seen['a'])} b={sorted(seen['b'])}"
+            )
+            # interleave: sometimes only one side advances
+            if rng.random() < 0.8:
+                write_batch("a", i)
+            if rng.random() < 0.8:
+                write_batch("b", i)
+    finally:
+        q.stop()
