@@ -305,3 +305,16 @@ def test_r7_ops_plans(spark, sf_dir, queries):
     # two broadcast centroid crossings (corpus assignment + query probes)
     assert final.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in final  # LUT / cell equi joins
+
+
+def test_dsir_broadcasts_bucket_model(spark, sf_dir, queries):
+    """DSIR (r8): the 64-row bucket model must BROADCAST into the
+    occurrence-level n-gram stream (a shuffle of the corpus onto 64
+    bucket keys would be the 100 TB bottleneck), and the only cartesian
+    is the 64x1 totals attach."""
+    plan = _final_plan(queries["pipeline_dsir_select"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the 64x1 totals crossJoin is a broadcast nested loop over one row;
+    # a CartesianProduct would mean the corpus side got in there
+    assert "CartesianProduct" not in plan
