@@ -144,3 +144,39 @@ def test_registry_has_no_order_sensitive_rounds():
         "order-sensitive ROUND sites (driver hash-red class, see "
         f"scripts/audit_round_lineage.py): {findings}"
     )
+
+
+def test_analyzer_resolves_arbitrary_cte_nesting():
+    """Property: the flag must survive ANY depth of alias indirection —
+    the exact failure mode that slipped past round 7's textual sweep.
+    Builds chains of k CTEs (k = 1..4), each forwarding the previous
+    one's sum under a fresh alias, with the ROUND at the outermost
+    level; every chain must flag, and the exact-idiom variant of the
+    same chain must not."""
+    for k in range(1, 5):
+        ctes = []
+        for i in range(k):
+            if i == 0:
+                ctes.append(
+                    f"c0 AS (SELECT o_custkey AS k0, "
+                    f"sum(o_totalprice * (1 - l_discount)) AS v0 "
+                    f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+                    f"GROUP BY o_custkey)"
+                )
+            else:
+                ctes.append(
+                    f"c{i} AS (SELECT k{i-1} AS k{i}, v{i-1} AS v{i} FROM c{i-1})"
+                )
+        bad = (
+            "WITH " + ", ".join(ctes)
+            + f" SELECT k{k-1}, round(v{k-1}, 2) AS amt FROM c{k-1}"
+        )
+        found = find_offenders({f"chain_{k}": bad})
+        assert found, f"lineage chain of depth {k} not flagged"
+        exact = bad.replace(
+            "sum(o_totalprice * (1 - l_discount))",
+            "sum(CAST(round(o_totalprice * (1 - l_discount) * 1e4) AS BIGINT))",
+        ).replace(f"round(v{k-1}, 2)", f"round(v{k-1} / 1e4, 2)")
+        assert not find_offenders({f"exact_{k}": exact}), (
+            f"exact-idiom chain of depth {k} false-positived"
+        )
