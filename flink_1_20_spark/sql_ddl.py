@@ -164,6 +164,45 @@ def _split_on_where(text: str) -> tuple[str, str | None]:
     return text, None
 
 
+def _leading_cte_names(query: str) -> list[str]:
+    """Names declared by a leading WITH clause (handles chained
+    `name AS (...), name2 AS (...)`; column-list CTEs `name (a,b) AS`
+    too). Empty when the statement does not start with WITH."""
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", query, re.I)
+    if not m:
+        return []
+    names, i = [], m.end()
+    while True:
+        nm = re.match(
+            r"\s*([A-Za-z_]\w*)\s*(?:\([^)]*\)\s*)?AS\s*\(", query[i:], re.I
+        )
+        if not nm:
+            break
+        names.append(nm.group(1).lower())
+        # skip the balanced CTE body
+        depth, j, q = 0, i + nm.end() - 1, None
+        while j < len(query):
+            ch = query[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"`":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        i = j + 1
+        c = re.match(r"\s*,", query[i:])
+        if not c:
+            break
+        i += c.end()
+    return names
+
+
 def _scan_streaming_setops(query: str) -> list[tuple[int, int, str, bool]]:
     """Every paren-depth-0 set operator in `query`, in order:
     (start, end, 'INTERSECT'|'EXCEPT', is_all).  A SET OPERATOR is
@@ -683,12 +722,15 @@ class TableEnvironment:
         if m:
             return self._execute_sql_locked(m.group(1))
         if (
-            re.match(r"CREATE\s+(TEMPORARY\s+)?MODEL\b", u)
-            or re.match(r"(DROP|ALTER)\s+MODEL\b", u)
-            or re.match(r"(DESCRIBE|DESC)\s+MODEL\b", u)
-            or re.match(r"SHOW\s+CREATE\s+MODEL\b", u)
+            re.match(r"CREATE\s+(TEMPORARY\s+)?MODEL\s+\S", u)
+            or re.match(r"(DROP|ALTER)\s+MODEL\s+\S", u)
+            or re.match(r"(DESCRIBE|DESC)\s+MODEL\s+\S", u)
+            or re.match(r"SHOW\s+CREATE\s+MODEL\s+\S", u)
             or re.match(r"SHOW\s+MODELS\b", u)
         ):
+            # \s+\S: a model STATEMENT names a model — `DESC model`
+            # against a TABLE named model must reach the generic
+            # DESCRIBE handler, not this trap
             # the whole family (SqlCreateModel/SqlAlterModel/SqlDropModel/
             # SqlRichDescribeModel/SqlShowCreateModel/SqlShowModels) fails
             # with ONE documented message instead of a raw ParseException
@@ -3206,28 +3248,26 @@ class TableEnvironment:
         except Exception:
             return None
 
-    def _lower_setop_side(self, full_query: str, side: str):
-        """Lower one split side of a streaming set op.  The split is
-        TEXTUAL, so a WITH/CTE scope declared at the head of the full
-        query is invisible to the right side; when THAT is why the side
-        fails to resolve, fail with the workaround instead of the raw
-        unresolved-view error.  A WITH whose CTEs the right side never
-        references keeps working (the left side retains the full
-        prefix)."""
-        try:
-            return self._sql_streaming_lowered(side)
-        except Exception as exc:
-            if re.match(r"\s*WITH\b", full_query, re.I) and (
-                "TABLE_OR_VIEW_NOT_FOUND" in str(exc)
-                or "cannot be found" in str(exc)
-            ):
+    @staticmethod
+    def _guard_setop_cte_scope(query: str, right_text: str) -> None:
+        """The streaming set-op lowering splits the TEXT at the
+        operator, so a leading WITH scope is invisible to the right
+        side.  Reject when the right side textually references any
+        declared CTE name — resolution-failure classification is not
+        enough: a same-named REGISTERED table would silently bind
+        instead of the CTE (wrong results, no error), and an unrelated
+        missing-table typo must keep its own error.  A WITH whose CTEs
+        only the left side uses keeps working (the left split retains
+        the full prefix)."""
+        for name in _leading_cte_names(query):
+            if re.search(rf"\b{re.escape(name)}\b", right_text, re.I):
                 raise ValueError(
-                    "streaming set operations whose right side references "
-                    "a WITH/CTE name are not supported (the lowering "
-                    "splits the text at the operator, losing the CTE "
-                    "scope) — inline the CTE or stage it through a table"
-                ) from exc
-            raise
+                    f"streaming set operations whose right side references "
+                    f"the WITH/CTE name {name!r} are not supported (the "
+                    "lowering splits the text at the operator, losing the "
+                    "CTE scope) — inline the CTE or stage it through a "
+                    "table"
+                )
 
     def _maybe_streaming_setop(self, query: str):
         """Streaming INTERSECT / EXCEPT (StreamExecIntersect/Minus —
@@ -3265,8 +3305,9 @@ class TableEnvironment:
         # chained `A INTERSECT B INTERSECT C` right side lowers itself
         # (INTERSECT is commutative/associative, so first-keyword
         # splitting is order-safe; EXCEPT anywhere raises above)
+        self._guard_setop_cte_scope(query, query[end:])
         left = self._sql_streaming_lowered(query[:start]).dropDuplicates()
-        right = self._lower_setop_side(query, query[end:]).dropDuplicates()
+        right = self._sql_streaming_lowered(query[end:]).dropDuplicates()
         if len(left.columns) != len(right.columns):
             raise ValueError("INTERSECT sides must have equal column counts")
         cond = None
@@ -4391,8 +4432,9 @@ class TableEnvironment:
                 "supported"
             )
         start, end, op, is_all = ops[0]
+        self._guard_setop_cte_scope(query, query[end:])
         left = self._sql_streaming_lowered(query[:start])
-        right = self._lower_setop_side(query, query[end:])
+        right = self._sql_streaming_lowered(query[end:])
         if not (left.isStreaming and right.isStreaming):
             raise ValueError(
                 "streaming EXCEPT / INTERSECT ALL requires both sides "

@@ -119,18 +119,18 @@ def setop_foreach_batch(
     # file from scratch with epoch ids restarting at 0.  Surviving
     # count state from an earlier run (its epoch ids arbitrarily high)
     # would make every replayed batch look like a duplicate and be
-    # silently discarded — and folding them instead would double-count.
-    # The stream IS the content: reset the state AND the sink so the
-    # first epochs rebuild both (the affected-key merge only rewrites
-    # keys present in some batch, so stale sink rows whose keys never
-    # reappear would otherwise pollute the result forever — same rule
-    # as the materialized-table FULL→CONTINUOUS rebuild).
+    # silently discarded — and folding them instead would double-count;
+    # surviving SINK rows whose keys never reappear would dodge the
+    # affected-key merge forever.  The stream IS the content (the same
+    # rule as the materialized-table FULL→CONTINUOUS rebuild), so a
+    # fresh checkpoint rebuilds BOTH unconditionally: sink dirs first,
+    # the state root LAST — it is the witness that cleanup is needed,
+    # so a crash mid-cleanup re-runs it on the next start.
     offsets = os.path.join(checkpoint, "offsets")
     if not (os.path.isdir(offsets) and os.listdir(offsets)):
-        if _state_dir(state_root)[1] >= 0:
-            shutil.rmtree(state_root, ignore_errors=True)
-            for stale in (path, f"{path}.__old__", f"{path}.__staging__"):
-                shutil.rmtree(stale, ignore_errors=True)
+        for stale in (path, f"{path}.__old__", f"{path}.__staging__"):
+            shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession

@@ -4018,6 +4018,28 @@ def test_streaming_setop_review_guards(spark, tmp_path):
         "SELECT k FROM c INTERSECT SELECT k FROM sg_b"
     )
     assert df.isStreaming  # left keeps the WITH prefix
+    # a REGISTERED table shadowing the CTE name must not silently bind:
+    # the guard is textual, so the reject fires even though resolution
+    # would "succeed" against the wrong relation
+    (tmp_path / "shadow_c").mkdir()
+    env.execute_sql(f"""
+        CREATE TABLE c (k INT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/shadow_c',
+          'format'='json','scan.streaming'='true')
+    """)
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "WITH c AS (SELECT k FROM sg_a WHERE k > 100) "
+            "SELECT k FROM sg_a INTERSECT SELECT k FROM c"
+        )
+    env.execute_sql("DROP TABLE c")
+    # an unrelated right-side typo keeps its own missing-table error,
+    # not a misattributed CTE message
+    with pytest.raises(Exception, match="sg_nope|TABLE_OR_VIEW"):
+        env.execute_sql(
+            "INSERT INTO sg_sink WITH c AS (SELECT k FROM sg_a) "
+            "SELECT k FROM c EXCEPT SELECT k FROM sg_nope"
+        )
     # a user column named __side would be silently replaced by the tag
     # before the materializer sees it — rejected at the source
     with pytest.raises(ValueError, match="__side"):
@@ -4185,3 +4207,24 @@ def test_streaming_setop_randomized_incremental(spark, tmp_path, op_sql, opname)
                 write_batch("b", i)
     finally:
         q.stop()
+
+
+def test_desc_of_table_named_model_not_trapped(spark, tmp_path):
+    """A real table named `model` stays describable — the model-DDL
+    non-goal trap requires an identifier after MODEL."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    p = tmp_path / "model_tbl"
+    p.mkdir()
+    (p / "b.jsonl").write_text(_json.dumps({"k": 1}) + "\n")
+    env.execute_sql(f"""
+        CREATE TABLE model (k INT) WITH (
+          'connector'='filesystem','path'='{p}','format'='json')
+    """)
+    rows = env.execute_sql("DESC model").collect()
+    assert any(r[0] == "k" for r in rows)
+    rows = env.execute_sql("DESCRIBE model").collect()
+    assert any(r[0] == "k" for r in rows)
+    with pytest.raises(ValueError, match="non-goal"):
+        env.execute_sql("DESCRIBE MODEL some_model")
