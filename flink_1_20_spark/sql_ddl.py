@@ -3746,6 +3746,14 @@ class TableEnvironment:
                     df = df.withWatermark(
                         col, f"{wm.group(1)} {wm.group(2).lower()}"
                     )
+                elif re.search(r"SOURCE_WATERMARK\s*\(\s*\)", delay, re.I):
+                    # connector-provided watermark (SqlWatermark's
+                    # SOURCE_WATERMARK()): the monitored-dir source has
+                    # none of its own, so the honest analog is a
+                    # zero-delay watermark on the rowtime column —
+                    # without this the clause silently produced NO
+                    # watermark and append-mode aggregates failed
+                    df = df.withWatermark(col, "0 seconds")
             # same namespace rules as the common tail below: the bare
             # name belongs to the CURRENT db/catalog only
             cat = catalog or self.current_catalog
@@ -3819,6 +3827,11 @@ class TableEnvironment:
             wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
             if wm:
                 df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
+            elif re.search(r"SOURCE_WATERMARK\s*\(\s*\)", delay, re.I):
+                # connector-provided watermark (SqlWatermark's
+                # SOURCE_WATERMARK()): zero-delay analog — see the
+                # db-scoped registration above for the rationale
+                df = df.withWatermark(col, "0 seconds")
         # statistics-informed broadcast (Flink planner: CatalogTableStatistics
         # vs table.optimizer.join.broadcast-threshold): an ANALYZEd table
         # whose measured size fits under the threshold joins as the

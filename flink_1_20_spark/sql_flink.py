@@ -1160,6 +1160,50 @@ def _bi_json_array(a):
     return f"to_json({arr})"
 
 
+def _bi_json_arrayagg(a):
+    # JSON_ARRAYAGG(expr [ABSENT|NULL ON NULL]) — aggregate form
+    # (BuiltInFunctionDefinitions JSON_ARRAYAGG_ABSENT_ON_NULL /
+    # _NULL_ON_NULL; ABSENT is the SQL-standard default).  collect_list
+    # drops nulls (= ABSENT); NULL ON NULL wraps each value in a struct
+    # so the row survives aggregation, then unwraps.
+    arg = a[0]
+    null_on = bool(re.search(r"\bNULL\s+ON\s+NULL\s*$", arg, re.I)) and not \
+        re.search(r"\bABSENT\s+ON\s+NULL\s*$", arg, re.I)
+    arg = re.sub(r"\s*(ABSENT|NULL)\s+ON\s+NULL\s*$", "", arg, flags=re.I)
+    if null_on:
+        return (
+            f"to_json(transform(collect_list(struct(({arg}) AS v)),"
+            f" s -> s.v))"
+        )
+    return f"to_json(collect_list({arg}))"
+
+
+def _bi_json_objectagg(a):
+    # JSON_OBJECTAGG([KEY] k VALUE v [NULL|ABSENT ON NULL]) — aggregate
+    # form; NULL ON NULL is the default (SqlJsonObjectFunction).  Pairs
+    # collect as structs (null values survive), ABSENT filters them out
+    # before the map is serialized.
+    arg = a[0]
+    absent = bool(re.search(r"\bABSENT\s+ON\s+NULL\s*$", arg, re.I))
+    arg = re.sub(r"\s*(ABSENT|NULL)\s+ON\s+NULL\s*$", "", arg, flags=re.I)
+    kv = None
+    offset = 0
+    for i, piece in enumerate(re.split(r"('(?:[^']|'')*')", arg)):
+        if i % 2 == 0:
+            vm = re.search(r"\sVALUE\s", piece, re.I)
+            if vm:
+                kv = (arg[: offset + vm.start()], arg[offset + vm.end():])
+                break
+        offset += len(piece)
+    if kv is None:
+        raise ValueError(f"cannot parse JSON_OBJECTAGG entry: {arg!r}")
+    key = re.sub(r"^\s*KEY\s+", "", kv[0].strip(), flags=re.I)
+    entries = f"collect_list(struct(({key}) AS k, ({kv[1]}) AS v))"
+    if absent:
+        entries = f"filter({entries}, s -> s.v IS NOT NULL)"
+    return f"to_json(map_from_entries({entries}))"
+
+
 def _bi_json_object(a):
     # JSON_OBJECT([KEY] 'k' VALUE v, ... [NULL|ABSENT ON NULL]) —
     # NULL ON NULL is the default (SqlJsonObjectFunction); to_json
@@ -1254,6 +1298,20 @@ _BUILTIN_REWRITES: dict[str, Callable[[list[str]], str]] = {
     "MAP_UNION": lambda a: f"map_concat({', '.join(a)})",
     "JSON_ARRAY": _bi_json_array,
     "JSON_OBJECT": _bi_json_object,
+    "JSON_ARRAYAGG": _bi_json_arrayagg,
+    "JSON_OBJECTAGG": _bi_json_objectagg,
+    # SHA224(x): Spark spells the SHA-2 family via sha2(x, bits)
+    "SHA224": lambda a: f"sha2({a[0]}, 224)",
+    # ELEMENT(arr): sole element of a 0/1-element array (ArrayElement);
+    # the >1-element error contract degrades to NULL here (documented —
+    # raise_error would poison whole-stage codegen for every row)
+    "ELEMENT": lambda a: (
+        f"(CASE WHEN size({a[0]}) = 1 THEN ({a[0]})[0] ELSE NULL END)"
+    ),
+    # CURRENT_ROW_TIMESTAMP(): Flink evaluates per ROW; Spark's
+    # current_timestamp() is per QUERY — the value is correct, the
+    # per-row drift within a statement is documented dialect loss
+    "CURRENT_ROW_TIMESTAMP": lambda a: "current_timestamp()",
     "JSON_STRING": _bi_json_string,
     "JSON_QUOTE": _bi_json_quote,
     "JSON_UNQUOTE": _bi_json_unquote,

@@ -247,3 +247,41 @@ def test_array_slice_end_zero_normalizes_to_one(env):
     assert got.from2 == []
     # negative ends normalize BEFORE the 0 -> 1 rule: -5 + (4+1) = 0 -> 1
     assert got.neg_to_zero == [1]
+
+
+def test_builtin_function_sweep_residuals(env):
+    """r8 closure of the BuiltInFunctionDefinitions diff residuals:
+    the JSON aggregate forms with their ON NULL variants (ABSENT is the
+    JSON_ARRAYAGG default, NULL the JSON_OBJECTAGG default), SHA224 via
+    Spark's sha2 family, ELEMENT's 0/1-element contract (the >1 error
+    degrades to NULL — documented), CURRENT_ROW_TIMESTAMP (per-query in
+    Spark — documented drift), and native passthroughs COT / TYPEOF /
+    MAP_ENTRIES."""
+    got = env.execute_sql("""
+      SELECT JSON_ARRAYAGG(v) AS j_absent,
+             JSON_ARRAYAGG(v NULL ON NULL) AS j_null,
+             JSON_OBJECTAGG(KEY k VALUE v) AS o_null,
+             JSON_OBJECTAGG(k VALUE v ABSENT ON NULL) AS o_absent
+      FROM (VALUES ('a', 1),('b', 2),('c', CAST(NULL AS INT))) t(k, v)
+    """).collect()[0]
+    assert got.j_absent == "[1,2]"
+    assert got.j_null == "[1,2,null]"
+    assert got.o_null == '{"a":1,"b":2,"c":null}'
+    assert got.o_absent == '{"a":1,"b":2}'
+    got = env.execute_sql("""
+      SELECT SHA224('x') AS h,
+             ELEMENT(ARRAY[7]) AS e1,
+             ELEMENT(ARRAY[1,2]) AS e_many,
+             COT(1.0) AS c,
+             TYPEOF(1) AS ty,
+             MAP_ENTRIES(MAP['a',1]) AS me,
+             CURRENT_ROW_TIMESTAMP() IS NOT NULL AS crt
+    """).collect()[0]
+    import hashlib
+
+    assert got.h == hashlib.sha224(b"x").hexdigest()
+    assert got.e1 == 7 and got.e_many is None
+    assert abs(got.c - 0.6420926159343306) < 1e-12
+    assert got.ty == "int"
+    assert got.me == [("a", 1)]
+    assert got.crt is True

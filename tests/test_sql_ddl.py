@@ -4228,3 +4228,47 @@ def test_desc_of_table_named_model_not_trapped(spark, tmp_path):
     assert any(r[0] == "k" for r in rows)
     with pytest.raises(ValueError, match="non-goal"):
         env.execute_sql("DESCRIBE MODEL some_model")
+
+
+def test_source_watermark_streaming_aggregate(spark, tmp_path):
+    """WATERMARK FOR ts AS SOURCE_WATERMARK() (SqlWatermark's
+    connector-provided strategy) maps to a zero-delay watermark on the
+    rowtime column — previously the clause parsed but applied NO
+    watermark, so append-mode windowed aggregates failed at start."""
+    import json as _json
+
+    src = tmp_path / "swm_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"ts": "2024-01-01T10:00:01", "v": 1.0}) + "\n"
+        + _json.dumps({"ts": "2024-01-01T10:00:02", "v": 2.0}) + "\n"
+        + _json.dumps({"ts": "2024-01-01T11:00:00", "v": 9.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE swm_src (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS SOURCE_WATERMARK()
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    df = env.execute_sql("""
+        SELECT window_start, SUM(v) AS total
+        FROM TABLE(TUMBLE(TABLE swm_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        GROUP BY window_start, window_end
+    """)
+    q = (
+        df.writeStream.format("memory").queryName("swm_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # close the first window: an event past it advances the watermark
+        (src / "b1.jsonl").write_text(
+            _json.dumps({"ts": "2024-01-01T12:00:00", "v": 0.5}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(str(r[0]), r[1]) for r in spark.sql("SELECT * FROM swm_out").collect()}
+    assert ("2024-01-01 10:00:00", 3.0) in rows
