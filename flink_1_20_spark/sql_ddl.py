@@ -164,21 +164,27 @@ def _split_on_where(text: str) -> tuple[str, str | None]:
     return text, None
 
 
-def _leading_cte_names(query: str) -> list[str]:
-    """Names declared by a leading WITH clause (handles chained
-    `name AS (...), name2 AS (...)`; column-list CTEs `name (a,b) AS`
-    too). Empty when the statement does not start with WITH."""
+def _leading_cte_names(query: str) -> tuple[list[str], bool]:
+    """(names, complete) for a leading WITH clause: `names` are the
+    declared CTE names (backtick-quoted supported; column-list CTEs
+    `name (a,b) AS` too), `complete` is True when parsing consumed the
+    whole prologue (the remainder starts the main query).  Callers must
+    treat complete=False as "unknown CTEs exist" and fail safe — a
+    truncated list would silently disarm scope guards for the CTEs it
+    missed.  ([], True) when the statement does not start with WITH."""
     m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", query, re.I)
     if not m:
-        return []
+        return [], True
     names, i = [], m.end()
     while True:
         nm = re.match(
-            r"\s*([A-Za-z_]\w*)\s*(?:\([^)]*\)\s*)?AS\s*\(", query[i:], re.I
+            r"\s*(?:([A-Za-z_]\w*)|`([^`]+)`)\s*(?:\([^)]*\)\s*)?AS\s*\(",
+            query[i:],
+            re.I,
         )
         if not nm:
             break
-        names.append(nm.group(1).lower())
+        names.append((nm.group(1) or nm.group(2)).lower())
         # skip the balanced CTE body
         depth, j, q = 0, i + nm.end() - 1, None
         while j < len(query):
@@ -200,7 +206,10 @@ def _leading_cte_names(query: str) -> list[str]:
         if not c:
             break
         i += c.end()
-    return names
+    complete = bool(
+        names and re.match(r"\s*(SELECT|VALUES|\()", query[i:], re.I)
+    )
+    return names, complete
 
 
 def _scan_streaming_setops(query: str) -> list[tuple[int, int, str, bool]]:
@@ -3252,15 +3261,29 @@ class TableEnvironment:
     def _guard_setop_cte_scope(query: str, right_text: str) -> None:
         """The streaming set-op lowering splits the TEXT at the
         operator, so a leading WITH scope is invisible to the right
-        side.  Reject when the right side textually references any
-        declared CTE name — resolution-failure classification is not
-        enough: a same-named REGISTERED table would silently bind
+        side.  Reject when the right side uses a declared CTE name in a
+        TABLE position (after FROM/JOIN — a column merely named like a
+        CTE must not misfire) — resolution-failure classification is
+        not enough: a same-named REGISTERED table would silently bind
         instead of the CTE (wrong results, no error), and an unrelated
         missing-table typo must keep its own error.  A WITH whose CTEs
         only the left side uses keeps working (the left split retains
-        the full prefix)."""
-        for name in _leading_cte_names(query):
-            if re.search(rf"\b{re.escape(name)}\b", right_text, re.I):
+        the full prefix).  An unparseable WITH prologue fails safe:
+        unknown CTEs must not silently disarm the guard."""
+        names, complete = _leading_cte_names(query)
+        if re.match(r"\s*WITH\b", query, re.I) and not complete:
+            raise ValueError(
+                "cannot establish the WITH/CTE scope of this streaming "
+                "set operation (unparseable CTE prologue) — the lowering "
+                "splits the text at the operator, losing the scope; "
+                "inline the CTEs or stage them through a table"
+            )
+        for name in names:
+            if re.search(
+                rf"\b(?:FROM|JOIN)\s+`?{re.escape(name)}`?\b",
+                right_text,
+                re.I,
+            ):
                 raise ValueError(
                     f"streaming set operations whose right side references "
                     f"the WITH/CTE name {name!r} are not supported (the "
@@ -3746,13 +3769,14 @@ class TableEnvironment:
                     df = df.withWatermark(
                         col, f"{wm.group(1)} {wm.group(2).lower()}"
                     )
-                elif re.search(r"SOURCE_WATERMARK\s*\(\s*\)", delay, re.I):
-                    # connector-provided watermark (SqlWatermark's
-                    # SOURCE_WATERMARK()): the monitored-dir source has
-                    # none of its own, so the honest analog is a
+                else:
+                    # non-INTERVAL strategies: SOURCE_WATERMARK()
+                    # (connector-provided — the monitored-dir source
+                    # has none of its own) and the strictly-ascending
+                    # form `WATERMARK FOR ts AS ts` both map to a
                     # zero-delay watermark on the rowtime column —
-                    # without this the clause silently produced NO
-                    # watermark and append-mode aggregates failed
+                    # previously these parsed but applied NO watermark,
+                    # so append-mode aggregates failed at start
                     df = df.withWatermark(col, "0 seconds")
             # same namespace rules as the common tail below: the bare
             # name belongs to the CURRENT db/catalog only
@@ -3827,10 +3851,10 @@ class TableEnvironment:
             wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
             if wm:
                 df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
-            elif re.search(r"SOURCE_WATERMARK\s*\(\s*\)", delay, re.I):
-                # connector-provided watermark (SqlWatermark's
-                # SOURCE_WATERMARK()): zero-delay analog — see the
-                # db-scoped registration above for the rationale
+            else:
+                # zero-delay analog for non-INTERVAL strategies
+                # (SOURCE_WATERMARK(), strictly-ascending `AS ts`) —
+                # see the db-scoped registration above
                 df = df.withWatermark(col, "0 seconds")
         # statistics-informed broadcast (Flink planner: CatalogTableStatistics
         # vs table.optimizer.join.broadcast-threshold): an ANALYZEd table

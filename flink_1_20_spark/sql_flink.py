@@ -1160,6 +1160,21 @@ def _bi_json_array(a):
     return f"to_json({arr})"
 
 
+def _split_key_value(item: str) -> tuple[str, str] | None:
+    """Split a JSON_OBJECT/JSON_OBJECTAGG entry at the first VALUE
+    keyword OUTSIDE single-quoted literals AND backtick identifiers —
+    a key like 'my value key' or `unit value` must not split at its
+    inner word. Returns (key_text, value_text) or None."""
+    offset = 0
+    for i, p in enumerate(re.split(r"('(?:[^']|'')*'|`[^`]*`)", item)):
+        if i % 2 == 0:
+            vm = re.search(r"\sVALUE\s", p, re.I)
+            if vm:
+                return item[: offset + vm.start()], item[offset + vm.end():]
+        offset += len(p)
+    return None
+
+
 def _bi_json_arrayagg(a):
     # JSON_ARRAYAGG(expr [ABSENT|NULL ON NULL]) — aggregate form
     # (BuiltInFunctionDefinitions JSON_ARRAYAGG_ABSENT_ON_NULL /
@@ -1186,15 +1201,7 @@ def _bi_json_objectagg(a):
     arg = a[0]
     absent = bool(re.search(r"\bABSENT\s+ON\s+NULL\s*$", arg, re.I))
     arg = re.sub(r"\s*(ABSENT|NULL)\s+ON\s+NULL\s*$", "", arg, flags=re.I)
-    kv = None
-    offset = 0
-    for i, piece in enumerate(re.split(r"('(?:[^']|'')*')", arg)):
-        if i % 2 == 0:
-            vm = re.search(r"\sVALUE\s", piece, re.I)
-            if vm:
-                kv = (arg[: offset + vm.start()], arg[offset + vm.end():])
-                break
-        offset += len(piece)
+    kv = _split_key_value(arg)
     if kv is None:
         raise ValueError(f"cannot parse JSON_OBJECTAGG entry: {arg!r}")
     key = re.sub(r"^\s*KEY\s+", "", kv[0].strip(), flags=re.I)
@@ -1220,20 +1227,7 @@ def _bi_json_object(a):
     for item in a:
         if not item.strip():
             continue
-        # split at the first VALUE keyword OUTSIDE string literals —
-        # a key like 'my value key' must not split at its inner word
-        kv = None
-        offset = 0
-        for i, p in enumerate(re.split(r"('(?:[^']|'')*')", item)):
-            if i % 2 == 0:
-                vm = re.search(r"\sVALUE\s", p, re.I)
-                if vm:
-                    kv = (
-                        item[: offset + vm.start()],
-                        item[offset + vm.end():],
-                    )
-                    break
-            offset += len(p)
+        kv = _split_key_value(item)
         if kv is None:
             raise ValueError(f"cannot parse JSON_OBJECT entry: {item!r}")
         key = re.sub(r"^\s*KEY\s+", "", kv[0].strip(), flags=re.I)

@@ -98,7 +98,13 @@ def setop_foreach_batch(
 ):
     """Start the materializing query over the __side-tagged union
     stream; the sink table at `path` always holds the current set-op
-    result (ALL variants as physical row copies)."""
+    result (ALL variants as physical row copies).
+
+    Sink ownership contract: the materialized view IS the query's
+    content, so starting with a FRESH checkpoint (no committed offsets)
+    OVERWRITES the sink — pre-existing rows from earlier inserts are
+    removed, exactly like re-deriving a materialized view; resume from
+    the retained checkpoint to keep accumulated state instead."""
     if op not in ("EXCEPT", "INTERSECT"):
         raise ValueError(f"unsupported set op {op!r}")
     reserved = {SIDE_COL, "cnt_l", "cnt_r", "__m", "__i"} & set(value_cols)

@@ -4033,6 +4033,20 @@ def test_streaming_setop_review_guards(spark, tmp_path):
             "SELECT k FROM sg_a INTERSECT SELECT k FROM c"
         )
     env.execute_sql("DROP TABLE c")
+    # a COLUMN/alias merely named like a CTE must not misfire: the
+    # guard only matches table positions (FROM/JOIN)
+    df = env.execute_sql(
+        "WITH c2 AS (SELECT k FROM sg_a) "
+        "SELECT k AS c2 FROM c2 INTERSECT SELECT k AS c2 FROM sg_b"
+    )
+    assert df.isStreaming
+    # an unparseable WITH prologue fails SAFE (unknown CTEs must not
+    # silently disarm the guard)
+    with pytest.raises(ValueError, match="unparseable"):
+        env.execute_sql(
+            "WITH /* odd */ c3 AS (SELECT k FROM sg_a) "
+            "SELECT k FROM c3 INTERSECT SELECT k FROM sg_b"
+        )
     # an unrelated right-side typo keeps its own missing-table error,
     # not a misattributed CTE message
     with pytest.raises(Exception, match="sg_nope|TABLE_OR_VIEW"):
@@ -4272,3 +4286,25 @@ def test_source_watermark_streaming_aggregate(spark, tmp_path):
         q.stop()
     rows = {(str(r[0]), r[1]) for r in spark.sql("SELECT * FROM swm_out").collect()}
     assert ("2024-01-01 10:00:00", 3.0) in rows
+    # the strictly-ascending form `WATERMARK FOR ts AS ts` gets the
+    # same zero-delay mapping (it also applied NO watermark before)
+    env.execute_sql(f"""
+        CREATE TABLE swm_asc (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    df2 = env.execute_sql("""
+        SELECT window_start, SUM(v) AS total
+        FROM TABLE(TUMBLE(TABLE swm_asc, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        GROUP BY window_start, window_end
+    """)
+    q2 = (
+        df2.writeStream.format("memory").queryName("swm_asc_out")
+        .outputMode("append").start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
