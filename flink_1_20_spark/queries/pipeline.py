@@ -314,10 +314,16 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB scale: one scan of documents → occurrence-level n-gram
 # explode (the same shape as the MinHash shingle explode, shuffle ≈
 # n-grams/doc rows); the bucket model is 64 rows (broadcast join);
-# per-doc weights are ONE groupBy(doc_id) shuffle; the final rank
-# window runs over post-aggregation doc weights (one row per raw doc).
-# At corpus scale replace the global rank with a weight-threshold
-# filter (the top-K contract is for the oracle's total order).
+# per-doc weights are ONE groupBy(doc_id) shuffle; the final top-50 is
+# orderBy(desc(w_units), asc(doc_id)).limit(50) — TakeOrderedAndProject,
+# i.e. a per-partition 50-row heap merged on the driver, never a global
+# sort (the doc_id tie-break makes the order total, so this is
+# row-for-row identical to the oracle's rank() <= 50). The rnk column
+# is then attached by a row_number window over ONLY the 50 surviving
+# rows — its single-partition exchange moves 50 rows regardless of
+# corpus size. At corpus scale the limit can further relax to a
+# weight-threshold filter (the top-K contract is for the oracle's
+# total order).
 
 _DSIR_ORACLE = r"""
 WITH base AS (
@@ -422,17 +428,19 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.sum(F.col("n") * F.col("c_units")).alias("w_units"))
     )
-    ranked = wts.withColumn(
+    # Top-K first (TakeOrderedAndProject: per-partition 50-row heaps,
+    # driver merge), THEN rank over only the survivors. The doc_id
+    # tie-break makes the order total, so rank == row_number and the
+    # limit keeps exactly the oracle's rank() <= 50 rows; the window's
+    # single-partition exchange now carries 50 rows, not the corpus.
+    top = wts.orderBy(F.desc("w_units"), F.asc("doc_id")).limit(50)
+    ranked = top.withColumn(
         "rnk",
-        F.rank().over(Window.orderBy(F.desc("w_units"), F.asc("doc_id"))),
+        F.row_number().over(Window.orderBy(F.desc("w_units"), F.asc("doc_id"))),
     )
-    return (
-        ranked.filter(F.col("rnk") <= 50)
-        .select(
-            "doc_id",
-            "source",
-            F.round(F.col("w_units") / F.lit(1e6), 6).alias("weight"),
-            "rnk",
-        )
-        .orderBy("rnk")
-    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.round(F.col("w_units") / F.lit(1e6), 6).alias("weight"),
+        "rnk",
+    ).orderBy("rnk")
