@@ -212,6 +212,83 @@ def _leading_cte_names(query: str) -> tuple[list[str], bool]:
     return names, complete
 
 
+_FROM_LIST_STOP = re.compile(
+    r"(?i)\b(WHERE|GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY|UNION|"
+    r"EXCEPT|INTERSECT|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|"
+    r"USING|MATCH_RECOGNIZE)\b"
+)
+
+
+def _from_comma_tables(text: str) -> set[str]:
+    """Lowercased table names appearing after a TOP-LEVEL comma inside
+    a FROM list (comma joins: ``FROM a, b``) anywhere in `text`.
+    Complements the ``FROM/JOIN <name>`` regex in the set-op CTE scope
+    guard — a comma-joined CTE reference (``... FROM x, cte``) would
+    otherwise slip past it and silently bind to a same-named registered
+    table.  Paren-depth aware (subquery commas don't split items);
+    scanning a FROM list stops at the first depth-0 clause keyword.
+    Over-matching is acceptable here — the guard fails SAFE by raising
+    a clear unsupported-scope error — under-matching is not."""
+    out: set[str] = set()
+    for m in re.finditer(r"\bFROM\b", text, re.I):
+        seg = text[m.end():]
+        depth, i = 0, 0
+        items: list[list[str]] = [[]]
+        while i < len(seg):
+            ch = seg[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch in "'\"`" and depth >= 0:
+                j = seg.find(ch, i + 1)
+                i = len(seg) if j < 0 else j
+            elif depth == 0:
+                if ch == ",":
+                    items.append([])
+                    i += 1
+                    continue
+                k = _FROM_LIST_STOP.match(seg, i)
+                if k and not (i > 0 and (seg[i - 1].isalnum() or seg[i - 1] == "_")):
+                    break
+            items[-1].append(ch)
+            i += 1
+        # items[0] sits directly after FROM — the FROM/JOIN regex covers it
+        for item in items[1:]:
+            t = re.match(r"\s*`?([A-Za-z_][\w$]*)`?", "".join(item))
+            if t:
+                out.add(t.group(1).lower())
+    return out
+
+
+def _apply_watermark(df, col: str, delay: str):
+    """WATERMARK FOR <col> AS <expr> → Spark withWatermark.  A
+    bounded-delay expression (``<col> - INTERVAL '<n>' <unit>``) maps
+    to the interval; SOURCE_WATERMARK() (connector-provided — the
+    monitored-dir source has none of its own) and the strictly-
+    ascending form (``AS <col>``) map to a zero-delay watermark.  Any
+    OTHER expression raises: silently tightening an unrecognized
+    strategy (a UDF, arithmetic the INTERVAL regex misses) to 0 seconds
+    would drop late rows the declared strategy accepts."""
+    wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
+    if wm:
+        return df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
+    d = delay.strip().rstrip(";").strip()
+    if re.fullmatch(r"SOURCE_WATERMARK\s*\(\s*\)", d, re.I) or re.fullmatch(
+        rf"`?{re.escape(col)}`?", d, re.I
+    ):
+        return df.withWatermark(col, "0 seconds")
+    raise ValueError(
+        f"unsupported watermark strategy {delay!r} for column {col!r} — "
+        "supported: '<col> - INTERVAL '<n>' <unit>' (bounded delay), "
+        "SOURCE_WATERMARK(), or the strictly-ascending '<col>' form; "
+        "other expressions cannot be mapped onto a Spark watermark "
+        "without changing which late rows are accepted"
+    )
+
+
 def _scan_streaming_setops(query: str) -> list[tuple[int, int, str, bool]]:
     """Every paren-depth-0 set operator in `query`, in order:
     (start, end, 'INTERSECT'|'EXCEPT', is_all).  A SET OPERATOR is
@@ -3278,8 +3355,9 @@ class TableEnvironment:
                 "splits the text at the operator, losing the scope; "
                 "inline the CTEs or stage them through a table"
             )
+        comma_tables = _from_comma_tables(right_text) if names else set()
         for name in names:
-            if re.search(
+            if name.lower() in comma_tables or re.search(
                 rf"\b(?:FROM|JOIN)\s+`?{re.escape(name)}`?\b",
                 right_text,
                 re.I,
@@ -3763,21 +3841,10 @@ class TableEnvironment:
             for cname, expr in meta.computed:
                 df = df.selectExpr("*", f"({expr}) AS {cname}")
             if meta.watermark and df.isStreaming:
-                col, delay = meta.watermark
-                wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
-                if wm:
-                    df = df.withWatermark(
-                        col, f"{wm.group(1)} {wm.group(2).lower()}"
-                    )
-                else:
-                    # non-INTERVAL strategies: SOURCE_WATERMARK()
-                    # (connector-provided — the monitored-dir source
-                    # has none of its own) and the strictly-ascending
-                    # form `WATERMARK FOR ts AS ts` both map to a
-                    # zero-delay watermark on the rowtime column —
-                    # previously these parsed but applied NO watermark,
-                    # so append-mode aggregates failed at start
-                    df = df.withWatermark(col, "0 seconds")
+                # zero-delay fallback is gated on the two recognized
+                # non-INTERVAL strategies; anything else raises (see
+                # _apply_watermark)
+                df = _apply_watermark(df, *meta.watermark)
             # same namespace rules as the common tail below: the bare
             # name belongs to the CURRENT db/catalog only
             cat = catalog or self.current_catalog
@@ -3847,15 +3914,9 @@ class TableEnvironment:
         for cname, expr in meta.computed:
             df = df.selectExpr("*", f"({expr}) AS {cname}")
         if meta.watermark and df.isStreaming:
-            col, delay = meta.watermark
-            wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
-            if wm:
-                df = df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
-            else:
-                # zero-delay analog for non-INTERVAL strategies
-                # (SOURCE_WATERMARK(), strictly-ascending `AS ts`) —
-                # see the db-scoped registration above
-                df = df.withWatermark(col, "0 seconds")
+            # zero-delay fallback gated on SOURCE_WATERMARK() / the
+            # strictly-ascending `AS ts` form — see _apply_watermark
+            df = _apply_watermark(df, *meta.watermark)
         # statistics-informed broadcast (Flink planner: CatalogTableStatistics
         # vs table.optimizer.join.broadcast-threshold): an ANALYZEd table
         # whose measured size fits under the threshold joins as the
@@ -4431,6 +4492,7 @@ class TableEnvironment:
         query: str,
         static_partition: str | None,
         columns: list[str] | None,
+        overwrite: bool = False,
     ):
         """Streaming EXCEPT [ALL] / INTERSECT ALL materialized into a
         filesystem sink (StreamExecMinus / StreamExecIntersect with
@@ -4501,6 +4563,7 @@ class TableEnvironment:
         combined = left.withColumn(SIDE_COL, F.lit(1)).unionByName(
             right.withColumn(SIDE_COL, F.lit(0))
         )
+        sink_types = None
         if meta.columns:
             if len(left.columns) != len(meta.columns):
                 raise ValueError(
@@ -4508,14 +4571,20 @@ class TableEnvironment:
                     f"for {len(meta.columns)} declared columns of "
                     f"{meta.name}"
                 )
-            # positional bind + physical names, like the main INSERT path
+            # positional bind + physical names, like the main INSERT
+            # path — but RENAME-ONLY here: Flink evaluates the set op
+            # on the query's values and applies the implicit sink cast
+            # afterwards, so the cast travels to the materializer and
+            # lands on the exploded output rows, never on the values
+            # the multiset counts fold over
             combined = combined.select(
                 [
-                    combined[src].cast(t).alias(meta.renames.get(c, c))
-                    for src, (c, t) in zip(left.columns, meta.columns)
+                    combined[src].alias(meta.renames.get(c, c))
+                    for src, (c, _t) in zip(left.columns, meta.columns)
                 ]
                 + [combined[SIDE_COL]]
             )
+            sink_types = [t for _c, t in meta.columns]
         value_cols = [c for c in combined.columns if c != SIDE_COL]
         path = meta.options["path"]
         q = setop_foreach_batch(
@@ -4525,6 +4594,8 @@ class TableEnvironment:
             is_all,
             path,
             checkpoint=meta.options.get("checkpoint", path + ".__ckpt__"),
+            sink_types=sink_types,
+            overwrite=overwrite,
         )
         self._register_streaming_sink(meta, q)
         return q
@@ -4586,7 +4657,7 @@ class TableEnvironment:
         )
         query = rewrite_flink_builtins(query)
         setop_job = self._try_streaming_setop_insert(
-            name, meta, query, static_partition, columns
+            name, meta, query, static_partition, columns, overwrite
         )
         if setop_job is not None:
             return setop_job

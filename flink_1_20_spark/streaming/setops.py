@@ -95,6 +95,8 @@ def setop_foreach_batch(
     is_all: bool,
     path: str,
     checkpoint: str,
+    sink_types: list[str] | None = None,
+    overwrite: bool = False,
 ):
     """Start the materializing query over the __side-tagged union
     stream; the sink table at `path` always holds the current set-op
@@ -102,9 +104,22 @@ def setop_foreach_batch(
 
     Sink ownership contract: the materialized view IS the query's
     content, so starting with a FRESH checkpoint (no committed offsets)
-    OVERWRITES the sink — pre-existing rows from earlier inserts are
-    removed, exactly like re-deriving a materialized view; resume from
-    the retained checkpoint to keep accumulated state instead."""
+    rebuilds the sink from scratch.  Because Flink's INSERT INTO
+    appends and never truncates, a fresh start against a sink that
+    ALREADY holds data refuses to run unless ``overwrite`` is set
+    (INSERT OVERWRITE) — a silent wipe would delete rows written by
+    earlier inserts the SQL user never agreed to lose; resume from the
+    retained checkpoint to keep accumulated state instead.
+
+    ``sink_types`` (aligned with ``value_cols``) is the positional sink
+    cast.  Counts fold on the PRE-cast query values — Flink evaluates
+    the set op on the query's values and applies the implicit sink cast
+    afterwards, so a lossy cast (DOUBLE query into an INT sink) must
+    not merge rows the set op treats as distinct — and the cast applies
+    to the exploded output rows at write time.  The affected-key sink
+    merge keys on the POST-cast projection: every post-cast key touched
+    by a batch is recomputed from the full state, so distinct pre-cast
+    values that collide after the cast still rewrite consistently."""
     if op not in ("EXCEPT", "INTERSECT"):
         raise ValueError(f"unsupported set op {op!r}")
     reserved = {SIDE_COL, "cnt_l", "cnt_r", "__m", "__i"} & set(value_cols)
@@ -129,14 +144,38 @@ def setop_foreach_batch(
     # surviving SINK rows whose keys never reappear would dodge the
     # affected-key merge forever.  The stream IS the content (the same
     # rule as the materialized-table FULL→CONTINUOUS rebuild), so a
-    # fresh checkpoint rebuilds BOTH unconditionally: sink dirs first,
-    # the state root LAST — it is the witness that cleanup is needed,
-    # so a crash mid-cleanup re-runs it on the next start.
+    # fresh checkpoint rebuilds BOTH: sink dirs first, the state root
+    # LAST — it is the witness that cleanup is needed, so a crash
+    # mid-cleanup re-runs it on the next start.  A sink that already
+    # holds data (and is not a leftover of OUR crashed swap) only falls
+    # to the rebuild under explicit opt-in — see the docstring.
     offsets = os.path.join(checkpoint, "offsets")
     if not (os.path.isdir(offsets) and os.listdir(offsets)):
+        from flink_1_20_spark.sources.connectors import has_data_files
+
+        own_state = _state_dir(state_root)[0] is not None
+        if has_data_files(path) and not overwrite and not own_state:
+            raise ValueError(
+                f"sink {path!r} already contains data but the set-op "
+                "checkpoint is fresh — a streaming EXCEPT/INTERSECT "
+                "materialization owns its sink and would rebuild it "
+                "from scratch, deleting those rows. Resume from the "
+                "retained checkpoint to keep accumulated state, use "
+                "INSERT OVERWRITE to rebuild deliberately, or point "
+                "the sink at an empty path"
+            )
         for stale in (path, f"{path}.__old__", f"{path}.__staging__"):
             shutil.rmtree(stale, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+    def _sink_cast(df: DataFrame) -> DataFrame:
+        """Positional sink cast (names unchanged) — applied AFTER the
+        multiset algebra, mirroring Flink's implicit sink cast."""
+        if not sink_types:
+            return df
+        return df.select(
+            [df[c].cast(t).alias(c) for c, t in zip(value_cols, sink_types)]
+        )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -184,7 +223,13 @@ def setop_foreach_batch(
                 affected = None
                 state = spark.read.parquet(cur_state)
 
-            out = (
+            # multiset algebra on PRE-cast values; the sink cast comes
+            # after, so a lossy cast cannot merge rows the set op keeps
+            # distinct.  The merge keys on the POST-cast projection:
+            # `out` covers the FULL state, so every post-cast key a
+            # batch touches is recomputed from all pre-cast values that
+            # collide into it.
+            out = _sink_cast(
                 state.withColumn("__m", _multiplicity(op, is_all).cast("int"))
                 .filter(F.col("__m") > 0)
                 .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__m"))))
@@ -192,6 +237,7 @@ def setop_foreach_batch(
             )
             recover_swap(path)
             if affected is not None and has_data_files(path):
+                affected = _sink_cast(affected).distinct()
                 current = spark.read.parquet(path)
                 kept = current.join(
                     affected, on=_null_safe_on(current, affected, value_cols),

@@ -4308,3 +4308,155 @@ def test_source_watermark_streaming_aggregate(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
+
+
+def test_streaming_setop_r9_advice_guards(spark, tmp_path):
+    """r9 ADVICE fixes on the set-op materializer: (1) a fresh
+    checkpoint against a sink that already holds FOREIGN data (rows a
+    plain INSERT wrote — no surviving set-op state) refuses instead of
+    silently wiping them, while INSERT OVERWRITE rebuilds deliberately;
+    (2) a comma-joined CTE reference on the right side (`FROM x, c`)
+    hits the scope guard the FROM/JOIN regex used to miss."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    for name, ks in (("s9_a", [1, 2, 2]), ("s9_b", [2])):
+        p = tmp_path / name
+        p.mkdir()
+        (p / "b0.jsonl").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in ks) + "\n"
+        )
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k INT) WITH (
+              'connector'='filesystem','path'='{p}',
+              'format'='json','scan.streaming'='true')
+        """)
+    env.execute_sql(f"""
+        CREATE TABLE s9_sink (k INT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/s9_sink',
+          'format'='parquet')
+    """)
+    # a plain batch INSERT puts foreign rows into the sink first
+    env.execute_sql("INSERT INTO s9_sink SELECT CAST(99 AS INT) AS k")
+    assert [r[0] for r in env.execute_sql("SELECT * FROM s9_sink").collect()] == [99]
+    with pytest.raises(ValueError, match="already contains data"):
+        env.execute_sql(
+            "INSERT INTO s9_sink SELECT k FROM s9_a EXCEPT ALL SELECT k FROM s9_b"
+        )
+    # ... and the refusal left the foreign rows alone
+    assert [r[0] for r in env.execute_sql("SELECT * FROM s9_sink").collect()] == [99]
+    # INSERT OVERWRITE is the explicit opt-in: rebuild from scratch
+    q = env.execute_sql(
+        "INSERT OVERWRITE s9_sink SELECT k FROM s9_a EXCEPT ALL SELECT k FROM s9_b"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in env.execute_sql("SELECT * FROM s9_sink").collect())
+    assert got == [1, 2]
+    # comma-join CTE reference on the right side: the guard must fire
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "WITH c AS (SELECT k FROM s9_b) "
+            "SELECT k FROM s9_a INTERSECT SELECT x.k FROM s9_b x, c WHERE x.k = c.k"
+        )
+    # a comma join of ordinary tables keeps working
+    df = env.execute_sql(
+        "WITH c AS (SELECT k FROM s9_a) SELECT k FROM c INTERSECT "
+        "SELECT x.k FROM s9_b x, s9_a y WHERE x.k = y.k"
+    )
+    assert df.isStreaming
+
+
+def test_streaming_setop_sink_cast_after_fold(spark, tmp_path):
+    """r9 ADVICE fix: the positional sink cast applies AFTER the
+    multiset fold (Flink evaluates the set op on the query's values and
+    casts at the sink), so a lossy DOUBLE→INT cast must not merge rows
+    the set op treats as distinct: 1.4 EXCEPT 1.6 keeps its row (both
+    cast to 1 — pre-fix the sides cancelled), and post-cast key
+    collisions across batches rewrite consistently."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    a = tmp_path / "sc_a"
+    b = tmp_path / "sc_b"
+    a.mkdir()
+    b.mkdir()
+    (a / "b0.jsonl").write_text(_json.dumps({"k": 1.4}) + "\n")
+    (b / "b0.jsonl").write_text(_json.dumps({"k": 1.6}) + "\n")
+    for name, p in (("sc_a", a), ("sc_b", b)):
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k DOUBLE) WITH (
+              'connector'='filesystem','path'='{p}',
+              'format'='json','scan.streaming'='true')
+        """)
+    env.execute_sql(f"""
+        CREATE TABLE sc_sink (k INT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/sc_sink',
+          'format'='parquet')
+    """)
+    stmt = "INSERT INTO sc_sink SELECT k FROM sc_a EXCEPT SELECT k FROM sc_b"
+    q = env.execute_sql(stmt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in env.execute_sql("SELECT * FROM sc_sink").collect())
+    assert got == [1], "1.4 EXCEPT 1.6 must survive the set op, then cast to 1"
+    # post-cast collision across batches: 1.6 arriving on the LEFT adds
+    # a second pre-cast row under sink key 1 — the affected-key merge
+    # (keyed post-cast) must recompute the key from the full state
+    (a / "b1.jsonl").write_text(_json.dumps({"k": 1.6}) + "\n")
+    q = env.execute_sql(stmt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in env.execute_sql("SELECT * FROM sc_sink").collect())
+    assert got == [1], "left 1.6 is cancelled by right 1.6; left 1.4 remains"
+    # and retraction through the cast: 1.4 arriving on the RIGHT kills
+    # the last remaining pre-cast row of sink key 1
+    (b / "b1.jsonl").write_text(_json.dumps({"k": 1.4}) + "\n")
+    q = env.execute_sql(stmt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r[0] for r in env.execute_sql("SELECT * FROM sc_sink").collect()]
+    assert got == []
+
+
+def test_watermark_unrecognized_strategy_rejects(spark, tmp_path):
+    """r9 ADVICE fix: the zero-delay watermark fallback is gated on the
+    two recognized non-INTERVAL strategies (SOURCE_WATERMARK(), the
+    strictly-ascending `AS ts` form); any other expression raises
+    instead of silently tightening the declared strategy to 0 seconds
+    (which would drop late rows Flink accepts)."""
+    import json as _json
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"ts": "2024-01-01T10:00:00", "v": 1.0}) + "\n"
+    )
+    env = TableEnvironment(spark)
+    # the strategy is applied when the streaming table registers, so
+    # the unrecognized expression rejects right at CREATE TABLE
+    with pytest.raises(ValueError, match="unsupported watermark strategy"):
+        env.execute_sql(f"""
+            CREATE TABLE wm_bad (
+                ts TIMESTAMP(3), v DOUBLE,
+                WATERMARK FOR ts AS my_udf(ts)
+            ) WITH ('connector'='filesystem','path'='{src}',
+                    'format'='json','scan.streaming'='true')
+        """)
+    # the bounded-delay and SOURCE_WATERMARK forms keep working
+    env.execute_sql(f"""
+        CREATE TABLE wm_ok (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS SOURCE_WATERMARK()
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    assert env.execute_sql("SELECT ts, v FROM wm_ok").isStreaming
