@@ -355,6 +355,26 @@ class TableMeta:
     # writes cluster by the key into the bucket count
     distribution: tuple[str, list[str], int | None] | None = None
 
+    def proctime_col(self) -> str | None:
+        """Name of the computed column declared `AS PROCTIME()` (the
+        processing-time attribute, SqlProctimeFunction in the Flink
+        parser), or None. Routes `JOIN d FOR SYSTEM_TIME AS OF f.<col>`
+        to the processing-time lookup join."""
+        for c, e in self.computed:
+            if re.fullmatch(r"PROCTIME\s*\(\s*\)", e.strip(), re.I):
+                return c
+        return None
+
+
+def _computed_col_expr(expr: str) -> str:
+    """Computed-column expression → Spark SQL.  PROCTIME() maps to
+    CURRENT_TIMESTAMP: Flink stamps processing time per record
+    (ProcTimeAttribute); a micro-batch engine stamps per batch — the
+    batch-consistent wall clock is the Spark-idiomatic analog."""
+    return _sub_outside_literals(
+        expr, r"(?i)\bPROCTIME\s*\(\s*\)", "CURRENT_TIMESTAMP"
+    )
+
 
 def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
     """re.sub that never touches single-quoted SQL string literals —
@@ -1516,6 +1536,52 @@ class TableEnvironment:
         return StatementSet(self)
 
     # -- temporal (versioned) join ---------------------------------------
+    def _proctime_lookup_join(
+        self, sel, fact, fa, left_kw, dim, da, where, fact_keys, dim_keys
+    ):
+        """`JOIN dim FOR SYSTEM_TIME AS OF f.<proctime> AS d ON ...` —
+        the processing-time LOOKUP join (CommonExecLookupJoin.java:141,
+        TemporalProcessTimeJoinOperator.java:48): each fact row enriches
+        against the dimension's CURRENT snapshot, not a versioned
+        history.  Spark-first: the reference's per-row point lookup
+        becomes a broadcast hash join of the snapshot
+        (operators/lookup.lookup_join — what Flink's FULL-caching lookup
+        mode converges to).  For a STREAMING fact this is a
+        stream-static join: Spark re-resolves the static subtree every
+        micro-batch, so each batch joins the freshest snapshot — the
+        micro-batch analog of Flink's per-record lookup; TTL-bounded
+        reload and async partial caching stay on the library surface
+        (operators/lookup.RefreshingDim / async_lookup_join)."""
+        from flink_1_20_spark.operators.lookup import lookup_join
+
+        fact_df = self.spark.table(fact.strip("`"))
+        dim_df = self.spark.table(dim)
+        if dim_df.isStreaming:
+            raise ValueError(
+                f"processing-time lookup join reads the CURRENT snapshot "
+                f"of {dim!r}, which must be a bounded (batch) table; a "
+                "streaming versioned table takes the event-time form "
+                "(FOR SYSTEM_TIME AS OF <rowtime>)"
+            )
+        for dk, fk in zip(dim_keys, fact_keys):
+            if dk != fk:
+                dim_df = dim_df.withColumnRenamed(dk, fk)
+        clash = (set(fact_df.columns) & set(dim_df.columns)) - set(fact_keys)
+        if clash:
+            raise ValueError(
+                f"lookup join: column name(s) {sorted(clash)} appear on "
+                "both sides — alias them apart in the table schemas"
+            )
+        joined = lookup_join(
+            fact_df, dim_df, on=fact_keys, how="left" if left_kw else "inner"
+        )
+        view = "__lookup_join_out"
+        joined.createOrReplaceTempView(view)
+        # strip alias qualifiers — the joined view is flat
+        body = re.sub(rf"\b(?:{fa}|{da})\.", "", sel)
+        tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
+        return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
+
     def _temporal_join(self, s: str):
         """`JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d ON ...` — the SQL
         spelling of the temporal/as-of join (StreamExecTemporalJoin.java,
@@ -1538,13 +1604,6 @@ class TableEnvironment:
         dim = dim.strip("`")
         if ts_ref != fa:
             raise ValueError("AS OF must reference the fact side's time column")
-        meta = self.tables.get(dim)
-        if meta is None or meta.watermark is None:
-            raise ValueError(
-                f"versioned table {dim!r} needs a declared WATERMARK "
-                "(its rowtime) in CREATE TABLE"
-            )
-        dim_ts = meta.watermark[0]
         # equi keys from the ON conjunction, either side order
         fact_keys, dim_keys = [], []
         for clause in re.split(r"\bAND\b", on, flags=re.I):
@@ -1562,6 +1621,22 @@ class TableEnvironment:
                 dim_keys.append(a_c)
             else:
                 raise ValueError(f"ON clause references unknown alias: {clause!r}")
+        # AS OF the fact's PROCTIME() attribute → processing-time
+        # LOOKUP join (current dim snapshot), not a versioned join
+        fmeta_pt = self._resolve_meta(fact.strip("`"))
+        if fmeta_pt is not None and fmeta_pt.proctime_col() == ts_col:
+            return self._proctime_lookup_join(
+                sel, fact, fa, left_kw, dim, da, where, fact_keys, dim_keys
+            )
+        meta = self.tables.get(dim)
+        if meta is None or meta.watermark is None:
+            raise ValueError(
+                f"versioned table {dim!r} needs a declared WATERMARK "
+                "(its rowtime) in CREATE TABLE — or, for a lookup join "
+                "against the current snapshot, make the AS OF column a "
+                "PROCTIME() attribute of the fact table"
+            )
+        dim_ts = meta.watermark[0]
         from pyspark.sql import functions as F
 
         from flink_1_20_spark.operators.asof import asof_join
@@ -1809,7 +1884,7 @@ class TableEnvironment:
             rev = {orig: cur for cur, orig in meta.renames.items()}
             df = df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
         for cname, expr in meta.computed:
-            df = df.selectExpr("*", f"({expr}) AS {cname}")
+            df = df.selectExpr("*", f"({_computed_col_expr(expr)}) AS {cname}")
         return df
 
     def _resolve_meta(self, name: str):
@@ -3839,7 +3914,7 @@ class TableEnvironment:
                     [F.col(c).alias(rev.get(c, c)) for c in df.columns]
                 )
             for cname, expr in meta.computed:
-                df = df.selectExpr("*", f"({expr}) AS {cname}")
+                df = df.selectExpr("*", f"({_computed_col_expr(expr)}) AS {cname}")
             if meta.watermark and df.isStreaming:
                 # zero-delay fallback is gated on the two recognized
                 # non-INTERVAL strategies; anything else raises (see
@@ -3912,7 +3987,7 @@ class TableEnvironment:
 
             df = df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
         for cname, expr in meta.computed:
-            df = df.selectExpr("*", f"({expr}) AS {cname}")
+            df = df.selectExpr("*", f"({_computed_col_expr(expr)}) AS {cname}")
         if meta.watermark and df.isStreaming:
             # zero-delay fallback gated on SOURCE_WATERMARK() / the
             # strictly-ascending `AS ts` form — see _apply_watermark
@@ -4120,7 +4195,7 @@ class TableEnvironment:
             rev = {orig: cur for cur, orig in meta.renames.items()}
             df = df.select([F.col(c).alias(rev.get(c, c)) for c in df.columns])
         for cname, expr in meta.computed:
-            df = df.selectExpr("*", f"({expr}) AS {cname}")
+            df = df.selectExpr("*", f"({_computed_col_expr(expr)}) AS {cname}")
         return df
 
     def _rewrite_table_files(self, meta: TableMeta, df: DataFrame) -> None:

@@ -1306,6 +1306,11 @@ _BUILTIN_REWRITES: dict[str, Callable[[list[str]], str]] = {
     # current_timestamp() is per QUERY — the value is correct, the
     # per-row drift within a statement is documented dialect loss
     "CURRENT_ROW_TIMESTAMP": lambda a: "current_timestamp()",
+    # PROCTIME(): processing-time attribute (SqlProctimeFunction) —
+    # same per-batch wall-clock mapping as the PROCTIME() computed
+    # column in DDL (sql_ddl._computed_col_expr); the AS-OF lookup-join
+    # routing never sees this rewrite (it matches the DECLARED column)
+    "PROCTIME": lambda a: "current_timestamp()",
     "JSON_STRING": _bi_json_string,
     "JSON_QUOTE": _bi_json_quote,
     "JSON_UNQUOTE": _bi_json_unquote,

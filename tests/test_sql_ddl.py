@@ -4460,3 +4460,114 @@ def test_watermark_unrecognized_strategy_rejects(spark, tmp_path):
                 'format'='json','scan.streaming'='true')
     """)
     assert env.execute_sql("SELECT ts, v FROM wm_ok").isStreaming
+
+
+def test_proctime_lookup_join_batch(spark, tmp_path):
+    """Processing-time lookup join through executeSql
+    (CommonExecLookupJoin.java:141, TemporalProcessTimeJoinOperator.java:48):
+    `JOIN dim FOR SYSTEM_TIME AS OF f.pt` over a `pt AS PROCTIME()`
+    computed column enriches each fact row against the dim's CURRENT
+    snapshot — INNER drops unmatched keys, LEFT keeps them with NULLs —
+    and the snapshot side joins as a BroadcastHashJoin, never a per-row
+    lookup."""
+    dim = tmp_path / "dim.csv"
+    dim.write_text("k,name\n1,one\n2,two\n")
+    facts = tmp_path / "facts.csv"
+    facts.write_text("fk,v\n1,10\n2,20\n3,30\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE lk_dim (k BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{dim}','format'='csv')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE lk_facts (
+            fk BIGINT, v BIGINT,
+            pt AS PROCTIME()
+        ) WITH ('connector'='filesystem','path'='{facts}','format'='csv')
+    """)
+    # the PROCTIME() computed column registers as a usable timestamp
+    row = env.execute_sql("SELECT pt FROM lk_facts LIMIT 1").collect()[0]
+    assert row.pt is not None
+    # ... and the bare PROCTIME() builtin works in query position too
+    assert env.execute_sql("SELECT PROCTIME() AS p").collect()[0].p is not None
+    df = env.execute_sql("""
+        SELECT f.fk, f.v, d.name
+        FROM lk_facts f
+        JOIN lk_dim FOR SYSTEM_TIME AS OF f.pt AS d
+        ON f.fk = d.k
+    """)
+    got = sorted((r.fk, r.v, r.name) for r in df.collect())
+    assert got == [(1, 10, "one"), (2, 20, "two")]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got_left = env.execute_sql("""
+        SELECT f.fk, d.name
+        FROM lk_facts f
+        LEFT JOIN lk_dim FOR SYSTEM_TIME AS OF f.pt AS d
+        ON f.fk = d.k
+    """).collect()
+    assert sorted([(r.fk, r.name) for r in got_left], key=str) == sorted(
+        [(1, "one"), (2, "two"), (3, None)], key=str
+    )
+
+
+def test_proctime_lookup_join_streaming(spark, tmp_path):
+    """Streaming fact + bounded dim through the proc-time SQL form: the
+    stream-static join enriches every micro-batch against the dim
+    snapshot (the micro-batch analog of Flink's per-record lookup); a
+    STREAMING dim rejects with a pointer at the event-time form."""
+    import json as _json
+
+    dim = tmp_path / "sdim.csv"
+    dim.write_text("k,name\n1,one\n2,two\n")
+    src = tmp_path / "sfacts"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(_json.dumps({"fk": k, "v": 10 * k}) for k in (1, 2, 3)) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE slk_dim (k BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{dim}','format'='csv')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE slk_facts (
+            fk BIGINT, v BIGINT,
+            pt AS PROCTIME()
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    df = env.execute_sql("""
+        SELECT f.fk, f.v, d.name
+        FROM slk_facts f
+        LEFT JOIN slk_dim FOR SYSTEM_TIME AS OF f.pt AS d
+        ON f.fk = d.k
+    """)
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory").queryName("slk_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        [(r.fk, r.v, r.name) for r in spark.sql("SELECT * FROM slk_out").collect()],
+        key=str,
+    )
+    assert got == sorted(
+        [(1, 10, "one"), (2, 20, "two"), (3, 30, None)], key=str
+    )
+    # a streaming dim must take the event-time (versioned) form instead
+    env.execute_sql(f"""
+        CREATE TABLE slk_sdim (k BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='json','scan.streaming'='true')
+    """)
+    with pytest.raises(ValueError, match="CURRENT snapshot"):
+        env.execute_sql("""
+            SELECT f.fk FROM slk_facts f
+            JOIN slk_sdim FOR SYSTEM_TIME AS OF f.pt AS d
+            ON f.fk = d.k
+        """)
