@@ -406,6 +406,135 @@ def cross_corpus_contaminated(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    boundary_nibbles: tuple[str, ...] = ("0", "8"),
+    min_span: int = 24,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    character spans repeated verbatim anywhere in the corpus are
+    removed IN PLACE and each document reassembled from its surviving
+    spans — the within-corpus complement of the cross-document C4 rule
+    in queries/governance.dedup_boilerplate_chunks.
+
+    The paper's suffix array is inherently single-address-space; the
+    distributed equivalent is CONTENT-DEFINED CHUNKING (the rsync/CDC
+    boundary trick): position i ends a chunk when the hash of the
+    trailing `window`-char gram lands in `boundary_nibbles` (last md5
+    nibble; 2 of 16 nibbles → mean chunk ≈ window + 8 chars).
+    Boundaries depend only on local content, so a long span shared by
+    two documents produces IDENTICAL interior chunks regardless of
+    where it sits in either document — alignment-invariance that
+    fixed-stride windows cannot give.  A chunk is DUPLICATED when its
+    exact text occurs ≥ `min_occurrences` times anywhere (any document,
+    including within-document repeats); a MAXIMAL RUN of consecutive
+    duplicated chunks whose total length ≥ `min_span` chars is removed
+    — the run rule, not a per-chunk length bar, is what lets spans far
+    longer than the mean chunk (≈ window + 8 chars) hit the paper's
+    span threshold.  The paper keeps one copy; removing all copies is
+    the deliberate simplification shared with the C4 rule.  Known
+    approximation: adjacent chunks in one run may be duplicated
+    against DIFFERENT sources, which over-removes slightly vs a true
+    suffix-array match.
+
+    Returns one row per document that produced at least one chunk:
+    (doc, kept_chunks, removed_chunks, removed_chars, clean_text).
+
+    100 TB scale: boundary hashing is linear in corpus characters and
+    chunking is a stateless projection (swap md5 for a rolling Rabin
+    polynomial in production — the boundary CONTRACT, not the hash, is
+    what the oracle checks); duplicate marking groups and joins on the
+    32-char md5 of the chunk (never the chunk text) — a plain
+    equi-join, broadcast when the duplicated-span table is small and a
+    shuffled hash join otherwise (AQE's call); the run windows
+    partition by document, and reassembly is ONE shuffle on doc id.
+    No NLJ anywhere."""
+    w = int(window)
+    nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
+    cuts = (
+        f"CASE WHEN length({text_col}) >= {w} THEN "
+        f"filter(transform(sequence({w}, length({text_col})), "
+        f"i -> CASE WHEN substring(md5(substring({text_col}, i - {w - 1}, {w})), 32, 1) "
+        f"IN ({nibs}) THEN i END), x -> x IS NOT NULL) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    # the boundary scan (one md5 per position) MUST land in its own
+    # projection step: inlined into the chunk lambda it would re-run
+    # per chunk index — an O(len²) blowup Catalyst's subexpression
+    # elimination does not reach across lambda scopes
+    chunk_structs = (
+        f"filter(transform(sequence(1, size(__b) - 1), "
+        f"j -> struct(j AS idx, substring({text_col}, "
+        f"element_at(__b, j) + 1, "
+        f"element_at(__b, j + 1) - element_at(__b, j)) AS chunk)), "
+        f"s -> s.chunk <> '')"
+    )
+    chunks = (
+        docs.selectExpr(f"{id_col} AS doc", text_col, f"{cuts} AS __cuts")
+        .selectExpr(
+            "doc",
+            text_col,
+            f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
+        )
+        .selectExpr("doc", f"inline({chunk_structs})")
+    )
+    from pyspark.sql import Window
+
+    dup = (
+        chunks.groupBy(F.md5("chunk").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("h", F.lit(True).alias("__dup"))
+    )
+    marked = (
+        chunks.withColumn("h", F.md5("chunk"))
+        .join(dup, "h", "left")
+        .withColumn("is_dup", F.coalesce("__dup", F.lit(False)))
+        .drop("h", "__dup")
+    )
+    # gaps-and-islands: consecutive same-flag chunks share an island id;
+    # a dup island's total char length decides removal (the run rule)
+    w_isl = Window.partitionBy("doc", "is_dup").orderBy("idx")
+    w_run = Window.partitionBy("doc", "is_dup", "isl")
+    runs = marked.withColumn(
+        "isl", F.col("idx") - F.row_number().over(w_isl)
+    ).withColumn("rl", F.sum(F.length("chunk")).over(w_run))
+    kept = runs.filter(~F.col("is_dup") | (F.col("rl") < min_span)).select(
+        "doc", "idx", "chunk"
+    )
+    totals = chunks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+    )
+    reasm = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.sum(F.length("chunk")).alias("kept_chars"),
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, chunk))),"
+                " s -> s.chunk)"
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(reasm, "doc", "left").select(
+        "doc",
+        F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+        (F.col("total_chunks") - F.coalesce("kept_chunks", F.lit(0)))
+        .cast("long")
+        .alias("removed_chunks"),
+        (F.col("total_chars") - F.coalesce("kept_chars", F.lit(0)))
+        .cast("long")
+        .alias("removed_chars"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate assignment by content hash: every row gets its
     cluster's canonical (min) id. One shuffle on the 128-bit hash."""

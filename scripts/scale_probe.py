@@ -74,6 +74,8 @@ HEAVY = [
     "pipeline_decontaminated_corpus",
     # r8 addition
     "pipeline_dsir_select",
+    # r9 addition
+    "dedup_exact_substring",
 ]
 
 

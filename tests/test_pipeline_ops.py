@@ -506,3 +506,42 @@ def test_ivfpq_trained_gate_recall_and_cell_balance(spark, sf_dir):
     # bounded probe cost: no cell swallows the corpus
     assert row["balance_ratio"] < 4.0
     assert row["max_cell"] < 0.5 * row["n_cells"] * row["mean_cell"]
+
+
+def test_exact_substring_dedup_alignment_invariant(spark):
+    """The content-defined-chunking property that justifies the design
+    (Lee et al. 2022 needs unaligned spans): a long span shared by two
+    documents at DIFFERENT offsets must still be detected and removed
+    from both, and the surviving text must keep its original order."""
+    from flink_1_20_spark.operators.textdedup import exact_substring_dedup
+
+    # long enough that the span's INTERIOR chunks (boundary windows
+    # fully inside the span) clear min_span — CDC loses up to
+    # window + one chunk at each edge, the documented approximation
+    span = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA unique prefix one %s unique suffix one BBBB" % span),
+            (2, "a totally different and much longer leading text %s zz" % span),
+            (3, "no shared content here at all, just original words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_dedup(docs, min_span=24, min_occurrences=2)
+    rows = {r.doc: r for r in out.collect()}
+    assert rows[1].removed_chars > 0 and rows[2].removed_chars > 0, rows
+    # the shared interior chunks are gone from both clean texts
+    assert span not in rows[1].clean_text
+    assert span not in rows[2].clean_text
+    # unshared content survives, in order
+    assert rows[1].clean_text.startswith("AAAA unique prefix one")
+    assert rows[1].clean_text.endswith("BBBB")
+    assert rows[3].removed_chars == 0
+    assert rows[3].clean_text == "no shared content here at all, just original words only"
+    # idempotence: running again on the cleaned corpus removes nothing
+    again = exact_substring_dedup(
+        out.select(F.col("doc").alias("doc_id"), F.col("clean_text").alias("text")),
+        min_span=24,
+        min_occurrences=2,
+    )
+    assert all(r.removed_chars == 0 for r in again.collect())

@@ -332,3 +332,24 @@ def test_dsir_broadcasts_bucket_model(spark, sf_dir, queries):
     lim_idx = [i for i, ln in enumerate(lines) if "GlobalLimit" in ln]
     assert lim_idx, logical
     assert all(w < min(lim_idx) for w in win_idx), logical
+
+
+def test_exact_substring_dedup_no_nlj_and_partitioned_windows(spark, sf_dir, queries):
+    """r9: the exact-substring dedup must stay equi-join-only (the dup
+    marking is a hash join on the chunk md5, never a nested loop) and
+    every window must carry a partition spec (the run windows key on
+    the document — an unpartitioned window would be the 100 TB killer
+    the DSIR fix just removed)."""
+    df = queries["dedup_exact_substring"](spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        ln for ln in logical.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs, logical  # the run rule IS window-based
+    for ln in specs:
+        # both run windows must partition by the document id: a spec
+        # whose partition list lost `doc` would sort corpus-wide
+        assert "doc#" in ln.split("windowspecdefinition(", 1)[1], ln
