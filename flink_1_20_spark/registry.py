@@ -65,67 +65,70 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q1_returns_above_avg",
     # decimal-output-ban regression sentinel (red r4-r5, green r6)
     "join_range_banded",
-    # ---- r8 rotation: 42 slots, all from the 76 never-driver-
-    # confirmed set (after this window: 33 remain for r9). First the
-    # four r7 pipeline/ANN ops with zero driver history, then the 14
-    # never-confirmed TPC-DS shapes whose oracles moved to the
-    # order-independent integer-units idiom this round (the q1 class,
-    # converted at the sum site before rotation so they arrive
-    # deterministic), then the never-confirmed TPC-DS tail in
-    # registration order (23 after the DSIR swap below). Three
-    # DRIVER-CONFIRMED queries also had
-    # their oracles converted this round (tpch_q17, tpcds_q44,
-    # tpcds_q57) and are NOT re-rotated: the conversion is
-    # value-identical by construction, both verify_local passes
-    # (driver-mirror + --perturb order-flip) re-proved them at sf0.01,
+    # ---- r9 rotation: coverage-completion round. The 9th held slot is
+    # pipeline_dsir_select — its top-K plan changed this round (rank
+    # window → TakeOrderedAndProject, VERDICT r8 task 2), so the driver
+    # re-confirms the edited plan. Then ALL 35 never-driver-confirmed
+    # queries (the final 34 TPC-DS shapes — every one green in this
+    # session's bare AND perturbed sweeps — plus the r9-new
+    # dedup_exact_substring), which closes cumulative driver
+    # confirmation at 279/279. The 6 remaining slots re-confirm:
+    # the three r8 oracle conversions that never re-rotated after the
+    # integer-units rewrite (tpch_q17, tpcds_q44, tpcds_q57 — proven
+    # locally both sweeps, never driver-proven post-conversion),
+    # dedup_cluster_best_representative (the r8 perf watch item — its
+    # 10x drift was profiled this round as upstream pair-generation
+    # JIT/load variance, code unchanged), dedup_boilerplate_chunks
+    # (module-adjacent to the new exact-substring op), and
+    # simsearch_ivfpq_adc_topk (newest ANN path, single confirmation).
     # and the idiom itself is the most driver-proven form in the repo
     # — never-confirmed debt outranks re-proof of a proven idiom ----
-    "simsearch_ivfpq_adc_topk",
-    "simsearch_recall_ivfpq",
-    "dedup_cluster_best_representative",
-    "pipeline_decontaminated_corpus",
-    # converted in r8 (lineage-aware ROUND/SUM sweep)
-    "tpcds_q58_tolerance_band",
-    "tpcds_q14_cross_channel_common",
-    "tpcds_q24_above_global_avg",
-    "tpcds_q11_yoy_spend",
-    "tpcds_q53_ratio_to_avg",
-    "tpcds_q9_bucket_case",
-    "tpcds_q31_yoy_two_channels",
-    "tpcds_q35_exists_stats",
-    "tpcds_q2_period_share",
-    "tpcds_q28_band_agg_union",
-    "tpcds_q61_promo_share_ratio",
-    "tpcds_q59_period_pivot_compare",
-    "tpcds_q63_monthly_deviation_or_of_ands",
-    "tpcds_q98_revenue_share_window",
-    # never-confirmed TPC-DS tail, registration order
-    "tpcds_q87_except_customers",
-    "tpcds_q51_cumulative_compare",
-    "tpcds_q16_exists_shape",
-    "tpcds_q67_rollup_topk",
-    "tpcds_q32_excess_revenue",
-    "tpcds_q88_count_grid",
-    "tpcds_q90_am_pm_ratio",
-    "tpcds_q34_count_band",
-    "tpcds_q48_or_of_ands",
-    "tpcds_q93_adjusted_sales",
-    "tpcds_q23_frequent_keys",
-    "tpcds_q41_distinct_exists_dim",
-    "tpcds_q17_quantity_stats",
-    "tpcds_q21_before_after_ratio",
-    "tpcds_q25_return_reorder_chain",
-    "tpcds_q66_month_pivot",
-    "tpcds_q75_yoy_decline",
-    "tpcds_q39_consecutive_cov",
-    "tpcds_q54_followup_cohort",
-    "tpcds_q49_return_ratio_rank",
-    "tpcds_q95_exists_self_join",
-    "tpcds_q94_late_unreturned",
-    "tpcds_q4_tri_channel_ratio",
-    # r8-new operator (DSIR importance selection) — new code outranks
-    # one more tail shape for immediate driver proof
+    # plan edited this round — driver re-confirms the new top-K shape
     "pipeline_dsir_select",
+    # ---- the 35 never-driver-confirmed queries (34 final TPC-DS
+    # shapes in registration order + the r9-new op) ----
+    "tpcds_q3_brand_year_topn",
+    "tpcds_q8_suffix_band_semi",
+    "tpcds_q14b_intersect_items_avg_gate",
+    "tpcds_q15_disjunctive_restriction",
+    "tpcds_q24b_netpaid_above_cte_avg",
+    "tpcds_q27_rollup_three_dims",
+    "tpcds_q33_union_in_dim",
+    "tpcds_q37_banded_dim_scan",
+    "tpcds_q40_before_after_pivot",
+    "tpcds_q42_dim_group_agg",
+    "tpcds_q43_bucket_pivot",
+    "tpcds_q45_disjunctive_in",
+    "tpcds_q46_lag_change_points",
+    "tpcds_q52_brand_ext_price",
+    "tpcds_q55_brand_simple",
+    "tpcds_q56_channel_union_color_gate",
+    "tpcds_q60_channel_union_type_gate",
+    "tpcds_q65_low_revenue_items",
+    "tpcds_q68_bought_vs_current_nation",
+    "tpcds_q69_semi_anti_profile",
+    "tpcds_q70_rank_gated_rollup",
+    "tpcds_q71_period_breakdown_union",
+    "tpcds_q74_yoy_max_ratio",
+    "tpcds_q76_null_channel_union",
+    "tpcds_q77_channel_profit_full_outer",
+    "tpcds_q79_coupon_profit_by_order",
+    "tpcds_q81_returns_incl_tax_above_avg",
+    "tpcds_q82_banded_item_availability",
+    "tpcds_q83_return_share_three_way",
+    "tpcds_q84_concat_lookup",
+    "tpcds_q85_or_of_band_pairs",
+    "tpcds_q89_deviation_from_avg",
+    "tpcds_q92_excess_discount_amount",
+    "tpcds_q96_filtered_count",
+    "dedup_exact_substring",
+    # ---- 6 re-confirm slots (see the rotation note above) ----
+    "tpch_q17_small_quantity",
+    "tpcds_q44_best_worst",
+    "tpcds_q57_lag_lead_self_join",
+    "dedup_cluster_best_representative",
+    "dedup_boilerplate_chunks",
+    "simsearch_ivfpq_adc_topk",
 )
 
 
