@@ -482,6 +482,11 @@ def exact_substring_dedup(
             f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
         )
         .selectExpr("doc", f"inline({chunk_structs})")
+        # three consumers (dup, marked, totals) — materialize so the
+        # per-position md5 boundary scan runs ONCE, not once per branch
+        # (same discipline as components.connected_components; on a
+        # cluster this would be .checkpoint() to reliable storage)
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 

@@ -242,9 +242,23 @@ def _from_comma_tables(text: str) -> set[str]:
                 if depth == 0:
                     break
                 depth -= 1
-            elif ch in "'\"`" and depth >= 0:
+            elif ch in "'\"`":
+                # copy the whole quoted token verbatim: skipping it
+                # would DROP a backticked table name from its item —
+                # the under-match this guard must never have. Commas
+                # and parens inside are never scanned, so they can't
+                # split items or shift depth.
                 j = seg.find(ch, i + 1)
+                j = len(seg) - 1 if j < 0 else j
+                items[-1].extend(seg[i : j + 1])
+                i = j + 1
+                continue
+            elif ch == "-" and seg[i : i + 2] == "--":
+                # line comment: drop it (its text must not become an
+                # item's leading token)
+                j = seg.find("\n", i)
                 i = len(seg) if j < 0 else j
+                continue
             elif depth == 0:
                 if ch == ",":
                     items.append([])
@@ -257,7 +271,7 @@ def _from_comma_tables(text: str) -> set[str]:
             i += 1
         # items[0] sits directly after FROM — the FROM/JOIN regex covers it
         for item in items[1:]:
-            t = re.match(r"\s*`?([A-Za-z_][\w$]*)`?", "".join(item))
+            t = re.match(r"\s*`?([A-Za-z_][\w$]*)`?", "".join(item).strip())
             if t:
                 out.add(t.group(1).lower())
     return out
@@ -272,10 +286,18 @@ def _apply_watermark(df, col: str, delay: str):
     OTHER expression raises: silently tightening an unrecognized
     strategy (a UDF, arithmetic the INTERVAL regex misses) to 0 seconds
     would drop late rows the declared strategy accepts."""
-    wm = re.search(r"INTERVAL\s+'([^']+)'\s+(\w+)", delay, re.I)
+    d = delay.strip().rstrip(";").strip()
+    # the bounded-delay form is matched EXACTLY (`<col> - INTERVAL '<n>'
+    # <unit>`), never by searching for an INTERVAL token: a chained
+    # `ts - INTERVAL '10' MINUTE - INTERVAL '30' SECOND` or a delay
+    # anchored on a DIFFERENT column would otherwise silently apply the
+    # first interval to `col` — a tighter/wrong watermark that drops
+    # late rows the declared strategy accepts
+    wm = re.fullmatch(
+        rf"`?{re.escape(col)}`?\s*-\s*INTERVAL\s+'([^']+)'\s+(\w+)", d, re.I
+    )
     if wm:
         return df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
-    d = delay.strip().rstrip(";").strip()
     if re.fullmatch(r"SOURCE_WATERMARK\s*\(\s*\)", d, re.I) or re.fullmatch(
         rf"`?{re.escape(col)}`?", d, re.I
     ):
@@ -1578,8 +1600,8 @@ class TableEnvironment:
         view = "__lookup_join_out"
         joined.createOrReplaceTempView(view)
         # strip alias qualifiers — the joined view is flat
-        body = re.sub(rf"\b(?:{fa}|{da})\.", "", sel)
-        tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
+        body = _sub_outside_literals(sel, rf"\b(?:{fa}|{da})\.", "")
+        tail = _sub_outside_literals(where or "", rf"\b(?:{fa}|{da})\.", "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
     def _temporal_join(self, s: str):
@@ -1739,8 +1761,8 @@ class TableEnvironment:
                 joined = joined.withColumnRenamed("ts", ts_col)
             view = "__temporal_join_stream_out"
             joined.createOrReplaceTempView(view)
-            body = re.sub(rf"\b(?:{fa}|{da})\.", "", sel)
-            tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
+            body = _sub_outside_literals(sel, rf"\b(?:{fa}|{da})\.", "")
+            tail = _sub_outside_literals(where or "", rf"\b(?:{fa}|{da})\.", "")
             return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
         dim_df = dim_df.withColumn("__version_ts", F.col(dim_ts))
         payload = [
@@ -1762,8 +1784,8 @@ class TableEnvironment:
         view = "__temporal_join_out"
         joined.createOrReplaceTempView(view)
         # strip alias qualifiers — the joined view is flat
-        body = re.sub(rf"\b(?:{fa}|{da})\.", "", sel)
-        tail = re.sub(rf"\b(?:{fa}|{da})\.", "", where or "")
+        body = _sub_outside_literals(sel, rf"\b(?:{fa}|{da})\.", "")
+        tail = _sub_outside_literals(where or "", rf"\b(?:{fa}|{da})\.", "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
 

@@ -153,8 +153,14 @@ def setop_foreach_batch(
     if not (os.path.isdir(offsets) and os.listdir(offsets)):
         from flink_1_20_spark.sources.connectors import has_data_files
 
-        own_state = _state_dir(state_root)[0] is not None
-        if has_data_files(path) and not overwrite and not own_state:
+        # No carve-out for a surviving state root: a crash mid-cleanup
+        # removed the sink dirs FIRST (has_data_files is false), and a
+        # crash mid-swap implies committed offsets (this branch never
+        # runs) — so sink data + fresh checkpoint always means rows the
+        # user could lose, whether foreign inserts or a deliberately
+        # retained materialization. Refuse either way; OVERWRITE is the
+        # opt-in.
+        if has_data_files(path) and not overwrite:
             raise ValueError(
                 f"sink {path!r} already contains data but the set-op "
                 "checkpoint is fresh — a streaming EXCEPT/INTERSECT "

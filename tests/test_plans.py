@@ -328,9 +328,13 @@ def test_dsir_broadcasts_bucket_model(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in plan, plan
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     lines = logical.splitlines()
-    win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln or "Window\n" in ln or ln.lstrip(" +-:").startswith("Window ")]
+    win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln]
     lim_idx = [i for i, ln in enumerate(lines) if "GlobalLimit" in ln]
-    assert lim_idx, logical
+    # BOTH nodes must be present: the rnk column IS a row_number window
+    # (over the 50 survivors) and the top-K IS a limit — an empty match
+    # would mean the plan rendering changed and this guard went blind,
+    # not that the hazard disappeared
+    assert win_idx and lim_idx, logical
     assert all(w < min(lim_idx) for w in win_idx), logical
 
 

@@ -4074,8 +4074,11 @@ def test_streaming_setop_review_guards(spark, tmp_path):
         )
     # fresh checkpoint + surviving state: first run materializes,
     # then the checkpoint is wiped (simulating DROP/re-CREATE with a
-    # new checkpoint) — the rerun must REPROCESS from scratch, not
-    # discard every batch against the stale epoch counter
+    # new checkpoint) — the explicit OVERWRITE rerun must REPROCESS
+    # from scratch, not discard every batch against the stale epoch
+    # counter (r9: a plain INSERT INTO now refuses here instead of
+    # silently wiping the retained sink — see
+    # test_streaming_setop_r9_advice_guards)
     q = env.execute_sql(
         "INSERT INTO sg_sink SELECT k FROM sg_a EXCEPT ALL SELECT k FROM sg_b"
     )
@@ -4089,7 +4092,7 @@ def test_streaming_setop_review_guards(spark, tmp_path):
 
     shutil.rmtree(f"{tmp_path}/sg_sink.__ckpt__")
     q = env.execute_sql(
-        "INSERT INTO sg_sink SELECT k FROM sg_a EXCEPT ALL SELECT k FROM sg_b"
+        "INSERT OVERWRITE sg_sink SELECT k FROM sg_a EXCEPT ALL SELECT k FROM sg_b"
     )
     try:
         q.processAllAvailable()
@@ -4355,11 +4358,27 @@ def test_streaming_setop_r9_advice_guards(spark, tmp_path):
         q.stop()
     got = sorted(r[0] for r in env.execute_sql("SELECT * FROM s9_sink").collect())
     assert got == [1, 2]
-    # comma-join CTE reference on the right side: the guard must fire
+    # ... and OWN retained state is no exception (the review carve-out
+    # that bypassed the refusal was removed): a user who nukes only the
+    # checkpoint must opt in with OVERWRITE to lose the retained sink
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{tmp_path}/s9_sink.__ckpt__")
+    with pytest.raises(ValueError, match="already contains data"):
+        env.execute_sql(
+            "INSERT INTO s9_sink SELECT k FROM s9_a EXCEPT ALL SELECT k FROM s9_b"
+        )
+    # comma-join CTE reference on the right side: the guard must fire —
+    # bare AND backticked (the quoted form must not slip the scan)
     with pytest.raises(ValueError, match="WITH/CTE"):
         env.execute_sql(
             "WITH c AS (SELECT k FROM s9_b) "
             "SELECT k FROM s9_a INTERSECT SELECT x.k FROM s9_b x, c WHERE x.k = c.k"
+        )
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "WITH c AS (SELECT k FROM s9_b) "
+            "SELECT k FROM s9_a INTERSECT SELECT x.k FROM s9_b x, `c` WHERE x.k = c.k"
         )
     # a comma join of ordinary tables keeps working
     df = env.execute_sql(
@@ -4509,6 +4528,19 @@ def test_proctime_lookup_join_batch(spark, tmp_path):
     assert sorted([(r.fk, r.name) for r in got_left], key=str) == sorted(
         [(1, "one"), (2, "two"), (3, None)], key=str
     )
+    # alias-qualifier stripping must not rewrite string LITERALS that
+    # happen to contain an alias-dot sequence (r9 review fix)
+    got_lit = env.execute_sql("""
+        SELECT f.fk, 'd.name tag' AS lbl
+        FROM lk_facts f
+        JOIN lk_dim FOR SYSTEM_TIME AS OF f.pt AS d
+        ON f.fk = d.k
+        WHERE d.name <> 'f.v literal'
+    """).collect()
+    assert sorted((r.fk, r.lbl) for r in got_lit) == [
+        (1, "d.name tag"),
+        (2, "d.name tag"),
+    ]
 
 
 def test_proctime_lookup_join_streaming(spark, tmp_path):
