@@ -414,6 +414,7 @@ def exact_substring_dedup(
     boundary_nibbles: tuple[str, ...] = ("0", "8"),
     min_span: int = 24,
     min_occurrences: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499):
@@ -436,8 +437,11 @@ def exact_substring_dedup(
     duplicated chunks whose total length ≥ `min_span` chars is removed
     — the run rule, not a per-chunk length bar, is what lets spans far
     longer than the mean chunk (≈ window + 8 chars) hit the paper's
-    span threshold.  The paper keeps one copy; removing all copies is
-    the deliberate simplification shared with the C4 rule.  Known
+    span threshold.  Default removes ALL copies (the C4-style rule);
+    ``keep_first=True`` is the paper-faithful variant — the globally
+    FIRST occurrence of each duplicated chunk (min doc id, then min
+    chunk index: a deterministic total order) is exempt from removal,
+    so one copy of every repeated span survives in the corpus.  Known
     approximation: adjacent chunks in one run may be duplicated
     against DIFFERENT sources, which over-removes slightly vs a true
     suffix-array match.
@@ -500,8 +504,16 @@ def exact_substring_dedup(
         chunks.withColumn("h", F.md5("chunk"))
         .join(dup, "h", "left")
         .withColumn("is_dup", F.coalesce("__dup", F.lit(False)))
-        .drop("h", "__dup")
     )
+    if keep_first:
+        # the paper's leave-one-copy rule: the globally first occurrence
+        # of each duplicated chunk (min doc, then min idx — total order)
+        # is exempt. One extra shuffle on the chunk hash.
+        w_first = Window.partitionBy("h").orderBy("doc", "idx")
+        marked = marked.withColumn(
+            "is_dup", F.col("is_dup") & (F.row_number().over(w_first) > 1)
+        )
+    marked = marked.drop("h", "__dup")
     # gaps-and-islands: consecutive same-flag chunks share an island id;
     # a dup island's total char length decides removal (the run rule)
     w_isl = Window.partitionBy("doc", "is_dup").orderBy("idx")

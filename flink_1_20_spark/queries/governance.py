@@ -421,6 +421,102 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keep-first variant — the paper-faithful rule (Lee et al. leave ONE
+# copy of every duplicated span in the corpus): the globally first
+# occurrence of each duplicated chunk (min doc_id, then min idx — a
+# deterministic total order) is exempt from removal. Same constants as
+# the remove-all form; one extra shuffle on the chunk hash.
+_EXACT_SUBSTR_KEEP_FIRST_ORACLE = """
+WITH cuts AS (
+  SELECT doc_id, text,
+    list_sort(list_filter(
+      list_transform(range(8, len(text)+1),
+        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
+                  IN ('0','8') THEN i END),
+      x -> x IS NOT NULL)) AS c
+  FROM documents),
+bounds AS (
+  SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
+  FROM cuts),
+chunks AS (
+  SELECT doc_id, u.j AS idx,
+         substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
+  FROM bounds, unnest(range(1, len(b))) AS u(j)
+  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
+dup AS (
+  SELECT md5(chunk) AS h FROM chunks
+  GROUP BY md5(chunk) HAVING count(*) >= 2),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk,
+         md5(c.chunk) IN (SELECT h FROM dup)
+         AND row_number() OVER (PARTITION BY md5(c.chunk)
+                                ORDER BY c.doc_id, c.idx) > 1 AS is_dup
+  FROM chunks c),
+isl AS (
+  SELECT doc_id, idx, chunk, is_dup,
+         idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
+           AS isl
+  FROM marked),
+runs AS (
+  SELECT doc_id, idx, chunk, is_dup,
+         sum(len(chunk)) OVER (PARTITION BY doc_id, is_dup, isl) AS rl
+  FROM isl),
+kept AS (
+  SELECT doc_id, idx, chunk FROM runs
+  WHERE NOT is_dup OR rl < 24),
+tot AS (
+  SELECT doc_id, count(*) AS total_chunks,
+         CAST(sum(len(chunk)) AS BIGINT) AS total_chars
+  FROM chunks GROUP BY doc_id),
+reasm AS (
+  SELECT doc_id, count(*) AS kept_chunks,
+         CAST(sum(len(chunk)) AS BIGINT) AS kept_chars,
+         md5(string_agg(chunk, '' ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       CAST(t.total_chunks - coalesce(r.kept_chunks, 0) AS BIGINT)
+         AS removed_chunks,
+       CAST(t.total_chars - coalesce(r.kept_chars, 0) AS BIGINT)
+         AS removed_chars,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+"""
+
+
+@register(
+    "dedup_exact_substring_keep_first",
+    oracle=_EXACT_SUBSTR_KEEP_FIRST_ORACLE,
+)
+def dedup_exact_substring_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paper-faithful exact-substring dedup: one copy of every repeated
+    span survives (the first occurrence in (doc_id, idx) order); the
+    rest are removed in place. Same CDC boundary contract and run rule
+    as dedup_exact_substring."""
+    from flink_1_20_spark.operators.textdedup import exact_substring_dedup
+
+    d = T(spark, sf_dir, "documents")
+    out = exact_substring_dedup(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        window=8,
+        boundary_nibbles=("0", "8"),
+        min_span=24,
+        min_occurrences=2,
+        keep_first=True,
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "kept_chunks",
+        "removed_chunks",
+        "removed_chars",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # Decontamination REMOVAL — the probe (text_contamination_ngram) tells
 # you who is contaminated; production pipelines then DROP those docs.
 # Threshold: >= 4 distinct benchmark 3-grams (single-gram collisions are

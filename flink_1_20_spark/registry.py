@@ -68,21 +68,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- r9 rotation: coverage-completion round. The 9th held slot is
     # pipeline_dsir_select — its top-K plan changed this round (rank
     # window → TakeOrderedAndProject, VERDICT r8 task 2), so the driver
-    # re-confirms the edited plan. Then ALL 35 never-driver-confirmed
-    # queries (the final 34 TPC-DS shapes — every one green in this
-    # session's bare AND perturbed sweeps — plus the r9-new
-    # dedup_exact_substring), which closes cumulative driver
-    # confirmation at 279/279. The 6 remaining slots re-confirm:
-    # the three r8 oracle conversions that never re-rotated after the
-    # integer-units rewrite (tpch_q17, tpcds_q44, tpcds_q57 — proven
-    # locally both sweeps, never driver-proven post-conversion),
-    # dedup_cluster_best_representative (the r8 perf watch item — its
-    # 10x drift was profiled this round as upstream pair-generation
-    # JIT/load variance, code unchanged), dedup_boilerplate_chunks
-    # (module-adjacent to the new exact-substring op), and
-    # simsearch_ivfpq_adc_topk (newest ANN path, single confirmation).
-    # and the idiom itself is the most driver-proven form in the repo
-    # — never-confirmed debt outranks re-proof of a proven idiom ----
+    # re-confirms the edited plan. Then ALL 36 never-driver-confirmed
+    # queries: the final 34 TPC-DS shapes — every one green in this
+    # session's bare AND perturbed sweeps — plus the two r9-new
+    # exact-substring ops (dedup_exact_substring in the block below,
+    # the keep-first variant in the remaining-slots block). A fully
+    # green window closes cumulative driver coverage at 280/280. The 5
+    # re-confirm slots: the three r8 oracle conversions that never
+    # re-rotated after the integer-units rewrite (tpch_q17, tpcds_q44,
+    # tpcds_q57 — proven locally both sweeps, never driver-proven
+    # post-conversion), dedup_cluster_best_representative (the r8 perf
+    # watch item — its 10x drift was profiled this round as upstream
+    # pair-generation JIT/load variance, code unchanged), and
+    # simsearch_ivfpq_adc_topk (newest ANN path, single
+    # confirmation) ----
     # plan edited this round — driver re-confirms the new top-K shape
     "pipeline_dsir_select",
     # ---- the 35 never-driver-confirmed queries (34 final TPC-DS
@@ -122,12 +121,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q92_excess_discount_amount",
     "tpcds_q96_filtered_count",
     "dedup_exact_substring",
-    # ---- 6 re-confirm slots (see the rotation note above) ----
+    # ---- keep-first variant (r9-new) + 5 re-confirm slots ----
+    "dedup_exact_substring_keep_first",
     "tpch_q17_small_quantity",
     "tpcds_q44_best_worst",
     "tpcds_q57_lag_lead_self_join",
     "dedup_cluster_best_representative",
-    "dedup_boilerplate_chunks",
     "simsearch_ivfpq_adc_topk",
 )
 

@@ -74,8 +74,9 @@ HEAVY = [
     "pipeline_decontaminated_corpus",
     # r8 addition
     "pipeline_dsir_select",
-    # r9 addition
+    # r9 additions
     "dedup_exact_substring",
+    "dedup_exact_substring_keep_first",
 ]
 
 

@@ -545,3 +545,35 @@ def test_exact_substring_dedup_alignment_invariant(spark):
         min_occurrences=2,
     )
     assert all(r.removed_chars == 0 for r in again.collect())
+
+
+def test_exact_substring_dedup_keep_first(spark):
+    """keep_first=True (the paper's leave-one-copy rule): the globally
+    first occurrence (min doc_id, then idx) of a repeated span survives;
+    later occurrences are removed. The remove-all form removes both."""
+    from flink_1_20_spark.operators.textdedup import exact_substring_dedup
+
+    # long but NON-repeating span (a tripled sentence would repeat
+    # WITHIN doc 1, and keep-first would rightly trim doc 1's own
+    # later copies)
+    span = " ".join(
+        f"w{i}token{i * 7 % 13}" for i in range(40)
+    )  # ~400 chars, all words distinct
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA unique prefix one %s unique suffix one BBBB" % span),
+            (2, "a totally different and much longer leading text %s zz" % span),
+        ],
+        "doc_id long, text string",
+    )
+    both = {r.doc: r for r in exact_substring_dedup(docs).collect()}
+    first = {
+        r.doc: r for r in exact_substring_dedup(docs, keep_first=True).collect()
+    }
+    # remove-all: both docs lose the span's interior
+    assert both[1].removed_chars > 0 and both[2].removed_chars > 0
+    # keep-first: doc 1 (the first occurrence) keeps everything, doc 2
+    # still loses the repeated interior
+    assert first[1].removed_chars == 0, first[1]
+    assert first[2].removed_chars > 0
+    assert first[2].removed_chars == both[2].removed_chars
