@@ -486,11 +486,14 @@ def exact_substring_dedup(
             f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
         )
         .selectExpr("doc", f"inline({chunk_structs})")
-        # three consumers (dup, marked, totals) — materialize so the
-        # per-position md5 boundary scan runs ONCE, not once per branch
-        # (same discipline as components.connected_components; on a
-        # cluster this would be .checkpoint() to reliable storage)
-        .localCheckpoint(eager=True)
+        # three consumers (dup, marked, totals) — persist so the
+        # per-position md5 boundary scan runs ONCE, not once per branch.
+        # LAZY: building the DataFrame must not run a Spark job (plan
+        # inspection / sweep construction would pay the full corpus
+        # scan up front); the first action materializes the blocks and
+        # every branch of that same job reuses them. On a cluster this
+        # would be .checkpoint() to reliable storage.
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 

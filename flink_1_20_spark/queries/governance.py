@@ -392,14 +392,11 @@ FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
 """
 
 
-@register("dedup_exact_substring", oracle=_EXACT_SUBSTR_ORACLE)
-def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup via content-defined chunking (Lee et al.
-    2022): repeated verbatim spans ≥ 24 chars removed in place, each
-    document reassembled in order and fingerprinted (cross-engine md5).
-    See operators/textdedup.exact_substring_dedup for the full design
-    and the 100 TB scale shape (linear boundary hashing, md5-keyed
-    duplicate table, broadcast removal anti-join, one doc_id shuffle)."""
+def _exact_substring_query(
+    spark: SparkSession, sf_dir: str, keep_first: bool
+) -> DataFrame:
+    """Shared body of both registered exact-substring queries — the
+    chunking constants live HERE and in the base oracle only."""
     from flink_1_20_spark.operators.textdedup import exact_substring_dedup
 
     d = T(spark, sf_dir, "documents")
@@ -411,6 +408,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         boundary_nibbles=("0", "8"),
         min_span=24,
         min_occurrences=2,
+        keep_first=keep_first,
     )
     return out.select(
         F.col("doc").alias("doc_id"),
@@ -421,67 +419,33 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_exact_substring", oracle=_EXACT_SUBSTR_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup via content-defined chunking (Lee et al.
+    2022): repeated verbatim spans ≥ 24 chars removed in place, each
+    document reassembled in order and fingerprinted (cross-engine md5).
+    See operators/textdedup.exact_substring_dedup for the full design
+    and the 100 TB scale shape (linear boundary hashing, md5-keyed
+    duplicate table, equi-join removal, one doc_id shuffle)."""
+    return _exact_substring_query(spark, sf_dir, keep_first=False)
+
+
 # Keep-first variant — the paper-faithful rule (Lee et al. leave ONE
 # copy of every duplicated span in the corpus): the globally first
 # occurrence of each duplicated chunk (min doc_id, then min idx — a
-# deterministic total order) is exempt from removal. Same constants as
-# the remove-all form; one extra shuffle on the chunk hash.
-_EXACT_SUBSTR_KEEP_FIRST_ORACLE = """
-WITH cuts AS (
-  SELECT doc_id, text,
-    list_sort(list_filter(
-      list_transform(range(8, len(text)+1),
-        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
-                  IN ('0','8') THEN i END),
-      x -> x IS NOT NULL)) AS c
-  FROM documents),
-bounds AS (
-  SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
-  FROM cuts),
-chunks AS (
-  SELECT doc_id, u.j AS idx,
-         substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
-  FROM bounds, unnest(range(1, len(b))) AS u(j)
-  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
-dup AS (
-  SELECT md5(chunk) AS h FROM chunks
-  GROUP BY md5(chunk) HAVING count(*) >= 2),
-marked AS (
-  SELECT c.doc_id, c.idx, c.chunk,
-         md5(c.chunk) IN (SELECT h FROM dup)
-         AND row_number() OVER (PARTITION BY md5(c.chunk)
-                                ORDER BY c.doc_id, c.idx) > 1 AS is_dup
-  FROM chunks c),
-isl AS (
-  SELECT doc_id, idx, chunk, is_dup,
-         idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
-           AS isl
-  FROM marked),
-runs AS (
-  SELECT doc_id, idx, chunk, is_dup,
-         sum(len(chunk)) OVER (PARTITION BY doc_id, is_dup, isl) AS rl
-  FROM isl),
-kept AS (
-  SELECT doc_id, idx, chunk FROM runs
-  WHERE NOT is_dup OR rl < 24),
-tot AS (
-  SELECT doc_id, count(*) AS total_chunks,
-         CAST(sum(len(chunk)) AS BIGINT) AS total_chars
-  FROM chunks GROUP BY doc_id),
-reasm AS (
-  SELECT doc_id, count(*) AS kept_chunks,
-         CAST(sum(len(chunk)) AS BIGINT) AS kept_chars,
-         md5(string_agg(chunk, '' ORDER BY idx)) AS clean_md5
-  FROM kept GROUP BY doc_id)
-SELECT t.doc_id,
-       CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
-       CAST(t.total_chunks - coalesce(r.kept_chunks, 0) AS BIGINT)
-         AS removed_chunks,
-       CAST(t.total_chars - coalesce(r.kept_chars, 0) AS BIGINT)
-         AS removed_chars,
-       coalesce(r.clean_md5, md5('')) AS clean_md5
-FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
-"""
+# deterministic total order) is exempt from removal. DERIVED from the
+# remove-all oracle (single source of truth for the pinned chunking
+# constants) by swapping only the duplicate-marking predicate; one
+# extra shuffle on the chunk hash.
+_EXACT_SUBSTR_KEEP_FIRST_ORACLE = _EXACT_SUBSTR_ORACLE.replace(
+    "md5(c.chunk) IN (SELECT h FROM dup) AS is_dup",
+    "md5(c.chunk) IN (SELECT h FROM dup)\n"
+    "         AND row_number() OVER (PARTITION BY md5(c.chunk)\n"
+    "                                ORDER BY c.doc_id, c.idx) > 1 AS is_dup",
+)
+assert "row_number() OVER (PARTITION BY md5(c.chunk)" in (
+    _EXACT_SUBSTR_KEEP_FIRST_ORACLE
+), "keep-first oracle derivation anchor drifted"
 
 
 @register(
@@ -495,26 +459,7 @@ def dedup_exact_substring_keep_first(
     span survives (the first occurrence in (doc_id, idx) order); the
     rest are removed in place. Same CDC boundary contract and run rule
     as dedup_exact_substring."""
-    from flink_1_20_spark.operators.textdedup import exact_substring_dedup
-
-    d = T(spark, sf_dir, "documents")
-    out = exact_substring_dedup(
-        d,
-        id_col="doc_id",
-        text_col="text",
-        window=8,
-        boundary_nibbles=("0", "8"),
-        min_span=24,
-        min_occurrences=2,
-        keep_first=True,
-    )
-    return out.select(
-        F.col("doc").alias("doc_id"),
-        "kept_chunks",
-        "removed_chunks",
-        "removed_chars",
-        F.md5("clean_text").alias("clean_md5"),
-    )
+    return _exact_substring_query(spark, sf_dir, keep_first=True)
 
 
 # Decontamination REMOVAL — the probe (text_contamination_ngram) tells

@@ -220,10 +220,11 @@ _FROM_LIST_STOP = re.compile(
 
 
 def _from_comma_tables(text: str) -> set[str]:
-    """Lowercased table names appearing after a TOP-LEVEL comma inside
-    a FROM list (comma joins: ``FROM a, b``) anywhere in `text`.
-    Complements the ``FROM/JOIN <name>`` regex in the set-op CTE scope
-    guard — a comma-joined CTE reference (``... FROM x, cte``) would
+    """Lowercased head identifiers of every TOP-LEVEL FROM-list item
+    (``FROM a, b`` → {a, b}) anywhere in `text`, with line comments
+    stripped.  Complements the ``FROM/JOIN <name>`` regex in the set-op
+    CTE scope guard — a comma-joined CTE reference (``... FROM x,
+    cte``) or a comment-separated head (``FROM -- x\\n cte``) would
     otherwise slip past it and silently bind to a same-named registered
     table.  Paren-depth aware (subquery commas don't split items);
     scanning a FROM list stops at the first depth-0 clause keyword.
@@ -247,9 +248,19 @@ def _from_comma_tables(text: str) -> set[str]:
                 # would DROP a backticked table name from its item —
                 # the under-match this guard must never have. Commas
                 # and parens inside are never scanned, so they can't
-                # split items or shift depth.
-                j = seg.find(ch, i + 1)
-                j = len(seg) - 1 if j < 0 else j
+                # split items or shift depth. The string forms honor
+                # backslash escapes (Spark's default parser does): a
+                # naive find() would end the token at \' and a phantom
+                # quoted region could then swallow a real comma + name.
+                j = i + 1
+                while j < len(seg):
+                    if ch != "`" and seg[j] == "\\":
+                        j += 2
+                        continue
+                    if seg[j] == ch:
+                        break
+                    j += 1
+                j = min(j, len(seg) - 1)
                 items[-1].extend(seg[i : j + 1])
                 i = j + 1
                 continue
@@ -269,8 +280,11 @@ def _from_comma_tables(text: str) -> set[str]:
                     break
             items[-1].append(ch)
             i += 1
-        # items[0] sits directly after FROM — the FROM/JOIN regex covers it
-        for item in items[1:]:
+        # items[0] (directly after FROM) is included too: the FROM/JOIN
+        # regex fallback cannot cross a line comment (`FROM -- x\n cte`),
+        # and this scan strips comments — over-reporting a head name is
+        # harmless (the guard fails safe), missing one is not
+        for item in items:
             t = re.match(r"\s*`?([A-Za-z_][\w$]*)`?", "".join(item).strip())
             if t:
                 out.add(t.group(1).lower())
@@ -403,6 +417,22 @@ def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
     a path like '/tmp/x.csv' must not be rewritten even when a table
     `csv` exists in a database `x`."""
     parts = re.split(r"('(?:[^']|'')*')", s)
+    return "".join(
+        p if i % 2 else re.sub(pattern, repl, p) for i, p in enumerate(parts)
+    )
+
+
+def _sub_outside_quotes(s: str, pattern: str, repl: str) -> str:
+    """re.sub protected from ALL quoted regions Spark SQL recognizes:
+    single-quoted literals, double-quoted literals (Spark's default,
+    non-ANSI mode treats \"...\" as a string), and backticked
+    identifiers — with backslash escapes honored inside the string
+    forms. Used where the substitution target can legitimately appear
+    inside literal text (e.g. alias-qualifier stripping: a literal
+    'd.name tag' must survive `d.` removal)."""
+    parts = re.split(
+        r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|`[^`]*`)", s
+    )
     return "".join(
         p if i % 2 else re.sub(pattern, repl, p) for i, p in enumerate(parts)
     )
@@ -1600,8 +1630,8 @@ class TableEnvironment:
         view = "__lookup_join_out"
         joined.createOrReplaceTempView(view)
         # strip alias qualifiers — the joined view is flat
-        body = _sub_outside_literals(sel, rf"\b(?:{fa}|{da})\.", "")
-        tail = _sub_outside_literals(where or "", rf"\b(?:{fa}|{da})\.", "")
+        body = _sub_outside_quotes(sel, rf"\b(?:{fa}|{da})\.", "")
+        tail = _sub_outside_quotes(where or "", rf"\b(?:{fa}|{da})\.", "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
     def _temporal_join(self, s: str):
@@ -1761,8 +1791,8 @@ class TableEnvironment:
                 joined = joined.withColumnRenamed("ts", ts_col)
             view = "__temporal_join_stream_out"
             joined.createOrReplaceTempView(view)
-            body = _sub_outside_literals(sel, rf"\b(?:{fa}|{da})\.", "")
-            tail = _sub_outside_literals(where or "", rf"\b(?:{fa}|{da})\.", "")
+            body = _sub_outside_quotes(sel, rf"\b(?:{fa}|{da})\.", "")
+            tail = _sub_outside_quotes(where or "", rf"\b(?:{fa}|{da})\.", "")
             return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
         dim_df = dim_df.withColumn("__version_ts", F.col(dim_ts))
         payload = [
@@ -1784,8 +1814,8 @@ class TableEnvironment:
         view = "__temporal_join_out"
         joined.createOrReplaceTempView(view)
         # strip alias qualifiers — the joined view is flat
-        body = _sub_outside_literals(sel, rf"\b(?:{fa}|{da})\.", "")
-        tail = _sub_outside_literals(where or "", rf"\b(?:{fa}|{da})\.", "")
+        body = _sub_outside_quotes(sel, rf"\b(?:{fa}|{da})\.", "")
+        tail = _sub_outside_quotes(where or "", rf"\b(?:{fa}|{da})\.", "")
         return self.spark.sql(f"SELECT {body} FROM {view}{tail}")
 
 

@@ -4531,15 +4531,15 @@ def test_proctime_lookup_join_batch(spark, tmp_path):
     # alias-qualifier stripping must not rewrite string LITERALS that
     # happen to contain an alias-dot sequence (r9 review fix)
     got_lit = env.execute_sql("""
-        SELECT f.fk, 'd.name tag' AS lbl
+        SELECT f.fk, 'd.name tag' AS lbl, "f.v dq" AS lbl2
         FROM lk_facts f
         JOIN lk_dim FOR SYSTEM_TIME AS OF f.pt AS d
         ON f.fk = d.k
         WHERE d.name <> 'f.v literal'
     """).collect()
-    assert sorted((r.fk, r.lbl) for r in got_lit) == [
-        (1, "d.name tag"),
-        (2, "d.name tag"),
+    assert sorted((r.fk, r.lbl, r.lbl2) for r in got_lit) == [
+        (1, "d.name tag", "f.v dq"),
+        (2, "d.name tag", "f.v dq"),
     ]
 
 
