@@ -458,6 +458,16 @@ def exact_substring_dedup(
     shuffled hash join otherwise (AQE's call); the run windows
     partition by document, and reassembly is ONE shuffle on doc id.
     No NLJ anywhere."""
+    # the boundary scan is CPU-bound (one hash per character), so its
+    # parallelism is the operator's wall clock. Input splits normally
+    # provide it (a real corpus is thousands of parquet files), but a
+    # compact input (few big-row-group files → fewer splits than cores)
+    # would serialize the scan; the text shuffle that fixes it costs
+    # ~1/16th of the hashing CPU it unlocks, and at healthy split
+    # counts this is a no-op.
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(cores // 2, 1):
+        docs = docs.repartition(cores)
     w = int(window)
     nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
     cuts = (
