@@ -406,6 +406,30 @@ def cross_corpus_contaminated(
     )
 
 
+def _ensure_scan_parallelism(docs: DataFrame) -> DataFrame:
+    """Guard a CPU-bound per-character scan against a compact input.
+
+    The boundary scan below is one hash per character, so its
+    parallelism IS the operator's wall clock. Input splits normally
+    provide it (a real corpus is thousands of parquet files), but a
+    compact input (one small file → one split) serializes the scan:
+    measured 28.5s → 3.5s at the 10x probe. The probe is METADATA-ONLY
+    — `inputFiles()` is a driver-side listing; `df.rdd` would force
+    AQE's getFinalPhysicalPlan and run every upstream shuffle stage at
+    DataFrame-BUILD time for composed inputs, the build-time-job class
+    this operator explicitly avoids (see the lazy localCheckpoint).
+    File count under-estimates splits for one giant file, so the guard
+    can fire a redundant repartition there — a bounded extra exchange,
+    vs the unbounded serial-scan downside. Non-file inputs (in-memory
+    DataFrames, post-shuffle streams) report no files and skip the
+    guard: their partitioning already came from parallelize/shuffle."""
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    n_files = len(docs.inputFiles())
+    if 0 < n_files < max(cores // 2, 1):
+        return docs.repartition(cores)
+    return docs
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -458,16 +482,7 @@ def exact_substring_dedup(
     shuffled hash join otherwise (AQE's call); the run windows
     partition by document, and reassembly is ONE shuffle on doc id.
     No NLJ anywhere."""
-    # the boundary scan is CPU-bound (one hash per character), so its
-    # parallelism is the operator's wall clock. Input splits normally
-    # provide it (a real corpus is thousands of parquet files), but a
-    # compact input (few big-row-group files → fewer splits than cores)
-    # would serialize the scan; the text shuffle that fixes it costs
-    # ~1/16th of the hashing CPU it unlocks, and at healthy split
-    # counts this is a no-op.
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(cores // 2, 1):
-        docs = docs.repartition(cores)
+    docs = _ensure_scan_parallelism(docs)
     w = int(window)
     nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
     cuts = (

@@ -577,3 +577,30 @@ def test_exact_substring_dedup_keep_first(spark):
     assert first[1].removed_chars == 0, first[1]
     assert first[2].removed_chars > 0
     assert first[2].removed_chars == both[2].removed_chars
+
+
+def test_ensure_scan_parallelism_guard(spark, tmp_path):
+    """r9: the compact-input guard must repartition a few-split file
+    scan to core count (the CPU-bound boundary scan is otherwise
+    serialized onto one core), stay a NO-OP at healthy split counts,
+    and skip non-file inputs — all decided from metadata only (no jobs
+    at build time)."""
+    from flink_1_20_spark.operators.textdedup import _ensure_scan_parallelism
+
+    cores = spark.sparkContext.defaultParallelism
+    rows = spark.range(1000).selectExpr("id AS doc_id", "repeat('x', 50) AS text")
+    # one compact file -> guard fires, scan parallelism = cores
+    one = str(tmp_path / "one")
+    rows.coalesce(1).write.parquet(one)
+    compact = spark.read.parquet(one)
+    assert len(compact.inputFiles()) == 1
+    assert _ensure_scan_parallelism(compact).rdd.getNumPartitions() == cores
+    # many files -> no-op (the SAME plan object back, no extra exchange)
+    many = str(tmp_path / "many")
+    rows.repartition(cores).write.parquet(many)
+    healthy = spark.read.parquet(many)
+    assert len(healthy.inputFiles()) >= cores // 2
+    assert _ensure_scan_parallelism(healthy) is healthy
+    # non-file input (no listing) -> no-op
+    mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert _ensure_scan_parallelism(mem) is mem
