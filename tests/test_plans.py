@@ -222,6 +222,40 @@ def test_tpc_suite_no_accidental_nested_loops(spark, sf_dir, queries):
             assert "BroadcastNestedLoopJoin" not in final, name
 
 
+def test_full_registry_no_accidental_nested_loops(spark, queries):
+    """r9: extend the no-NLJ net from the TPC suite to EVERY registered
+    query (at sf0.001 — this is a plan audit, not a perf run): no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the
+    audited allowlist below. A new operator that accidentally loses its
+    equi key — the classic 100 TB cliff — gets caught here even if its
+    tiny-SF correctness stays green."""
+    # audited intentional BNLJ users — every one joins a BROADCAST side
+    # that is O(1) rows or a deliberately-small query/model set:
+    bnlj_ok = {
+        "join_cross",  # the CROSS JOIN operator itself
+        "join_nonequi_range",  # non-equi SQL form; banded variant is the scale path
+        "pipeline_dsir_select",  # 64x1 totals attach
+        "pipeline_temperature_mix",  # 1-row totals broadcast
+        "simsearch_topk_bruteforce",  # documented all-pairs baseline, small query set
+        "simsearch_hard_negatives",  # same candidate plan as brute-force top-k
+        "simsearch_ivf_topk",  # centroid-distance attach (tiny broadcast)
+        "simsearch_ivfpq_adc_topk",
+        "simsearch_recall_lsh",  # recall gates join vs the brute-force baseline
+        "simsearch_recall_ivf",
+        "simsearch_recall_pq",
+        "simsearch_recall_ivfpq",
+        "text_lm_score",  # corpus-level stats broadcast attach
+    }
+    for name, fn in sorted(queries.items()):
+        if name.startswith(("tpch_", "tpcds_")):
+            continue  # covered (with its own allowlist) by the TPC sweep
+        plan = _final_plan(fn(spark, "/root/testdata/sf0.001"))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in final, name
+
+
 def test_banded_range_join_no_nested_loop(spark, sf_dir, queries):
     """The keyless range join must plan as a hash/broadcast EQUI join on
     the band index — never BroadcastNestedLoopJoin/CartesianProduct
