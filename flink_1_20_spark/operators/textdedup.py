@@ -482,44 +482,7 @@ def exact_substring_dedup(
     shuffled hash join otherwise (AQE's call); the run windows
     partition by document, and reassembly is ONE shuffle on doc id.
     No NLJ anywhere."""
-    docs = _ensure_scan_parallelism(docs)
-    w = int(window)
-    nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
-    cuts = (
-        f"CASE WHEN length({text_col}) >= {w} THEN "
-        f"filter(transform(sequence({w}, length({text_col})), "
-        f"i -> CASE WHEN substring(md5(substring({text_col}, i - {w - 1}, {w})), 32, 1) "
-        f"IN ({nibs}) THEN i END), x -> x IS NOT NULL) "
-        f"ELSE CAST(array() AS ARRAY<INT>) END"
-    )
-    # the boundary scan (one md5 per position) MUST land in its own
-    # projection step: inlined into the chunk lambda it would re-run
-    # per chunk index — an O(len²) blowup Catalyst's subexpression
-    # elimination does not reach across lambda scopes
-    chunk_structs = (
-        f"filter(transform(sequence(1, size(__b) - 1), "
-        f"j -> struct(j AS idx, substring({text_col}, "
-        f"element_at(__b, j) + 1, "
-        f"element_at(__b, j + 1) - element_at(__b, j)) AS chunk)), "
-        f"s -> s.chunk <> '')"
-    )
-    chunks = (
-        docs.selectExpr(f"{id_col} AS doc", text_col, f"{cuts} AS __cuts")
-        .selectExpr(
-            "doc",
-            text_col,
-            f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
-        )
-        .selectExpr("doc", f"inline({chunk_structs})")
-        # three consumers (dup, marked, totals) — persist so the
-        # per-position md5 boundary scan runs ONCE, not once per branch.
-        # LAZY: building the DataFrame must not run a Spark job (plan
-        # inspection / sweep construction would pay the full corpus
-        # scan up front); the first action materializes the blocks and
-        # every branch of that same job reuses them. On a cluster this
-        # would be .checkpoint() to reliable storage.
-        .localCheckpoint(eager=False)
-    )
+    chunks = _cdc_chunks(docs, id_col, text_col, window, boundary_nibbles)
     from pyspark.sql import Window
 
     dup = (
@@ -542,6 +505,115 @@ def exact_substring_dedup(
             "is_dup", F.col("is_dup") & (F.row_number().over(w_first) > 1)
         )
     marked = marked.drop("h", "__dup")
+    return _remove_marked_runs(chunks, marked, min_span)
+
+
+def exact_substring_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    boundary_nibbles: tuple[str, ...] = ("0", "8"),
+    min_span: int = 24,
+) -> DataFrame:
+    """Span-level exact-substring DECONTAMINATION: verbatim character
+    spans of ≥ `min_span` chars that also appear in the `bench`
+    (evaluation-benchmark) corpus are surgically removed from every
+    training document, which is reassembled from its surviving spans —
+    the cross-corpus complement of exact_substring_dedup and the
+    span-removal upgrade over document-level dropping
+    (queries/governance.pipeline_decontaminated_corpus): a 500-token
+    document that quotes one benchmark sentence loses the SENTENCE,
+    not the document (Lee et al. 2022 §6 run their exact-substring
+    machinery for decontamination exactly this way).
+
+    Same CDC boundary contract as exact_substring_dedup (identical
+    interior chunks at any alignment), with the duplicate set replaced
+    by the benchmark's chunk hashes: a training chunk is contaminated
+    when its md5 appears among the bench chunks, and maximal
+    contaminated runs totalling ≥ `min_span` chars are removed.
+
+    Returns the same per-document shape as exact_substring_dedup.
+
+    100 TB scale: the bench side is small (benchmarks are ~10^5-10^6
+    chunks) so its distinct hash set broadcasts; the training side is
+    one linear chunking scan + the broadcast membership join + one
+    doc-partitioned run window + one reassembly shuffle. No NLJ."""
+    chunks = _cdc_chunks(docs, id_col, text_col, window, boundary_nibbles)
+    bench_h = (
+        _cdc_chunks(bench, id_col, text_col, window, boundary_nibbles)
+        .select(F.md5("chunk").alias("h"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    marked = (
+        chunks.withColumn("h", F.md5("chunk"))
+        .join(F.broadcast(bench_h), "h", "left")
+        .withColumn("is_dup", F.coalesce("__dup", F.lit(False)))
+        .drop("h", "__dup")
+    )
+    return _remove_marked_runs(chunks, marked, min_span)
+
+
+def _cdc_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    boundary_nibbles: tuple[str, ...],
+) -> DataFrame:
+    """Content-defined chunking shared by the exact-substring family:
+    (doc, idx, chunk) rows, boundaries where the md5 of the trailing
+    `window`-char gram ends in one of `boundary_nibbles`."""
+    docs = _ensure_scan_parallelism(docs)
+    w = int(window)
+    nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
+    cuts = (
+        f"CASE WHEN length({text_col}) >= {w} THEN "
+        f"filter(transform(sequence({w}, length({text_col})), "
+        f"i -> CASE WHEN substring(md5(substring({text_col}, i - {w - 1}, {w})), 32, 1) "
+        f"IN ({nibs}) THEN i END), x -> x IS NOT NULL) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    # the boundary scan (one md5 per position) MUST land in its own
+    # projection step: inlined into the chunk lambda it would re-run
+    # per chunk index — an O(len²) blowup Catalyst's subexpression
+    # elimination does not reach across lambda scopes
+    chunk_structs = (
+        f"filter(transform(sequence(1, size(__b) - 1), "
+        f"j -> struct(j AS idx, substring({text_col}, "
+        f"element_at(__b, j) + 1, "
+        f"element_at(__b, j + 1) - element_at(__b, j)) AS chunk)), "
+        f"s -> s.chunk <> '')"
+    )
+    return (
+        docs.selectExpr(f"{id_col} AS doc", text_col, f"{cuts} AS __cuts")
+        .selectExpr(
+            "doc",
+            text_col,
+            f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
+        )
+        .selectExpr("doc", f"inline({chunk_structs})")
+        # multiple consumers (dup/mark, totals) — persist so the
+        # per-position md5 boundary scan runs ONCE, not once per branch.
+        # LAZY: building the DataFrame must not run a Spark job (plan
+        # inspection / sweep construction would pay the full corpus
+        # scan up front); the first action materializes the blocks and
+        # every branch of that same job reuses them. On a cluster this
+        # would be .checkpoint() to reliable storage.
+        .localCheckpoint(eager=False)
+    )
+
+
+def _remove_marked_runs(
+    chunks: DataFrame, marked: DataFrame, min_span: int
+) -> DataFrame:
+    """Shared tail of the exact-substring family: drop maximal runs of
+    consecutive `is_dup` chunks totalling ≥ `min_span` chars, then
+    reassemble each document in chunk order."""
+    from pyspark.sql import Window
+
     # gaps-and-islands: consecutive same-flag chunks share an island id;
     # a dup island's total char length decides removal (the run rule)
     w_isl = Window.partitionBy("doc", "is_dup").orderBy("idx")

@@ -462,6 +462,168 @@ def dedup_exact_substring_keep_first(
     return _exact_substring_query(spark, sf_dir, keep_first=True)
 
 
+# Span-level exact-substring DECONTAMINATION — the surgical upgrade
+# over document-level dropping (pipeline_decontaminated_corpus below):
+# verbatim spans ≥ 24 chars shared with the benchmark set (doc_id % 97
+# = 0, the same convention as the 3-gram probe) are removed from every
+# training document (doc_id % 97 <> 0), the document reassembled — a
+# doc that quotes one benchmark sentence loses the sentence, not the
+# doc (Lee et al. 2022 §6 use their exact-substring machinery for
+# decontamination exactly this way). The synthetic word-soup fixture
+# shares no long verbatim spans with its benchmark slice, so — the
+# text_pii_scrub precedent — the query PLANTS deterministic
+# contamination first: every 13th training doc gets the first 120
+# chars of a deterministically-chosen benchmark doc appended, and the
+# operator's removal is then provable (planted quotes removed, clean
+# docs untouched). Same CDC boundary rule as the dedup oracles above;
+# tests/test_pipeline_ops.py pins the shared boundary fragment across
+# all the exact-substring oracle strings.
+_EXACT_SUBSTR_DECON_ORACLE = """
+WITH bench_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+train AS (
+  SELECT d.doc_id,
+         d.text || CASE WHEN d.doc_id % 13 = 0
+                        THEN ' ' || coalesce(substr(b.text, 1, 120), '')
+                        ELSE '' END AS text
+  FROM documents d
+  LEFT JOIN bench_src b ON b.doc_id = (d.doc_id % 6) * 97
+  WHERE d.doc_id % 97 <> 0),
+cuts AS (
+  SELECT doc_id, text,
+    list_sort(list_filter(
+      list_transform(range(8, len(text)+1),
+        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
+                  IN ('0','8') THEN i END),
+      x -> x IS NOT NULL)) AS c
+  FROM train),
+bounds AS (
+  SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
+  FROM cuts),
+chunks AS (
+  SELECT doc_id, u.j AS idx,
+         substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
+  FROM bounds, unnest(range(1, len(b))) AS u(j)
+  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
+cuts_b AS (
+  SELECT doc_id, text,
+    list_sort(list_filter(
+      list_transform(range(8, len(text)+1),
+        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
+                  IN ('0','8') THEN i END),
+      x -> x IS NOT NULL)) AS c
+  FROM bench_src),
+bounds_b AS (
+  SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
+  FROM cuts_b),
+chunks_b AS (
+  SELECT doc_id, u.j AS idx,
+         substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
+  FROM bounds_b, unnest(range(1, len(b))) AS u(j)
+  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
+bh AS (
+  SELECT DISTINCT md5(chunk) AS h FROM chunks_b),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk,
+         md5(c.chunk) IN (SELECT h FROM bh) AS is_dup
+  FROM chunks c),
+isl AS (
+  SELECT doc_id, idx, chunk, is_dup,
+         idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
+           AS isl
+  FROM marked),
+runs AS (
+  SELECT doc_id, idx, chunk, is_dup,
+         sum(len(chunk)) OVER (PARTITION BY doc_id, is_dup, isl) AS rl
+  FROM isl),
+kept AS (
+  SELECT doc_id, idx, chunk FROM runs
+  WHERE NOT is_dup OR rl < 24),
+tot AS (
+  SELECT doc_id, count(*) AS total_chunks,
+         CAST(sum(len(chunk)) AS BIGINT) AS total_chars
+  FROM chunks GROUP BY doc_id),
+reasm AS (
+  SELECT doc_id, count(*) AS kept_chunks,
+         CAST(sum(len(chunk)) AS BIGINT) AS kept_chars,
+         md5(string_agg(chunk, '' ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       CAST(t.total_chunks - coalesce(r.kept_chunks, 0) AS BIGINT)
+         AS removed_chunks,
+       CAST(t.total_chars - coalesce(r.kept_chars, 0) AS BIGINT)
+         AS removed_chars,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+"""
+
+
+@register(
+    "decontaminate_exact_substring", oracle=_EXACT_SUBSTR_DECON_ORACLE
+)
+def decontaminate_exact_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level exact-substring decontamination: benchmark spans
+    (≥ 24 chars, any alignment) removed in place from every training
+    document, with deterministic planted contamination (see the oracle
+    comment — the fixture is word soup with no organic long quotes).
+    See operators/textdedup.exact_substring_decontaminate — the bench
+    chunk-hash set broadcasts, everything else is the linear chunking
+    scan + one doc-partitioned run window + one reassembly shuffle."""
+    from flink_1_20_spark.operators.textdedup import (
+        exact_substring_decontaminate,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    train = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(
+            F.broadcast(
+                bench.select(
+                    F.col("doc_id").alias("__bid"),
+                    F.col("text").alias("__btext"),
+                )
+            ),
+            (F.col("doc_id") % 6) * 97 == F.col("__bid"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(
+                        F.lit(" "),
+                        F.coalesce(
+                            F.substring("__btext", 1, 120), F.lit("")
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    out = exact_substring_decontaminate(
+        train,
+        bench,
+        id_col="doc_id",
+        text_col="text",
+        window=8,
+        boundary_nibbles=("0", "8"),
+        min_span=24,
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "kept_chunks",
+        "removed_chunks",
+        "removed_chars",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # Decontamination REMOVAL — the probe (text_contamination_ngram) tells
 # you who is contaminated; production pipelines then DROP those docs.
 # Threshold: >= 4 distinct benchmark 3-grams (single-gram collisions are

@@ -73,7 +73,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session's bare AND perturbed sweeps — plus the two r9-new
     # exact-substring ops (dedup_exact_substring in the block below,
     # the keep-first variant in the remaining-slots block). A fully
-    # green window closes cumulative driver coverage at 280/280. The 5
+    # green window closes cumulative driver coverage at 280/281 — the
+    # one remaining query, decontaminate_exact_substring, landed after
+    # this window was verified+frozen and rotates in r10. The 5
     # re-confirm slots: the three r8 oracle conversions that never
     # re-rotated after the integer-units rewrite (tpch_q17, tpcds_q44,
     # tpcds_q57 — proven locally both sweeps, never driver-proven

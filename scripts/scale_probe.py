@@ -77,6 +77,7 @@ HEAVY = [
     # r9 additions
     "dedup_exact_substring",
     "dedup_exact_substring_keep_first",
+    "decontaminate_exact_substring",
 ]
 
 

@@ -604,3 +604,76 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     # non-file input (no listing) -> no-op
     mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     assert _ensure_scan_parallelism(mem) is mem
+
+
+def test_exact_substring_decontaminate(spark):
+    """Span-level decontamination: a benchmark sentence quoted inside a
+    training doc is removed (the doc survives, minus the quote); clean
+    docs and within-training repeats are untouched (only BENCH spans
+    mark chunks); bench docs never appear in the output."""
+    from flink_1_20_spark.operators.textdedup import (
+        exact_substring_decontaminate,
+    )
+
+    quote = " ".join(f"b{i}mark{i * 11 % 17}" for i in range(40))
+    bench = spark.createDataFrame(
+        [(100, "benchmark preamble %s benchmark postamble" % quote)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "training doc one quoting %s right in the middle" % quote),
+            (2, "a completely clean training document with original words"),
+            # within-training duplication must NOT mark anything here
+            (3, "dup dup dup dup dup dup dup dup dup dup dup dup dup dup"),
+            (4, "dup dup dup dup dup dup dup dup dup dup dup dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc: r
+        for r in exact_substring_decontaminate(train, bench).collect()
+    }
+    assert rows[1].removed_chars > 0
+    assert quote not in rows[1].clean_text
+    assert rows[1].clean_text.startswith("training doc one quoting")
+    assert rows[2].removed_chars == 0
+    # cross-training duplication is the DEDUP op's job, not this one's
+    assert rows[3].removed_chars == 0 and rows[4].removed_chars == 0
+    assert 100 not in rows  # bench side is reference-only
+    assert set(rows) == {1, 2, 3, 4}
+
+
+def test_exact_substring_oracles_share_boundary_rule():
+    """The pinned CDC constants (window 8, md5 nibbles {0,8}) must stay
+    textually identical across every exact-substring oracle AND the
+    Spark operator — a drifted copy would be a driver-hash red that
+    costs a round to diagnose."""
+    import inspect
+
+    from flink_1_20_spark.operators import textdedup
+    from flink_1_20_spark.queries.governance import (
+        _EXACT_SUBSTR_DECON_ORACLE,
+        _EXACT_SUBSTR_KEEP_FIRST_ORACLE,
+        _EXACT_SUBSTR_ORACLE,
+    )
+
+    frag = "substr(md5(substr(text, i-7, 8)), 32, 1)\n                  IN ('0','8')"
+    for sql in (
+        _EXACT_SUBSTR_ORACLE,
+        _EXACT_SUBSTR_KEEP_FIRST_ORACLE,
+        _EXACT_SUBSTR_DECON_ORACLE,
+    ):
+        assert frag in sql
+    # decon oracle chunks BOTH sides with the same rule
+    assert _EXACT_SUBSTR_DECON_ORACLE.count(frag) == 2
+    # the Spark side builds the same rule from the same constants
+    src = inspect.getsource(textdedup._cdc_chunks)
+    assert "substring(md5(substring({text_col}, i - {w - 1}, {w})), 32, 1)" in src
+    # run-rule threshold identical everywhere
+    for sql in (
+        _EXACT_SUBSTR_ORACLE,
+        _EXACT_SUBSTR_KEEP_FIRST_ORACLE,
+        _EXACT_SUBSTR_DECON_ORACLE,
+    ):
+        assert "rl < 24" in sql
