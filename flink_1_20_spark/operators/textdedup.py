@@ -541,8 +541,13 @@ def exact_substring_decontaminate(
     one linear chunking scan + the broadcast membership join + one
     doc-partitioned run window + one reassembly shuffle. No NLJ."""
     chunks = _cdc_chunks(docs, id_col, text_col, window, boundary_nibbles)
+    # single consumer + tiny side: no persist (nothing reuses it) and
+    # no parallelism guard (it collapses into a broadcast immediately)
     bench_h = (
-        _cdc_chunks(bench, id_col, text_col, window, boundary_nibbles)
+        _cdc_chunks(
+            bench, id_col, text_col, window, boundary_nibbles,
+            multi_consumer=False,
+        )
         .select(F.md5("chunk").alias("h"))
         .distinct()
         .withColumn("__dup", F.lit(True))
@@ -562,11 +567,16 @@ def _cdc_chunks(
     text_col: str,
     window: int,
     boundary_nibbles: tuple[str, ...],
+    multi_consumer: bool = True,
 ) -> DataFrame:
     """Content-defined chunking shared by the exact-substring family:
     (doc, idx, chunk) rows, boundaries where the md5 of the trailing
-    `window`-char gram ends in one of `boundary_nibbles`."""
-    docs = _ensure_scan_parallelism(docs)
+    `window`-char gram ends in one of `boundary_nibbles`.
+    ``multi_consumer=False`` skips the persist and the parallelism
+    guard — right for a small single-consumer side (e.g. the benchmark
+    corpus that collapses straight into a broadcast hash set)."""
+    if multi_consumer:
+        docs = _ensure_scan_parallelism(docs)
     w = int(window)
     nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
     cuts = (
@@ -587,7 +597,7 @@ def _cdc_chunks(
         f"element_at(__b, j + 1) - element_at(__b, j)) AS chunk)), "
         f"s -> s.chunk <> '')"
     )
-    return (
+    out = (
         docs.selectExpr(f"{id_col} AS doc", text_col, f"{cuts} AS __cuts")
         .selectExpr(
             "doc",
@@ -595,15 +605,17 @@ def _cdc_chunks(
             f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
         )
         .selectExpr("doc", f"inline({chunk_structs})")
-        # multiple consumers (dup/mark, totals) — persist so the
-        # per-position md5 boundary scan runs ONCE, not once per branch.
-        # LAZY: building the DataFrame must not run a Spark job (plan
-        # inspection / sweep construction would pay the full corpus
-        # scan up front); the first action materializes the blocks and
-        # every branch of that same job reuses them. On a cluster this
-        # would be .checkpoint() to reliable storage.
-        .localCheckpoint(eager=False)
     )
+    if not multi_consumer:
+        return out
+    # multiple consumers (dup/mark, totals) — persist so the
+    # per-position md5 boundary scan runs ONCE, not once per branch.
+    # LAZY: building the DataFrame must not run a Spark job (plan
+    # inspection / sweep construction would pay the full corpus
+    # scan up front); the first action materializes the blocks and
+    # every branch of that same job reuses them. On a cluster this
+    # would be .checkpoint() to reliable storage.
+    return out.localCheckpoint(eager=False)
 
 
 def _remove_marked_runs(

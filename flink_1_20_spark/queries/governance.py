@@ -336,31 +336,34 @@ def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # run rule reaches spans far longer than the ~16-char mean chunk).
 # Constants (window 8, nibbles {0,8}, min_span 24, min_occurrences 2)
 # are pinned identically in the Spark operator call below and this SQL.
-_EXACT_SUBSTR_ORACLE = """
-WITH cuts AS (
+def _cdc_chunk_ctes(tag: str, src: str) -> str:
+    """cuts/bounds/chunks CTE text over `src`, pinned to the CDC
+    boundary rule (window 8, md5 nibbles {0,8}) shared with
+    operators/textdedup._cdc_chunks — the ONE source of truth for the
+    chunking SQL across every exact-substring oracle (a drifted copy
+    would be a driver-hash red that costs a round to diagnose)."""
+    return f"""cuts{tag} AS (
   SELECT doc_id, text,
     list_sort(list_filter(
       list_transform(range(8, len(text)+1),
         i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
                   IN ('0','8') THEN i END),
       x -> x IS NOT NULL)) AS c
-  FROM documents),
-bounds AS (
+  FROM {src}),
+bounds{tag} AS (
   SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
-  FROM cuts),
-chunks AS (
+  FROM cuts{tag}),
+chunks{tag} AS (
   SELECT doc_id, u.j AS idx,
          substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
-  FROM bounds, unnest(range(1, len(b))) AS u(j)
-  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
-dup AS (
-  SELECT md5(chunk) AS h FROM chunks
-  GROUP BY md5(chunk) HAVING count(*) >= 2),
-marked AS (
-  SELECT c.doc_id, c.idx, c.chunk,
-         md5(c.chunk) IN (SELECT h FROM dup) AS is_dup
-  FROM chunks c),
-isl AS (
+  FROM bounds{tag}, unnest(range(1, len(b))) AS u(j)
+  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> '')"""
+
+
+# run-removal + reassembly tail shared by every exact-substring oracle:
+# gaps-and-islands over the is_dup flag, drop dup runs totalling >= 24
+# chars, reassemble per doc (BIGINT/VARCHAR outputs only — dtype law)
+_RUN_REMOVAL_TAIL = """isl AS (
   SELECT doc_id, idx, chunk, is_dup,
          idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
            AS isl
@@ -388,15 +391,80 @@ SELECT t.doc_id,
        CAST(t.total_chars - coalesce(r.kept_chars, 0) AS BIGINT)
          AS removed_chars,
        coalesce(r.clean_md5, md5('')) AS clean_md5
-FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id"""
+
+
+_EXACT_SUBSTR_ORACLE = f"""
+WITH {_cdc_chunk_ctes('', 'documents')},
+dup AS (
+  SELECT md5(chunk) AS h FROM chunks
+  GROUP BY md5(chunk) HAVING count(*) >= 2),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk,
+         md5(c.chunk) IN (SELECT h FROM dup) AS is_dup
+  FROM chunks c),
+{_RUN_REMOVAL_TAIL}
+"""
+
+# Keep-first variant — the paper-faithful rule (Lee et al. leave ONE
+# copy of every duplicated span in the corpus): the globally first
+# occurrence of each duplicated chunk (min doc_id, then min idx — a
+# deterministic total order) is exempt from removal. DERIVED from the
+# remove-all oracle by swapping only the duplicate-marking predicate;
+# one extra shuffle on the chunk hash.
+_EXACT_SUBSTR_KEEP_FIRST_ORACLE = _EXACT_SUBSTR_ORACLE.replace(
+    "md5(c.chunk) IN (SELECT h FROM dup) AS is_dup",
+    "md5(c.chunk) IN (SELECT h FROM dup)\n"
+    "         AND row_number() OVER (PARTITION BY md5(c.chunk)\n"
+    "                                ORDER BY c.doc_id, c.idx) > 1 AS is_dup",
+)
+assert "row_number() OVER (PARTITION BY md5(c.chunk)" in (
+    _EXACT_SUBSTR_KEEP_FIRST_ORACLE
+), "keep-first oracle derivation anchor drifted"
+
+# Span-level exact-substring DECONTAMINATION — the surgical upgrade
+# over document-level dropping (pipeline_decontaminated_corpus below):
+# verbatim spans ≥ 24 chars shared with the benchmark set (doc_id % 97
+# = 0, the same convention as the 3-gram probe) are removed from every
+# training document (doc_id % 97 <> 0), the document reassembled — a
+# doc that quotes one benchmark sentence loses the sentence, not the
+# doc (Lee et al. 2022 §6 use their exact-substring machinery for
+# decontamination exactly this way). The synthetic word-soup fixture
+# shares no long verbatim spans with its benchmark slice, so — the
+# text_pii_scrub precedent — the query PLANTS deterministic
+# contamination first: every 13th training doc gets the first 120
+# chars of a deterministically-chosen benchmark doc appended, and the
+# operator's removal is then provable (planted quotes removed, clean
+# docs untouched). Both chunk sets come from the shared CDC template
+# above; tests/test_pipeline_ops.py pins the boundary fragment too.
+_EXACT_SUBSTR_DECON_ORACLE = f"""
+WITH bench_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+train AS (
+  SELECT d.doc_id,
+         d.text || CASE WHEN d.doc_id % 13 = 0
+                        THEN ' ' || coalesce(substr(b.text, 1, 120), '')
+                        ELSE '' END AS text
+  FROM documents d
+  LEFT JOIN bench_src b ON b.doc_id = (d.doc_id % 6) * 97
+  WHERE d.doc_id % 97 <> 0),
+{_cdc_chunk_ctes('', 'train')},
+{_cdc_chunk_ctes('_b', 'bench_src')},
+bh AS (
+  SELECT DISTINCT md5(chunk) AS h FROM chunks_b),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk,
+         md5(c.chunk) IN (SELECT h FROM bh) AS is_dup
+  FROM chunks c),
+{_RUN_REMOVAL_TAIL}
 """
 
 
 def _exact_substring_query(
     spark: SparkSession, sf_dir: str, keep_first: bool
 ) -> DataFrame:
-    """Shared body of both registered exact-substring queries — the
-    chunking constants live HERE and in the base oracle only."""
+    """Shared body of both registered exact-substring dedup queries —
+    the chunking constants live HERE and in _cdc_chunk_ctes only."""
     from flink_1_20_spark.operators.textdedup import exact_substring_dedup
 
     d = T(spark, sf_dir, "documents")
@@ -430,24 +498,6 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_substring_query(spark, sf_dir, keep_first=False)
 
 
-# Keep-first variant — the paper-faithful rule (Lee et al. leave ONE
-# copy of every duplicated span in the corpus): the globally first
-# occurrence of each duplicated chunk (min doc_id, then min idx — a
-# deterministic total order) is exempt from removal. DERIVED from the
-# remove-all oracle (single source of truth for the pinned chunking
-# constants) by swapping only the duplicate-marking predicate; one
-# extra shuffle on the chunk hash.
-_EXACT_SUBSTR_KEEP_FIRST_ORACLE = _EXACT_SUBSTR_ORACLE.replace(
-    "md5(c.chunk) IN (SELECT h FROM dup) AS is_dup",
-    "md5(c.chunk) IN (SELECT h FROM dup)\n"
-    "         AND row_number() OVER (PARTITION BY md5(c.chunk)\n"
-    "                                ORDER BY c.doc_id, c.idx) > 1 AS is_dup",
-)
-assert "row_number() OVER (PARTITION BY md5(c.chunk)" in (
-    _EXACT_SUBSTR_KEEP_FIRST_ORACLE
-), "keep-first oracle derivation anchor drifted"
-
-
 @register(
     "dedup_exact_substring_keep_first",
     oracle=_EXACT_SUBSTR_KEEP_FIRST_ORACLE,
@@ -460,103 +510,6 @@ def dedup_exact_substring_keep_first(
     rest are removed in place. Same CDC boundary contract and run rule
     as dedup_exact_substring."""
     return _exact_substring_query(spark, sf_dir, keep_first=True)
-
-
-# Span-level exact-substring DECONTAMINATION — the surgical upgrade
-# over document-level dropping (pipeline_decontaminated_corpus below):
-# verbatim spans ≥ 24 chars shared with the benchmark set (doc_id % 97
-# = 0, the same convention as the 3-gram probe) are removed from every
-# training document (doc_id % 97 <> 0), the document reassembled — a
-# doc that quotes one benchmark sentence loses the sentence, not the
-# doc (Lee et al. 2022 §6 use their exact-substring machinery for
-# decontamination exactly this way). The synthetic word-soup fixture
-# shares no long verbatim spans with its benchmark slice, so — the
-# text_pii_scrub precedent — the query PLANTS deterministic
-# contamination first: every 13th training doc gets the first 120
-# chars of a deterministically-chosen benchmark doc appended, and the
-# operator's removal is then provable (planted quotes removed, clean
-# docs untouched). Same CDC boundary rule as the dedup oracles above;
-# tests/test_pipeline_ops.py pins the shared boundary fragment across
-# all the exact-substring oracle strings.
-_EXACT_SUBSTR_DECON_ORACLE = """
-WITH bench_src AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-train AS (
-  SELECT d.doc_id,
-         d.text || CASE WHEN d.doc_id % 13 = 0
-                        THEN ' ' || coalesce(substr(b.text, 1, 120), '')
-                        ELSE '' END AS text
-  FROM documents d
-  LEFT JOIN bench_src b ON b.doc_id = (d.doc_id % 6) * 97
-  WHERE d.doc_id % 97 <> 0),
-cuts AS (
-  SELECT doc_id, text,
-    list_sort(list_filter(
-      list_transform(range(8, len(text)+1),
-        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
-                  IN ('0','8') THEN i END),
-      x -> x IS NOT NULL)) AS c
-  FROM train),
-bounds AS (
-  SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
-  FROM cuts),
-chunks AS (
-  SELECT doc_id, u.j AS idx,
-         substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
-  FROM bounds, unnest(range(1, len(b))) AS u(j)
-  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
-cuts_b AS (
-  SELECT doc_id, text,
-    list_sort(list_filter(
-      list_transform(range(8, len(text)+1),
-        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
-                  IN ('0','8') THEN i END),
-      x -> x IS NOT NULL)) AS c
-  FROM bench_src),
-bounds_b AS (
-  SELECT doc_id, text, list_prepend(0, list_append(c, len(text))) AS b
-  FROM cuts_b),
-chunks_b AS (
-  SELECT doc_id, u.j AS idx,
-         substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) AS chunk
-  FROM bounds_b, unnest(range(1, len(b))) AS u(j)
-  WHERE substr(text, b[u.j]+1, b[u.j+1]-b[u.j]) <> ''),
-bh AS (
-  SELECT DISTINCT md5(chunk) AS h FROM chunks_b),
-marked AS (
-  SELECT c.doc_id, c.idx, c.chunk,
-         md5(c.chunk) IN (SELECT h FROM bh) AS is_dup
-  FROM chunks c),
-isl AS (
-  SELECT doc_id, idx, chunk, is_dup,
-         idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
-           AS isl
-  FROM marked),
-runs AS (
-  SELECT doc_id, idx, chunk, is_dup,
-         sum(len(chunk)) OVER (PARTITION BY doc_id, is_dup, isl) AS rl
-  FROM isl),
-kept AS (
-  SELECT doc_id, idx, chunk FROM runs
-  WHERE NOT is_dup OR rl < 24),
-tot AS (
-  SELECT doc_id, count(*) AS total_chunks,
-         CAST(sum(len(chunk)) AS BIGINT) AS total_chars
-  FROM chunks GROUP BY doc_id),
-reasm AS (
-  SELECT doc_id, count(*) AS kept_chunks,
-         CAST(sum(len(chunk)) AS BIGINT) AS kept_chars,
-         md5(string_agg(chunk, '' ORDER BY idx)) AS clean_md5
-  FROM kept GROUP BY doc_id)
-SELECT t.doc_id,
-       CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
-       CAST(t.total_chunks - coalesce(r.kept_chunks, 0) AS BIGINT)
-         AS removed_chunks,
-       CAST(t.total_chars - coalesce(r.kept_chars, 0) AS BIGINT)
-         AS removed_chars,
-       coalesce(r.clean_md5, md5('')) AS clean_md5
-FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
-"""
 
 
 @register(
