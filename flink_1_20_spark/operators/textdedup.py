@@ -422,10 +422,18 @@ def _ensure_scan_parallelism(docs: DataFrame) -> DataFrame:
     can fire a redundant repartition there — a bounded extra exchange,
     vs the unbounded serial-scan downside. Non-file inputs (in-memory
     DataFrames, post-shuffle streams) report no files and skip the
-    guard: their partitioning already came from parallelize/shuffle."""
+    guard: their partitioning already came from parallelize/shuffle.
+
+    Threshold is full core count (r10, was cores // 2): the old form
+    was unsatisfiable at defaultParallelism <= 2 (0 < n < 1) — the
+    serialized-scan hazard went unfixed exactly on the smallest
+    executors — and left a 3-file input on 8 cores at 3-way
+    parallelism. The repartition is a bounded extra exchange by this
+    function's own argument, so under-firing costs more than
+    over-firing."""
     cores = docs.sparkSession.sparkContext.defaultParallelism
     n_files = len(docs.inputFiles())
-    if 0 < n_files < max(cores // 2, 1):
+    if 0 < n_files < cores:
         return docs.repartition(cores)
     return docs
 

@@ -219,6 +219,39 @@ _FROM_LIST_STOP = re.compile(
 )
 
 
+def _mask_quoted(s: str) -> str:
+    """Same-length copy of `s` with every quoted region Spark SQL
+    recognizes (single-/double-quoted literals with backslash escapes,
+    backticked identifiers) blanked to spaces.  Length-preserving so
+    positions found in the mask index straight into the original."""
+    parts = re.split(
+        r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|`[^`]*`)", s
+    )
+    return "".join(p if i % 2 == 0 else " " * len(p) for i, p in enumerate(parts))
+
+
+def _mask_string_literals(s: str) -> str:
+    """Same-length copy with only the STRING-literal forms blanked
+    (single-/double-quoted; backslash escapes honored).  Backticked
+    identifiers survive: they are table references, and blanking them
+    would under-match — the direction the CTE scope guard must never
+    take.  A literal, by contrast, can never be a table reference."""
+    parts = re.split(r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")", s)
+    return "".join(p if i % 2 == 0 else " " * len(p) for i, p in enumerate(parts))
+
+
+def _blank_line_comments(s: str) -> str:
+    """Same-length copy of `s` with `-- ...` line comments blanked to
+    spaces (newlines kept, so `\\s+` regexes cross the former comment).
+    Comment starts are located on the quote-masked copy: a `--` inside
+    a string literal is content, not a comment."""
+    masked = _mask_quoted(s)
+    out = list(s)
+    for m in re.finditer(r"--[^\n]*", masked):
+        out[m.start() : m.end()] = " " * (m.end() - m.start())
+    return "".join(out)
+
+
 def _from_comma_tables(text: str) -> set[str]:
     """Lowercased head identifiers of every TOP-LEVEL FROM-list item
     (``FROM a, b`` → {a, b}) anywhere in `text`, with line comments
@@ -229,10 +262,16 @@ def _from_comma_tables(text: str) -> set[str]:
     table.  Paren-depth aware (subquery commas don't split items);
     scanning a FROM list stops at the first depth-0 clause keyword.
     Over-matching is acceptable here — the guard fails SAFE by raising
-    a clear unsupported-scope error — under-matching is not."""
+    a clear unsupported-scope error — under-matching is not.  FROM
+    anchors are located on a comment-blanked, quote-masked copy (r10):
+    a literal containing 'FROM <cte-name>' must not add a phantom head
+    (that direction falsely REJECTS valid queries), and a FROM inside a
+    line comment is not a FROM list.  Segments are scanned on the
+    comment-blanked original so backticked/quoted names survive."""
     out: set[str] = set()
-    for m in re.finditer(r"\bFROM\b", text, re.I):
-        seg = text[m.end():]
+    scan = _blank_line_comments(text)
+    for m in re.finditer(r"\bFROM\b", _mask_quoted(scan), re.I):
+        seg = scan[m.end():]
         depth, i = 0, 0
         items: list[list[str]] = [[]]
         while i < len(seg):
@@ -299,8 +338,26 @@ def _apply_watermark(df, col: str, delay: str):
     ascending form (``AS <col>``) map to a zero-delay watermark.  Any
     OTHER expression raises: silently tightening an unrecognized
     strategy (a UDF, arithmetic the INTERVAL regex misses) to 0 seconds
-    would drop late rows the declared strategy accepts."""
+    would drop late rows the declared strategy accepts.  A redundant
+    outer-paren form ``(<col> - INTERVAL '<n>' <unit>)`` is accepted
+    (r10): the parens change nothing semantically, and DDL written that
+    way used to register before the r9 fail-safe tightening."""
     d = delay.strip().rstrip(";").strip()
+    # strip BALANCED redundant outer parens only: "(a) - (b)" must not
+    # lose its first "(" — require the opening paren to close at the end
+    while d.startswith("(") and d.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(d):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(d) - 1:
+                    break
+        else:
+            d = d[1:-1].strip()
+            continue
+        break
     # the bounded-delay form is matched EXACTLY (`<col> - INTERVAL '<n>'
     # <unit>`), never by searching for an INTERVAL token: a chained
     # `ts - INTERVAL '10' MINUTE - INTERVAL '30' SECOND` or a delay
@@ -3482,11 +3539,19 @@ class TableEnvironment:
                 "splits the text at the operator, losing the scope; "
                 "inline the CTEs or stage them through a table"
             )
-        comma_tables = _from_comma_tables(right_text) if names else set()
+        # comments blanked first (r10): `JOIN -- note\n cte` slipped the
+        # FROM/JOIN regex (\s+ cannot cross the comment TEXT) and the
+        # comma scanner (which stops at the JOIN stop-keyword), letting
+        # the CTE name silently bind to a same-named registered table.
+        # String literals blanked too: 'pulled FROM c' is content, and
+        # matching it falsely REJECTS a valid query. Backticks survive —
+        # `FROM \`c\`` is a real reference and must keep firing.
+        scope_text = _mask_string_literals(_blank_line_comments(right_text))
+        comma_tables = _from_comma_tables(scope_text) if names else set()
         for name in names:
             if name.lower() in comma_tables or re.search(
                 rf"\b(?:FROM|JOIN)\s+`?{re.escape(name)}`?\b",
-                right_text,
+                scope_text,
                 re.I,
             ):
                 raise ValueError(

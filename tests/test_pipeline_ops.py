@@ -595,11 +595,21 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     compact = spark.read.parquet(one)
     assert len(compact.inputFiles()) == 1
     assert _ensure_scan_parallelism(compact).rdd.getNumPartitions() == cores
+    # a few files but < cores -> guard still fires (r10: the old
+    # cores//2 bar left a 3-file scan at 3-way parallelism, and was
+    # unsatisfiable outright at defaultParallelism <= 2)
+    few = str(tmp_path / "few")
+    rows.repartition(3).write.parquet(few)
+    assert 0 < len(spark.read.parquet(few).inputFiles()) < cores
+    assert (
+        _ensure_scan_parallelism(spark.read.parquet(few)).rdd.getNumPartitions()
+        == cores
+    )
     # many files -> no-op (the SAME plan object back, no extra exchange)
     many = str(tmp_path / "many")
     rows.repartition(cores).write.parquet(many)
     healthy = spark.read.parquet(many)
-    assert len(healthy.inputFiles()) >= cores // 2
+    assert len(healthy.inputFiles()) >= cores
     assert _ensure_scan_parallelism(healthy) is healthy
     # non-file input (no listing) -> no-op
     mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")

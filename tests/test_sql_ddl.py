@@ -4481,6 +4481,71 @@ def test_watermark_unrecognized_strategy_rejects(spark, tmp_path):
     assert env.execute_sql("SELECT ts, v FROM wm_ok").isStreaming
 
 
+def test_r10_advice_guards(spark, tmp_path):
+    """r10 ADVICE fixes: (1) a comment-separated JOIN reference to a
+    CTE (`JOIN -- note\\n cte`) fires the set-op scope guard (the
+    FROM/JOIN regex could not cross the comment text and the comma
+    scanner stopped at the JOIN keyword — the CTE silently bound to a
+    same-named registered table); (2) a string literal containing
+    'FROM <cte-name>' no longer adds a phantom FROM-list head (that
+    direction falsely REJECTED valid queries); (3) a redundantly
+    parenthesized bounded-delay watermark registers again (the r9
+    fail-safe tightening broke previously-working DDL)."""
+    import json as _json
+
+    env = TableEnvironment(spark)
+    for name, ks in (("r10_a", [1, 2]), ("r10_b", [2]), ("c", [3])):
+        p = tmp_path / f"src_{name}"
+        p.mkdir()
+        (p / "b0.jsonl").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in ks) + "\n"
+        )
+        env.execute_sql(f"""
+            CREATE TABLE {name} (k INT) WITH (
+              'connector'='filesystem','path'='{p}',
+              'format'='json','scan.streaming'='true')
+        """)
+    # (1) comment-separated JOIN head: the registered table `c` must
+    # NOT silently shadow the CTE — the guard fires
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "WITH c AS (SELECT k FROM r10_b) "
+            "SELECT k FROM r10_a INTERSECT "
+            "SELECT x.k FROM r10_b x JOIN -- enriched\n c ON x.k = c.k"
+        )
+    # (2) 'FROM c' inside a string literal is content, not a table
+    # reference: the query must lower, not reject
+    df = env.execute_sql(
+        "WITH c AS (SELECT k FROM r10_a) SELECT k FROM c INTERSECT "
+        "SELECT k FROM r10_b WHERE 'pulled FROM c' <> ''"
+    )
+    assert df.isStreaming
+    # ... and a FROM inside a line comment is not a FROM list either
+    df = env.execute_sql(
+        "WITH c AS (SELECT k FROM r10_a) SELECT k FROM c INTERSECT "
+        "SELECT k -- taken FROM c\n FROM r10_b"
+    )
+    assert df.isStreaming
+    # (3) outer-paren watermark form registers and keeps its delay
+    env.execute_sql(f"""
+        CREATE TABLE r10_wm (
+            ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS (ts - INTERVAL '5' SECOND)
+        ) WITH ('connector'='filesystem','path'='{tmp_path}/src_r10_a',
+                'format'='json','scan.streaming'='true')
+    """)
+    # "(a) - (b)" style must NOT be confused with a redundant wrapper:
+    # still the exact bounded-delay shape after stripping nothing
+    from flink_1_20_spark.sql_ddl import _apply_watermark
+
+    sdf = spark.readStream.format("rate").load()
+    assert _apply_watermark(
+        sdf, "timestamp", "((timestamp - INTERVAL '10' SECOND))"
+    ) is not None
+    with pytest.raises(ValueError, match="unsupported watermark strategy"):
+        _apply_watermark(sdf, "timestamp", "(timestamp) - (INTERVAL '1' DAY)")
+
+
 def test_proctime_lookup_join_batch(spark, tmp_path):
     """Processing-time lookup join through executeSql
     (CommonExecLookupJoin.java:141, TemporalProcessTimeJoinOperator.java:48):
