@@ -447,6 +447,7 @@ def exact_substring_dedup(
     min_span: int = 24,
     min_occurrences: int = 2,
     keep_first: bool = False,
+    unit: str = "char",
 ) -> DataFrame:
     """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499):
@@ -478,8 +479,17 @@ def exact_substring_dedup(
     against DIFFERENT sources, which over-removes slightly vs a true
     suffix-array match.
 
+    ``unit`` picks the span space: ``"char"`` (the shipped r9 form —
+    grams are character substrings, `min_span` in chars) or ``"token"``
+    (the paper-faithful space: Lee et al. define their 50-token
+    threshold over token sequences — grams are `window`-token slices of
+    the canonical tokenizer's output, `min_span` in tokens, and
+    clean_text is the normalized space-joined token stream).  The CDC
+    boundary contract is identical in both spaces.
+
     Returns one row per document that produced at least one chunk:
-    (doc, kept_chunks, removed_chunks, removed_chars, clean_text).
+    (doc, kept_chunks, removed_chunks, removed_chars|removed_tokens,
+    clean_text).
 
     100 TB scale: boundary hashing is linear in corpus characters and
     chunking is a stateless projection (swap md5 for a rolling Rabin
@@ -490,7 +500,9 @@ def exact_substring_dedup(
     shuffled hash join otherwise (AQE's call); the run windows
     partition by document, and reassembly is ONE shuffle on doc id.
     No NLJ anywhere."""
-    chunks = _cdc_chunks(docs, id_col, text_col, window, boundary_nibbles)
+    chunks = _cdc_chunks(
+        docs, id_col, text_col, window, boundary_nibbles, unit=unit
+    )
     from pyspark.sql import Window
 
     dup = (
@@ -513,7 +525,7 @@ def exact_substring_dedup(
             "is_dup", F.col("is_dup") & (F.row_number().over(w_first) > 1)
         )
     marked = marked.drop("h", "__dup")
-    return _remove_marked_runs(chunks, marked, min_span)
+    return _remove_marked_runs(chunks, marked, min_span, unit=unit)
 
 
 def exact_substring_decontaminate(
@@ -524,6 +536,7 @@ def exact_substring_decontaminate(
     window: int = 8,
     boundary_nibbles: tuple[str, ...] = ("0", "8"),
     min_span: int = 24,
+    unit: str = "char",
 ) -> DataFrame:
     """Span-level exact-substring DECONTAMINATION: verbatim character
     spans of ≥ `min_span` chars that also appear in the `bench`
@@ -547,14 +560,18 @@ def exact_substring_decontaminate(
     100 TB scale: the bench side is small (benchmarks are ~10^5-10^6
     chunks) so its distinct hash set broadcasts; the training side is
     one linear chunking scan + the broadcast membership join + one
-    doc-partitioned run window + one reassembly shuffle. No NLJ."""
-    chunks = _cdc_chunks(docs, id_col, text_col, window, boundary_nibbles)
+    doc-partitioned run window + one reassembly shuffle. No NLJ.
+    ``unit="token"`` runs the same machinery in token space (see
+    exact_substring_dedup)."""
+    chunks = _cdc_chunks(
+        docs, id_col, text_col, window, boundary_nibbles, unit=unit
+    )
     # single consumer + tiny side: no persist (nothing reuses it) and
     # no parallelism guard (it collapses into a broadcast immediately)
     bench_h = (
         _cdc_chunks(
             bench, id_col, text_col, window, boundary_nibbles,
-            multi_consumer=False,
+            multi_consumer=False, unit=unit,
         )
         .select(F.md5("chunk").alias("h"))
         .distinct()
@@ -566,7 +583,7 @@ def exact_substring_decontaminate(
         .withColumn("is_dup", F.coalesce("__dup", F.lit(False)))
         .drop("h", "__dup")
     )
-    return _remove_marked_runs(chunks, marked, min_span)
+    return _remove_marked_runs(chunks, marked, min_span, unit=unit)
 
 
 def _cdc_chunks(
@@ -576,44 +593,98 @@ def _cdc_chunks(
     window: int,
     boundary_nibbles: tuple[str, ...],
     multi_consumer: bool = True,
+    unit: str = "char",
 ) -> DataFrame:
     """Content-defined chunking shared by the exact-substring family:
-    (doc, idx, chunk) rows, boundaries where the md5 of the trailing
-    `window`-char gram ends in one of `boundary_nibbles`.
+    (doc, idx, chunk, w) rows — `w` is the chunk's weight in the
+    chosen unit — with boundaries where the md5 of the trailing
+    `window`-gram ends in one of `boundary_nibbles`.
+
+    ``unit="char"``: grams are character substrings, `w` = chars.
+    ``unit="token"``: the document is first tokenized with the
+    canonical tokenizer (normalized_words — the one every operator and
+    oracle here shares), grams are space-joined `window`-token slices,
+    chunks are space-joined token runs, `w` = tokens.  Same boundary
+    CONTRACT either way: a shared span chunks identically at any
+    offset, because the boundary depends only on the trailing gram.
+
     ``multi_consumer=False`` skips the persist and the parallelism
     guard — right for a small single-consumer side (e.g. the benchmark
     corpus that collapses straight into a broadcast hash set)."""
+    if unit not in ("char", "token"):
+        raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
     if multi_consumer:
         docs = _ensure_scan_parallelism(docs)
     w = int(window)
     nibs = ", ".join(f"'{n}'" for n in boundary_nibbles)
-    cuts = (
-        f"CASE WHEN length({text_col}) >= {w} THEN "
-        f"filter(transform(sequence({w}, length({text_col})), "
-        f"i -> CASE WHEN substring(md5(substring({text_col}, i - {w - 1}, {w})), 32, 1) "
-        f"IN ({nibs}) THEN i END), x -> x IS NOT NULL) "
-        f"ELSE CAST(array() AS ARRAY<INT>) END"
-    )
     # the boundary scan (one md5 per position) MUST land in its own
     # projection step: inlined into the chunk lambda it would re-run
     # per chunk index — an O(len²) blowup Catalyst's subexpression
-    # elimination does not reach across lambda scopes
-    chunk_structs = (
-        f"filter(transform(sequence(1, size(__b) - 1), "
-        f"j -> struct(j AS idx, substring({text_col}, "
-        f"element_at(__b, j) + 1, "
-        f"element_at(__b, j + 1) - element_at(__b, j)) AS chunk)), "
-        f"s -> s.chunk <> '')"
-    )
-    out = (
-        docs.selectExpr(f"{id_col} AS doc", text_col, f"{cuts} AS __cuts")
-        .selectExpr(
-            "doc",
-            text_col,
-            f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
+    # elimination does not reach across lambda scopes. (CollapseProject
+    # keeps these steps separate because every produced column is
+    # referenced more than once downstream — non-cheap multi-referenced
+    # expressions don't collapse.)
+    if unit == "char":
+        cuts = (
+            f"CASE WHEN length({text_col}) >= {w} THEN "
+            f"filter(transform(sequence({w}, length({text_col})), "
+            f"i -> CASE WHEN substring(md5(substring({text_col}, i - {w - 1}, {w})), 32, 1) "
+            f"IN ({nibs}) THEN i END), x -> x IS NOT NULL) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END"
         )
-        .selectExpr("doc", f"inline({chunk_structs})")
-    )
+        chunk_structs = (
+            f"filter(transform(sequence(1, size(__b) - 1), "
+            f"j -> struct(j AS idx, substring({text_col}, "
+            f"element_at(__b, j) + 1, "
+            f"element_at(__b, j + 1) - element_at(__b, j)) AS chunk, "
+            f"element_at(__b, j + 1) - element_at(__b, j) AS w)), "
+            f"s -> s.chunk <> '')"
+        )
+        out = (
+            docs.selectExpr(f"{id_col} AS doc", text_col, f"{cuts} AS __cuts")
+            .selectExpr(
+                "doc",
+                text_col,
+                f"concat(array(0), __cuts, array(length({text_col}))) AS __b",
+            )
+            .selectExpr("doc", f"inline({chunk_structs})")
+        )
+    else:
+        # token space (Lee et al. 2022 define spans in tokens): the
+        # tokenizer lands in its own projection, then cuts over token
+        # INDICES — the gram is the space-joined trailing window-slice,
+        # so both engines hash the identical string
+        tok = (
+            f"filter(split(regexp_replace(lower({text_col}), "
+            f"'[^a-z0-9 ]', ' '), '\\\\s+'), x -> x <> '')"
+        )
+        cuts = (
+            f"filter(transform(sequence({w}, size(__t)), "
+            f"i -> CASE WHEN substring(md5(concat_ws(' ', "
+            f"slice(__t, i - {w - 1}, {w}))), 32, 1) "
+            f"IN ({nibs}) THEN i END), x -> x IS NOT NULL)"
+        )
+        chunk_structs = (
+            f"filter(transform(sequence(1, size(__b) - 1), "
+            f"j -> struct(j AS idx, concat_ws(' ', slice(__t, "
+            f"element_at(__b, j) + 1, "
+            f"element_at(__b, j + 1) - element_at(__b, j))) AS chunk, "
+            f"element_at(__b, j + 1) - element_at(__b, j) AS w)), "
+            f"s -> s.w > 0)"
+        )
+        out = (
+            docs.selectExpr(f"{id_col} AS doc", f"{tok} AS __t")
+            .selectExpr(
+                "doc",
+                "__t",
+                f"CASE WHEN size(__t) >= {w} THEN {cuts} "
+                "ELSE CAST(array() AS ARRAY<INT>) END AS __cuts",
+            )
+            .selectExpr(
+                "doc", "__t", "concat(array(0), __cuts, array(size(__t))) AS __b"
+            )
+            .selectExpr("doc", f"inline({chunk_structs})")
+        )
     if not multi_consumer:
         return out
     # multiple consumers (dup/mark, totals) — persist so the
@@ -627,32 +698,37 @@ def _cdc_chunks(
 
 
 def _remove_marked_runs(
-    chunks: DataFrame, marked: DataFrame, min_span: int
+    chunks: DataFrame, marked: DataFrame, min_span: int, unit: str = "char"
 ) -> DataFrame:
     """Shared tail of the exact-substring family: drop maximal runs of
-    consecutive `is_dup` chunks totalling ≥ `min_span` chars, then
-    reassemble each document in chunk order."""
+    consecutive `is_dup` chunks totalling ≥ `min_span` units (each
+    chunk's `w` column carries its weight — chars or tokens), then
+    reassemble each document in chunk order.  Token-mode chunks rejoin
+    with a single space (they are space-joined token runs); the removed
+    column is named for the unit (`removed_chars` / `removed_tokens`)."""
     from pyspark.sql import Window
 
+    sep = "" if unit == "char" else " "
+    removed = "removed_chars" if unit == "char" else "removed_tokens"
     # gaps-and-islands: consecutive same-flag chunks share an island id;
-    # a dup island's total char length decides removal (the run rule)
+    # a dup island's total weight decides removal (the run rule)
     w_isl = Window.partitionBy("doc", "is_dup").orderBy("idx")
     w_run = Window.partitionBy("doc", "is_dup", "isl")
     runs = marked.withColumn(
         "isl", F.col("idx") - F.row_number().over(w_isl)
-    ).withColumn("rl", F.sum(F.length("chunk")).over(w_run))
+    ).withColumn("rl", F.sum("w").over(w_run))
     kept = runs.filter(~F.col("is_dup") | (F.col("rl") < min_span)).select(
-        "doc", "idx", "chunk"
+        "doc", "idx", "chunk", "w"
     )
     totals = chunks.groupBy("doc").agg(
         F.count(F.lit(1)).alias("total_chunks"),
-        F.sum(F.length("chunk")).alias("total_chars"),
+        F.sum("w").alias("total_w"),
     )
     reasm = kept.groupBy("doc").agg(
         F.count(F.lit(1)).alias("kept_chunks"),
-        F.sum(F.length("chunk")).alias("kept_chars"),
+        F.sum("w").alias("kept_w"),
         F.concat_ws(
-            "",
+            sep,
             F.expr(
                 "transform(array_sort(collect_list(struct(idx, chunk))),"
                 " s -> s.chunk)"
@@ -665,9 +741,9 @@ def _remove_marked_runs(
         (F.col("total_chunks") - F.coalesce("kept_chunks", F.lit(0)))
         .cast("long")
         .alias("removed_chunks"),
-        (F.col("total_chars") - F.coalesce("kept_chars", F.lit(0)))
+        (F.col("total_w") - F.coalesce("kept_w", F.lit(0)))
         .cast("long")
-        .alias("removed_chars"),
+        .alias(removed),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 

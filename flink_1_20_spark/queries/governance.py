@@ -422,6 +422,90 @@ assert "row_number() OVER (PARTITION BY md5(c.chunk)" in (
     _EXACT_SUBSTR_KEEP_FIRST_ORACLE
 ), "keep-first oracle derivation anchor drifted"
 
+# Token-space variant (r10): Lee et al. 2022 define their span
+# threshold in TOKENS (50 for the paper's corpora) — the same CDC
+# boundary contract runs over the canonical tokenizer's token arrays
+# (the tokenizer every operator and oracle here shares), grams are
+# space-joined 8-token slices, and the run rule counts tokens.  The
+# fixture's ~55-token word-soup docs make 12 the pinned query
+# threshold (the paper's 50 would remove nothing at this scale); the
+# operator takes any threshold.
+def _cdc_token_chunk_ctes(tag: str, src: str) -> str:
+    """toks/cuts/bounds/chunks CTE text over `src` in TOKEN space,
+    pinned to the same CDC boundary rule (window 8, md5 nibbles {0,8})
+    as operators/textdedup._cdc_chunks(unit='token'); the gram both
+    engines hash is the identical space-joined 8-token string."""
+    return f"""toks{tag} AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(
+      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+      x -> x <> '') AS t
+  FROM {src}),
+cuts{tag} AS (
+  SELECT doc_id, t,
+    list_sort(list_filter(
+      list_transform(range(8, len(t)+1),
+        i -> CASE WHEN substr(md5(array_to_string(t[i-7:i], ' ')), 32, 1)
+                  IN ('0','8') THEN i END),
+      x -> x IS NOT NULL)) AS c
+  FROM toks{tag}),
+bounds{tag} AS (
+  SELECT doc_id, t, list_prepend(0, list_append(c, len(t))) AS b
+  FROM cuts{tag}),
+chunks{tag} AS (
+  SELECT doc_id, u.j AS idx,
+         array_to_string(t[b[u.j]+1 : b[u.j+1]], ' ') AS chunk,
+         b[u.j+1] - b[u.j] AS w
+  FROM bounds{tag}, unnest(range(1, len(b))) AS u(j)
+  WHERE b[u.j+1] > b[u.j])"""
+
+
+# token-space run-removal tail: weight is the chunk's token count `w`,
+# threshold 12 tokens, chunks rejoin with a single space
+_RUN_REMOVAL_TAIL_TOK = """isl AS (
+  SELECT doc_id, idx, chunk, w, is_dup,
+         idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
+           AS isl
+  FROM marked),
+runs AS (
+  SELECT doc_id, idx, chunk, w, is_dup,
+         sum(w) OVER (PARTITION BY doc_id, is_dup, isl) AS rl
+  FROM isl),
+kept AS (
+  SELECT doc_id, idx, chunk, w FROM runs
+  WHERE NOT is_dup OR rl < 12),
+tot AS (
+  SELECT doc_id, count(*) AS total_chunks,
+         CAST(sum(w) AS BIGINT) AS total_tokens
+  FROM chunks GROUP BY doc_id),
+reasm AS (
+  SELECT doc_id, count(*) AS kept_chunks,
+         CAST(sum(w) AS BIGINT) AS kept_tokens,
+         md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       CAST(t.total_chunks - coalesce(r.kept_chunks, 0) AS BIGINT)
+         AS removed_chunks,
+       CAST(t.total_tokens - coalesce(r.kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id"""
+
+
+_EXACT_SUBSTR_TOK_ORACLE = f"""
+WITH {_cdc_token_chunk_ctes('', 'documents')},
+dup AS (
+  SELECT md5(chunk) AS h FROM chunks
+  GROUP BY md5(chunk) HAVING count(*) >= 2),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk, c.w,
+         md5(c.chunk) IN (SELECT h FROM dup) AS is_dup
+  FROM chunks c),
+{_RUN_REMOVAL_TAIL_TOK}
+"""
+
+
 # Span-level exact-substring DECONTAMINATION — the surgical upgrade
 # over document-level dropping (pipeline_decontaminated_corpus below):
 # verbatim spans ≥ 24 chars shared with the benchmark set (doc_id % 97
@@ -510,6 +594,41 @@ def dedup_exact_substring_keep_first(
     rest are removed in place. Same CDC boundary contract and run rule
     as dedup_exact_substring."""
     return _exact_substring_query(spark, sf_dir, keep_first=True)
+
+
+@register(
+    "dedup_exact_substring_tokens", oracle=_EXACT_SUBSTR_TOK_ORACLE
+)
+def dedup_exact_substring_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-space exact-substring dedup — the paper-faithful span unit
+    (Lee et al. 2022 threshold repeated spans at 50 TOKENS): repeated
+    verbatim token runs ≥ 12 tokens (fixture-scaled; see the oracle
+    comment) removed in place over the canonical tokenizer's output,
+    each document's surviving token stream fingerprinted.  Same CDC
+    boundary contract and scale shape as dedup_exact_substring — the
+    tokenizer adds one stateless projection."""
+    from flink_1_20_spark.operators.textdedup import exact_substring_dedup
+
+    d = T(spark, sf_dir, "documents")
+    out = exact_substring_dedup(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        window=8,
+        boundary_nibbles=("0", "8"),
+        min_span=12,
+        min_occurrences=2,
+        unit="token",
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "kept_chunks",
+        "removed_chunks",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
 
 
 @register(

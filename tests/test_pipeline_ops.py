@@ -547,6 +547,51 @@ def test_exact_substring_dedup_alignment_invariant(spark):
     assert all(r.removed_chars == 0 for r in again.collect())
 
 
+def test_exact_substring_dedup_token_alignment_invariant(spark):
+    """r10 token mode: the CDC boundary contract holds in TOKEN space —
+    a long token span shared at different TOKEN offsets (and different
+    char offsets, so char-aligned windows could never line up) is
+    detected and removed from both documents; unshared tokens survive
+    in order; the span unit is tokens (Lee et al. 2022's 50-token
+    threshold lives in this space)."""
+    from flink_1_20_spark.operators.textdedup import exact_substring_dedup
+
+    # 60 distinct tokens: enough interior 8-token boundary windows that
+    # ≥ 2 cuts land fully inside the span with overwhelming probability
+    span = " ".join(f"w{i}x{(i * 7) % 13}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " omega"),
+            (2, "one two three four five six seven " + span + " end"),
+            (3, "totally unshared words only nothing repeated here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_dedup(
+        docs, min_span=10, min_occurrences=2, unit="token"
+    )
+    rows = {r.doc: r for r in out.collect()}
+    assert rows[1].removed_tokens > 0 and rows[2].removed_tokens > 0, rows
+    assert span not in rows[1].clean_text
+    assert span not in rows[2].clean_text
+    # unshared tokens survive, in order, in the normalized token stream
+    assert rows[1].clean_text.startswith("alpha beta")
+    assert rows[1].clean_text.endswith("omega")
+    assert rows[2].clean_text.startswith("one two three")
+    assert rows[3].removed_tokens == 0
+    # tokenization is the canonical normalizer: punctuation/case folds
+    punct = spark.createDataFrame(
+        [(10, "Hello, World! " + span), (11, "hello world " + span)],
+        "doc_id long, text string",
+    )
+    p = {r.doc: r for r in exact_substring_dedup(
+        punct, min_span=10, min_occurrences=2, unit="token"
+    ).collect()}
+    # the span repeats across both docs regardless of the punctuated
+    # prefix; both lose it
+    assert p[10].removed_tokens > 0 and p[11].removed_tokens > 0
+
+
 def test_exact_substring_dedup_keep_first(spark):
     """keep_first=True (the paper's leave-one-copy rule): the globally
     first occurrence (min doc_id, then idx) of a repeated span survives;
@@ -687,3 +732,22 @@ def test_exact_substring_oracles_share_boundary_rule():
         _EXACT_SUBSTR_DECON_ORACLE,
     ):
         assert "rl < 24" in sql
+    # r10 token-space oracle: same window-8 / nibbles-{0,8} contract
+    # over space-joined 8-token grams, and the Spark token branch
+    # builds the identical gram string
+    from flink_1_20_spark.queries.governance import _EXACT_SUBSTR_TOK_ORACLE
+
+    tok_frag = (
+        "substr(md5(array_to_string(t[i-7:i], ' ')), 32, 1)\n"
+        "                  IN ('0','8')"
+    )
+    assert tok_frag in _EXACT_SUBSTR_TOK_ORACLE
+    assert "rl < 12" in _EXACT_SUBSTR_TOK_ORACLE
+    # (the expression spans two source lines — pin each piece)
+    assert "substring(md5(concat_ws(' ', " in src
+    assert "slice(__t, i - {w - 1}, {w}))), 32, 1) " in src
+    # both engines tokenize with the ONE canonical normalizer
+    assert "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')" in (
+        _EXACT_SUBSTR_TOK_ORACLE
+    )
+    assert "regexp_replace(lower({text_col}), " in src
