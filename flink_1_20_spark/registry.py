@@ -65,71 +65,62 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q1_returns_above_avg",
     # decimal-output-ban regression sentinel (red r4-r5, green r6)
     "join_range_banded",
-    # ---- r9 rotation: coverage-completion round. The 9th held slot is
-    # pipeline_dsir_select — its top-K plan changed this round (rank
-    # window → TakeOrderedAndProject, VERDICT r8 task 2), so the driver
-    # re-confirms the edited plan. Then ALL 36 never-driver-confirmed
-    # queries: the final 34 TPC-DS shapes — every one green in this
-    # session's bare AND perturbed sweeps — plus the two r9-new
-    # exact-substring ops (dedup_exact_substring in the block below,
-    # the keep-first variant in the remaining-slots block). A fully
-    # green window closes cumulative driver coverage at 280/281 — the
-    # one remaining query, decontaminate_exact_substring, landed after
-    # this window was verified+frozen and rotates in r10. The 5
-    # re-confirm slots: the three r8 oracle conversions that never
-    # re-rotated after the integer-units rewrite (tpch_q17, tpcds_q44,
-    # tpcds_q57 — proven locally both sweeps, never driver-proven
-    # post-conversion), dedup_cluster_best_representative (the r8 perf
-    # watch item — its 10x drift was profiled this round as upstream
-    # pair-generation JIT/load variance, code unchanged), and
-    # simsearch_ivfpq_adc_topk (newest ANN path, single
-    # confirmation) ----
-    # plan edited this round — driver re-confirms the new top-K shape
-    "pipeline_dsir_select",
-    # ---- the 35 never-driver-confirmed queries (34 final TPC-DS
-    # shapes in registration order + the r9-new op) ----
-    "tpcds_q3_brand_year_topn",
-    "tpcds_q8_suffix_band_semi",
-    "tpcds_q14b_intersect_items_avg_gate",
-    "tpcds_q15_disjunctive_restriction",
-    "tpcds_q24b_netpaid_above_cte_avg",
-    "tpcds_q27_rollup_three_dims",
-    "tpcds_q33_union_in_dim",
-    "tpcds_q37_banded_dim_scan",
-    "tpcds_q40_before_after_pivot",
-    "tpcds_q42_dim_group_agg",
-    "tpcds_q43_bucket_pivot",
-    "tpcds_q45_disjunctive_in",
-    "tpcds_q46_lag_change_points",
-    "tpcds_q52_brand_ext_price",
-    "tpcds_q55_brand_simple",
-    "tpcds_q56_channel_union_color_gate",
-    "tpcds_q60_channel_union_type_gate",
-    "tpcds_q65_low_revenue_items",
-    "tpcds_q68_bought_vs_current_nation",
-    "tpcds_q69_semi_anti_profile",
-    "tpcds_q70_rank_gated_rollup",
-    "tpcds_q71_period_breakdown_union",
-    "tpcds_q74_yoy_max_ratio",
-    "tpcds_q76_null_channel_union",
-    "tpcds_q77_channel_profit_full_outer",
-    "tpcds_q79_coupon_profit_by_order",
-    "tpcds_q81_returns_incl_tax_above_avg",
-    "tpcds_q82_banded_item_availability",
-    "tpcds_q83_return_share_three_way",
-    "tpcds_q84_concat_lookup",
-    "tpcds_q85_or_of_band_pairs",
-    "tpcds_q89_deviation_from_avg",
-    "tpcds_q92_excess_discount_amount",
-    "tpcds_q96_filtered_count",
+    # ---- r10 rotation: coverage is cumulatively complete after r9
+    # (280/281 driver-confirmed; the 281st below). 4 new/edited slots,
+    # then 38 re-proof slots — breadth sampling, at least one per
+    # operator family, favoring queries whose only driver confirmation
+    # is rounds old.
+    # (1) the one registered query without a driver row — landed after
+    # the r9 window froze; green in both local sweeps since. A green
+    # row here closes cumulative driver confirmation of the r9 surface.
+    "decontaminate_exact_substring",
+    # (2) r10-new: token-space exact-substring dedup (Lee et al.'s
+    # span unit), first driver look
+    "dedup_exact_substring_tokens",
+    # (3)+(4) internals edited this round (chunk rows now carry the
+    # unit weight `w`; scan-parallelism guard threshold cores/2 →
+    # cores) — driver re-confirms the edited plans
     "dedup_exact_substring",
-    # ---- keep-first variant (r9-new) + 5 re-confirm slots ----
     "dedup_exact_substring_keep_first",
-    "tpch_q17_small_quantity",
-    "tpcds_q44_best_worst",
-    "tpcds_q57_lag_lead_self_join",
-    "dedup_cluster_best_representative",
-    "simsearch_ivfpq_adc_topk",
+    # ---- 38 re-proof slots: one+ per family ----
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_approx_percentile",
+    "cdc_retract_agg",
+    "changelog_join_incremental",
+    "subquery_not_in",
+    "dedup_connected_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cross_corpus",
+    "fn_string_regex",
+    "fn_temporal_arith",
+    "fn_array_higher_order",
+    "text_pii_scrub",
+    "text_contamination_ngram",
+    "sample_stratified_exact",
+    "dedup_boilerplate_chunks",
+    "join_interval",
+    "cogroup_custkey",
+    "agg_json_arrayagg",
+    "window_dedup",
+    "multimodal_features",
+    "sessionization_gap",
+    "window_topn",
+    "pipeline_corpus_curation",
+    "pipeline_token_budget_sample",
+    "join_interval_overlap",
+    "setop_except_all",
+    "simsearch_ivf_topk",
+    "asof_join_tolerance",
+    "cep_vshape_iterative",
+    "text_lm_score",
+    "text_langid",
+    "tpch_q9_product_profit",
+    "tpcds_q64_spine_reused_cte",
+    "simsearch_recall_ivfpq",
+    "udx_grouped_agg",
+    "wtvf_session_dynamic_gap",
 )
 
 

@@ -1,0 +1,569 @@
+"""Grammar-driven dialect fuzz harness: seeded random SQL over the
+fixture tables, executed through BOTH executeSql→Spark (the hand-written
+dialect surface in sql_ddl.py + sql_flink.py) and DuckDB, with
+order-insensitive value comparison — the property-test upgrade of the
+per-query oracle discipline (VERDICT r9 task 2).  The reference's own
+layered suite is the precedent: its planner/runtime ITCases run
+randomized inputs through Calcite and diff against expected relational
+results (SURVEY.md §5, flink-table-planner ITCase batteries).
+
+Design rules (all inherited from the oracle discipline that has kept
+the driver gate green since r6):
+- Generated queries are DETERMINISTIC: every LIMIT sits under a total
+  ORDER BY (primary key), window functions order by the primary key,
+  and no RAND()/now() ever appears.
+- Floating-point aggregates use the integer-units idiom
+  (SUM(CAST(ROUND(x * 10^d) AS BIGINT))) so partial-aggregation order
+  can't flip a value; per-row double arithmetic is fine (same IEEE ops
+  in both engines); MIN/MAX on doubles are order-independent.
+- Aliases are identical on both sides (the comparator matches columns
+  by name), lowercase, and every computed column is aliased.
+- Decimal literals avoided (both engines would parse DECIMAL); integer
+  and exponent forms only.
+
+The generator emits (name, spark_sql, duck_sql) triples.  Most shapes
+are dialect-shared text (spark_sql == duck_sql — exactly the registry's
+oracle convention); divergent shapes (window TVFs, legacy group
+windows, Flink-only builtin spellings) carry a hand-mapped DuckDB
+equivalent, mirroring the per-query oracles.
+
+Usage:
+    python scripts/dialect_fuzz.py [--seed 20260815] [--n 120]
+                                   [--sf /root/testdata/sf0.001] [-v]
+
+Exit code 0 iff every generated query matches.  tests/test_dialect_fuzz.py
+pins the seed; any mismatch found by a sweep gets its seed recorded
+there as a regression.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------- schema
+
+# fixture columns by role; pk is a TOTAL order (unique key)
+TABLES: dict[str, dict[str, list[str]]] = {
+    "lineitem": dict(
+        pk=["l_orderkey", "l_linenumber"],
+        ints=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        doubles=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        strs=["l_returnflag", "l_linestatus"],
+        ts=["l_shipdate"],
+    ),
+    "orders": dict(
+        pk=["o_orderkey"],
+        ints=["o_orderkey", "o_custkey"],
+        doubles=["o_totalprice"],
+        strs=["o_orderstatus", "o_orderpriority"],
+        ts=["o_orderdate"],
+    ),
+    "customer": dict(
+        pk=["c_custkey"],
+        ints=["c_custkey", "c_nationkey"],
+        doubles=["c_acctbal"],
+        strs=["c_name", "c_mktsegment"],
+        ts=[],
+    ),
+    "part": dict(
+        pk=["p_partkey"],
+        ints=["p_partkey", "p_size"],
+        doubles=["p_retailprice"],
+        strs=["p_name", "p_brand", "p_type"],
+        ts=[],
+    ),
+    "supplier": dict(
+        pk=["s_suppkey"],
+        ints=["s_suppkey", "s_nationkey"],
+        doubles=["s_acctbal"],
+        strs=["s_name"],
+        ts=[],
+    ),
+    "nation": dict(
+        pk=["n_nationkey"],
+        ints=["n_nationkey", "n_regionkey"],
+        doubles=[],
+        strs=["n_name"],
+        ts=[],
+    ),
+    "region": dict(
+        pk=["r_regionkey"],
+        ints=["r_regionkey"],
+        doubles=[],
+        strs=["r_name"],
+        ts=[],
+    ),
+    "events": dict(
+        pk=["event_id"],
+        ints=["event_id", "user_id"],
+        doubles=["value"],
+        strs=["event_type"],
+        ts=["ts"],
+    ),
+}
+
+# fact JOIN dim equi-pairs (fk = pk)
+JOINS: list[tuple[str, str, str]] = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+]
+
+# Flink-spelled scalar forms with their DuckDB equivalents — these
+# exercise the sql_flink builtin rewrite table; args are filled with a
+# string column (%s) of the chosen table. Everything else the scalar
+# generator emits is dialect-shared text.
+FLINK_SCALAR_PAIRS: list[tuple[str, str]] = [
+    ("SPLIT_INDEX(%s, ' ', 0)", "split_part(%s, ' ', 1)"),
+    ("CHAR_LENGTH(%s)", "length(%s)"),
+    ("TO_BASE64(%s)", "to_base64(encode(%s))"),
+    ("LOCATE('a', %s)", "CAST(strpos(%s, 'a') AS BIGINT)"),
+]
+
+
+class Gen:
+    """Seeded query generator. Every method consumes randomness from
+    the one Random instance, so a seed pins the whole battery."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    # ------------------------------------------------------ primitives
+
+    def table(self) -> str:
+        return self.rng.choice(list(TABLES))
+
+    def int_col(self, t: str) -> str:
+        return self.rng.choice(TABLES[t]["ints"])
+
+    def str_col(self, t: str) -> str | None:
+        cols = TABLES[t]["strs"]
+        return self.rng.choice(cols) if cols else None
+
+    def dbl_col(self, t: str) -> str | None:
+        cols = TABLES[t]["doubles"]
+        return self.rng.choice(cols) if cols else None
+
+    def pk_order(self, t: str, prefix: str = "") -> str:
+        return ", ".join(prefix + c for c in TABLES[t]["pk"])
+
+    def pred(self, t: str, prefix: str = "") -> str:
+        """Data-independent deterministic predicate, ~30-80% selective."""
+        r = self.rng
+        kind = r.randrange(6)
+        if kind == 0:
+            c = prefix + self.int_col(t)
+            k = r.choice([2, 3, 5, 7])
+            keep = r.sample(range(k), max(1, k // 2))
+            return f"{c} % {k} IN ({', '.join(map(str, sorted(keep)))})"
+        if kind == 1:
+            c = prefix + self.int_col(t)
+            k = r.choice([3, 4, 5])
+            return f"{c} % {k} <> {r.randrange(k)}"
+        if kind == 2:
+            sc = self.str_col(t)
+            if sc is None:
+                return self.pred(t, prefix)
+            return f"length({prefix}{sc}) % 2 = {r.randrange(2)}"
+        if kind == 3:
+            sc = self.str_col(t)
+            if sc is None:
+                return self.pred(t, prefix)
+            letters = r.sample("abcdefghijklmnopqrstuvwxyz0123456789", 13)
+            quoted = ", ".join(f"'{x}'" for x in sorted(letters))
+            return f"substring(lower({prefix}{sc}), 1, 1) IN ({quoted})"
+        if kind == 4:
+            dc = self.dbl_col(t)
+            if dc is None:
+                return self.pred(t, prefix)
+            # per-row double compare vs an exponent-form literal: the
+            # same stored double compares identically in both engines
+            return f"{prefix}{dc} {r.choice(['<', '>='])} {r.choice(['1e1', '5e2', '1e4'])}"
+        # conjunction / disjunction
+        a, b = self.pred(t, prefix), self.pred(t, prefix)
+        return f"({a} {r.choice(['AND', 'OR'])} {b})"
+
+    def group_expr(self, t: str, prefix: str = "") -> tuple[str, str]:
+        """(expr, alias) for a GROUP BY key."""
+        r = self.rng
+        if TABLES[t]["strs"] and r.random() < 0.5:
+            return prefix + self.str_col(t), "g_s"
+        return f"{prefix}{self.int_col(t)} % {r.choice([3, 5, 7, 11])}", "g_i"
+
+    def aggs(self, t: str, prefix: str = "") -> list[str]:
+        """1-4 aggregate select items, all order-independent by
+        construction (dtype-law: BIGINT or exact-unit DOUBLE)."""
+        r = self.rng
+        out = ["count(*) AS cnt"]
+        pool = []
+        ic = self.int_col(t)
+        pool.append(f"count(DISTINCT {prefix}{ic}) AS ndv")
+        pool.append(f"CAST(min({prefix}{ic}) AS BIGINT) AS mn_i")
+        pool.append(f"CAST(max({prefix}{ic}) AS BIGINT) AS mx_i")
+        pool.append(f"CAST(sum({prefix}{ic}) AS BIGINT) AS s_i")
+        dc = self.dbl_col(t)
+        if dc:
+            # integer-units sum: exact regardless of accumulation order
+            pool.append(
+                f"CAST(sum(CAST(round({prefix}{dc} * 1e2) AS BIGINT)) "
+                f"AS BIGINT) AS s_units"
+            )
+            pool.append(f"CAST(min({prefix}{dc}) AS DOUBLE) AS mn_d")
+            pool.append(f"CAST(max({prefix}{dc}) AS DOUBLE) AS mx_d")
+        for item in r.sample(pool, r.randint(1, min(3, len(pool)))):
+            out.append(item)
+        return out
+
+    # ------------------------------------------------------ query shapes
+
+    def q_filter_project(self) -> tuple[str, str]:
+        """SELECT scalar exprs FROM t WHERE pred ORDER BY pk LIMIT k —
+        the scalar battery; exercises expression rewriting + pushdown."""
+        r = self.rng
+        t = self.table()
+        items = [f"{c} AS pk{i}" for i, c in enumerate(TABLES[t]["pk"])]
+        sc, ic = self.str_col(t), self.int_col(t)
+        dc = self.dbl_col(t)
+        spark_items, duck_items = list(items), list(items)
+        if sc:
+            shared = r.sample(
+                [
+                    f"upper({sc}) AS u_s",
+                    f"substring({sc}, 2, 3) AS sub_s",
+                    f"concat({sc}, '_x') AS cat_s",
+                    f"replace({sc}, 'a', '#') AS rep_s",
+                    f"trim({sc}) AS trim_s",
+                    f"coalesce(nullif({sc}, 'zz'), 'dflt') AS nn_s",
+                ],
+                2,
+            )
+            spark_items += shared
+            duck_items += shared
+            if r.random() < 0.6:
+                fl, du = r.choice(FLINK_SCALAR_PAIRS)
+                spark_items.append((fl % sc) + " AS fx")
+                duck_items.append((du % sc) + " AS fx")
+        arith = r.choice(
+            [
+                f"{ic} % 97 AS m_i",
+                f"({ic} + 7) * 3 AS a_i",
+                f"CASE WHEN {ic} % 2 = 0 THEN 'even' ELSE 'odd' END AS par",
+                f"abs({ic} - 50) AS ab_i",
+            ]
+        )
+        spark_items.append(arith)
+        duck_items.append(arith)
+        if dc and r.random() < 0.5:
+            d = f"round({dc} * (1e0 + {r.randrange(1, 9)}e-2), 2) AS d_x"
+            spark_items.append(d)
+            duck_items.append(d)
+        if TABLES[t]["ts"] and r.random() < 0.5:
+            tc = TABLES[t]["ts"][0]
+            # date_trunc dtype family diverges bare (DuckDB returns
+            # DATE, Spark TIMESTAMP) — the oracle discipline's explicit
+            # CAST pins both sides to DATE (driver-hash dtype law)
+            shared = r.choice(
+                [
+                    f"EXTRACT(YEAR FROM {tc}) AS y",
+                    f"EXTRACT(MONTH FROM {tc}) AS mo",
+                    f"CAST(date_trunc('month', {tc}) AS DATE) AS mth",
+                ]
+            )
+            spark_items.append(shared)
+            duck_items.append(shared)
+        where = self.pred(t)
+        tail = f"FROM {t} WHERE {where} ORDER BY {self.pk_order(t)} LIMIT {r.choice([7, 20, 50])}"
+        return (
+            f"SELECT {', '.join(spark_items)} {tail}",
+            f"SELECT {', '.join(duck_items)} {tail}",
+        )
+
+    def q_group_agg(self) -> tuple[str, str]:
+        r = self.rng
+        t = self.table()
+        gexpr, galias = self.group_expr(t)
+        aggs = self.aggs(t)
+        having = ""
+        if r.random() < 0.4:
+            having = f" HAVING count(*) > {r.choice([1, 3, 10])}"
+        sql = (
+            f"SELECT {gexpr} AS {galias}, {', '.join(aggs)} "
+            f"FROM {t} WHERE {self.pred(t)} "
+            f"GROUP BY {gexpr}{having}"
+        )
+        return sql, sql
+
+    def q_grouping_sets(self) -> tuple[str, str]:
+        """FOUND BY THIS HARNESS (r10, seed 20260815 q 008/027): over an
+        EMPTY filtered input, DuckDB follows ANSI and emits the
+        grand-total grouping-set row (count=0), while BOTH Spark and the
+        reference return no rows — Flink lowers grouping sets through
+        DecomposeGroupingSetsRule into Expand + one aggregate over
+        (keys, $e marker) (flink-table-planner .../logical/
+        DecomposeGroupingSetsRule.scala:159), and an Expand over zero
+        rows yields zero groups, exactly like Spark's Expand.  The
+        engine is reference-correct; the DuckDB side carries a
+        `HAVING count(*) > 0` equalizer (a no-op on every group that
+        can exist in Flink/Spark semantics, since a group only forms
+        from ≥1 input row)."""
+        r = self.rng
+        t = self.table()
+        if not TABLES[t]["strs"]:
+            t = "customer"
+        a = self.str_col(t)
+        b = f"{self.int_col(t)} % {r.choice([3, 5])}"
+        form = r.choice(
+            [
+                f"GROUPING SETS (({a}), ({b}), ())",
+                f"ROLLUP({a}, {b})",
+                f"CUBE({a}, {b})",
+            ]
+        )
+        body = (
+            f"SELECT {a} AS g_s, {b} AS g_i, "
+            f"CAST(GROUPING({a}) AS BIGINT) AS gf, count(*) AS cnt "
+            f"FROM {t} WHERE {self.pred(t)} GROUP BY {form}"
+        )
+        return body, body + " HAVING count(*) > 0"
+
+    def q_join_agg(self) -> tuple[str, str]:
+        r = self.rng
+        fact, dim, on = r.choice(JOINS)
+        jt = r.choice(["JOIN", "LEFT JOIN", "JOIN", "JOIN"])
+        gexpr, galias = self.group_expr(dim)
+        aggs = self.aggs(fact)
+        where = f" WHERE {self.pred(fact)}" if r.random() < 0.7 else ""
+        sql = (
+            f"SELECT {gexpr} AS {galias}, {', '.join(aggs)} "
+            f"FROM {fact} {jt} {dim} ON {on}{where} "
+            f"GROUP BY {gexpr}"
+        )
+        return sql, sql
+
+    def q_setop(self) -> tuple[str, str]:
+        r = self.rng
+        op = r.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+             "INTERSECT ALL", "EXCEPT ALL"]
+        )
+        ta, tb = r.choice(
+            [("customer", "supplier"), ("lineitem", "orders"),
+             ("customer", "customer"), ("nation", "region")]
+        )
+        if tb == "region":
+            ka, kb = "n_regionkey", "r_regionkey"
+        else:
+            ka, kb = self.int_col(ta), self.int_col(tb)
+        k = r.choice([5, 7, 11])
+        sql = (
+            f"SELECT {ka} % {k} AS k FROM {ta} WHERE {self.pred(ta)} "
+            f"{op} "
+            f"SELECT {kb} % {k} AS k FROM {tb} WHERE {self.pred(tb)}"
+        )
+        return sql, sql
+
+    def q_subquery(self) -> tuple[str, str]:
+        r = self.rng
+        fact, dim, on = r.choice(JOINS)
+        fk, pk = (s.strip() for s in on.split("="))
+        kind = r.randrange(3)
+        if kind == 0:
+            sql = (
+                f"SELECT count(*) AS cnt FROM {fact} "
+                f"WHERE {fk} IN (SELECT {pk} FROM {dim} WHERE {self.pred(dim)})"
+            )
+        elif kind == 1:
+            sql = (
+                f"SELECT count(*) AS cnt FROM {fact} "
+                f"WHERE {fk} NOT IN (SELECT {pk} FROM {dim} WHERE {self.pred(dim)})"
+            )
+        else:
+            sql = (
+                f"SELECT count(*) AS cnt FROM {fact} f "
+                f"WHERE EXISTS (SELECT 1 FROM {dim} d "
+                f"WHERE d.{pk} = f.{fk} AND {self.pred(dim, 'd.')})"
+            )
+        return sql, sql
+
+    def q_window(self) -> tuple[str, str]:
+        """ROW_NUMBER topn / rank / running sum — totally ordered."""
+        r = self.rng
+        t = self.table()
+        gexpr, _ = self.group_expr(t)
+        order = self.pk_order(t)
+        kind = r.randrange(3)
+        if kind == 0:
+            k = r.choice([2, 3, 5])
+            sql = (
+                f"SELECT * FROM (SELECT {gexpr} AS g, {self.pk_order(t)}, "
+                f"row_number() OVER (PARTITION BY {gexpr} ORDER BY {order}) AS rn "
+                f"FROM {t} WHERE {self.pred(t)}) x WHERE rn <= {k}"
+            )
+        elif kind == 1:
+            ic = self.int_col(t)
+            sql = (
+                f"SELECT {gexpr} AS g, {ic} AS v, "
+                f"CAST(rank() OVER (PARTITION BY {gexpr} ORDER BY {ic}) AS BIGINT) AS rk, "
+                f"CAST(dense_rank() OVER (PARTITION BY {gexpr} ORDER BY {ic}) AS BIGINT) AS drk "
+                f"FROM {t} WHERE {self.pred(t)}"
+            )
+        else:
+            ic = self.int_col(t)
+            sql = (
+                f"SELECT {self.pk_order(t)}, "
+                f"CAST(sum({ic}) OVER (PARTITION BY {gexpr} ORDER BY {order} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs "
+                f"FROM {t} WHERE {self.pred(t)}"
+            )
+        return sql, sql
+
+    def q_cte(self) -> tuple[str, str]:
+        """WITH wrapper around a generated agg — exercises the CTE
+        handling the r9 self-review kept finding edge cases in."""
+        r = self.rng
+        inner_s, inner_d = self.q_group_agg()
+        name = r.choice(["q", "base", "agg_src", "c"])
+        outer = f"SELECT * FROM {name} WHERE cnt > {r.choice([0, 2, 5])}"
+        return (
+            f"WITH {name} AS ({inner_s}) {outer}",
+            f"WITH {name} AS ({inner_d}) {outer}",
+        )
+
+    def q_window_tvf(self) -> tuple[str, str]:
+        """Flink window TVFs / legacy group windows vs a hand-mapped
+        time_bucket oracle — the dialect-divergent shape."""
+        r = self.rng
+        size_n, size_u, duck_iv = r.choice(
+            [("1", "HOUR", "1 hour"), ("30", "MINUTES", "30 minutes"),
+             ("2", "HOURS", "2 hours"), ("1", "DAY", "1 day")]
+        )
+        legacy = r.random() < 0.4
+        gcol = r.choice(["event_type", "user_id % 5"])
+        galias = "g"
+        if legacy:
+            spark_sql = (
+                f"SELECT TUMBLE_START(ts, INTERVAL '{size_n}' {size_u}) AS window_start, "
+                f"{gcol} AS {galias}, count(*) AS cnt "
+                f"FROM events "
+                f"GROUP BY TUMBLE(ts, INTERVAL '{size_n}' {size_u}), {gcol}"
+            )
+        else:
+            spark_sql = (
+                f"SELECT window_start, {gcol} AS {galias}, count(*) AS cnt "
+                f"FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), "
+                f"INTERVAL '{size_n}' {size_u})) "
+                f"GROUP BY window_start, window_end, {gcol}"
+            )
+        duck_sql = (
+            f"SELECT time_bucket(INTERVAL '{duck_iv}', ts) AS window_start, "
+            f"{gcol} AS {galias}, count(*) AS cnt "
+            f"FROM events GROUP BY 1, 2"
+        )
+        return spark_sql, duck_sql
+
+    # ------------------------------------------------------ battery
+
+    SHAPES = (
+        ("filter_project", "q_filter_project", 4),
+        ("group_agg", "q_group_agg", 4),
+        ("grouping_sets", "q_grouping_sets", 2),
+        ("join_agg", "q_join_agg", 4),
+        ("setop", "q_setop", 3),
+        ("subquery", "q_subquery", 3),
+        ("window", "q_window", 3),
+        ("cte", "q_cte", 2),
+        ("window_tvf", "q_window_tvf", 2),
+    )
+
+    def battery(self, n: int) -> list[tuple[str, str, str]]:
+        """n (name, spark_sql, duck_sql) triples, round-robin-weighted
+        across shapes so every family appears even at small n."""
+        weighted = [
+            (label, meth)
+            for label, meth, w in self.SHAPES
+            for _ in range(w)
+        ]
+        out = []
+        for i in range(n):
+            label, meth = weighted[i % len(weighted)] if i < len(weighted) \
+                else self.rng.choice(weighted)
+            s, d = getattr(self, meth)()
+            out.append((f"fuzz_{i:03d}_{label}", s, d))
+        return out
+
+
+# ---------------------------------------------------------------- runner
+
+
+def run_battery(
+    seed: int, n: int, sf_dir: str, verbose: bool = False, spark=None
+) -> list[tuple[str, str, str, str]]:
+    """Generate and run the battery; returns a list of failures
+    (name, spark_sql, duck_sql, message). Empty list == all green."""
+    import duckdb
+
+    from flink_1_20_spark.catalog import TABLE_NAMES, register_views
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+    from scripts.verify_local import compare
+
+    if spark is None:
+        from flink_1_20_spark import get_spark
+
+        spark = get_spark("dialect-fuzz")
+    register_views(spark, sf_dir)
+    env = TableEnvironment(spark)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    failures = []
+    for name, s_sql, d_sql in Gen(seed).battery(n):
+        try:
+            sdf = env.execute_sql(s_sql)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = [c.lower() for c in sdf.columns]
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the battery
+            failures.append((name, s_sql, d_sql, f"spark error: {ex}"))
+            continue
+        try:
+            cur = con.execute(d_sql)
+            d_rows = cur.fetchall()
+            d_cols = [c[0].lower() for c in cur.description]
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, s_sql, d_sql, f"duckdb error: {ex}"))
+            continue
+        ok, msg = compare(s_rows, s_cols, d_rows, d_cols)
+        if not ok:
+            failures.append((name, s_sql, d_sql, msg))
+        if verbose:
+            print(("PASS " if ok else "FAIL ") + f"{name}: {msg}")
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=20260815)
+    ap.add_argument("--n", type=int, default=120)
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+    fails = run_battery(args.seed, args.n, args.sf, verbose=args.verbose)
+    for name, s_sql, d_sql, msg in fails:
+        print(f"\nFAIL {name}: {msg}\n  spark: {s_sql}\n  duck:  {d_sql}")
+    print(f"\n{args.n - len(fails)} pass, {len(fails)} fail "
+          f"(seed={args.seed}, n={args.n}, sf={args.sf})")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

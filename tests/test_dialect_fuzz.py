@@ -1,0 +1,55 @@
+"""Pinned-seed run of the dialect fuzz harness (scripts/dialect_fuzz.py):
+grammar-generated SQL through executeSql→Spark AND DuckDB, value-compared
+— the property-test upgrade of the per-query oracle discipline (VERDICT
+r9 task 2).  The reference's randomized ITCase batteries are the
+precedent (SURVEY.md §5).
+
+Seeds 1,2,3,7,11,13,42,99,123,777 × n=80 were also swept green at build
+time; the pinned seed here is the CLI default so a future regression
+reproduces with a bare `python scripts/dialect_fuzz.py`.
+"""
+
+from __future__ import annotations
+
+
+def test_dialect_fuzz_pinned_seed(spark, sf_dir):
+    from scripts.dialect_fuzz import run_battery
+
+    fails = run_battery(seed=20260815, n=120, sf_dir=sf_dir, spark=spark)
+    assert not fails, "\n".join(
+        f"{name}: {msg}\n  spark: {s}\n  duck: {d}" for name, s, d, msg in fails[:5]
+    )
+
+
+def test_grouping_sets_empty_input_matches_reference(spark, sf_dir):
+    """The harness's first find (r10, seed 20260815): over an EMPTY
+    input, ANSI (and DuckDB) emit the grand-total grouping-set row, but
+    the REFERENCE does not — Flink lowers grouping sets through
+    DecomposeGroupingSetsRule (flink-table-planner .../logical/
+    DecomposeGroupingSetsRule.scala:159) into Expand + one aggregate
+    over (keys, $e), and Expand over zero rows yields zero groups.
+    Spark's Expand lowering behaves identically, so the engine is
+    reference-correct BY CONSTRUCTION; this test pins the behavior so a
+    future Spark upgrade that silently goes ANSI gets noticed (the fuzz
+    generator's DuckDB equalizer would then hide the flip).  A plain
+    global aggregate still emits its standard one row."""
+    from flink_1_20_spark.catalog import register_views
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    register_views(spark, sf_dir)
+    env = TableEnvironment(spark)
+    rollup = env.execute_sql(
+        "SELECT o_orderstatus AS g, count(*) AS cnt FROM orders "
+        "WHERE o_orderkey < 0 GROUP BY ROLLUP(o_orderstatus)"
+    )
+    assert rollup.collect() == []
+    sets = env.execute_sql(
+        "SELECT o_orderstatus AS g, count(*) AS cnt FROM orders "
+        "WHERE o_orderkey < 0 GROUP BY GROUPING SETS ((o_orderstatus), ())"
+    )
+    assert sets.collect() == []
+    # the non-grouping-sets global aggregate keeps its ANSI one-row form
+    plain = env.execute_sql(
+        "SELECT count(*) AS cnt FROM orders WHERE o_orderkey < 0"
+    ).collect()
+    assert [r.cnt for r in plain] == [0]
