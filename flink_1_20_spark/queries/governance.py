@@ -153,8 +153,14 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the benchmark set is DISTINCT-collapsed before the join so it
     broadcasts; the corpus side streams through explode + hash probe —
     at 100 TB this is one scan with a map-side semi-probe, no shuffle
-    of raw text."""
-    d = T(spark, sf_dir, "documents")
+    of raw text.  The scan is CPU-bound per row (shingle explode), so
+    its parallelism IS the wall clock — the compact-input guard
+    repartitions when input splits < cores (r10: the 100x probe's
+    one-file replica ran the whole scan on 2 splits; same hazard class
+    the r9 guard fixed for exact-substring)."""
+    from flink_1_20_spark.operators.textdedup import _ensure_scan_parallelism
+
+    d = _ensure_scan_parallelism(T(spark, sf_dir, "documents"))
     # CASE guard: sequence(1, 0) in Spark is a DESCENDING [1, 0], so a
     # document with < 3 words would feed slice() an illegal 0 index —
     # short docs simply have no 3-grams

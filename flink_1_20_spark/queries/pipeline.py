@@ -368,10 +368,17 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection: top-50 raw docs whose hashed
     unigram+bigram distribution is most target-like, with src0/src1 as
     the deterministic target stand-in. See the module comment for the
-    integer-microunits determinism contract and the scale shape."""
-    from flink_1_20_spark.operators.textdedup import hash32
+    integer-microunits determinism contract and the scale shape.  The
+    occurrence-level n-gram explode is CPU-bound per row, so scan
+    parallelism is the wall clock — the compact-input guard
+    repartitions when input splits < cores (r10, after the 100x probe
+    showed the one-file replica scanning on 2 splits)."""
+    from flink_1_20_spark.operators.textdedup import (
+        _ensure_scan_parallelism,
+        hash32,
+    )
 
-    docs = T(spark, sf_dir, "documents")
+    docs = _ensure_scan_parallelism(T(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "source",

@@ -81,6 +81,51 @@ HEAVY = [
 ]
 
 
+# ---- 100x subset (r10): one decade more evidence for the 100 TB
+# design claims. Only the tables the subset battery reads are
+# replicated (lineitem 60M rows, documents 500k docs); ops chosen per
+# VERDICT r9 task 4 — the headliners q1/q6 plus the three heaviest
+# LLM ops that are not output-bound by contract.
+HUNDRED_TABLES = {"lineitem": ["l_orderkey"], "documents": ["doc_id"]}
+HUNDRED_OPS = [
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "text_contamination_ngram",
+    "pipeline_dsir_select",
+    "dedup_exact_substring",
+]
+
+
+def generate_hundred(spark, dst: str, rep: int = 100) -> None:
+    for t, keys in HUNDRED_TABLES.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+        for k in keys:
+            r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
+        r.drop("__rep").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"generated {t} x{rep}: {n} rows")
+
+
+def run_hundred(spark, dst: str) -> None:
+    """Time the subset battery min-of-2 in-session (the JIT-retime
+    discipline that adjudicated the r8 watch item: first run pays
+    per-query JIT, min-of-2 reports steady state; both are printed)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in HUNDRED_OPS:
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            cnt = qs[name](spark, dst).count()
+            times.append(time.time() - t0)
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  {name}",
+            flush=True,
+        )
+
+
 def generate(spark, dst: str, rep: int) -> None:
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
@@ -125,8 +170,22 @@ def main() -> None:
     ap.add_argument("--dst", default="/tmp/sfX1")
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--run", action="store_true")
+    ap.add_argument(
+        "--hundred",
+        action="store_true",
+        help="100x subset mode: lineitem+documents only, subset battery "
+        "(default --rep 100, --dst /tmp/sfX2)",
+    )
     args = ap.parse_args()
     spark = get_spark("scale-probe")
+    if args.hundred:
+        rep = 100 if args.rep == 10 else args.rep
+        dst = "/tmp/sfX2" if args.dst == "/tmp/sfX1" else args.dst
+        if args.gen or not (args.gen or args.run):
+            generate_hundred(spark, dst, rep)
+        if args.run or not (args.gen or args.run):
+            run_hundred(spark, dst)
+        return
     if args.gen or not (args.gen or args.run):
         generate(spark, args.dst, args.rep)
     if args.run or not (args.gen or args.run):
