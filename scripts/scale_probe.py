@@ -78,6 +78,8 @@ HEAVY = [
     "dedup_exact_substring",
     "dedup_exact_substring_keep_first",
     "decontaminate_exact_substring",
+    # r10 addition
+    "dedup_exact_substring_tokens",
 ]
 
 
