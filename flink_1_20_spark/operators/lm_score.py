@@ -41,6 +41,11 @@ def bigram_lm_scores(
     tokens carry no bigram evidence and are omitted. Lower scores mean
     less corpus-typical text.
     """
+    # tokenize + bigram explode are CPU-bound per row — compact-input
+    # guard (r10; metadata-only, no-op on real multi-file corpora)
+    from flink_1_20_spark.operators.textdedup import _ensure_scan_parallelism
+
+    docs = _ensure_scan_parallelism(docs)
     toks = F.expr(
         f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t <> '')"
     )

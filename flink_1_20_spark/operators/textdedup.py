@@ -189,7 +189,14 @@ def minhash_lsh_pairs(
     Plan shape: scan → project signatures (codegen) → explode bands →
     shuffle on band hash → pair join → exact-Jaccard filter. Output:
     (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
+
+    The signature projection is CPU-bound per row (shingle + 16 hashes),
+    so scan parallelism is its wall clock — the compact-input guard
+    repartitions when splits < cores (r10; metadata-only, no-op on
+    real multi-file corpora and on derived inputs like the collapsed
+    variant's representatives).
     """
+    docs = _ensure_scan_parallelism(docs)
     words = normalized_words(F.col(text_col))
     sh = word_shingles(words, shingle_n).alias("shingles")
     base = docs.select(F.col(id_col).alias("doc"), sh)
@@ -242,6 +249,8 @@ def simhash_pairs(
     n_bands = 4
     if max_hamming >= n_bands:
         raise ValueError("max_hamming must be < 4 for exact 4-block LSH")
+    # fingerprinting is CPU-bound per row — compact-input guard (r10)
+    docs = _ensure_scan_parallelism(docs)
     fp = simhash_fingerprints(docs, id_col, text_col, bits)
     blk = fp.select("doc", "fp", *simhash_bands(F.col("fp"), n_bands, bits))
     block_struct = F.array(
@@ -279,6 +288,8 @@ def ngram_jaccard_pairs(
     index); shuffle 2: count shared shingles per pair. `max_doc_freq`
     drops shingles appearing in more docs (df-cut) to bound fanout on
     boilerplate — at 100 TB this is mandatory."""
+    # shingling is CPU-bound per row — compact-input guard (r10)
+    docs = _ensure_scan_parallelism(docs)
     words = normalized_words(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc"), word_shingles(words, shingle_n).alias("shingles")
