@@ -441,12 +441,35 @@ def _ensure_scan_parallelism(docs: DataFrame) -> DataFrame:
     executors — and left a 3-file input on 8 cores at 3-way
     parallelism. The repartition is a bounded extra exchange by this
     function's own argument, so under-firing costs more than
-    over-firing."""
+    over-firing.
+
+    Derived inputs (r10 review finding): inputFiles() traverses to
+    LEAF scans, so a post-shuffle frame — an aggregation's output like
+    collapse_exact's representatives, a windowed/filtered composition —
+    still reports the source files even though its partitioning already
+    came from the exchange; repartitioning it again would be a wasted
+    full shuffle. The ANALYZED logical plan (analysis only, no jobs) is
+    checked for an exchange-introducing operator above the scan and the
+    guard skips when one exists.  Only operators that ALWAYS shuffle
+    onto a new partitioning are in the skip list — Join is deliberately
+    absent (a broadcast join's output keeps the probe side's scan
+    partitioning, so a joined-but-unshuffled frame still needs the
+    guard; for a shuffled join the redundant repartition is the bounded
+    over-fire this guard already accepts)."""
+    import re as _re
+
     cores = docs.sparkSession.sparkContext.defaultParallelism
     n_files = len(docs.inputFiles())
-    if 0 < n_files < cores:
-        return docs.repartition(cores)
-    return docs
+    if not (0 < n_files < cores):
+        return docs
+    plan = docs._jdf.queryExecution().analyzed().toString()
+    if _re.search(
+        r"\b(Aggregate|Window|Sort|Repartition|"
+        r"RepartitionByExpression|Deduplicate|Distinct)\b",
+        plan,
+    ):
+        return docs
+    return docs.repartition(cores)
 
 
 def exact_substring_dedup(

@@ -595,7 +595,7 @@ class StreamingSqlMixin:
         # String literals blanked too: 'pulled FROM c' is content, and
         # matching it falsely REJECTS a valid query. Backticks survive —
         # `FROM \`c\`` is a real reference and must keep firing.
-        scope_text = _mask_string_literals(_blank_line_comments(right_text))
+        scope_text = _mask_string_literals(_blank_comments(right_text))
         comma_tables = _from_comma_tables(scope_text) if names else set()
         for name in names:
             if name.lower() in comma_tables or re.search(

@@ -227,16 +227,42 @@ def _mask_string_literals(s: str) -> str:
     return "".join(p if i % 2 == 0 else " " * len(p) for i, p in enumerate(parts))
 
 
-def _blank_line_comments(s: str) -> str:
-    """Same-length copy of `s` with `-- ...` line comments blanked to
-    spaces (newlines kept, so `\\s+` regexes cross the former comment).
-    Comment starts are located on the quote-masked copy: a `--` inside
-    a string literal is content, not a comment."""
+def _blank_comments(s: str) -> str:
+    """Same-length copy of `s` with SQL comments blanked to spaces —
+    both `-- ...` line comments (newlines kept, so `\\s+` regexes cross
+    the former comment) and `/* ... */` bracketed comments, which Spark
+    parses NESTED (SPARK-28880), so depth is tracked.  Comment starts
+    are located on the quote-masked copy: a `--` or `/*` inside a
+    string literal is content, not a comment.  An unterminated
+    bracketed comment blanks to end-of-string (the parser would reject
+    the statement anyway; the guard must still not see its text)."""
     masked = _mask_quoted(s)
     out = list(s)
-    for m in re.finditer(r"--[^\n]*", masked):
-        out[m.start() : m.end()] = " " * (m.end() - m.start())
+    i, n = 0, len(masked)
+    while i < n:
+        if masked[i] == "-" and masked[i : i + 2] == "--":
+            j = masked.find("\n", i)
+            j = n if j < 0 else j
+            out[i:j] = " " * (j - i)
+            i = j
+        elif masked[i] == "/" and masked[i : i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if masked[j : j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif masked[j : j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            out[i:j] = " " * (j - i)
+            i = j
+        else:
+            i += 1
     return "".join(out)
+
+
 
 
 def _from_comma_tables(text: str) -> set[str]:
@@ -256,7 +282,7 @@ def _from_comma_tables(text: str) -> set[str]:
     line comment is not a FROM list.  Segments are scanned on the
     comment-blanked original so backticked/quoted names survive."""
     out: set[str] = set()
-    scan = _blank_line_comments(text)
+    scan = _blank_comments(text)
     for m in re.finditer(r"\bFROM\b", _mask_quoted(scan), re.I):
         seg = scan[m.end():]
         depth, i = 0, 0
@@ -290,12 +316,8 @@ def _from_comma_tables(text: str) -> set[str]:
                 items[-1].extend(seg[i : j + 1])
                 i = j + 1
                 continue
-            elif ch == "-" and seg[i : i + 2] == "--":
-                # line comment: drop it (its text must not become an
-                # item's leading token)
-                j = seg.find("\n", i)
-                i = len(seg) if j < 0 else j
-                continue
+            # (no comment branch: `scan` is already comment-blanked —
+            # both -- and /* */ forms — by _blank_comments above)
             elif depth == 0:
                 if ch == ",":
                     items.append([])
@@ -505,7 +527,7 @@ __all__ = [
     "_FROM_LIST_STOP",
     "_mask_quoted",
     "_mask_string_literals",
-    "_blank_line_comments",
+    "_blank_comments",
     "_from_comma_tables",
     "_apply_watermark",
     "_scan_streaming_setops",

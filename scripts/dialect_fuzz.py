@@ -484,17 +484,22 @@ class Gen:
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:
-        """n (name, spark_sql, duck_sql) triples, round-robin-weighted
-        across shapes so every family appears even at small n."""
-        weighted = [
+        """n (name, spark_sql, duck_sql) triples.  The schedule is
+        weight-proportional AND interleaved — one of every shape per
+        pass, heavier shapes joining extra passes — so every family
+        appears even at small n (review finding: the earlier grouped
+        list gave a small --n run only the first few families)."""
+        max_w = max(w for _, _, w in self.SHAPES)
+        sched = [
             (label, meth)
+            for k in range(max_w)
             for label, meth, w in self.SHAPES
-            for _ in range(w)
+            if k < w
         ]
         out = []
         for i in range(n):
-            label, meth = weighted[i % len(weighted)] if i < len(weighted) \
-                else self.rng.choice(weighted)
+            label, meth = sched[i % len(sched)] if i < len(sched) \
+                else self.rng.choice(sched)
             s, d = getattr(self, meth)()
             out.append((f"fuzz_{i:03d}_{label}", s, d))
         return out

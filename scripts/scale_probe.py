@@ -168,8 +168,10 @@ def run(spark, dst: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rep", type=int, default=10)
-    ap.add_argument("--dst", default="/tmp/sfX1")
+    # defaults resolve per mode (None sentinel — an EXPLICIT --rep 10
+    # with --hundred must stay 10, not silently become 100)
+    ap.add_argument("--rep", type=int, default=None)
+    ap.add_argument("--dst", default=None)
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument(
@@ -181,17 +183,19 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("scale-probe")
     if args.hundred:
-        rep = 100 if args.rep == 10 else args.rep
-        dst = "/tmp/sfX2" if args.dst == "/tmp/sfX1" else args.dst
+        rep = args.rep if args.rep is not None else 100
+        dst = args.dst if args.dst is not None else "/tmp/sfX2"
         if args.gen or not (args.gen or args.run):
             generate_hundred(spark, dst, rep)
         if args.run or not (args.gen or args.run):
             run_hundred(spark, dst)
         return
+    rep = args.rep if args.rep is not None else 10
+    dst = args.dst if args.dst is not None else "/tmp/sfX1"
     if args.gen or not (args.gen or args.run):
-        generate(spark, args.dst, args.rep)
+        generate(spark, dst, rep)
     if args.run or not (args.gen or args.run):
-        run(spark, args.dst)
+        run(spark, dst)
 
 
 if __name__ == "__main__":

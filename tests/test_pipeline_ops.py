@@ -592,6 +592,41 @@ def test_exact_substring_dedup_token_alignment_invariant(spark):
     assert p[10].removed_tokens > 0 and p[11].removed_tokens > 0
 
 
+def test_exact_substring_decontaminate_token_mode(spark):
+    """r10 review finding: the decontaminate side of the token-space
+    machinery was untested — only the dedup side covered unit='token'.
+    A benchmark token span quoted inside a training doc is removed in
+    token space; clean docs are untouched; bench docs never appear."""
+    from flink_1_20_spark.operators.textdedup import (
+        exact_substring_decontaminate,
+    )
+
+    span = " ".join(f"b{i}q{(i * 5) % 11}" for i in range(60))
+    bench = spark.createDataFrame(
+        [(100, "benchmark preamble " + span + " benchmark coda")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "training text quoting " + span + " and moving on"),
+            (2, "completely original training words nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_decontaminate(
+        docs, bench, min_span=10, unit="token"
+    )
+    rows = {r.doc: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # bench side is reference-only
+    assert rows[1].removed_tokens > 0
+    assert span not in rows[1].clean_text
+    assert rows[1].clean_text.startswith("training text quoting")
+    assert rows[2].removed_tokens == 0
+    assert rows[2].clean_text == (
+        "completely original training words nothing shared"
+    )
+
+
 def test_exact_substring_dedup_keep_first(spark):
     """keep_first=True (the paper's leave-one-copy rule): the globally
     first occurrence (min doc_id, then idx) of a repeated span survives;
@@ -642,14 +677,17 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     assert _ensure_scan_parallelism(compact).rdd.getNumPartitions() == cores
     # a few files but < cores -> guard still fires (r10: the old
     # cores//2 bar left a 3-file scan at 3-way parallelism, and was
-    # unsatisfiable outright at defaultParallelism <= 2)
-    few = str(tmp_path / "few")
-    rows.repartition(3).write.parquet(few)
-    assert 0 < len(spark.read.parquet(few).inputFiles()) < cores
-    assert (
-        _ensure_scan_parallelism(spark.read.parquet(few)).rdd.getNumPartitions()
-        == cores
-    )
+    # unsatisfiable outright at defaultParallelism <= 2). Skipped when
+    # the machine is too small for a strictly-between file count to
+    # exist (review finding: the assertion must not depend on shape).
+    if cores > 3:
+        few = str(tmp_path / "few")
+        rows.repartition(3).write.parquet(few)
+        assert 0 < len(spark.read.parquet(few).inputFiles()) < cores
+        assert (
+            _ensure_scan_parallelism(spark.read.parquet(few)).rdd.getNumPartitions()
+            == cores
+        )
     # many files -> no-op (the SAME plan object back, no extra exchange)
     many = str(tmp_path / "many")
     rows.repartition(cores).write.parquet(many)
@@ -659,6 +697,22 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     # non-file input (no listing) -> no-op
     mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     assert _ensure_scan_parallelism(mem) is mem
+    # derived (post-shuffle) input over a compact FILE source -> no-op
+    # (r10 review finding: inputFiles() traverses to leaf scans, so an
+    # aggregation's output still reports the one source file — but its
+    # partitioning already came from the exchange and a repartition
+    # would be a wasted full shuffle; the analyzed-plan check skips it)
+    reps = compact.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert len(reps.inputFiles()) == 1
+    assert _ensure_scan_parallelism(reps) is reps
+    # ... while a broadcast-JOINED but unshuffled frame still fires
+    # (a broadcast join keeps the probe side's scan partitioning)
+    joined = compact.join(
+        F.broadcast(spark.createDataFrame([(1,)], "doc_id long")),
+        "doc_id",
+        "left",
+    )
+    assert _ensure_scan_parallelism(joined) is not joined
 
 
 def test_exact_substring_decontaminate(spark):

@@ -4513,6 +4513,31 @@ def test_r10_advice_guards(spark, tmp_path):
             "SELECT k FROM r10_a INTERSECT "
             "SELECT x.k FROM r10_b x JOIN -- enriched\n c ON x.k = c.k"
         )
+    # (1b) r10 self-review finding: BRACKETED comments disarmed the
+    # guard the same way line comments did (the blanker handled only
+    # `--`) — `JOIN /* note */ c` and `FROM /* note */ c` let the CTE
+    # name silently bind to the registered table `c`; nested form too
+    # (Spark parses /* /* */ */ nested, SPARK-28880)
+    for ref in ("JOIN /* enriched */ c ON x.k = c.k",
+                "JOIN /* a /* b */ c */ c ON x.k = c.k"):
+        with pytest.raises(ValueError, match="WITH/CTE"):
+            env.execute_sql(
+                "WITH c AS (SELECT k FROM r10_b) "
+                "SELECT k FROM r10_a INTERSECT "
+                f"SELECT x.k FROM r10_b x {ref}"
+            )
+    with pytest.raises(ValueError, match="WITH/CTE"):
+        env.execute_sql(
+            "WITH c AS (SELECT k FROM r10_b) "
+            "SELECT k FROM r10_a INTERSECT SELECT k FROM /* note */ c"
+        )
+    # ... and a '/*' inside a string literal is content, not a comment
+    # opener that would swallow the rest of the query
+    df0 = env.execute_sql(
+        "WITH c AS (SELECT k FROM r10_a) SELECT k FROM c INTERSECT "
+        "SELECT k FROM r10_b WHERE '/*' <> ''"
+    )
+    assert df0.isStreaming
     # (2) 'FROM c' inside a string literal is content, not a table
     # reference: the query must lower, not reject
     df = env.execute_sql(
