@@ -443,33 +443,24 @@ def _ensure_scan_parallelism(docs: DataFrame) -> DataFrame:
     function's own argument, so under-firing costs more than
     over-firing.
 
-    Derived inputs (r10 review finding): inputFiles() traverses to
-    LEAF scans, so a post-shuffle frame — an aggregation's output like
-    collapse_exact's representatives, a windowed/filtered composition —
-    still reports the source files even though its partitioning already
-    came from the exchange; repartitioning it again would be a wasted
-    full shuffle. The ANALYZED logical plan (analysis only, no jobs) is
-    checked for an exchange-introducing operator above the scan and the
-    guard skips when one exists.  Only operators that ALWAYS shuffle
-    onto a new partitioning are in the skip list — Join is deliberately
-    absent (a broadcast join's output keeps the probe side's scan
-    partitioning, so a joined-but-unshuffled frame still needs the
-    guard; for a shuffled join the redundant repartition is the bounded
-    over-fire this guard already accepts)."""
-    import re as _re
-
+    Derived inputs fire too, DELIBERATELY (r10, adjudicated across two
+    review passes): inputFiles() traverses to leaf scans, so a
+    post-shuffle frame (collapse_exact's representatives, a windowed
+    composition) still reports the compact source — and that is the
+    right signal, because with AQE partition coalescing (default on)
+    the post-shuffle output of a compact source collapses to ~1
+    partition (AQE targets BYTES, and heavy-CPU text is exactly the
+    small-bytes case it coalesces hardest), reproducing the serialized
+    scan one exchange later.  A plan-inspection skip was tried and
+    reverted: it both under-fired (the AQE coalesce case) and
+    false-skipped on plan-string keyword collisions.  The repartition
+    stays the bounded over-fire this guard accepts by construction —
+    it only ever triggers on compact inputs."""
     cores = docs.sparkSession.sparkContext.defaultParallelism
     n_files = len(docs.inputFiles())
-    if not (0 < n_files < cores):
-        return docs
-    plan = docs._jdf.queryExecution().analyzed().toString()
-    if _re.search(
-        r"\b(Aggregate|Window|Sort|Repartition|"
-        r"RepartitionByExpression|Deduplicate|Distinct)\b",
-        plan,
-    ):
-        return docs
-    return docs.repartition(cores)
+    if 0 < n_files < cores:
+        return docs.repartition(cores)
+    return docs
 
 
 def exact_substring_dedup(

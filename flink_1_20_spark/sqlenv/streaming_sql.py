@@ -595,8 +595,11 @@ class StreamingSqlMixin:
         # String literals blanked too: 'pulled FROM c' is content, and
         # matching it falsely REJECTS a valid query. Backticks survive —
         # `FROM \`c\`` is a real reference and must keep firing.
+        # _from_comma_tables gets the RAW text (it lexes comments and
+        # quotes itself — one implementation, not two layers to keep
+        # consistent).
         scope_text = _mask_string_literals(_blank_comments(right_text))
-        comma_tables = _from_comma_tables(scope_text) if names else set()
+        comma_tables = _from_comma_tables(right_text) if names else set()
         for name in names:
             if name.lower() in comma_tables or re.search(
                 rf"\b(?:FROM|JOIN)\s+`?{re.escape(name)}`?\b",

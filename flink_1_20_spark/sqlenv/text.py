@@ -231,27 +231,51 @@ def _blank_comments(s: str) -> str:
     """Same-length copy of `s` with SQL comments blanked to spaces —
     both `-- ...` line comments (newlines kept, so `\\s+` regexes cross
     the former comment) and `/* ... */` bracketed comments, which Spark
-    parses NESTED (SPARK-28880), so depth is tracked.  Comment starts
-    are located on the quote-masked copy: a `--` or `/*` inside a
-    string literal is content, not a comment.  An unterminated
-    bracketed comment blanks to end-of-string (the parser would reject
-    the statement anyway; the guard must still not see its text)."""
-    masked = _mask_quoted(s)
+    parses NESTED (SPARK-28880), so depth is tracked.
+
+    SINGLE-PASS lexer (r10 review finding): quotes and comments
+    interact both ways — a comment marker inside a string literal is
+    content, AND a quote inside a comment (the apostrophe in
+    `/* it's */`) must not open a string.  The earlier mask-quotes-
+    then-scan form got the second direction wrong: the apostrophe
+    paired with a later real literal, the masked region swallowed the
+    comment terminator, and real SQL was blanked to end-of-string —
+    silently disarming the CTE scope guard.  An unterminated bracketed
+    comment blanks to end-of-string (the parser would reject the
+    statement anyway; the guard must still not see its text)."""
     out = list(s)
-    i, n = 0, len(masked)
+    i, n = 0, len(s)
     while i < n:
-        if masked[i] == "-" and masked[i : i + 2] == "--":
-            j = masked.find("\n", i)
+        ch = s[i]
+        if ch in ("'", '"'):
+            # string literal: honor backslash escapes and doubled quotes
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = min(j + 1, n)
+        elif ch == "`":
+            j = s.find("`", i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "-" and s[i : i + 2] == "--":
+            j = s.find("\n", i)
             j = n if j < 0 else j
             out[i:j] = " " * (j - i)
             i = j
-        elif masked[i] == "/" and masked[i : i + 2] == "/*":
+        elif ch == "/" and s[i : i + 2] == "/*":
             depth, j = 1, i + 2
             while j < n and depth:
-                if masked[j : j + 2] == "/*":
+                if s[j : j + 2] == "/*":
                     depth += 1
                     j += 2
-                elif masked[j : j + 2] == "*/":
+                elif s[j : j + 2] == "*/":
                     depth -= 1
                     j += 2
                 else:

@@ -498,7 +498,7 @@ class Gen:
         ]
         out = []
         for i in range(n):
-            label, meth = sched[i % len(sched)] if i < len(sched) \
+            label, meth = sched[i] if i < len(sched) \
                 else self.rng.choice(sched)
             s, d = getattr(self, meth)()
             out.append((f"fuzz_{i:03d}_{label}", s, d))

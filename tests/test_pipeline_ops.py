@@ -697,16 +697,21 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     # non-file input (no listing) -> no-op
     mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     assert _ensure_scan_parallelism(mem) is mem
-    # derived (post-shuffle) input over a compact FILE source -> no-op
-    # (r10 review finding: inputFiles() traverses to leaf scans, so an
-    # aggregation's output still reports the one source file — but its
-    # partitioning already came from the exchange and a repartition
-    # would be a wasted full shuffle; the analyzed-plan check skips it)
+    # derived (post-shuffle) input over a compact FILE source -> FIRES
+    # (r10, adjudicated across two review passes: AQE partition
+    # coalescing collapses the post-shuffle output of a compact source
+    # to ~1 partition — verified here — so the downstream CPU-bound
+    # scan would serialize again one exchange later; the bounded
+    # repartition is correct, and inputFiles() reporting the leaf
+    # source is the right trigger)
     reps = compact.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     assert len(reps.inputFiles()) == 1
-    assert _ensure_scan_parallelism(reps) is reps
-    # ... while a broadcast-JOINED but unshuffled frame still fires
-    # (a broadcast join keeps the probe side's scan partitioning)
+    assert reps.rdd.getNumPartitions() <= 2, (
+        "premise: AQE coalesces the compact post-shuffle output"
+    )
+    assert _ensure_scan_parallelism(reps).rdd.getNumPartitions() == cores
+    # broadcast-JOINED but unshuffled frame fires too (a broadcast join
+    # keeps the probe side's scan partitioning)
     joined = compact.join(
         F.broadcast(spark.createDataFrame([(1,)], "doc_id long")),
         "doc_id",

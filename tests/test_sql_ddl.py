@@ -4538,6 +4538,21 @@ def test_r10_advice_guards(spark, tmp_path):
         "SELECT k FROM r10_b WHERE '/*' <> ''"
     )
     assert df0.isStreaming
+    # (1c) second-review finding: an UNPAIRED QUOTE inside a comment
+    # (the apostrophe in "it's") must not open a string — under
+    # mask-then-scan lexing it paired with a later real literal, the
+    # masked region swallowed the comment terminator, and the guard was
+    # silently disarmed again; the single-pass lexer closes it
+    for ref in (
+        "JOIN /* it's enriched */ c ON x.k = c.k AND 'y' <> ''",
+        "JOIN -- it's a note\n c ON x.k = c.k AND 'y' <> ''",
+    ):
+        with pytest.raises(ValueError, match="WITH/CTE"):
+            env.execute_sql(
+                "WITH c AS (SELECT k FROM r10_b) "
+                "SELECT k FROM r10_a INTERSECT "
+                f"SELECT x.k FROM r10_b x {ref}"
+            )
     # (2) 'FROM c' inside a string literal is content, not a table
     # reference: the query must lower, not reject
     df = env.execute_sql(
