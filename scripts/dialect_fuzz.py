@@ -427,15 +427,149 @@ class Gen:
 
     def q_cte(self) -> tuple[str, str]:
         """WITH wrapper around a generated agg — exercises the CTE
-        handling the r9 self-review kept finding edge cases in."""
+        handling the r9 self-review kept finding edge cases in.
+        Sometimes chained (a second CTE reading the first) and sometimes
+        with a comment between the CTEs."""
         r = self.rng
         inner_s, inner_d = self.q_group_agg()
         name = r.choice(["q", "base", "agg_src", "c"])
-        outer = f"SELECT * FROM {name} WHERE cnt > {r.choice([0, 2, 5])}"
+        if r.random() < 0.4:
+            cmt = r.choice(["", " -- staged\n", " /* staged */ "])
+            outer = (
+                f", second AS (SELECT * FROM {name} "
+                f"WHERE cnt > {r.choice([0, 2])})"
+                f"{cmt}SELECT * FROM second"
+            )
+        else:
+            outer = f" SELECT * FROM {name} WHERE cnt > {r.choice([0, 2, 5])}"
         return (
-            f"WITH {name} AS ({inner_s}) {outer}",
-            f"WITH {name} AS ({inner_d}) {outer}",
+            f"WITH {name} AS ({inner_s}){outer}",
+            f"WITH {name} AS ({inner_d}){outer}",
         )
+
+    def q_having_hidden_agg(self) -> tuple[str, str]:
+        """HAVING on an aggregate that is NOT in the SELECT list."""
+        r = self.rng
+        t = self.table()
+        gexpr, galias = self.group_expr(t)
+        ic = self.int_col(t)
+        sql = (
+            f"SELECT {gexpr} AS {galias}, count(*) AS cnt FROM {t} "
+            f"WHERE {self.pred(t)} GROUP BY {gexpr} "
+            f"HAVING CAST(sum({ic}) AS BIGINT) > {r.choice([100, 1000])} "
+            f"AND min({ic}) >= 0"
+        )
+        return sql, sql
+
+    def q_scalar_subquery(self) -> tuple[str, str]:
+        """Correlated scalar subquery in the SELECT list."""
+        r = self.rng
+        fact, dim, on = r.choice(JOINS)
+        fk, pk = (s.strip() for s in on.split("="))
+        sql = (
+            f"SELECT {pk} AS k, "
+            f"(SELECT count(*) FROM {fact} f WHERE f.{fk} = d.{pk}) AS n "
+            f"FROM {dim} d WHERE {self.pred(dim)} "
+            f"ORDER BY {pk} LIMIT {r.choice([10, 25])}"
+        )
+        return sql, sql
+
+    def q_derived_table(self) -> tuple[str, str]:
+        """Aggregate over a derived table (subquery in FROM) that is
+        itself a union of two filtered branches."""
+        r = self.rng
+        t = self.table()
+        ic = self.int_col(t)
+        k = r.choice([5, 7])
+        sql = (
+            f"SELECT k, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS s FROM ("
+            f"SELECT {ic} % {k} AS k, {ic} AS v FROM {t} WHERE {self.pred(t)} "
+            f"UNION ALL "
+            f"SELECT {ic} % {k} AS k, {ic} AS v FROM {t} WHERE {self.pred(t)}"
+            f") u GROUP BY k"
+        )
+        return sql, sql
+
+    def q_null_order_limit(self) -> tuple[str, str]:
+        """Explicit NULLS FIRST/LAST under LIMIT over a rollup output —
+        engine DEFAULTS differ (Spark: NULLS FIRST asc; DuckDB: NULLS
+        LAST), so the dialect surface must carry the explicit form
+        through; the grand-total NULL row makes the ordering observable.
+        Tie-broken on every column so the LIMIT cut is total."""
+        r = self.rng
+        t = self.table()
+        if not TABLES[t]["strs"]:
+            t = "customer"
+        a = self.str_col(t)
+        dirn = r.choice(["ASC NULLS FIRST", "ASC NULLS LAST",
+                         "DESC NULLS FIRST", "DESC NULLS LAST"])
+        body = (
+            f"SELECT {a} AS g, count(*) AS cnt FROM {t} "
+            f"WHERE {self.pred(t)} GROUP BY ROLLUP({a})"
+        )
+        tail = f" ORDER BY g {dirn}, cnt LIMIT {r.choice([3, 5])}"
+        # the q_grouping_sets empty-input equalizer (reference/Spark
+        # emit no grand-total row over empty input; DuckDB does)
+        return body + tail, body + " HAVING count(*) > 0" + tail
+
+    def q_lead_lag(self) -> tuple[str, str]:
+        """lead/lag with explicit defaults over a total order."""
+        r = self.rng
+        t = self.table()
+        ic = self.int_col(t)
+        order = self.pk_order(t)
+        gexpr, _ = self.group_expr(t)
+        sql = (
+            f"SELECT {self.pk_order(t)}, "
+            f"CAST(lag({ic}, 1, -1) OVER (PARTITION BY {gexpr} "
+            f"ORDER BY {order}) AS BIGINT) AS prev_v, "
+            f"CAST(lead({ic}, 2, 0) OVER (PARTITION BY {gexpr} "
+            f"ORDER BY {order}) AS BIGINT) AS next_v "
+            f"FROM {t} WHERE {self.pred(t)}"
+        )
+        return sql, sql
+
+    def q_interval_json(self) -> tuple[str, str]:
+        """Timestamp interval arithmetic (dialect-shared INTERVAL n UNIT
+        form) + a JSON scalar probe with per-engine spellings."""
+        r = self.rng
+        n, unit = r.choice([(1, "HOUR"), (3, "DAY"), (30, "MINUTE")])
+        sql_s = (
+            f"SELECT event_id AS pk0, ts + INTERVAL {n} {unit} AS ts2, "
+            f"EXTRACT(HOUR FROM ts) AS h, "
+            f"CAST(JSON_VALUE(props, '$.k') AS BIGINT) AS jk "
+            f"FROM events WHERE {self.pred('events')} "
+            f"ORDER BY event_id LIMIT 25"
+        )
+        sql_d = sql_s.replace(
+            "CAST(JSON_VALUE(props, '$.k') AS BIGINT)",
+            "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        )
+        return sql_s, sql_d
+
+    def q_hop_tvf(self) -> tuple[str, str]:
+        """Flink HOP window TVF vs a generate_series time_bucket oracle
+        (the wtvf_hop registry-oracle pattern)."""
+        r = self.rng
+        slide_n, slide_u, size_n, size_u, duck_slide, shifts = r.choice(
+            [("15", "MINUTES", "1", "HOUR", "15 minutes", 4),
+             ("30", "MINUTES", "1", "HOUR", "30 minutes", 2),
+             ("1", "HOUR", "2", "HOURS", "1 hour", 2)]
+        )
+        spark_sql = (
+            f"SELECT window_start, count(*) AS cnt "
+            f"FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), "
+            f"INTERVAL '{slide_n}' {slide_u}, INTERVAL '{size_n}' {size_u})) "
+            f"GROUP BY window_start, window_end"
+        )
+        duck_sql = (
+            f"SELECT time_bucket(INTERVAL '{duck_slide}', ts) "
+            f"- k.k * INTERVAL '{duck_slide}' AS window_start, "
+            f"count(*) AS cnt "
+            f"FROM events, generate_series(0, {shifts - 1}) k(k) "
+            f"GROUP BY 1"
+        )
+        return spark_sql, duck_sql
 
     def q_window_tvf(self) -> tuple[str, str]:
         """Flink window TVFs / legacy group windows vs a hand-mapped
@@ -481,6 +615,14 @@ class Gen:
         ("window", "q_window", 3),
         ("cte", "q_cte", 2),
         ("window_tvf", "q_window_tvf", 2),
+        # r10 grammar growth
+        ("having_hidden", "q_having_hidden_agg", 2),
+        ("scalar_subq", "q_scalar_subquery", 2),
+        ("derived", "q_derived_table", 2),
+        ("null_order", "q_null_order_limit", 2),
+        ("lead_lag", "q_lead_lag", 2),
+        ("interval_json", "q_interval_json", 2),
+        ("hop_tvf", "q_hop_tvf", 2),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:

@@ -4,9 +4,13 @@ grammar-generated SQL through executeSql→Spark AND DuckDB, value-compared
 r9 task 2).  The reference's randomized ITCase batteries are the
 precedent (SURVEY.md §5).
 
-Seeds 1,2,3,7,11,13,42,99,123,777 × n=80 were also swept green at build
-time; the pinned seed here is the CLI default so a future regression
-reproduces with a bare `python scripts/dialect_fuzz.py`.
+Seeds 1,2,3,7,11,13,42,99,123,777 × n=80 were swept green at build
+time, and 1,2,3,7,11,42,99,123,555,777 × n=60 again after the r10
+grammar growth (16 shapes: +HAVING-hidden-agg, correlated scalar
+subquery, derived-table union, NULLS FIRST/LAST ordering, lead/lag,
+interval+JSON, HOP TVF, chained/commented CTEs); the pinned seed here
+is the CLI default so a future regression reproduces with a bare
+`python scripts/dialect_fuzz.py`.
 """
 
 from __future__ import annotations
