@@ -232,7 +232,8 @@ class CatalogDdlMixin:
         meta = self._resolve_meta(name)
         if meta is None:
             raise ValueError(f"table not found: {name}")
-        lines = [f"  `{c}` {t.upper()}" for c, t in meta.columns]
+        # spark_type_to_flink: struct -> ROW (r10 round-trip find)
+        lines = [f"  `{c}` {spark_type_to_flink(t)}" for c, t in meta.columns]
         lines += [f"  `{c}` AS {e}" for c, e in meta.computed]
         if meta.watermark:
             lines.append(

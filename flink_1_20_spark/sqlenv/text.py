@@ -71,7 +71,7 @@ def flink_type_to_spark(t: str) -> str:
     raise ValueError(f"unsupported Flink type: {t!r}")
 
 
-_GENERIC_HEADS = ("ARRAY", "MAP", "ROW", "MULTISET")
+_GENERIC_HEADS = ("ARRAY", "MAP", "ROW", "MULTISET", "STRUCT")
 
 
 def _split_top_all(s: str, sep: str) -> list[str]:
@@ -120,6 +120,37 @@ def _split_top_all(s: str, sep: str) -> list[str]:
 def _split_top(s: str, sep: str) -> tuple[str, str]:
     parts = _split_top_all(s, sep)
     return parts[0], sep.join(parts[1:])
+
+
+def spark_type_to_flink(t: str) -> str:
+    """Inverse of flink_type_to_spark for SHOW CREATE TABLE emission.
+
+    TableMeta stores column types as SPARK DDL strings; uppercasing is
+    valid Flink DDL for every scalar/array/map type, but a struct must
+    come back as ``ROW<name TYPE, ...>`` — found by the r10 DDL
+    round-trip property test: SHOW CREATE emitted ``STRUCT<X:INT>``,
+    which neither Flink nor this module's own parser re-executes
+    (Flink's SHOW CREATE prints re-executable DDL,
+    ShowCreateUtil.buildShowCreateTableRow).  Declared TIMESTAMP /
+    CHAR / VARCHAR length-precision is not retained in TableMeta, so
+    those re-emit unparameterized — re-parseable, documented fidelity
+    loss."""
+    s = t.strip()
+    m = re.match(r"array\s*<(.*)>$", s, re.I | re.S)
+    if m:
+        return f"ARRAY<{spark_type_to_flink(m.group(1))}>"
+    m = re.match(r"map\s*<(.*)>$", s, re.I | re.S)
+    if m:
+        k, v = _split_top(m.group(1), ",")
+        return f"MAP<{spark_type_to_flink(k)}, {spark_type_to_flink(v)}>"
+    m = re.match(r"struct\s*<(.*)>$", s, re.I | re.S)
+    if m:
+        fields = []
+        for f in _split_top_all(m.group(1), ","):
+            nm, typ = f.strip().split(":", 1)
+            fields.append(f"{nm} {spark_type_to_flink(typ)}")
+        return "ROW<" + ", ".join(fields) + ">"
+    return s.upper()
 
 
 def _split_on_where(text: str) -> tuple[str, str | None]:
@@ -543,6 +574,7 @@ def _ctl_view_name(cat: str, db: str, table: str) -> str:
 __all__ = [
     "_SIMPLE_TYPES",
     "flink_type_to_spark",
+    "spark_type_to_flink",
     "_GENERIC_HEADS",
     "_split_top_all",
     "_split_top",
