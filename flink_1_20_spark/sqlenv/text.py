@@ -71,16 +71,23 @@ def flink_type_to_spark(t: str) -> str:
     raise ValueError(f"unsupported Flink type: {t!r}")
 
 
-_GENERIC_HEADS = ("ARRAY", "MAP", "ROW", "MULTISET", "STRUCT")
+_GENERIC_HEADS = ("ARRAY", "MAP", "ROW", "MULTISET")
+# Spark-side TYPE strings additionally use STRUCT<...>. STRUCT is NOT in
+# the default head set: _split_top_all also splits DDL column lists,
+# where a COLUMN named `struct` compared with `<` in a computed-column
+# expression must stay a comparison (third-review finding — adding
+# STRUCT globally merged column defs).  Only the type-string call sites
+# pass this extended set.
+_GENERIC_HEADS_TYPES = _GENERIC_HEADS + ("STRUCT",)
 
 
-def _split_top_all(s: str, sep: str) -> list[str]:
+def _split_top_all(s: str, sep: str, heads=_GENERIC_HEADS) -> list[str]:
     """Split on `sep` at paren/angle-bracket depth 0, quote-aware.
 
     `<` opens a bracket only when it directly follows a generic type
-    head (ARRAY/MAP/ROW/MULTISET) — comparison operators in computed
-    column expressions (`a >= b`, `a < b`) stay literal; `>` closes
-    only while a generic is open."""
+    head (`heads`, default ARRAY/MAP/ROW/MULTISET) — comparison
+    operators in computed column expressions (`a >= b`, `a < b`) stay
+    literal; `>` closes only while a generic is open."""
     out, pdepth, adepth, cur, i, q = [], 0, 0, [], 0, None
     while i < len(s):
         ch = s[i]
@@ -99,7 +106,7 @@ def _split_top_all(s: str, sep: str) -> list[str]:
             cur.append(ch)
         elif ch == "<":
             head = re.search(r"(\w+)\s*$", "".join(cur))
-            if head and head.group(1).upper() in _GENERIC_HEADS or adepth > 0:
+            if head and head.group(1).upper() in heads or adepth > 0:
                 adepth += 1
             cur.append(ch)
         elif ch == ">":
@@ -117,8 +124,8 @@ def _split_top_all(s: str, sep: str) -> list[str]:
     return out
 
 
-def _split_top(s: str, sep: str) -> tuple[str, str]:
-    parts = _split_top_all(s, sep)
+def _split_top(s: str, sep: str, heads=_GENERIC_HEADS) -> tuple[str, str]:
+    parts = _split_top_all(s, sep, heads)
     return parts[0], sep.join(parts[1:])
 
 
@@ -131,22 +138,28 @@ def spark_type_to_flink(t: str) -> str:
     round-trip property test: SHOW CREATE emitted ``STRUCT<X:INT>``,
     which neither Flink nor this module's own parser re-executes
     (Flink's SHOW CREATE prints re-executable DDL,
-    ShowCreateUtil.buildShowCreateTableRow).  Declared TIMESTAMP /
-    CHAR / VARCHAR length-precision is not retained in TableMeta, so
-    those re-emit unparameterized — re-parseable, documented fidelity
-    loss."""
+    ShowCreateUtil.buildShowCreateTableRow).  Documented fidelity
+    losses (not retained in TableMeta): TIMESTAMP / CHAR / VARCHAR
+    length-precision re-emit unparameterized; a declared TIME column
+    (stored as BIGINT nanos-of-day, the module's documented emulation)
+    re-emits as BIGINT — the emulation IS the engine's type for it.
+    `binary` re-emits as BYTES: in real Flink DDL a bare BINARY means
+    BINARY(1), which would truncate on re-execution (third-review
+    finding)."""
     s = t.strip()
+    if s.lower() == "binary":
+        return "BYTES"
     m = re.match(r"array\s*<(.*)>$", s, re.I | re.S)
     if m:
         return f"ARRAY<{spark_type_to_flink(m.group(1))}>"
     m = re.match(r"map\s*<(.*)>$", s, re.I | re.S)
     if m:
-        k, v = _split_top(m.group(1), ",")
+        k, v = _split_top(m.group(1), ",", _GENERIC_HEADS_TYPES)
         return f"MAP<{spark_type_to_flink(k)}, {spark_type_to_flink(v)}>"
     m = re.match(r"struct\s*<(.*)>$", s, re.I | re.S)
     if m:
         fields = []
-        for f in _split_top_all(m.group(1), ","):
+        for f in _split_top_all(m.group(1), ",", _GENERIC_HEADS_TYPES):
             nm, typ = f.strip().split(":", 1)
             fields.append(f"{nm} {spark_type_to_flink(typ)}")
         return "ROW<" + ", ".join(fields) + ">"

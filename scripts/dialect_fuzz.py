@@ -520,7 +520,7 @@ class Gen:
         order = self.pk_order(t)
         gexpr, _ = self.group_expr(t)
         sql = (
-            f"SELECT {self.pk_order(t)}, "
+            f"SELECT {order}, "
             f"CAST(lag({ic}, 1, -1) OVER (PARTITION BY {gexpr} "
             f"ORDER BY {order}) AS BIGINT) AS prev_v, "
             f"CAST(lead({ic}, 2, 0) OVER (PARTITION BY {gexpr} "
@@ -535,7 +535,7 @@ class Gen:
         r = self.rng
         n, unit = r.choice([(1, "HOUR"), (3, "DAY"), (30, "MINUTE")])
         sql_s = (
-            f"SELECT event_id AS pk0, ts + INTERVAL {n} {unit} AS ts2, "
+            f"SELECT event_id AS pk0, ts + INTERVAL '{n}' {unit} AS ts2, "
             f"EXTRACT(HOUR FROM ts) AS h, "
             f"CAST(JSON_VALUE(props, '$.k') AS BIGINT) AS jk "
             f"FROM events WHERE {self.pred('events')} "
