@@ -49,8 +49,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # fixture columns by role; pk is a TOTAL order (unique key)
 TABLES: dict[str, dict[str, list[str]]] = {
+    # pk must be a TOTAL order: the FIXTURE's (l_orderkey, l_linenumber)
+    # is NOT unique (soak seeds 1009/1010/1019 caught lead/lag flapping
+    # on the ties), but the full column list is — full-row duplicates
+    # are absent, so ordering by everything is total
     "lineitem": dict(
-        pk=["l_orderkey", "l_linenumber"],
+        pk=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"],
         ints=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
         doubles=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         strs=["l_returnflag", "l_linestatus"],
