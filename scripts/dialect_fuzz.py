@@ -132,6 +132,16 @@ FLINK_SCALAR_PAIRS: list[tuple[str, str]] = [
     ("CHAR_LENGTH(%s)", "length(%s)"),
     ("TO_BASE64(%s)", "to_base64(encode(%s))"),
     ("LOCATE('a', %s)", "CAST(strpos(%s, 'a') AS BIGINT)"),
+    # Flink/Spark REGEXP_REPLACE replaces ALL matches; DuckDB's default
+    # replaces only the FIRST — the oracle needs the 'g' flag
+    ("REGEXP_REPLACE(%s, '[aeiou]', '#')",
+     "regexp_replace(%s, '[aeiou]', '#', 'g')"),
+]
+
+# numeric Flink↔DuckDB spellings, filled with a double column
+FLINK_NUMERIC_PAIRS: list[tuple[str, str]] = [
+    ("TRUNCATE(%s, 0)", "trunc(%s)"),
+    ("TRUNCATE(%s * 1e1, 0)", "trunc(%s * 1e1)"),
 ]
 
 
@@ -248,6 +258,9 @@ class Gen:
                     f"replace({sc}, 'a', '#') AS rep_s",
                     f"trim({sc}) AS trim_s",
                     f"coalesce(nullif({sc}, 'zz'), 'dflt') AS nn_s",
+                    f"lpad({sc}, 12, '.') AS lp_s",
+                    f"reverse({sc}) AS rv_s",
+                    f"CAST(position('a' IN {sc}) AS BIGINT) AS pos_a",
                 ],
                 2,
             )
@@ -271,6 +284,10 @@ class Gen:
             d = f"round({dc} * (1e0 + {r.randrange(1, 9)}e-2), 2) AS d_x"
             spark_items.append(d)
             duck_items.append(d)
+        if dc and r.random() < 0.4:
+            fl, du = r.choice(FLINK_NUMERIC_PAIRS)
+            spark_items.append((fl % dc) + " AS fnx")
+            duck_items.append((du % dc) + " AS fnx")
         if TABLES[t]["ts"] and r.random() < 0.5:
             tc = TABLES[t]["ts"][0]
             # date_trunc dtype family diverges bare (DuckDB returns
