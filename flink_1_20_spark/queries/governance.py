@@ -527,17 +527,32 @@ marked AS (
 # operator's removal is then provable (planted quotes removed, clean
 # docs untouched). Both chunk sets come from the shared CDC template
 # above; tests/test_pipeline_ops.py pins the boundary fragment too.
-_EXACT_SUBSTR_DECON_ORACLE = f"""
-WITH bench_src AS (
+# plant lengths pinned ONCE per variant — the SQL template below and
+# the Spark-side _decon_train_bench call sites both read these (a
+# drifted pair would be a driver-hash red; see _cdc_chunk_ctes)
+_DECON_PLANT_CHARS = 120       # char-level variant (24-char run rule)
+_DECON_PLANT_CHARS_TOK = 400   # token variant: ~73 tokens, so 12-token
+                               # interior runs are provably removed
+
+
+def _decon_train_ctes(plant_chars: int) -> str:
+    """bench_src/train CTE text shared by BOTH decontamination oracles
+    — the ONE source of truth for the planted-contamination SQL (the
+    review found the token oracle duplicating it verbatim)."""
+    return f"""bench_src AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
 train AS (
   SELECT d.doc_id,
          d.text || CASE WHEN d.doc_id % 13 = 0
-                        THEN ' ' || coalesce(substr(b.text, 1, 120), '')
+                        THEN ' ' || coalesce(substr(b.text, 1, {plant_chars}), '')
                         ELSE '' END AS text
   FROM documents d
   LEFT JOIN bench_src b ON b.doc_id = (d.doc_id % 6) * 97
-  WHERE d.doc_id % 97 <> 0),
+  WHERE d.doc_id % 97 <> 0)"""
+
+
+_EXACT_SUBSTR_DECON_ORACLE = f"""
+WITH {_decon_train_ctes(_DECON_PLANT_CHARS)},
 {_cdc_chunk_ctes('', 'train')},
 {_cdc_chunk_ctes('_b', 'bench_src')},
 bh AS (
@@ -547,6 +562,25 @@ marked AS (
          md5(c.chunk) IN (SELECT h FROM bh) AS is_dup
   FROM chunks c),
 {_RUN_REMOVAL_TAIL}
+"""
+
+
+# token-space decontamination (r10): the same planted-contamination
+# convention as the char-level oracle above, with both chunkings in
+# TOKEN space and the 12-token run rule — the paper's span unit applied
+# to the cross-corpus form. Registered after the r10 window froze;
+# rotates into the r11 driver window.
+_EXACT_SUBSTR_DECON_TOK_ORACLE = f"""
+WITH {_decon_train_ctes(_DECON_PLANT_CHARS_TOK)},
+{_cdc_token_chunk_ctes('', 'train')},
+{_cdc_token_chunk_ctes('_b', 'bench_src')},
+bh AS (
+  SELECT DISTINCT md5(chunk) AS h FROM chunks_b),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk, c.w,
+         md5(c.chunk) IN (SELECT h FROM bh) AS is_dup
+  FROM chunks c),
+{_RUN_REMOVAL_TAIL_TOK}
 """
 
 
@@ -654,6 +688,36 @@ def decontaminate_exact_substring(
         exact_substring_decontaminate,
     )
 
+    train, bench = _decon_train_bench(spark, sf_dir, _DECON_PLANT_CHARS)
+    out = exact_substring_decontaminate(
+        train,
+        bench,
+        id_col="doc_id",
+        text_col="text",
+        window=8,
+        boundary_nibbles=("0", "8"),
+        min_span=24,
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "kept_chunks",
+        "removed_chunks",
+        "removed_chars",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _decon_train_bench(
+    spark: SparkSession, sf_dir: str, plant_chars: int = 120
+):
+    """Shared (train, bench) construction of both exact-substring
+    decontamination queries: bench = the doc_id % 97 slice; train = the
+    rest, with deterministic PLANTED contamination (every 13th doc gets
+    the first `plant_chars` chars of a deterministically-chosen bench
+    doc appended) so span removal is provable on the word-soup fixture.
+    The token variant plants 400 chars (~73 tokens): the 120-char quote
+    is only ~22 tokens, too short for 12-token interior runs to clear
+    the bar reliably."""
     d = T(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     train = (
@@ -677,13 +741,36 @@ def decontaminate_exact_substring(
                     F.concat(
                         F.lit(" "),
                         F.coalesce(
-                            F.substring("__btext", 1, 120), F.lit("")
+                            F.substring("__btext", 1, plant_chars),
+                            F.lit(""),
                         ),
                     ),
                 ).otherwise(F.lit("")),
             ).alias("text"),
         )
     )
+    return train, bench
+
+
+@register(
+    "decontaminate_exact_substring_tokens",
+    oracle=_EXACT_SUBSTR_DECON_TOK_ORACLE,
+)
+def decontaminate_exact_substring_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-space span-level decontamination (r10): benchmark token
+    runs ≥ 12 tokens removed in place from every training document —
+    the paper's span unit (Lee et al. 2022 threshold in TOKENS) applied
+    to the cross-corpus form. Same planted contamination and scale
+    shape as decontaminate_exact_substring; the tokenizer adds one
+    stateless projection. Registered after the r10 window froze —
+    rotates into the r11 driver window (registry ledger)."""
+    from flink_1_20_spark.operators.textdedup import (
+        exact_substring_decontaminate,
+    )
+
+    train, bench = _decon_train_bench(spark, sf_dir, _DECON_PLANT_CHARS_TOK)
     out = exact_substring_decontaminate(
         train,
         bench,
@@ -691,13 +778,14 @@ def decontaminate_exact_substring(
         text_col="text",
         window=8,
         boundary_nibbles=("0", "8"),
-        min_span=24,
+        min_span=12,
+        unit="token",
     )
     return out.select(
         F.col("doc").alias("doc_id"),
         "kept_chunks",
         "removed_chunks",
-        "removed_chars",
+        "removed_tokens",
         F.md5("clean_text").alias("clean_md5"),
     )
 

@@ -70,6 +70,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # then 38 re-proof slots — breadth sampling, at least one per
     # operator family, favoring queries whose only driver confirmation
     # is rounds old.
+    # LEDGER: decontaminate_exact_substring_tokens landed after this
+    # window was verified+frozen (r10 late addition; green in the bare
+    # AND perturbed sweeps) — rotate it into the r11 window.
     # (1) the one registered query without a driver row — landed after
     # the r9 window froze; green in both local sweeps since. A green
     # row here closes cumulative driver confirmation of the r9 surface.

@@ -86,8 +86,8 @@ HEAVY = [
 # ---- 100x subset (r10): one decade more evidence for the 100 TB
 # design claims. Only the tables the subset battery reads are
 # replicated (lineitem 60M rows, documents 500k docs); ops chosen per
-# VERDICT r9 task 4 — the headliners q1/q6 plus the three heaviest
-# LLM ops that are not output-bound by contract.
+# VERDICT r9 task 4 — the headliners q1/q6 plus the heaviest LLM ops
+# that are not output-bound by contract (+ the r10 token-space form).
 HUNDRED_TABLES = {"lineitem": ["l_orderkey"], "documents": ["doc_id"]}
 HUNDRED_OPS = [
     "tpch_q1_pricing_summary",
@@ -95,6 +95,7 @@ HUNDRED_OPS = [
     "text_contamination_ngram",
     "pipeline_dsir_select",
     "dedup_exact_substring",
+    "dedup_exact_substring_tokens",
 ]
 
 
