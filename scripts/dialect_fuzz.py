@@ -626,6 +626,62 @@ class Gen:
         )
         return spark_sql, duck_sql
 
+    def q_cumulate_tvf(self) -> tuple[str, str]:
+        """Flink CUMULATE window TVF vs a generate_series expanding-
+        window oracle (the wtvf_cumulate registry-oracle pattern)."""
+        r = self.rng
+        step_n, step_u, max_n, max_u, duck_step, duck_max, k = r.choice(
+            [("15", "MINUTES", "1", "HOUR", "15 minutes", "1 hour", 4),
+             ("30", "MINUTES", "2", "HOURS", "30 minutes", "2 hours", 4),
+             ("1", "HOUR", "2", "HOURS", "1 hour", "2 hours", 2)]
+        )
+        spark_sql = (
+            f"SELECT window_start, window_end, count(*) AS cnt "
+            f"FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), "
+            f"INTERVAL '{step_n}' {step_u}, INTERVAL '{max_n}' {max_u})) "
+            f"GROUP BY window_start, window_end"
+        )
+        duck_sql = (
+            f"SELECT time_bucket(INTERVAL '{duck_max}', ts) AS window_start, "
+            f"time_bucket(INTERVAL '{duck_max}', ts) "
+            f"+ k.k * INTERVAL '{duck_step}' AS window_end, "
+            f"count(*) AS cnt "
+            f"FROM events, generate_series(1, {k}) k(k) "
+            f"WHERE ts < time_bucket(INTERVAL '{duck_max}', ts) "
+            f"+ k.k * INTERVAL '{duck_step}' "
+            f"GROUP BY 1, 2"
+        )
+        return spark_sql, duck_sql
+
+    def q_session_tvf(self) -> tuple[str, str]:
+        """Flink SESSION window TVF (keyed, dynamic gap) vs a
+        gaps-and-islands oracle (the wtvf_session pattern).  Counts
+        only: tied timestamps within a key make value-ordering
+        nondeterministic, but session MEMBERSHIP is order-free."""
+        r = self.rng
+        gap = r.choice(["5", "10", "20"])
+        key = r.choice(["user_id", "event_type"])
+        spark_sql = (
+            f"SELECT {key} AS g, window_start, count(*) AS cnt "
+            f"FROM TABLE(SESSION(TABLE events PARTITION BY {key}, "
+            f"DESCRIPTOR(ts), INTERVAL '{gap}' MINUTES)) "
+            f"GROUP BY {key}, window_start, window_end"
+        )
+        duck_sql = (
+            f"WITH flagged AS ("
+            f"SELECT {key} AS g, ts, "
+            f"CASE WHEN lag(ts) OVER w IS NULL "
+            f"OR ts - lag(ts) OVER w >= INTERVAL '{gap} minutes' "
+            f"THEN 1 ELSE 0 END AS new_s "
+            f"FROM events WINDOW w AS (PARTITION BY {key} ORDER BY ts)"
+            f"), sess AS ("
+            f"SELECT *, sum(new_s) OVER (PARTITION BY g ORDER BY ts "
+            f"ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+            f"SELECT g, min(ts) AS window_start, count(*) AS cnt "
+            f"FROM sess GROUP BY g, sid"
+        )
+        return spark_sql, duck_sql
+
     # ------------------------------------------------------ battery
 
     SHAPES = (
@@ -646,6 +702,8 @@ class Gen:
         ("lead_lag", "q_lead_lag", 2),
         ("interval_json", "q_interval_json", 2),
         ("hop_tvf", "q_hop_tvf", 2),
+        ("cumulate_tvf", "q_cumulate_tvf", 1),
+        ("session_tvf", "q_session_tvf", 1),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:

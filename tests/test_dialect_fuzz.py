@@ -6,9 +6,10 @@ precedent (SURVEY.md §5).
 
 Seeds 1,2,3,7,11,13,42,99,123,777 × n=80 were swept green at build
 time, and 1,2,3,7,11,42,99,123,555,777 × n=60 again after the r10
-grammar growth (16 shapes: +HAVING-hidden-agg, correlated scalar
+grammar growth (18 shapes: +HAVING-hidden-agg, correlated scalar
 subquery, derived-table union, NULLS FIRST/LAST ordering, lead/lag,
-interval+JSON, HOP TVF, chained/commented CTEs); the pinned seed here
+interval+JSON, HOP/CUMULATE/SESSION TVFs, chained/commented CTEs,
+regexp-replace g-flag + TRUNCATE builtin pairs); the pinned seed here
 is the CLI default so a future regression reproduces with a bare
 `python scripts/dialect_fuzz.py`.
 """
