@@ -281,7 +281,12 @@ class Gen:
         spark_items.append(arith)
         duck_items.append(arith)
         if dc and r.random() < 0.5:
-            d = f"round({dc} * (1e0 + {r.randrange(1, 9)}e-2), 2) AS d_x"
+            # round ON the product's decimal grid (2-dec money × 2-dec
+            # multiplier = 4 decimals): rounding to FEWER digits sits on
+            # the half-step and flips between engines' rounding modes —
+            # the exact class the registry's money() rule bans (soak
+            # seed 5000 caught round(x*1.05, 2): 950.565 → .56 vs .57)
+            d = f"round({dc} * (1e0 + {r.randrange(1, 9)}e-2), 4) AS d_x"
             spark_items.append(d)
             duck_items.append(d)
         if dc and r.random() < 0.4:
