@@ -12,6 +12,16 @@ interval+JSON, HOP/CUMULATE/SESSION TVFs, chained/commented CTEs,
 regexp-replace g-flag + TRUNCATE builtin pairs); the pinned seed here
 is the CLI default so a future regression reproduces with a bare
 `python scripts/dialect_fuzz.py`.
+
+Soak history (what the harness itself caught, beyond the grouping-sets
+engine divergence): a 30-seed soak found the fixture's lineitem
+(l_orderkey, l_linenumber) key is NOT unique (lead/lag flapped on the
+ties — generator keys now use the full column list; FIXTURES.md
+documents the caveat), and a later 20-seed soak found the generator
+rounding a 4-decimal money product to 2 digits (the half-grid
+cross-engine flip the registry's money() rule bans — now rounds
+on-grid).  Both were HARNESS bugs; no engine defect has survived any
+soak.
 """
 
 from __future__ import annotations
