@@ -193,20 +193,33 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
         )
     if kind == "SESSION":
         # SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)
+        #
+        # Tie hazard (r10 review): ORDER BY `ts` alone is not a total
+        # order — with TIED timestamps the lag pass and the running-sum
+        # pass could each pick a DIFFERENT arbitrary tie order, and a
+        # session-starting row re-sorted behind a tied non-starting row
+        # would split one session in two.  The fix: __rn is computed in
+        # the SAME window spec as the lag (one WindowExec, one sort —
+        # consistent tie order by construction), and the running sum
+        # orders by __rn, which IS total per key.  Tied rows always
+        # share a session either way (their gap is 0), so membership is
+        # then deterministic regardless of which tie order the sort
+        # picked.
         _, gap_lit, _ = _parse_interval(args[2])
         part = ("PARTITION BY " + ", ".join(f"`{k}`" for k in pby) + " ") if pby else ""
         w_ord = f"({part}ORDER BY `{ts}`)"
-        w_run = f"({part}ORDER BY `{ts}` ROWS UNBOUNDED PRECEDING)"
+        w_run = f"({part}ORDER BY __rn ROWS UNBOUNDED PRECEDING)"
         sid_part = (
             "PARTITION BY " + ", ".join([*(f"`{k}`" for k in pby), "__sid"])
         )
         return (
-            f"(SELECT * EXCEPT(__new_s, __sid), "
+            f"(SELECT * EXCEPT(__new_s, __sid, __rn), "
             f"min(`{ts}`) OVER ({sid_part}) AS window_start, "
             f"max(`{ts}`) OVER ({sid_part}) + {gap_lit} AS window_end, "
             f"max(`{ts}`) OVER ({sid_part}) + {gap_lit} - INTERVAL '0.001' SECOND AS window_time "
             f"FROM (SELECT *, sum(__new_s) OVER {w_run} AS __sid "
-            f"FROM (SELECT *, CASE WHEN lag(`{ts}`) OVER {w_ord} IS NULL "
+            f"FROM (SELECT *, row_number() OVER {w_ord} AS __rn, "
+            f"CASE WHEN lag(`{ts}`) OVER {w_ord} IS NULL "
             f"OR `{ts}` - lag(`{ts}`) OVER {w_ord} >= {gap_lit} "
             f"THEN 1 ELSE 0 END AS __new_s FROM {table})))"
         )

@@ -660,9 +660,13 @@ class Gen:
 
     def q_session_tvf(self) -> tuple[str, str]:
         """Flink SESSION window TVF (keyed, dynamic gap) vs a
-        gaps-and-islands oracle (the wtvf_session pattern).  Counts
-        only: tied timestamps within a key make value-ordering
-        nondeterministic, but session MEMBERSHIP is order-free."""
+        gaps-and-islands oracle (the wtvf_session pattern).  Both OVER
+        clauses carry the event_id tiebreak (review finding: ts alone
+        is not a total order by the module's own rule — today's fixture
+        has unique ts per key, but relying on that is the exact
+        assumption class the lineitem soak flap came from; the engine's
+        own SESSION lowering pins tie order with a same-window
+        row_number for the same reason)."""
         r = self.rng
         gap = r.choice(["5", "10", "20"])
         key = r.choice(["user_id", "event_type"])
@@ -674,14 +678,15 @@ class Gen:
         )
         duck_sql = (
             f"WITH flagged AS ("
-            f"SELECT {key} AS g, ts, "
+            f"SELECT {key} AS g, ts, event_id, "
             f"CASE WHEN lag(ts) OVER w IS NULL "
             f"OR ts - lag(ts) OVER w >= INTERVAL '{gap} minutes' "
             f"THEN 1 ELSE 0 END AS new_s "
-            f"FROM events WINDOW w AS (PARTITION BY {key} ORDER BY ts)"
+            f"FROM events WINDOW w AS "
+            f"(PARTITION BY {key} ORDER BY ts, event_id)"
             f"), sess AS ("
-            f"SELECT *, sum(new_s) OVER (PARTITION BY g ORDER BY ts "
-            f"ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+            f"SELECT *, sum(new_s) OVER (PARTITION BY g ORDER BY ts, "
+            f"event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
             f"SELECT g, min(ts) AS window_start, count(*) AS cnt "
             f"FROM sess GROUP BY g, sid"
         )

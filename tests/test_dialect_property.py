@@ -62,6 +62,42 @@ def test_hop_tvf_matches_library(env, spark, slide, size):
     )
 
 
+def test_session_tvf_tied_timestamps_one_session(env, spark):
+    """r10 review finding (latent): the SESSION TVF's gaps-and-islands
+    lowering ordered both window passes by `ts` alone — not a total
+    order — so TIED timestamps could split one session in two if the
+    running-sum pass re-sorted a session-starting row behind its tied
+    sibling.  The lowering now pins tie order with a same-window
+    row_number; tied rows must always share a session (their gap is 0),
+    at a session start and mid-session alike."""
+    rows = [
+        # session 1: tied pair AT the session start + one follower
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:00:00"),
+        (3, "2024-01-01 10:02:00"),
+        # > 5 min gap → session 2: lone row then a tied pair
+        (4, "2024-01-01 10:30:00"),
+        (5, "2024-01-01 10:31:00"),
+        (6, "2024-01-01 10:31:00"),
+    ]
+    spark.createDataFrame(
+        [(i, ts, 7) for i, ts in rows], "event_id long, ts string, k int"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "k"
+    ).createOrReplaceTempView("sess_ties")
+    got = env.execute_sql("""
+        SELECT window_start, count(*) AS n
+        FROM TABLE(SESSION(TABLE sess_ties PARTITION BY k,
+                           DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+        GROUP BY k, window_start, window_end
+    """)
+    out = sorted((str(r.window_start), r.n) for r in got.collect())
+    assert out == [
+        ("2024-01-01 10:00:00", 3),
+        ("2024-01-01 10:30:00", 3),
+    ], out
+
+
 @pytest.mark.parametrize("n_elems", [0, 1, 3, 7])
 def test_unnest_row_counts(env, spark, n_elems):
     """CROSS JOIN drops empty arrays, LEFT ... ON TRUE keeps them, and
