@@ -43,9 +43,9 @@ def bigram_lm_scores(
     """
     # tokenize + bigram explode are CPU-bound per row — compact-input
     # guard (r10; metadata-only, no-op on real multi-file corpora)
-    from flink_1_20_spark.operators.textdedup import _ensure_scan_parallelism
+    from flink_1_20_spark.operators.util import ensure_scan_parallelism
 
-    docs = _ensure_scan_parallelism(docs)
+    docs = ensure_scan_parallelism(docs)
     toks = F.expr(
         f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t <> '')"
     )

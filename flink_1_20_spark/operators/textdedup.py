@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_1_20_spark.operators.util import ensure_scan_parallelism
+
 
 def hash60(col: Column) -> Column:
     """60-bit positive hash reproducible in ANSI SQL:
@@ -417,50 +419,10 @@ def cross_corpus_contaminated(
     )
 
 
-def _ensure_scan_parallelism(docs: DataFrame) -> DataFrame:
-    """Guard a CPU-bound per-character scan against a compact input.
-
-    The boundary scan below is one hash per character, so its
-    parallelism IS the operator's wall clock. Input splits normally
-    provide it (a real corpus is thousands of parquet files), but a
-    compact input (one small file → one split) serializes the scan:
-    measured 28.5s → 3.5s at the 10x probe. The probe is METADATA-ONLY
-    — `inputFiles()` is a driver-side listing; `df.rdd` would force
-    AQE's getFinalPhysicalPlan and run every upstream shuffle stage at
-    DataFrame-BUILD time for composed inputs, the build-time-job class
-    this operator explicitly avoids (see the lazy localCheckpoint).
-    File count under-estimates splits for one giant file, so the guard
-    can fire a redundant repartition there — a bounded extra exchange,
-    vs the unbounded serial-scan downside. Non-file inputs (in-memory
-    DataFrames, post-shuffle streams) report no files and skip the
-    guard: their partitioning already came from parallelize/shuffle.
-
-    Threshold is full core count (r10, was cores // 2): the old form
-    was unsatisfiable at defaultParallelism <= 2 (0 < n < 1) — the
-    serialized-scan hazard went unfixed exactly on the smallest
-    executors — and left a 3-file input on 8 cores at 3-way
-    parallelism. The repartition is a bounded extra exchange by this
-    function's own argument, so under-firing costs more than
-    over-firing.
-
-    Derived inputs fire too, DELIBERATELY (r10, adjudicated across two
-    review passes): inputFiles() traverses to leaf scans, so a
-    post-shuffle frame (collapse_exact's representatives, a windowed
-    composition) still reports the compact source — and that is the
-    right signal, because with AQE partition coalescing (default on)
-    the post-shuffle output of a compact source collapses to ~1
-    partition (AQE targets BYTES, and heavy-CPU text is exactly the
-    small-bytes case it coalesces hardest), reproducing the serialized
-    scan one exchange later.  A plan-inspection skip was tried and
-    reverted: it both under-fired (the AQE coalesce case) and
-    false-skipped on plan-string keyword collisions.  The repartition
-    stays the bounded over-fire this guard accepts by construction —
-    it only ever triggers on compact inputs."""
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    n_files = len(docs.inputFiles())
-    if 0 < n_files < cores:
-        return docs.repartition(cores)
-    return docs
+# r11 ADVICE: the guard grew cross-module callers and is now the public
+# ensure_scan_parallelism in operators/util (full rationale there); the
+# old private name stays importable for in-module call sites and tests.
+_ensure_scan_parallelism = ensure_scan_parallelism
 
 
 def exact_substring_dedup(

@@ -158,9 +158,9 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitions when input splits < cores (r10: the 100x probe's
     one-file replica ran the whole scan on 2 splits; same hazard class
     the r9 guard fixed for exact-substring)."""
-    from flink_1_20_spark.operators.textdedup import _ensure_scan_parallelism
+    from flink_1_20_spark.operators.util import ensure_scan_parallelism
 
-    d = _ensure_scan_parallelism(T(spark, sf_dir, "documents"))
+    d = ensure_scan_parallelism(T(spark, sf_dir, "documents"))
     # CASE guard: sequence(1, 0) in Spark is a DESCENDING [1, 0], so a
     # document with < 3 words would feed slice() an illegal 0 index —
     # short docs simply have no 3-grams
@@ -341,7 +341,19 @@ def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consecutive duplicated chunks totalling ≥ 24 chars is removed (the
 # run rule reaches spans far longer than the ~16-char mean chunk).
 # Constants (window 8, nibbles {0,8}, min_span 24, min_occurrences 2)
-# are pinned identically in the Spark operator call below and this SQL.
+# are pinned ONCE in the named module constants below (r11 ADVICE) and
+# read by both the SQL templates and the Spark operator call sites.
+# CDC chunking constants pinned ONCE (r11 ADVICE): every SQL oracle
+# template below AND the register()d Spark call sites read THESE names,
+# so a threshold edit cannot drift one side of an oracle pair (which
+# would be a driver-hash red that costs a round to diagnose).
+CDC_WINDOW = 8                     # gram length (chars or tokens)
+CDC_BOUNDARY_NIBBLES = ("0", "8")  # md5 last-nibble boundary set (p=1/8)
+CHAR_MIN_SPAN = 24                 # char-variant run threshold (chars)
+TOKEN_MIN_SPAN = 12                # token-variant run threshold (tokens)
+_NIBBLES_SQL = ",".join(f"'{n}'" for n in CDC_BOUNDARY_NIBBLES)  # 0','8
+
+
 def _cdc_chunk_ctes(tag: str, src: str) -> str:
     """cuts/bounds/chunks CTE text over `src`, pinned to the CDC
     boundary rule (window 8, md5 nibbles {0,8}) shared with
@@ -351,9 +363,9 @@ def _cdc_chunk_ctes(tag: str, src: str) -> str:
     return f"""cuts{tag} AS (
   SELECT doc_id, text,
     list_sort(list_filter(
-      list_transform(range(8, len(text)+1),
-        i -> CASE WHEN substr(md5(substr(text, i-7, 8)), 32, 1)
-                  IN ('0','8') THEN i END),
+      list_transform(range({CDC_WINDOW}, len(text)+1),
+        i -> CASE WHEN substr(md5(substr(text, i-{CDC_WINDOW - 1}, {CDC_WINDOW})), 32, 1)
+                  IN ({_NIBBLES_SQL}) THEN i END),
       x -> x IS NOT NULL)) AS c
   FROM {src}),
 bounds{tag} AS (
@@ -369,7 +381,7 @@ chunks{tag} AS (
 # run-removal + reassembly tail shared by every exact-substring oracle:
 # gaps-and-islands over the is_dup flag, drop dup runs totalling >= 24
 # chars, reassemble per doc (BIGINT/VARCHAR outputs only — dtype law)
-_RUN_REMOVAL_TAIL = """isl AS (
+_RUN_REMOVAL_TAIL = f"""isl AS (
   SELECT doc_id, idx, chunk, is_dup,
          idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
            AS isl
@@ -380,7 +392,7 @@ runs AS (
   FROM isl),
 kept AS (
   SELECT doc_id, idx, chunk FROM runs
-  WHERE NOT is_dup OR rl < 24),
+  WHERE NOT is_dup OR rl < {CHAR_MIN_SPAN}),
 tot AS (
   SELECT doc_id, count(*) AS total_chunks,
          CAST(sum(len(chunk)) AS BIGINT) AS total_chars
@@ -450,9 +462,9 @@ def _cdc_token_chunk_ctes(tag: str, src: str) -> str:
 cuts{tag} AS (
   SELECT doc_id, t,
     list_sort(list_filter(
-      list_transform(range(8, len(t)+1),
-        i -> CASE WHEN substr(md5(array_to_string(t[i-7:i], ' ')), 32, 1)
-                  IN ('0','8') THEN i END),
+      list_transform(range({CDC_WINDOW}, len(t)+1),
+        i -> CASE WHEN substr(md5(array_to_string(t[i-{CDC_WINDOW - 1}:i], ' ')), 32, 1)
+                  IN ({_NIBBLES_SQL}) THEN i END),
       x -> x IS NOT NULL)) AS c
   FROM toks{tag}),
 bounds{tag} AS (
@@ -468,7 +480,7 @@ chunks{tag} AS (
 
 # token-space run-removal tail: weight is the chunk's token count `w`,
 # threshold 12 tokens, chunks rejoin with a single space
-_RUN_REMOVAL_TAIL_TOK = """isl AS (
+_RUN_REMOVAL_TAIL_TOK = f"""isl AS (
   SELECT doc_id, idx, chunk, w, is_dup,
          idx - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY idx)
            AS isl
@@ -479,7 +491,7 @@ runs AS (
   FROM isl),
 kept AS (
   SELECT doc_id, idx, chunk, w FROM runs
-  WHERE NOT is_dup OR rl < 12),
+  WHERE NOT is_dup OR rl < {TOKEN_MIN_SPAN}),
 tot AS (
   SELECT doc_id, count(*) AS total_chunks,
          CAST(sum(w) AS BIGINT) AS total_tokens
@@ -596,9 +608,9 @@ def _exact_substring_query(
         d,
         id_col="doc_id",
         text_col="text",
-        window=8,
-        boundary_nibbles=("0", "8"),
-        min_span=24,
+        window=CDC_WINDOW,
+        boundary_nibbles=CDC_BOUNDARY_NIBBLES,
+        min_span=CHAR_MIN_SPAN,
         min_occurrences=2,
         keep_first=keep_first,
     )
@@ -656,9 +668,9 @@ def dedup_exact_substring_tokens(
         d,
         id_col="doc_id",
         text_col="text",
-        window=8,
-        boundary_nibbles=("0", "8"),
-        min_span=12,
+        window=CDC_WINDOW,
+        boundary_nibbles=CDC_BOUNDARY_NIBBLES,
+        min_span=TOKEN_MIN_SPAN,
         min_occurrences=2,
         unit="token",
     )
@@ -694,9 +706,9 @@ def decontaminate_exact_substring(
         bench,
         id_col="doc_id",
         text_col="text",
-        window=8,
-        boundary_nibbles=("0", "8"),
-        min_span=24,
+        window=CDC_WINDOW,
+        boundary_nibbles=CDC_BOUNDARY_NIBBLES,
+        min_span=CHAR_MIN_SPAN,
     )
     return out.select(
         F.col("doc").alias("doc_id"),
@@ -776,9 +788,9 @@ def decontaminate_exact_substring_tokens(
         bench,
         id_col="doc_id",
         text_col="text",
-        window=8,
-        boundary_nibbles=("0", "8"),
-        min_span=12,
+        window=CDC_WINDOW,
+        boundary_nibbles=CDC_BOUNDARY_NIBBLES,
+        min_span=TOKEN_MIN_SPAN,
         unit="token",
     )
     return out.select(

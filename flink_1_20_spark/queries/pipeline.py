@@ -373,12 +373,10 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism is the wall clock — the compact-input guard
     repartitions when input splits < cores (r10, after the 100x probe
     showed the one-file replica scanning on 2 splits)."""
-    from flink_1_20_spark.operators.textdedup import (
-        _ensure_scan_parallelism,
-        hash32,
-    )
+    from flink_1_20_spark.operators.textdedup import hash32
+    from flink_1_20_spark.operators.util import ensure_scan_parallelism
 
-    docs = _ensure_scan_parallelism(T(spark, sf_dir, "documents"))
+    docs = ensure_scan_parallelism(T(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "source",

@@ -65,65 +65,65 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q1_returns_above_avg",
     # decimal-output-ban regression sentinel (red r4-r5, green r6)
     "join_range_banded",
-    # ---- r10 rotation: coverage is cumulatively complete after r9
-    # (280/281 driver-confirmed; the 281st below). 4 new/edited slots,
-    # then 38 re-proof slots — breadth sampling, at least one per
-    # operator family, favoring queries whose only driver confirmation
-    # is rounds old.
-    # LEDGER: decontaminate_exact_substring_tokens landed after this
-    # window was verified+frozen (r10 late addition; green in the bare
-    # AND perturbed sweeps) — rotate it into the r11 window.
-    # (1) the one registered query without a driver row — landed after
-    # the r9 window froze; green in both local sweeps since. A green
-    # row here closes cumulative driver confirmation of the r9 surface.
-    "decontaminate_exact_substring",
-    # (2) r10-new: token-space exact-substring dedup (Lee et al.'s
-    # span unit), first driver look
-    "dedup_exact_substring_tokens",
-    # (3)+(4) internals edited this round (chunk rows now carry the
-    # unit weight `w`; scan-parallelism guard threshold cores/2 →
-    # cores) — driver re-confirms the edited plans
+    # ---- r11 rotation. (1) the ONE query without a driver row —
+    # landed after the r10 window froze (r10 ledger); a green row here
+    # closes cumulative driver confirmation at 283/283, coverage
+    # complete. Green in the r10 bare AND perturbed sweeps and again
+    # this round.
+    "decontaminate_exact_substring_tokens",
+    # (2)-(5) guard-path re-proof: the compact-input scan guard moved
+    # to the public operators/util.ensure_scan_parallelism this round
+    # and gained the split-count estimate (files are not splits — r11
+    # ADVICE), and the exact-substring/decon oracles+call sites now
+    # derive their pinned constants from one place (byte-identical SQL,
+    # verified) — the driver re-confirms one query per touched family.
     "dedup_exact_substring",
-    "dedup_exact_substring_keep_first",
-    # ---- 38 re-proof slots: one+ per family ----
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_approx_percentile",
-    "cdc_retract_agg",
-    "changelog_join_incremental",
-    "subquery_not_in",
-    "dedup_connected_clusters",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_cross_corpus",
-    "fn_string_regex",
-    "fn_temporal_arith",
-    "fn_array_higher_order",
-    "text_pii_scrub",
+    "decontaminate_exact_substring",
     "text_contamination_ngram",
-    "sample_stratified_exact",
-    "dedup_boilerplate_chunks",
-    "join_interval",
-    "cogroup_custkey",
-    "agg_json_arrayagg",
-    "window_dedup",
-    "multimodal_features",
-    "sessionization_gap",
-    "window_topn",
-    "pipeline_corpus_curation",
-    "pipeline_token_budget_sample",
-    "join_interval_overlap",
-    "setop_except_all",
-    "simsearch_ivf_topk",
-    "asof_join_tolerance",
-    "cep_vshape_iterative",
-    "text_lm_score",
-    "text_langid",
-    "tpch_q9_product_profit",
-    "tpcds_q64_spine_reused_cte",
-    "simsearch_recall_ivfpq",
-    "udx_grouped_agg",
-    "wtvf_session_dynamic_gap",
+    "pipeline_dsir_select",
+    # ---- 37 re-proof slots: the queries whose last driver
+    # confirmation is OLDEST (all 25 remaining r3-confirmed + the 12
+    # oldest r4-confirmed) — ages the whole registry forward while
+    # keeping one+ per operator family (joins incl. outer/semi/anti/
+    # nonequi/window, all set ops, agg tail, over windows, rank/dedup,
+    # sort/limit).
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_left_semi",
+    "join_cross",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "limit_offset",
+    "agg_stats",
+    "agg_first_last_value",
+    "agg_listagg",
+    "agg_sum0_empty",
+    "agg_collect_multiset",
+    "agg_rollup",
+    "agg_grouping_id",
+    "agg_having",
+    "agg_bool_bit",
+    "over_rows_running",
+    "over_rows_sliding",
+    "over_range_numeric",
+    "over_lead_lag",
+    "over_first_last_nth",
+    "dedup_keep_first",
+    "join_full_outer",
+    "join_left_anti",
+    "join_nonequi_range",
+    "join_window",
+    "setop_intersect_all",
+    "sort_multicol_nulls",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_pivot",
+    "table_agg_top2_per_group",
+    "over_rank_functions",
+    "rank_topn_per_group",
 )
 
 

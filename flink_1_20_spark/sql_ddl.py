@@ -26,10 +26,35 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 # the module prelude (type mapping, text helpers, TableMeta) moved to
-# sqlenv.text in r10; re-exported here so existing imports
+# sqlenv.text in r10; re-exported here EXPLICITLY (r11 ADVICE: the old
+# star import depended on text.__all__ keeping underscore-private names
+# — a dropped name became a late NameError instead of an ImportError at
+# module load) so existing imports
 # (`from flink_1_20_spark.sql_ddl import flink_type_to_spark, ...`)
-# keep working
-from flink_1_20_spark.sqlenv.text import *  # noqa: F401,F403
+# keep working and removals fail loudly
+from flink_1_20_spark.sqlenv.text import (  # noqa: F401
+    _FROM_LIST_STOP,
+    _GENERIC_HEADS,
+    _SIMPLE_TYPES,
+    TableMeta,
+    _apply_watermark,
+    _blank_comments,
+    _computed_col_expr,
+    _ctl_view_name,
+    _db_view_name,
+    _from_comma_tables,
+    _leading_cte_names,
+    _mask_quoted,
+    _mask_string_literals,
+    _scan_streaming_setops,
+    _split_on_where,
+    _split_top,
+    _split_top_all,
+    _sub_outside_literals,
+    _sub_outside_quotes,
+    flink_type_to_spark,
+    spark_type_to_flink,
+)
 from flink_1_20_spark.sqlenv.catalog_ddl import CatalogDdlMixin
 from flink_1_20_spark.sqlenv.dml import DmlMixin
 from flink_1_20_spark.sqlenv.materialized import MaterializedMixin

@@ -13,7 +13,16 @@ import shutil
 from pyspark.sql import DataFrame
 
 # the moved method bodies reference the shared helpers by bare name
-from flink_1_20_spark.sqlenv.text import *  # noqa: F401,F403
+from flink_1_20_spark.sqlenv.text import (
+    TableMeta,
+    _apply_watermark,
+    _computed_col_expr,
+    _ctl_view_name,
+    _db_view_name,
+    _split_top_all,
+    flink_type_to_spark,
+    spark_type_to_flink,
+)
 
 
 class CatalogDdlMixin:

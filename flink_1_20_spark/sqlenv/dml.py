@@ -13,7 +13,11 @@ import shutil
 from pyspark.sql import DataFrame
 
 # the moved method bodies reference the shared helpers by bare name
-from flink_1_20_spark.sqlenv.text import *  # noqa: F401,F403
+from flink_1_20_spark.sqlenv.text import (
+    TableMeta,
+    _computed_col_expr,
+    _split_top_all,
+)
 
 
 class DmlMixin:

@@ -13,7 +13,15 @@ import shutil
 from pyspark.sql import DataFrame
 
 # the moved method bodies reference the shared helpers by bare name
-from flink_1_20_spark.sqlenv.text import *  # noqa: F401,F403
+from flink_1_20_spark.sqlenv.text import (
+    _blank_comments,
+    _from_comma_tables,
+    _leading_cte_names,
+    _mask_string_literals,
+    _scan_streaming_setops,
+    _split_top_all,
+    _sub_outside_quotes,
+)
 
 
 class StreamingSqlMixin:

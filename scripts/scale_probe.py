@@ -85,13 +85,25 @@ HEAVY = [
 
 # ---- 100x subset (r10): one decade more evidence for the 100 TB
 # design claims. Only the tables the subset battery reads are
-# replicated (lineitem 60M rows, documents 500k docs); ops chosen per
-# VERDICT r9 task 4 — the headliners q1/q6 plus the heaviest LLM ops
-# that are not output-bound by contract (+ the r10 token-space form).
-HUNDRED_TABLES = {"lineitem": ["l_orderkey"], "documents": ["doc_id"]}
+# replicated (lineitem 60M rows, documents 500k docs; r11 adds orders
+# 15M + customer 1.5M so the JOIN headliners get a second decade —
+# q10's 2.6x/decade customer-side shuffle had no 100x data point); ops
+# chosen per VERDICT r9 task 4 — the headliners q1/q6 plus the heaviest
+# LLM ops that are not output-bound by contract (+ the r10 token-space
+# form), r11 adding q3/q5/q10 per VERDICT r10 task 2.
+HUNDRED_TABLES = {
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+    # r11: the join headliners' shuffle sides
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+}
 HUNDRED_OPS = [
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
     "text_contamination_ngram",
     "pipeline_dsir_select",
     "dedup_exact_substring",
@@ -100,6 +112,11 @@ HUNDRED_OPS = [
 
 
 def generate_hundred(spark, dst: str, rep: int = 100) -> None:
+    # dims copy as-is (q3/q5/q10 read nation/region/supplier from dst)
+    for t in COPY:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
     for t, keys in HUNDRED_TABLES.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))

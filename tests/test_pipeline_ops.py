@@ -666,6 +666,11 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     and skip non-file inputs — all decided from metadata only (no jobs
     at build time)."""
     from flink_1_20_spark.operators.textdedup import _ensure_scan_parallelism
+    from flink_1_20_spark.operators.util import ensure_scan_parallelism
+
+    # r11 ADVICE: the cross-module contract is the PUBLIC name in
+    # operators/util; textdedup's private name is the same object
+    assert _ensure_scan_parallelism is ensure_scan_parallelism
 
     cores = spark.sparkContext.defaultParallelism
     rows = spark.range(1000).selectExpr("id AS doc_id", "repeat('x', 50) AS text")
@@ -697,6 +702,23 @@ def test_ensure_scan_parallelism_guard(spark, tmp_path):
     # non-file input (no listing) -> no-op
     mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     assert _ensure_scan_parallelism(mem) is mem
+    # few LARGE splittable files -> no-op (r11 ADVICE: files are not
+    # splits; the guard estimates splits as ceil(size/maxPartitionBytes)
+    # per file and skips when the scan is already wide). Simulated by
+    # shrinking maxPartitionBytes below the compact file's size so ONE
+    # file estimates >= cores splits.
+    import glob
+    import os as _os
+
+    fsize = _os.path.getsize(glob.glob(f"{one}/*.parquet")[0])
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(1, fsize // cores))
+        )
+        assert _ensure_scan_parallelism(compact) is compact
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
     # derived (post-shuffle) input over a compact FILE source -> FIRES
     # (r10, adjudicated across two review passes: AQE partition
     # coalescing collapses the post-shuffle output of a compact source
