@@ -389,10 +389,13 @@ class WindowedJoin:
         run = order.rowsBetween(W.unboundedPreceding, 0)
         prev = F.lag("__ts").over(order)
         new_s = F.when(
-            # >= : an event exactly `gap` after the previous one starts a
-            # NEW session (half-open windows, TimeWindow.intersects — the
-            # same convention as the SESSION TVF rewrite in sql_flink.py)
-            prev.isNull() | (F.col("__ts") >= prev + F.expr(gap)), 1
+            # STRICT > (r11 fix): an event exactly `gap` after the
+            # previous one MERGES — TimeWindow.intersects is inclusive
+            # (`end >= other.start`, flink-table-runtime
+            # .../window/TimeWindow.java:116), the same convention as
+            # the SESSION TVF rewrite in sql_flink.py; the old >= split
+            # boundary-adjacent events
+            prev.isNull() | (F.col("__ts") > prev + F.expr(gap)), 1
         ).otherwise(0)
         sess = F.sum(new_s).over(run)
         per = W.partitionBy(*kcols, "__sid")

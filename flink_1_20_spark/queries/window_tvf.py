@@ -147,7 +147,7 @@ def wtvf_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -231,7 +231,7 @@ def wtvf_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                             PARTITION BY user_id ORDER BY ts
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                           ) IS NULL
-                       OR ts >= max(ts + gap) OVER (
+                       OR ts > max(ts + gap) OVER (
                             PARTITION BY user_id ORDER BY ts
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                           )

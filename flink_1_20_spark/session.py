@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Hash-join-first, matching the reference's batch planner
+        # (BatchExecHashJoin is Flink's default equi-join; sort-merge
+        # only when inputs are pre-sorted). Spark's default prefers
+        # SMJ, which SORTS both shuffled sides — at the 100x probe
+        # (60M-row lineitem) that sort dominated q5 (SMJ min-of-2
+        # 13.9-23.9s vs 4.4s shuffled-hash) and q3 (5.7 -> 2.7s).
+        # Safe: Spark still guards SHJ behind canBuildLocalHashMap
+        # (build side < autoBroadcastThreshold x shuffle.partitions)
+        # and AQE re-plans on runtime sizes, so oversized build sides
+        # fall back to SMJ rather than OOM.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # local mode: the driver is the only JVM — give it the memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")

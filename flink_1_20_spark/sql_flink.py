@@ -194,6 +194,17 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
     if kind == "SESSION":
         # SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)
         #
+        # Boundary rule (r11, found by the streaming-vs-batch
+        # differential harness, seed 7): an event EXACTLY `gap` after
+        # the previous one MERGES into the session — Flink's
+        # TimeWindow.intersects is inclusive (flink-table-runtime
+        # .../window/TimeWindow.java:116 `end >= other.start`;
+        # SessionWindowAssignerTest.testMergeConsecutiveWindows merges
+        # the abutting [0,1]+[1,2]) and Spark's native session_window
+        # (batch AND streaming) agrees, so the new-session flag is
+        # STRICT `>` — the old `>=` split one-gap-apart events in the
+        # batch lowering only.
+        #
         # Tie hazard (r10 review): ORDER BY `ts` alone is not a total
         # order — with TIED timestamps the lag pass and the running-sum
         # pass could each pick a DIFFERENT arbitrary tie order, and a
@@ -220,7 +231,7 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
             f"FROM (SELECT *, sum(__new_s) OVER {w_run} AS __sid "
             f"FROM (SELECT *, row_number() OVER {w_ord} AS __rn, "
             f"CASE WHEN lag(`{ts}`) OVER {w_ord} IS NULL "
-            f"OR `{ts}` - lag(`{ts}`) OVER {w_ord} >= {gap_lit} "
+            f"OR `{ts}` - lag(`{ts}`) OVER {w_ord} > {gap_lit} "
             f"THEN 1 ELSE 0 END AS __new_s FROM {table})))"
         )
     raise ValueError(f"unknown window TVF: {kind}")  # pragma: no cover

@@ -680,7 +680,7 @@ class Gen:
             f"WITH flagged AS ("
             f"SELECT {key} AS g, ts, event_id, "
             f"CASE WHEN lag(ts) OVER w IS NULL "
-            f"OR ts - lag(ts) OVER w >= INTERVAL '{gap} minutes' "
+            f"OR ts - lag(ts) OVER w > INTERVAL '{gap} minutes' "
             f"THEN 1 ELSE 0 END AS new_s "
             f"FROM events WINDOW w AS "
             f"(PARTITION BY {key} ORDER BY ts, event_id)"

@@ -122,7 +122,15 @@ def generate_hundred(spark, dst: str, rep: int = 100) -> None:
         r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
         for k in keys:
             r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
-        r.drop("__rep").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        # realistic multi-file layout (r11): the crossJoin inherits the
+        # compact source's 1-2 partitions, so an un-repartitioned write
+        # produced 1-2 giant files whose few splits serialized every
+        # scan (the same compact-input hazard the r9/r10 text-op guard
+        # fixed, here throttling the join headliners) — a real corpus
+        # at this scale is thousands of files
+        r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
         print(f"generated {t} x{rep}: {n} rows")
 
@@ -156,7 +164,10 @@ def generate(spark, dst: str, rep: int) -> None:
         r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
         for k in keys:
             r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
-        r.drop("__rep").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        # multi-file layout, same rationale as generate_hundred (r11)
+        r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
         print(f"generated {t}: {n} rows")
 

@@ -1,0 +1,80 @@
+"""Streaming-vs-batch differential property tests (VERDICT r10 task 3).
+
+Pinned seeds through scripts/streaming_differential.py: seeded random
+batches land file-by-file in a monitored-dir streaming table, the
+streaming lowering runs to a drained sink, and the result must equal
+the BATCH executeSql of the same query text over the same accumulated
+files — the reference's own ITCase strategy (stream/sql vs batch/sql
+WindowAggregateITCase share query text).
+
+Found on first soak (seed 7, session shape): the batch SESSION TVF
+lowering started a new session at diff == gap while Flink
+(TimeWindow.intersects, flink-table-runtime .../window/TimeWindow.java:116,
+inclusive `end >= other.start`; SessionWindowAssignerTest.
+testMergeConsecutiveWindows merges abutting [0,1]+[1,2]) and Spark's
+native session_window both MERGE there — fixed to strict `>` across
+the five lag-rewrite sites (sql_flink lowering, both wtvf_session
+oracles, the DataStream facade, the dialect-fuzz oracle);
+test_session_tvf_exact_gap_boundary_merges below pins the boundary.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+from streaming_differential import SHAPES, run_shape  # noqa: E402
+
+# seed 7 is the session-shape bug finder; 42 is the authoring seed;
+# 1234 is a fresh pin never used while developing the harness
+PINNED_SEEDS = (7, 42, 1234)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_streaming_matches_batch(spark, shape):
+    for seed in PINNED_SEEDS:
+        got, want = run_shape(spark, shape, seed)
+        assert got == want, (
+            f"seed={seed} {shape}: streaming and batch executeSql "
+            f"diverge\n only-stream={[r for r in got if r not in want][:5]}"
+            f"\n only-batch={[r for r in want if r not in got][:5]}"
+        )
+        assert want, f"seed={seed} {shape}: vacuous (batch side empty)"
+
+
+def test_session_tvf_exact_gap_boundary_merges(spark):
+    """The seed-7 find, reduced: two events exactly `gap` apart are ONE
+    session (TimeWindow.intersects is inclusive; Spark session_window
+    agrees), in BOTH the batch SESSION TVF lowering and the DataStream
+    facade."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 10),
+            (1, "2024-01-01 10:00:15", 20),  # exactly gap after
+            (1, "2024-01-01 10:00:31", 30),  # gap + 1s → new session
+        ],
+        "k bigint, ts string, v bigint",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    df.createOrReplaceTempView("sess_edge")
+    env = TableEnvironment(spark)
+    rows = sorted(
+        (str(r["window_start"]), str(r["window_end"]), r["n"])
+        for r in env.execute_sql(
+            """
+            SELECT window_start, window_end, count(*) AS n
+            FROM TABLE(SESSION(TABLE sess_edge PARTITION BY k,
+                               DESCRIPTOR(ts), INTERVAL '15' SECOND))
+            GROUP BY window_start, window_end, k
+            """
+        ).collect()
+    )
+    assert rows == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:00:30", 2),
+        ("2024-01-01 10:00:31", "2024-01-01 10:00:46", 1),
+    ]
