@@ -39,17 +39,27 @@ def _conf_bytes(value: str, default: int = 128 * 1024**2) -> int:
     return int(m.group(1)) * mult if mult else default
 
 
+# formats whose files Spark can split mid-file: columnar containers.
+# Row formats are splittable only when uncompressed or block-compressed
+# (bz2), and .json.gz/.csv.gz are NOT — a few large gzip files really do
+# scan serially, so anything not on this list counts as ONE split and
+# the guard fires as it did pre-r11 (review finding: the size estimate
+# must not skip the repartition on non-splittable inputs).
+_SPLITTABLE_EXT = (".parquet", ".orc")
+
+
 def _estimated_splits(files: list[str], max_partition_bytes: int) -> int:
     """Driver-side estimate of the scan's split count from file sizes.
 
-    Mirrors Spark's FilePartition math for splittable formats: each
+    Mirrors Spark's FilePartition math for SPLITTABLE formats: each
     file contributes ~ceil(size / maxPartitionBytes) splits.  Local
     `file:` URIs are stat'ed directly (a metadata-only syscall); any
-    other scheme counts as ONE split — under-estimating keeps the guard
-    conservative (it fires rather than risking a serialized scan)."""
+    other scheme or non-splittable extension counts as ONE split —
+    under-estimating keeps the guard conservative (it fires rather
+    than risking a serialized scan)."""
     total = 0
     for f in files:
-        if f.startswith("file:"):
+        if f.startswith("file:") and f.lower().endswith(_SPLITTABLE_EXT):
             try:
                 size = os.path.getsize(unquote(urlparse(f).path))
             except OSError:

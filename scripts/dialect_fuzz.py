@@ -1,4 +1,4 @@
-"""Grammar-driven dialect fuzz harness: seeded random SQL over the
+"""Grammar-driven dialect fuzz harness (22 shapes): seeded random SQL over the
 fixture tables, executed through BOTH executeSql→Spark (the hand-written
 dialect surface in sql_ddl.py + sql_flink.py) and DuckDB, with
 order-insensitive value comparison — the property-test upgrade of the
@@ -41,6 +41,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -692,6 +693,161 @@ class Gen:
         )
         return spark_sql, duck_sql
 
+    # ---------------------------------------------- r11 grammar growth
+
+    def q_unnest_lateral(self) -> tuple[str, str]:
+        """Flink CROSS JOIN UNNEST over an inline ARRAY[...] (lowered
+        onto LATERAL VIEW explode) vs DuckDB's SELECT-list unnest
+        (VERDICT r10 task 4).  The aggregated variant groups by the
+        exploded value so fanout bugs change values, not just counts."""
+        r = self.rng
+        t = self.table()
+        ic = self.int_col(t)
+        id_col = TABLES[t]["ints"][0]
+        k1, k2 = r.choice([3, 5, 7]), r.choice([11, 13])
+        arr = f"ARRAY[{ic} % {k1}, {ic} % {k2}, {ic} % {k1} + {ic} % {k2}]"
+        pred = self.pred(t)
+        if r.random() < 0.5:
+            spark_sql = (
+                f"SELECT {id_col} AS id, ux FROM {t} "
+                f"CROSS JOIN UNNEST({arr}) AS u(ux) WHERE {pred}"
+            )
+            duck_sql = (
+                f"SELECT {id_col} AS id, unnest({arr}) AS ux "
+                f"FROM {t} WHERE {pred}"
+            )
+        else:
+            spark_sql = (
+                f"SELECT ux, count(*) AS cnt, "
+                f"SUM(CAST({ic} % 97 AS BIGINT)) AS s FROM {t} "
+                f"CROSS JOIN UNNEST({arr}) AS u(ux) WHERE {pred} "
+                f"GROUP BY ux"
+            )
+            duck_sql = (
+                f"WITH e AS (SELECT {ic} AS i, unnest({arr}) AS ux "
+                f"FROM {t} WHERE {pred}) "
+                f"SELECT ux, count(*) AS cnt, "
+                f"SUM(CAST(i % 97 AS BIGINT)) AS s FROM e GROUP BY ux"
+            )
+        return spark_sql, duck_sql
+
+    def q_stringagg(self) -> tuple[str, str]:
+        """LISTAGG / JSON_OBJECTAGG through executeSql vs DuckDB string
+        aggregation.  Both Flink aggregates are input-order-defined (no
+        ORDER BY clause exists), so the comparison projects ORDER-
+        INVARIANT functions — CHAR_LENGTH of the aggregate (same element
+        multiset => same total length) plus the group count.  The
+        JSON_OBJECTAGG branch keys by a per-table UNIQUE id (single-col-
+        pk tables only): duplicate keys would go through the session's
+        LAST_WIN map policy, which IS order-dependent."""
+        r = self.rng
+        if r.random() < 0.5:
+            t = self.table()
+            sc = self.str_col(t)
+            if sc is None:
+                t, sc = "customer", "c_mktsegment"
+            g = self.int_col(t)
+            sep = r.choice([",", "|", ";"])
+            mod = r.choice([4, 6, 8])
+            pred = self.pred(t)
+            spark_sql = (
+                f"SELECT {g} % {mod} AS g, "
+                f"CHAR_LENGTH(LISTAGG({sc}, '{sep}')) AS agg_len, "
+                f"count(*) AS cnt FROM {t} WHERE {pred} GROUP BY {g} % {mod}"
+            )
+            duck_sql = (
+                f"SELECT {g} % {mod} AS g, "
+                f"CAST(length(string_agg({sc}, '{sep}')) AS BIGINT) "
+                f"AS agg_len, "
+                f"count(*) AS cnt FROM {t} WHERE {pred} GROUP BY {g} % {mod}"
+            )
+            return spark_sql, duck_sql
+        t = r.choice(["orders", "customer", "part", "supplier", "events"])
+        pk = TABLES[t]["pk"][0]
+        g = self.int_col(t)
+        mod = r.choice([4, 6])
+        pred = self.pred(t)
+        spark_sql = (
+            f"SELECT {g} % {mod} AS g, "
+            f"CHAR_LENGTH(JSON_OBJECTAGG(KEY CAST({pk} AS STRING) "
+            f"VALUE {pk} % 1000)) AS obj_len, "
+            f"count(*) AS cnt FROM {t} WHERE {pred} GROUP BY {g} % {mod}"
+        )
+        duck_sql = (
+            f"SELECT {g} % {mod} AS g, "
+            f"CAST(length('{{' || string_agg('\"' || CAST({pk} AS VARCHAR) "
+            f"|| '\":' || CAST({pk} % 1000 AS VARCHAR), ',') || '}}') "
+            f"AS BIGINT) AS obj_len, "
+            f"count(*) AS cnt FROM {t} WHERE {pred} GROUP BY {g} % {mod}"
+        )
+        return spark_sql, duck_sql
+
+    def q_asof_join(self) -> tuple[str, str]:
+        """`JOIN dim FOR SYSTEM_TIME AS OF fact.ts` (the batch
+        temporal/as-of join lowering) vs DuckDB's NATIVE ASOF JOIN —
+        both backward-INCLUSIVE (greatest version ts <= fact ts).  The
+        versioned side is orders_v, the deduped snapshot run_battery
+        materializes: the raw fixture has colliding
+        (o_custkey, o_orderdate) pairs, and a tie at the matched
+        version would make the attached payload engine-arbitrary."""
+        r = self.rng
+        k = r.choice([2, 3, 5])
+        j = r.randrange(k)
+        left = r.random() < 0.4
+        jk = "LEFT JOIN" if left else "JOIN"
+        dk = "ASOF LEFT JOIN" if left else "ASOF JOIN"
+        spark_sql = (
+            f"SELECT e.event_id AS eid, o.o_orderkey AS okey "
+            f"FROM events e {jk} orders_v "
+            f"FOR SYSTEM_TIME AS OF e.ts AS o "
+            f"ON e.user_id = o.o_custkey WHERE e.event_id % {k} = {j}"
+        )
+        duck_sql = (
+            f"SELECT e.event_id AS eid, o.o_orderkey AS okey "
+            f"FROM events e {dk} orders_v o "
+            f"ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+            f"WHERE e.event_id % {k} = {j}"
+        )
+        return spark_sql, duck_sql
+
+    def q_match_recognize(self) -> tuple[str, str]:
+        """A fixed-length MATCH_RECOGNIZE (PATTERN (A B C), AFTER MATCH
+        SKIP TO NEXT ROW) vs a triple-lag DuckDB oracle — with SKIP TO
+        NEXT ROW every position where the three consecutive rows satisfy
+        the DEFINEs is a match, which is exactly the lag rewrite (the
+        cep_vshape_iterative convention).  ORDER BY ts, event_id is a
+        total order (event_id is the pk)."""
+        r = self.rng
+        t1 = r.choice(["click", "view", "signup"])
+        t2 = r.choice(["error", "purchase"])
+        x = r.choice([50, 100, 200])
+        spark_sql = (
+            f"SELECT user_id, a_id, b_id, c_id "
+            f"FROM events MATCH_RECOGNIZE ("
+            f"  PARTITION BY user_id ORDER BY ts, event_id"
+            f"  MEASURES A.event_id AS a_id, B.event_id AS b_id, "
+            f"C.event_id AS c_id"
+            f"  ONE ROW PER MATCH"
+            f"  AFTER MATCH SKIP TO NEXT ROW"
+            f"  PATTERN (A B C)"
+            f"  DEFINE A AS A.event_type = '{t1}', "
+            f"B AS B.`value` > {x}, C AS C.event_type <> '{t2}'"
+            f") AS m"
+        )
+        duck_sql = (
+            f"WITH w AS (SELECT user_id, event_id, event_type, value, "
+            f"lag(event_id, 2) OVER win AS a_id, "
+            f"lag(event_type, 2) OVER win AS a_type, "
+            f"lag(event_id, 1) OVER win AS b_id, "
+            f"lag(value, 1) OVER win AS b_val "
+            f"FROM events WINDOW win AS "
+            f"(PARTITION BY user_id ORDER BY ts, event_id)) "
+            f"SELECT user_id, a_id, b_id, event_id AS c_id FROM w "
+            f"WHERE a_type = '{t1}' AND b_val > {x} "
+            f"AND event_type <> '{t2}'"
+        )
+        return spark_sql, duck_sql
+
     # ------------------------------------------------------ battery
 
     SHAPES = (
@@ -714,6 +870,11 @@ class Gen:
         ("hop_tvf", "q_hop_tvf", 2),
         ("cumulate_tvf", "q_cumulate_tvf", 1),
         ("session_tvf", "q_session_tvf", 1),
+        # r11 grammar growth (VERDICT r10 task 4)
+        ("unnest", "q_unnest_lateral", 2),
+        ("stringagg", "q_stringagg", 2),
+        ("asof", "q_asof_join", 2),
+        ("match_recognize", "q_match_recognize", 1),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:
@@ -764,8 +925,45 @@ def run_battery(
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
+    # r11 (asof shape): materialize the deduped versioned orders
+    # snapshot — one version per (o_custkey, o_orderdate); the raw
+    # fixture has colliding pairs, and a tie at the matched version
+    # would make the attached o_orderkey engine-arbitrary. Registered
+    # in BOTH engines over the same parquet; the Spark side declares
+    # the WATERMARK the temporal-join lowering requires of a
+    # versioned table.
+    import tempfile
+
+    asof_dir = tempfile.mkdtemp(prefix="fuzz_asof_")
+    spark.sql(
+        "SELECT MIN(o_orderkey) AS o_orderkey, o_custkey, o_orderdate "
+        "FROM orders GROUP BY o_custkey, o_orderdate"
+    ).coalesce(1).write.mode("overwrite").parquet(asof_dir)
+    env.execute_sql("DROP TABLE IF EXISTS orders_v")
+    env.execute_sql(
+        "CREATE TABLE orders_v (o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderdate TIMESTAMP(3), "
+        "WATERMARK FOR o_orderdate AS o_orderdate) WITH ("
+        f"'connector'='filesystem','path'='{asof_dir}',"
+        "'format'='parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW orders_v AS SELECT * FROM '{asof_dir}/*.parquet'"
+    )
+
     failures = []
-    for name, s_sql, d_sql in Gen(seed).battery(n):
+    try:
+        _run_queries(Gen(seed).battery(n), env, con, failures, verbose)
+    finally:
+        env.execute_sql("DROP TABLE IF EXISTS orders_v")
+        shutil.rmtree(asof_dir, ignore_errors=True)
+    return failures
+
+
+def _run_queries(battery, env, con, failures, verbose):
+    from scripts.verify_local import compare
+
+    for name, s_sql, d_sql in battery:
         try:
             sdf = env.execute_sql(s_sql)
             s_rows = [tuple(r) for r in sdf.collect()]
@@ -785,7 +983,6 @@ def run_battery(
             failures.append((name, s_sql, d_sql, msg))
         if verbose:
             print(("PASS " if ok else "FAIL ") + f"{name}: {msg}")
-    return failures
 
 
 def main() -> int:

@@ -224,8 +224,8 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 "INTERVAL '30' SECOND, INTERVAL '1' MINUTE)",
                 # gap 15s < the 60s band spacing, so sessions merge
                 # WITHIN a batch band and sometimes ACROSS the boundary
-                # (offset 54 → next band offset 0 is 6s) — exercises the
-                # cross-micro-batch session-merge state path
+                # (max offset 53 → next band offset 0 is 7s) — exercises
+                # the cross-micro-batch session-merge state path
                 "session": "SESSION(TABLE {T} PARTITION BY k, "
                 "DESCRIPTOR(ts), INTERVAL '15' SECOND)",
             }[shape]

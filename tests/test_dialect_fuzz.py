@@ -9,8 +9,17 @@ time, and 1,2,3,7,11,42,99,123,555,777 × n=60 again after the r10
 grammar growth (18 shapes: +HAVING-hidden-agg, correlated scalar
 subquery, derived-table union, NULLS FIRST/LAST ordering, lead/lag,
 interval+JSON, HOP/CUMULATE/SESSION TVFs, chained/commented CTEs,
-regexp-replace g-flag + TRUNCATE builtin pairs); the pinned seed here
-is the CLI default so a future regression reproduces with a bare
+regexp-replace g-flag + TRUNCATE builtin pairs).  The r11 growth took
+the grammar to 22 shapes (+UNNEST/lateral over inline ARRAY, LISTAGG/
+JSON_OBJECTAGG via order-invariant CHAR_LENGTH projections, FOR
+SYSTEM_TIME AS OF vs DuckDB's native ASOF JOIN over the deduped
+orders_v snapshot, fixed-length MATCH_RECOGNIZE vs a triple-lag
+oracle) and re-swept green: seed 555 × n=40 then fresh seeds
+7001-7020 × n=60 (1200/1200).  The r11 session-boundary fix (exact-gap
+events MERGE — see tests/test_streaming_differential.py) flipped the
+session_tvf oracle in the same commit as the lowering, keeping the
+battery consistent.  The pinned seed here is the CLI default so a
+future regression reproduces with a bare
 `python scripts/dialect_fuzz.py`.
 
 Soak history (what the harness itself caught, beyond the grouping-sets

@@ -18,10 +18,11 @@ pytestmark = pytest.mark.skipif(
     importlib.util.find_spec("google") is None
     or importlib.util.find_spec("google.protobuf") is None,
     reason="google.protobuf runtime not installed (PERMANENTLY "
-    "environment-blocked: probed 2026-08-14, re-confirmed twice on "
-    "2026-08-15 (r9, r10: import fails AND pip download cannot resolve "
-    "any index — DNS-level) — no protobuf wheel/source on "
-    "disk, no network to install or vendor; see README process_v2 note)",
+    "environment-blocked: probed 2026-08-14, re-confirmed 2026-08-15 "
+    "r9/r10 AND again 2026-08-15 r11 (import fails AND pip download "
+    "cannot resolve any index — DNS-level) — no protobuf wheel/source "
+    "on disk, no network to install or vendor; see README process_v2 "
+    "note)",
 )
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
