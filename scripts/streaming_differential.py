@@ -22,6 +22,8 @@ Shapes covered (each exercises a different lowering path):
   session       SESSION TVF (PARTITION BY key, fixed gap) → native
                 session_window struct; sessions merge across
                 micro-batches before the watermark closes them
+  cumulate      CUMULATE TVF (expanding slices) through the hidden
+                __cum max-window re-group lowering
   dedup_first   ROW_NUMBER()=1 ORDER BY rowtime ASC → streaming dedup
                 operator (updating result; complete-mode sink equals
                 the batch dedup exactly)
@@ -71,6 +73,7 @@ SHAPES = (
     "tumble",
     "hop",
     "session",
+    "cumulate",
     "dedup_first",
     "topn",
     "interval_join",
@@ -216,7 +219,7 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
         _mk_tables(env, f"{tag}_s", src, streaming=True, cols=cols,
                    wm_col="ts")
 
-        if shape in ("tumble", "hop", "session"):
+        if shape in ("tumble", "hop", "session", "cumulate"):
             tvf = {
                 "tumble": "TUMBLE(TABLE {T}, DESCRIPTOR(ts), "
                 "INTERVAL '1' MINUTE)",
@@ -228,6 +231,12 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 # the cross-micro-batch session-merge state path
                 "session": "SESSION(TABLE {T} PARTITION BY k, "
                 "DESCRIPTOR(ts), INTERVAL '15' SECOND)",
+                # expanding slices: each bucket's slices all emit once
+                # the watermark passes the bucket's MAX window (the
+                # documented emission-timing parity note) — identical
+                # rows to batch after the flush closes every bucket
+                "cumulate": "CUMULATE(TABLE {T}, DESCRIPTOR(ts), "
+                "INTERVAL '30' SECOND, INTERVAL '2' MINUTE)",
             }[shape]
             body = (
                 "SELECT window_start, window_end, k, "

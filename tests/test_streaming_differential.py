@@ -5,7 +5,8 @@ batches land file-by-file in a monitored-dir streaming table, the
 streaming lowering runs to a drained sink, and the result must equal
 the BATCH executeSql of the same query text over the same accumulated
 files — the reference's own ITCase strategy (stream/sql vs batch/sql
-WindowAggregateITCase share query text).
+WindowAggregateITCase share query text).  Seven shapes: TUMBLE (INSERT
+path), HOP, SESSION, CUMULATE, dedup-first, Top-N, interval join.
 
 Found on first soak (seed 7, session shape): the batch SESSION TVF
 lowering started a new session at diff == gap while Flink
