@@ -32,6 +32,20 @@ Shapes covered (each exercises a different lowering path):
                 state = last emission per (key, rank))
   interval_join two watermarked streams, time-range join → native
                 stream-stream join (append mode)
+  group_agg     non-windowed streaming GROUP BY (the executeSql
+                fallthrough to Spark's streaming aggregation;
+                complete-mode sink equals the batch GROUP BY)
+  except_all    INSERT INTO parquet-sink EXCEPT ALL — the signed-count
+  intersect_all retraction materialization (streaming/setops.py:
+                per-epoch multiset-count fold, affected-key sink
+                rewrite); interleaved random multiset batches per
+                side, final sink content vs the batch set op
+  over_range    event-time RANGE INTERVAL PRECEDING over-aggregation →
+                the keyed-state facade (streaming_over_range: one
+                emission per input row, windows spanning micro-batch
+                boundaries) vs the batch OVER window — the facade
+                computes in DOUBLE (documented divergence: Flink types
+                SUM(BIGINT) as BIGINT), so values compare as floats
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -77,6 +91,10 @@ SHAPES = (
     "dedup_first",
     "topn",
     "interval_join",
+    "group_agg",
+    "except_all",
+    "intersect_all",
+    "over_range",
 )
 
 
@@ -147,6 +165,16 @@ def _norm(rows, cols):
     return sorted(tuple(str(r[c]) for c in cols) for r in rows)
 
 
+def _normf(rows, cols):
+    """Like _norm but numeric values compare as floats — the over-agg
+    facade computes in DOUBLE while the batch plan keeps SUM(BIGINT) as
+    BIGINT (documented divergence), so 123 and 123.0 must agree."""
+    def c(v):
+        return repr(float(v)) if isinstance(v, (int, float)) else str(v)
+
+    return sorted(tuple(c(r[c_]) for c_ in cols) for r in rows)
+
+
 def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
               rows_per_batch: int = 12):
     """Run one shape for one seed; returns (streaming_rows, batch_rows)
@@ -211,6 +239,59 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                     jq.format(L=f"{tag}_lb", R=f"{tag}_rb")
                 ).collect(),
                 ["k", "lv", "rv"],
+            )
+            return got, want
+
+        if shape in ("except_all", "intersect_all"):
+            # the signed-count retraction materialization: interleaved
+            # random MULTISET batches (small key domain so per-key
+            # counts contend and retraction actually fires), final sink
+            # content vs the batch set op over the accumulated files
+            op = "EXCEPT ALL" if shape == "except_all" else "INTERSECT ALL"
+            lsrc = os.path.join(tmp, "l")
+            rsrc = os.path.join(tmp, "r")
+            outdir = os.path.join(tmp, "out")
+            for d in (lsrc, rsrc, outdir):
+                os.makedirs(d)
+            for t, d in ((f"{tag}_l", lsrc), (f"{tag}_r", rsrc)):
+                env.execute_sql(
+                    f"CREATE TABLE {t} (k BIGINT) WITH ("
+                    f"'connector'='filesystem','path'='{d}',"
+                    f"'format'='json','scan.streaming'='true')"
+                )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_sink (k BIGINT) WITH ("
+                f"'connector'='filesystem','path'='{outdir}',"
+                f"'format'='parquet')"
+            )
+            q = env.execute_sql(
+                f"INSERT INTO {tag}_sink "
+                f"SELECT k FROM {tag}_l {op} SELECT k FROM {tag}_r"
+            )
+            try:
+                for i in range(n_batches):
+                    for d in (lsrc, rsrc):
+                        _write_batch(
+                            d, i,
+                            [{"k": rng.randint(0, 6)}
+                             for _ in range(rng.randint(1, 10))],
+                        )
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            got = _norm(
+                env.execute_sql(f"SELECT k FROM {tag}_sink").collect(), ["k"]
+            )
+            for t, d in ((f"{tag}_lb", lsrc), (f"{tag}_rb", rsrc)):
+                env.execute_sql(
+                    f"CREATE TABLE {t} (k BIGINT) WITH ("
+                    f"'connector'='filesystem','path'='{d}','format'='json')"
+                )
+            want = _norm(
+                env.execute_sql(
+                    f"SELECT k FROM {tag}_lb {op} SELECT k FROM {tag}_rb"
+                ).collect(),
+                ["k"],
             )
             return got, want
 
@@ -349,6 +430,78 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
             want = _norm(
                 env.execute_sql(body.format(T=f"{tag}_b")).collect(),
                 ["k", "v", "rn"],
+            )
+            return got, want
+
+        if shape == "group_agg":
+            # non-windowed streaming GROUP BY: the executeSql
+            # fallthrough to Spark's native streaming aggregation —
+            # complete-mode final state equals the batch GROUP BY
+            body = (
+                "SELECT k, count(*) AS n, sum(v) AS total, "
+                "min(v) AS lo, max(v) AS hi FROM {T} GROUP BY k"
+            )
+            q = _drain_memory(
+                env, body.format(T=f"{tag}_s"), f"{tag}_out",
+                "complete", tmp,
+            )
+            try:
+                for i, b in enumerate(batches):
+                    _write_batch(src, i, b)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            cols_out = ["k", "n", "total", "lo", "hi"]
+            got = _norm(spark.table(f"{tag}_out").collect(), cols_out)
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(body.format(T=f"{tag}_b")).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "over_range":
+            # event-time RANGE over-agg → streaming_over_range keyed-
+            # state facade (one emission per input row, update mode,
+            # windows span micro-batches). The band generator keeps
+            # every in-range predecessor in an earlier-or-same batch
+            # (band spacing 60s > the 30s bound + band width), so no
+            # emission can miss a late frame member — the contract
+            # Flink enforces by buffering to the watermark.
+            body = (
+                "SELECT k, ts, v, SUM(v) OVER w AS wsum, "
+                "COUNT(*) OVER w AS wcnt, AVG(v) OVER w AS wavg "
+                "FROM {T} "
+                "WINDOW w AS (PARTITION BY k ORDER BY ts "
+                "RANGE BETWEEN INTERVAL '30' SECOND PRECEDING "
+                "AND CURRENT ROW)"
+            )
+            q = _drain_memory(
+                env, body.format(T=f"{tag}_s"), f"{tag}_out",
+                "update", tmp,
+            )
+            try:
+                for i, b in enumerate(batches):
+                    _write_batch(src, i, b)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            cols_out = ["k", "ts", "v", "wsum", "wcnt", "wavg"]
+            # update-mode changelog keyed on (k, ts): last emission wins
+            final: dict[tuple, tuple] = {}
+            for r in spark.table(f"{tag}_out").collect():
+                final[(r["k"], str(r["ts"]))] = tuple(
+                    repr(float(r[c])) if isinstance(r[c], (int, float))
+                    else str(r[c])
+                    for c in cols_out
+                )
+            got = sorted(final.values())
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _normf(
+                env.execute_sql(body.format(T=f"{tag}_b")).collect(),
+                cols_out,
             )
             return got, want
 

@@ -5,8 +5,13 @@ batches land file-by-file in a monitored-dir streaming table, the
 streaming lowering runs to a drained sink, and the result must equal
 the BATCH executeSql of the same query text over the same accumulated
 files — the reference's own ITCase strategy (stream/sql vs batch/sql
-WindowAggregateITCase share query text).  Seven shapes: TUMBLE (INSERT
-path), HOP, SESSION, CUMULATE, dedup-first, Top-N, interval join.
+WindowAggregateITCase share query text).  Eleven shapes: TUMBLE
+(INSERT path), HOP, SESSION, CUMULATE, dedup-first, Top-N, interval
+join, plus the r11 extension to the remaining stateful lowerings —
+non-windowed GROUP BY (complete mode), EXCEPT ALL / INTERSECT ALL
+(the signed-count retraction materialization, fresh multiset batches
+per seed), and event-time RANGE over-aggregation (the
+streaming_over_range keyed-state facade vs the batch OVER window).
 
 Found on first soak (seed 7, session shape): the batch SESSION TVF
 lowering started a new session at diff == gap while Flink
