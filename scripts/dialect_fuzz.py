@@ -1,4 +1,4 @@
-"""Grammar-driven dialect fuzz harness (22 shapes): seeded random SQL over the
+"""Grammar-driven dialect fuzz harness (26 shapes): seeded random SQL over the
 fixture tables, executed through BOTH executeSql→Spark (the hand-written
 dialect surface in sql_ddl.py + sql_flink.py) and DuckDB, with
 order-insensitive value comparison — the property-test upgrade of the
@@ -150,8 +150,9 @@ class Gen:
     """Seeded query generator. Every method consumes randomness from
     the one Random instance, so a seed pins the whole battery."""
 
-    def __init__(self, seed: int):
+    def __init__(self, seed: int, only: tuple[str, ...] = ()):
         self.rng = random.Random(seed)
+        self.only = tuple(only)
 
     # ------------------------------------------------------ primitives
 
@@ -848,6 +849,114 @@ class Gen:
         )
         return spark_sql, duck_sql
 
+    def q_agg_filter(self) -> tuple[str, str]:
+        """Aggregates with the ANSI FILTER (WHERE ...) clause — the
+        form Flink documents for split-distinct workloads
+        (FlinkLogicalAggregate supports per-agg filters); dialect-shared
+        text (Spark and DuckDB both speak it)."""
+        r = self.rng
+        t = self.table()
+        gexpr, galias = self.group_expr(t)
+        ic = self.int_col(t)
+        p1, p2 = self.pred(t), self.pred(t)
+        items = [
+            "count(*) AS cnt",
+            f"count(*) FILTER (WHERE {p1}) AS cf",
+            f"CAST(sum({ic}) FILTER (WHERE {p2}) AS BIGINT) AS sf",
+            f"CAST(min({ic}) FILTER (WHERE {p1}) AS BIGINT) AS mf",
+        ]
+        if r.random() < 0.5:
+            items.append(
+                f"count(DISTINCT {ic}) FILTER (WHERE {p2}) AS df"
+            )
+        sql = (
+            f"SELECT {gexpr} AS {galias}, {', '.join(items)} "
+            f"FROM {t} GROUP BY {gexpr}"
+        )
+        return sql, sql
+
+    def q_outer_join_full(self) -> tuple[str, str]:
+        """FULL (or RIGHT) OUTER join over independently filtered
+        derived sides — each side's predicate manufactures unmatched
+        rows, so BOTH null-extension directions actually fire; grouped
+        on COALESCE'd keys so the null-extended groups are stable.
+        (The join_agg shape only reaches inner/left.)"""
+        r = self.rng
+        fact, dim, on = r.choice(JOINS)
+        fk, pk = (x.strip() for x in on.split("="))
+        jt = r.choice(["FULL JOIN", "FULL JOIN", "RIGHT JOIN"])
+        gk = f"coalesce(f.{fk}, -1) % {r.choice([5, 7, 11])}"
+        sql = (
+            f"SELECT {gk} AS gk, "
+            f"count(*) AS cnt, count(f.{fk}) AS n_f, "
+            f"count(d.{pk}) AS n_d "
+            f"FROM (SELECT * FROM {fact} WHERE {self.pred(fact)}) f "
+            f"{jt} (SELECT * FROM {dim} WHERE {self.pred(dim)}) d "
+            f"ON f.{fk} = d.{pk} "
+            f"GROUP BY {gk}"
+        )
+        return sql, sql
+
+    def q_distinct_agg_mix(self) -> tuple[str, str]:
+        """Several DISTINCT aggregates beside plain ones in one SELECT —
+        Spark plans this through Expand (one projection per distinct
+        group), the same decomposition Flink's SplitAggregateRule
+        targets; values are exact (BIGINT domain) so order never
+        matters."""
+        r = self.rng
+        t = self.table()
+        gexpr, galias = self.group_expr(t)
+        i1, i2 = self.int_col(t), self.int_col(t)
+        items = [
+            "count(*) AS cnt",
+            f"count(DISTINCT {i1}) AS nd1",
+            f"CAST(sum(DISTINCT {i2}) AS BIGINT) AS sd2",
+            f"CAST(sum({i1}) AS BIGINT) AS s1",
+        ]
+        if r.random() < 0.5:
+            items.append(f"count(DISTINCT {i2} % 7) AS nd3")
+        sql = (
+            f"SELECT {gexpr} AS {galias}, {', '.join(items)} "
+            f"FROM {t} WHERE {self.pred(t)} GROUP BY {gexpr}"
+        )
+        return sql, sql
+
+    def q_temporal_diff(self) -> tuple[str, str]:
+        """TIMESTAMPDIFF / temporal arithmetic battery over a ts table.
+        TIMESTAMPDIFF counts COMPLETE units (ChronoUnit semantics —
+        Flink's BuiltInFunctionDefinitions.TIMESTAMP_DIFF, and Spark's
+        native timestampdiff), while DuckDB's date_diff counts boundary
+        CROSSINGS — so the oracle is the epoch floor, not date_diff.
+        The anchor predates every fixture timestamp, keeping diffs
+        positive (floor == complete-unit truncation only for
+        non-negative spans)."""
+        r = self.rng
+        t = r.choice([tt for tt in TABLES if TABLES[tt]["ts"]])
+        tc = TABLES[t]["ts"][0]
+        unit, secs = r.choice([("DAY", 86400), ("HOUR", 3600),
+                               ("MINUTE", 60)])
+        anchor = "TIMESTAMP '1990-01-06 03:04:05'"
+        items_s = [
+            f"TIMESTAMPDIFF({unit}, {anchor}, {tc}) AS td",
+            f"CAST({tc} + INTERVAL '3' DAY AS TIMESTAMP) AS plus3",
+            f"EXTRACT(DAY FROM {tc}) AS dd",
+        ]
+        items_d = [
+            f"CAST(floor((epoch({tc}) - epoch({anchor})) / {secs}) "
+            f"AS BIGINT) AS td",
+            f"CAST({tc} + INTERVAL '3' DAY AS TIMESTAMP) AS plus3",
+            f"EXTRACT(DAY FROM {tc}) AS dd",
+        ]
+        pk = self.pk_order(t)
+        tail = (
+            f"FROM {t} WHERE {self.pred(t)} ORDER BY {pk} "
+            f"LIMIT {r.choice([10, 30])}"
+        )
+        return (
+            f"SELECT {pk}, {', '.join(items_s)} {tail}",
+            f"SELECT {pk}, {', '.join(items_d)} {tail}",
+        )
+
     # ------------------------------------------------------ battery
 
     SHAPES = (
@@ -875,6 +984,11 @@ class Gen:
         ("stringagg", "q_stringagg", 2),
         ("asof", "q_asof_join", 2),
         ("match_recognize", "q_match_recognize", 1),
+        # r11 second-half grammar growth
+        ("agg_filter", "q_agg_filter", 2),
+        ("outer_join", "q_outer_join_full", 2),
+        ("distinct_mix", "q_distinct_agg_mix", 2),
+        ("temporal_diff", "q_temporal_diff", 2),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:
@@ -883,11 +997,16 @@ class Gen:
         pass, heavier shapes joining extra passes — so every family
         appears even at small n (review finding: the earlier grouped
         list gave a small --n run only the first few families)."""
-        max_w = max(w for _, _, w in self.SHAPES)
+        shapes = self.SHAPES
+        if self.only:
+            shapes = tuple(s for s in shapes if s[0] in self.only)
+            if not shapes:
+                raise ValueError(f"--only matched no shapes: {self.only}")
+        max_w = max(w for _, _, w in shapes)
         sched = [
             (label, meth)
             for k in range(max_w)
-            for label, meth, w in self.SHAPES
+            for label, meth, w in shapes
             if k < w
         ]
         out = []
@@ -903,7 +1022,8 @@ class Gen:
 
 
 def run_battery(
-    seed: int, n: int, sf_dir: str, verbose: bool = False, spark=None
+    seed: int, n: int, sf_dir: str, verbose: bool = False, spark=None,
+    only: tuple[str, ...] = (),
 ) -> list[tuple[str, str, str, str]]:
     """Generate and run the battery; returns a list of failures
     (name, spark_sql, duck_sql, message). Empty list == all green."""
@@ -953,7 +1073,8 @@ def run_battery(
 
     failures = []
     try:
-        _run_queries(Gen(seed).battery(n), env, con, failures, verbose)
+        _run_queries(Gen(seed, only).battery(n), env, con, failures,
+                     verbose)
     finally:
         env.execute_sql("DROP TABLE IF EXISTS orders_v")
         shutil.rmtree(asof_dir, ignore_errors=True)
@@ -991,8 +1112,11 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--only", nargs="*", default=[],
+                    help="restrict to these shape labels")
     args = ap.parse_args()
-    fails = run_battery(args.seed, args.n, args.sf, verbose=args.verbose)
+    fails = run_battery(args.seed, args.n, args.sf, verbose=args.verbose,
+                        only=tuple(args.only))
     for name, s_sql, d_sql, msg in fails:
         print(f"\nFAIL {name}: {msg}\n  spark: {s_sql}\n  duck:  {d_sql}")
     print(f"\n{args.n - len(fails)} pass, {len(fails)} fail "

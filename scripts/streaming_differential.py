@@ -60,9 +60,25 @@ data the same way only if disorder is bounded):
     (the flush row's own window never emits, and the filter removes it
     from the batch side identically).
 
+Restart mode (--restart): every shape's streaming query is stopped and
+RESTARTED from its checkpoint at a seed-chosen batch boundary — either
+with that batch's files still pending (recovered offsets must pick
+them up) or after their commit (recovered state only) — and the
+stream-vs-batch equality must still hold.  This is the exactly-once
+recovery differential: it requires every lowering to produce a
+checkpoint-COMPATIBLE plan on re-execution (stable stateful-operator
+order and state schema), the engine's analogue of Flink's savepoint
+operator-ID stability (flink-streaming-java uid()/setUidHash;
+SavepointITCase).  Memory-sink shapes collect the union of per-run
+sink tables (append/update changelogs concatenate; complete mode takes
+the last run that emitted); INSERT shapes re-execute the statement —
+their sink checkpoint derives from the sink path, so recovery is
+automatic.
+
 Usage:
     python scripts/streaming_differential.py --seed 42          # one seed, all shapes
     python scripts/streaming_differential.py --soak 20          # N fresh seeds
+    python scripts/streaming_differential.py --soak 10 --restart
 """
 
 from __future__ import annotations
@@ -146,19 +162,125 @@ def _mk_tables(env, name: str, src: str, *, streaming: bool, cols: str,
     )
 
 
-def _drain_memory(env, query: str, sink: str, mode: str, tmp: str):
-    """Run the streaming SELECT into a memory sink, feeding batches is
-    the caller's job via the returned handle."""
-    out = env.execute_sql(query)
-    assert out.isStreaming, "shape did not produce a streaming frame"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{sink}"))
-        .start()
-    )
-    return q
+class _MemDrain:
+    """Streaming SELECT drained into memory sinks, restartable from its
+    checkpoint: restart() stops the query and re-executes the SAME
+    query text against the SAME checkpoint under a fresh sink table —
+    the exactly-once recovery differential.  The lowering must produce
+    a checkpoint-compatible plan on re-execution (stable stateful
+    operator order/schema), which is this engine's analogue of Flink's
+    savepoint operator-ID stability."""
+
+    def __init__(self, env, spark, query_text: str, tag: str, mode: str,
+                 tmp: str, restartable: bool = False):
+        self.env, self.spark = env, spark
+        self.query_text, self.tag, self.mode = query_text, tag, mode
+        self.ckpt = os.path.join(tmp, f"ckpt_{tag}")
+        self.names: list[str] = []
+        # Spark's memory sink supports checkpoint recovery ONLY in
+        # complete mode (it truncates per trigger, so a fresh run can
+        # rebuild); append/update restart runs sink through
+        # foreachBatch instead — recovery-supported, and the driver-side
+        # accumulator persists across runs, preserving emission order.
+        self.use_fb = restartable and mode != "complete"
+        self.acc: list[list] = []
+        self.q = None
+        self._start()
+
+    def _start(self) -> None:
+        out = self.env.execute_sql(self.query_text)
+        assert out.isStreaming, "shape did not produce a streaming frame"
+        if self.use_fb:
+            acc = self.acc
+            self.q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _eid: acc.append(df.collect())
+                )
+                .outputMode(self.mode)
+                .option("checkpointLocation", self.ckpt)
+                .start()
+            )
+            return
+        name = f"{self.tag}_run{len(self.names)}"
+        self.q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(self.mode)
+            .option("checkpointLocation", self.ckpt)
+            .start()
+        )
+        self.names.append(name)
+
+    def process(self) -> None:
+        self.q.processAllAvailable()
+
+    def restart(self) -> None:
+        self.q.stop()
+        self._start()
+
+    def stop(self) -> None:
+        try:
+            self.q.stop()
+        except Exception:
+            pass
+
+    def emissions(self):
+        """All sink rows across runs in emission order (append/update
+        modes: the union of per-run tables IS the changelog — a clean
+        stop after processAllAvailable commits, so no replay dups)."""
+        if self.use_fb:
+            return [r for batch in self.acc for r in batch]
+        rows = []
+        for n in self.names:
+            rows.extend(self.spark.table(n).collect())
+        return rows
+
+    def final_complete(self):
+        """Complete mode: the last run that emitted holds the full
+        state (memory sink truncates per trigger in complete mode; a
+        run that saw no data after restart stays empty)."""
+        for n in reversed(self.names):
+            rows = self.spark.table(n).collect()
+            if rows:
+                return rows
+        return []
+
+
+class _InsertDrain:
+    """INSERT INTO <sink> statement drain; restart() re-executes the
+    same statement — the sink's checkpoint is derived from its path, so
+    the new run recovers source offsets + state exactly-once."""
+
+    def __init__(self, env, insert_sql: str):
+        self.env, self.sql = env, insert_sql
+        self.q = env.execute_sql(insert_sql)
+
+    def process(self) -> None:
+        self.q.processAllAvailable()
+
+    def restart(self) -> None:
+        self.q.stop()
+        self.q = self.env.execute_sql(self.sql)
+
+    def stop(self) -> None:
+        try:
+            self.q.stop()
+        except Exception:
+            pass
+
+
+def _feed_loop(drain, write_fn, n_iters: int, restart_at, restart_before):
+    """Write batch i, process it; around batch `restart_at` bounce the
+    query — either with the files still pending (restart_before: the
+    new run picks them up from recovered offsets) or after their commit
+    (the new run starts on recovered state only)."""
+    for i in range(n_iters):
+        write_fn(i)
+        if restart_at == i and restart_before:
+            drain.restart()
+        drain.process()
+        if restart_at == i and not restart_before:
+            drain.restart()
 
 
 def _norm(rows, cols):
@@ -176,14 +298,27 @@ def _normf(rows, cols):
 
 
 def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
-              rows_per_batch: int = 12):
+              rows_per_batch: int = 12, restart: bool = False):
     """Run one shape for one seed; returns (streaming_rows, batch_rows)
-    as normalized sorted tuple lists — equal on success."""
+    as normalized sorted tuple lists — equal on success.  With
+    restart=True the streaming query is stopped and restarted from its
+    checkpoint around a seed-chosen batch boundary (before or after
+    that batch commits), and the equality must STILL hold — the
+    exactly-once recovery differential."""
     from flink_1_20_spark.sql_ddl import TableEnvironment
 
     rng = Random(seed)
     batches = gen_batches(rng, n_batches, rows_per_batch)
+    # restart params come from an independent stream so batch data is
+    # byte-identical to the non-restart run of the same seed
+    restart_at = restart_before = None
+    if restart:
+        rrng = Random(seed * 1_000_003 + 17)
+        restart_at = rrng.randint(1, n_batches - 1)
+        restart_before = rrng.random() < 0.5
     tag = f"sd_{shape}_{seed}_{abs(hash((shape, seed))) % 99999}"
+    if restart:
+        tag += "_rst"
     tmp = tempfile.mkdtemp(prefix=tag)
     env = TableEnvironment(spark)
     cols = "k BIGINT, ts TIMESTAMP(3), v BIGINT"
@@ -208,26 +343,27 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                   ON l.k = r.k
                  AND r.rts BETWEEN l.lts - INTERVAL '30' SECOND
                                AND l.lts + INTERVAL '30' SECOND"""
-            q = _drain_memory(
-                env, jq.format(L=f"{tag}_l", R=f"{tag}_r"),
-                f"{tag}_out", "append", tmp,
-            )
+            d = _MemDrain(env, spark, jq.format(L=f"{tag}_l", R=f"{tag}_r"),
+                          tag, "append", tmp,
+                          restartable=restart_at is not None)
+
+            def _wf_ij(i):
+                _write_batch(
+                    lsrc, i,
+                    [{"k": r["k"], "lts": r["ts"], "lv": r["v"]}
+                     for r in batches[i]],
+                )
+                _write_batch(
+                    rsrc, i,
+                    [{"k": r["k"], "rts": r["ts"], "rv": r["v"]}
+                     for r in rbatches[i]],
+                )
+
             try:
-                for i, (lb, rb) in enumerate(zip(batches, rbatches)):
-                    _write_batch(
-                        lsrc, i,
-                        [{"k": r["k"], "lts": r["ts"], "lv": r["v"]}
-                         for r in lb],
-                    )
-                    _write_batch(
-                        rsrc, i,
-                        [{"k": r["k"], "rts": r["ts"], "rv": r["v"]}
-                         for r in rb],
-                    )
-                    q.processAllAvailable()
+                _feed_loop(d, _wf_ij, n_batches, restart_at, restart_before)
             finally:
-                q.stop()
-            got = _norm(spark.table(f"{tag}_out").collect(), ["k", "lv", "rv"])
+                d.stop()
+            got = _norm(d.emissions(), ["k", "lv", "rv"])
             _mk_tables(env, f"{tag}_lb", lsrc, streaming=False,
                        cols="k BIGINT, lts TIMESTAMP(3), lv BIGINT",
                        wm_col="lts")
@@ -264,21 +400,24 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 f"'connector'='filesystem','path'='{outdir}',"
                 f"'format'='parquet')"
             )
-            q = env.execute_sql(
+            d = _InsertDrain(
+                env,
                 f"INSERT INTO {tag}_sink "
-                f"SELECT k FROM {tag}_l {op} SELECT k FROM {tag}_r"
+                f"SELECT k FROM {tag}_l {op} SELECT k FROM {tag}_r",
             )
+
+            def _wf_so(i):
+                for sdir in (lsrc, rsrc):
+                    _write_batch(
+                        sdir, i,
+                        [{"k": rng.randint(0, 6)}
+                         for _ in range(rng.randint(1, 10))],
+                    )
+
             try:
-                for i in range(n_batches):
-                    for d in (lsrc, rsrc):
-                        _write_batch(
-                            d, i,
-                            [{"k": rng.randint(0, 6)}
-                             for _ in range(rng.randint(1, 10))],
-                        )
-                    q.processAllAvailable()
+                _feed_loop(d, _wf_so, n_batches, restart_at, restart_before)
             finally:
-                q.stop()
+                d.stop()
             got = _norm(
                 env.execute_sql(f"SELECT k FROM {tag}_sink").collect(), ["k"]
             )
@@ -338,32 +477,30 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                     f"'path'='{outdir}','format'='parquet',"
                     f"'checkpoint'='{os.path.join(tmp, 'ck')}')"
                 )
-                q = env.execute_sql(
-                    f"INSERT INTO {tag}_sink "
-                    + body.format(T=f"{tag}_s")
+                d = _InsertDrain(
+                    env,
+                    f"INSERT INTO {tag}_sink " + body.format(T=f"{tag}_s"),
                 )
             else:
-                q = _drain_memory(
-                    env, body.format(T=f"{tag}_s"), f"{tag}_out",
-                    "append", tmp,
-                )
+                d = _MemDrain(env, spark, body.format(T=f"{tag}_s"),
+                              tag, "append", tmp,
+                              restartable=restart_at is not None)
             try:
-                for i, b in enumerate(batches):
-                    _write_batch(src, i, b)
-                    q.processAllAvailable()
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
                 # flush row closes every real window
                 _write_batch(
                     src, n_batches,
                     [{"k": 1, "ts": _fmt(FLUSH_TS), "v": 1}],
                 )
-                q.processAllAvailable()
+                d.process()
             finally:
-                q.stop()
+                d.stop()
             cols_out = ["window_start", "window_end", "k", "n", "total"]
             if shape == "tumble":
                 emitted = spark.read.parquet(outdir).collect()
             else:
-                emitted = spark.table(f"{tag}_out").collect()
+                emitted = d.emissions()
             got = _norm(emitted, cols_out)
             _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
                        wm_col="ts")
@@ -382,17 +519,15 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 "  SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
                 "ORDER BY ts ASC) AS rn FROM {T}) WHERE rn = 1"
             )
-            q = _drain_memory(
-                env, body.format(T=f"{tag}_s"), f"{tag}_out",
-                "complete", tmp,
-            )
+            d = _MemDrain(env, spark, body.format(T=f"{tag}_s"), tag,
+                          "complete", tmp,
+                          restartable=restart_at is not None)
             try:
-                for i, b in enumerate(batches):
-                    _write_batch(src, i, b)
-                    q.processAllAvailable()
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
             finally:
-                q.stop()
-            got = _norm(spark.table(f"{tag}_out").collect(), ["k", "ts", "v"])
+                d.stop()
+            got = _norm(d.final_complete(), ["k", "ts", "v"])
             _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
                        wm_col="ts")
             want = _norm(
@@ -407,21 +542,19 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 "  SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
                 "ORDER BY v ASC) AS rn FROM {T}) WHERE rn <= 2"
             )
-            q = _drain_memory(
-                env, body.format(T=f"{tag}_s"), f"{tag}_out",
-                "update", tmp,
-            )
+            d = _MemDrain(env, spark, body.format(T=f"{tag}_s"), tag,
+                          "update", tmp,
+                          restartable=restart_at is not None)
             try:
-                for i, b in enumerate(batches):
-                    _write_batch(src, i, b)
-                    q.processAllAvailable()
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
             finally:
-                q.stop()
+                d.stop()
             # update-mode changelog keyed on (k, rn): final state is the
             # LAST emission per key — memory-sink rows arrive in batch
-            # order, so last occurrence wins
+            # order (runs concatenated in run order), so last wins
             final: dict[tuple, tuple] = {}
-            for r in spark.table(f"{tag}_out").collect():
+            for r in d.emissions():
                 final[(r["k"], r["rn"])] = (str(r["k"]), str(r["v"]),
                                             str(r["rn"]))
             got = sorted(final.values())
@@ -441,18 +574,16 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 "SELECT k, count(*) AS n, sum(v) AS total, "
                 "min(v) AS lo, max(v) AS hi FROM {T} GROUP BY k"
             )
-            q = _drain_memory(
-                env, body.format(T=f"{tag}_s"), f"{tag}_out",
-                "complete", tmp,
-            )
+            d = _MemDrain(env, spark, body.format(T=f"{tag}_s"), tag,
+                          "complete", tmp,
+                          restartable=restart_at is not None)
             try:
-                for i, b in enumerate(batches):
-                    _write_batch(src, i, b)
-                    q.processAllAvailable()
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
             finally:
-                q.stop()
+                d.stop()
             cols_out = ["k", "n", "total", "lo", "hi"]
-            got = _norm(spark.table(f"{tag}_out").collect(), cols_out)
+            got = _norm(d.final_complete(), cols_out)
             _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
                        wm_col="ts")
             want = _norm(
@@ -477,20 +608,18 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 "RANGE BETWEEN INTERVAL '30' SECOND PRECEDING "
                 "AND CURRENT ROW)"
             )
-            q = _drain_memory(
-                env, body.format(T=f"{tag}_s"), f"{tag}_out",
-                "update", tmp,
-            )
+            d = _MemDrain(env, spark, body.format(T=f"{tag}_s"), tag,
+                          "update", tmp,
+                          restartable=restart_at is not None)
             try:
-                for i, b in enumerate(batches):
-                    _write_batch(src, i, b)
-                    q.processAllAvailable()
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
             finally:
-                q.stop()
+                d.stop()
             cols_out = ["k", "ts", "v", "wsum", "wcnt", "wavg"]
             # update-mode changelog keyed on (k, ts): last emission wins
             final: dict[tuple, tuple] = {}
-            for r in spark.table(f"{tag}_out").collect():
+            for r in d.emissions():
                 final[(r["k"], str(r["ts"]))] = tuple(
                     repr(float(r[c])) if isinstance(r[c], (int, float))
                     else str(r[c])
@@ -522,6 +651,10 @@ def main() -> None:
     ap.add_argument("--soak", type=int, default=0,
                     help="run N consecutive seeds starting at --seed")
     ap.add_argument("--shapes", nargs="*", default=list(SHAPES))
+    ap.add_argument("--restart", action="store_true",
+                    help="stop + restart each streaming query from its "
+                         "checkpoint at a seed-chosen batch boundary "
+                         "(exactly-once recovery differential)")
     args = ap.parse_args()
     from flink_1_20_spark import get_spark
 
@@ -534,11 +667,12 @@ def main() -> None:
     n_fail = 0
     for seed in seeds:
         for shape in args.shapes:
-            got, want = run_shape(spark, shape, seed)
+            got, want = run_shape(spark, shape, seed, restart=args.restart)
             ok = got == want
             n_fail += not ok
             print(
-                f"{'PASS' if ok else 'FAIL'}  seed={seed} {shape}: "
+                f"{'PASS' if ok else 'FAIL'}  seed={seed} {shape}"
+                f"{' +restart' if args.restart else ''}: "
                 f"stream={len(got)} batch={len(want)} rows",
                 flush=True,
             )

@@ -15,7 +15,13 @@ JSON_OBJECTAGG via order-invariant CHAR_LENGTH projections, FOR
 SYSTEM_TIME AS OF vs DuckDB's native ASOF JOIN over the deduped
 orders_v snapshot, fixed-length MATCH_RECOGNIZE vs a triple-lag
 oracle) and re-swept green: seed 555 × n=40 then fresh seeds
-7001-7020 × n=60 (1200/1200).  The r11 session-boundary fix (exact-gap
+7001-7020 × n=60 (1200/1200).  The r11 second-half growth took it to
+26 shapes (+ANSI FILTER(WHERE) aggregates, FULL/RIGHT outer join over
+independently filtered derived sides, multi-DISTINCT aggregate mixes,
+TIMESTAMPDIFF vs an epoch-floor oracle — DuckDB's date_diff counts
+boundary CROSSINGS while TIMESTAMPDIFF counts complete units, so
+date_diff would be a wrong oracle), swept green on seeds
+4242/777/888/999.  The r11 session-boundary fix (exact-gap
 events MERGE — see tests/test_streaming_differential.py) flipped the
 session_tvf oracle in the same commit as the lowering, keeping the
 battery consistent.  The pinned seed here is the CLI default so a

@@ -12,6 +12,8 @@ non-windowed GROUP BY (complete mode), EXCEPT ALL / INTERSECT ALL
 (the signed-count retraction materialization, fresh multiset batches
 per seed), and event-time RANGE over-aggregation (the
 streaming_over_range keyed-state facade vs the batch OVER window).
+Restart mode (r11, second half): the same equality with a mid-stream
+stop + checkpoint restart — see test_streaming_matches_batch_across_restart.
 
 Found on first soak (seed 7, session shape): the batch SESSION TVF
 lowering started a new session at diff == gap while Flink
@@ -50,6 +52,27 @@ def test_streaming_matches_batch(spark, shape):
             f"\n only-batch={[r for r in want if r not in got][:5]}"
         )
         assert want, f"seed={seed} {shape}: vacuous (batch side empty)"
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_streaming_matches_batch_across_restart(spark, shape):
+    """The exactly-once recovery differential (r11): the streaming
+    query is stopped and restarted from its checkpoint at a
+    seed-chosen batch boundary — before or after that batch's files
+    commit — and the stream-vs-batch equality must still hold.  This
+    requires every lowering to re-produce a checkpoint-COMPATIBLE plan
+    (stable stateful-operator order + state schema), the analogue of
+    Flink's savepoint operator-ID stability (uid()/setUidHash;
+    flink-tests .../checkpointing/SavepointITCase.java)."""
+    seed = 42  # one pinned seed per shape here; the CLI --restart
+    # soak carries the multi-seed battery (11 shapes x full-suite cost)
+    got, want = run_shape(spark, shape, seed, restart=True)
+    assert got == want, (
+        f"seed={seed} {shape} +restart: streaming and batch diverge\n"
+        f" only-stream={[r for r in got if r not in want][:5]}\n"
+        f" only-batch={[r for r in want if r not in got][:5]}"
+    )
+    assert want, f"seed={seed} {shape} +restart: vacuous"
 
 
 def test_session_tvf_exact_gap_boundary_merges(spark):
