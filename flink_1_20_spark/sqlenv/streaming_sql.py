@@ -207,15 +207,18 @@ class StreamingSqlMixin:
                     *(f"{c} {d_types[c]}" for c in dim_payload),
                 ]
             )
-            # the fact's declared watermark delay bounds how long events
-            # wait for late dim versions
-            delay = None
-            if fmeta2 is not None and fmeta2.watermark is not None:
+            # each side's DECLARED watermark delay bounds its own
+            # disorder — the operator combines the two watermarks with
+            # Spark's min policy, the reference's two-input watermark
+            def _declared_delay(meta_):
+                if meta_ is None or meta_.watermark is None:
+                    return None
                 dm = re.search(
-                    r"INTERVAL\s+'([^']+)'\s+(\w+)", fmeta2.watermark[1], re.I
+                    r"INTERVAL\s+'([^']+)'\s+(\w+)", meta_.watermark[1], re.I
                 )
-                if dm:
-                    delay = f"{dm.group(1)} {dm.group(2).lower()}"
+                return f"{dm.group(1)} {dm.group(2).lower()}" if dm else None
+
+            delay = _declared_delay(fmeta2)
             joined = temporal_join_stream(
                 fact_df,
                 dim_df,
@@ -226,6 +229,7 @@ class StreamingSqlMixin:
                 dim_payload=dim_payload,
                 output_schema=out_schema,
                 watermark_delay=delay,
+                dim_watermark_delay=_declared_delay(dmeta2),
             )
             if ts_col != "ts":
                 joined = joined.withColumnRenamed("ts", ts_col)

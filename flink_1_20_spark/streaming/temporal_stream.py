@@ -22,7 +22,12 @@ the event's match can still arrive (exactly the left-row buffering of
 TemporalRowTimeJoinOperator.java:78; the delay is the allowed
 out-of-orderness). Dim updates arriving a batch after the events they
 enrich therefore still join correctly. Latency follows the watermark:
-an event emits in the first micro-batch whose watermark passed it.
+an event emits in the first micro-batch whose watermark passed it —
+including via an EVENT-TIME TIMER at the earliest held event
+(registerSmallestTimer in the reference), so a key whose events are
+buffered drains on watermark advance even if no further row ever
+arrives for that key (r11 differential find: without the timer the
+final round's events for a quiet key never emitted).
 
 `watermark_delay=None` keeps the lighter contract: events emit in
 their arrival batch, assuming dim updates for a version arrive no
@@ -80,18 +85,33 @@ def temporal_join_stream(
     output_schema: str,
     max_versions: int = 100,
     watermark_delay: str | None = None,
+    dim_watermark_delay: str | None = None,
 ) -> DataFrame:
     """FOR SYSTEM_TIME AS OF over streams.
 
     Output columns: key, event_ts (as `ts`), event_payload...,
     dim_payload... (null when no version existed at the event's time) —
     declare them in `output_schema` in that order. See module docstring
-    for the `watermark_delay` contract."""
-    unioned = _tag(events, key, event_ts, 0, event_payload).unionByName(
-        _tag(dim_updates, key, dim_ts, 1, dim_payload)
-    )
+    for the `watermark_delay` contract; `dim_watermark_delay` lets the
+    versioned side declare its OWN disorder bound (defaults to the
+    event side's)."""
+    ev_tagged = _tag(events, key, event_ts, 0, event_payload)
+    dim_tagged = _tag(dim_updates, key, dim_ts, 1, dim_payload)
     if watermark_delay is not None:
-        unioned = unioned.withWatermark("__t", watermark_delay)
+        # PER-INPUT watermarks, combined by Spark's default
+        # multipleWatermarkPolicy = min — exactly the reference's
+        # two-input operator watermark (min of left/right): the drain
+        # bound only advances once BOTH sides' watermarks pass, so a
+        # dim version is never "late" while its own watermark still
+        # allows it.  (A single post-union watermark was max-based:
+        # the event side alone pushed it forward, and the stateful
+        # operator's late-input filter then dropped in-flight dim
+        # versions — found when the event-time drain timer exposed it.)
+        ev_tagged = ev_tagged.withWatermark("__t", watermark_delay)
+        dim_tagged = dim_tagged.withWatermark(
+            "__t", dim_watermark_delay or watermark_delay
+        )
+    unioned = ev_tagged.unionByName(dim_tagged)
 
     def fn(k: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -127,6 +147,25 @@ def temporal_join_stream(
             out.append(rec)
 
         state.update((json.dumps({"versions": versions, "pending": pending_next}),))
+        if pending_next and watermark_delay is not None:
+            # event-time timer at the earliest held event: the key is
+            # re-invoked when the GLOBAL watermark passes it, so held
+            # events drain even if no further row ever arrives for this
+            # key (TemporalRowTimeJoinOperator registers exactly this
+            # timer, registerSmallestTimer(leftRow ts) — FOUND by the
+            # r11 temporal_join differential shape: the final round's
+            # events never emitted without it).  +1ms: fire only once
+            # the watermark has STRICTLY passed the event — a timer at
+            # exactly event_ts fires in the no-data batch BEFORE a
+            # same-trigger-window late dim version can land, losing the
+            # one-batch late-dim grace Flink gets from its per-input
+            # min watermark (the dim side's watermark holds the drain
+            # back while a version is still in flight); data-driven
+            # invocations keep the inclusive ts <= wm drain above.
+            first_ms = int(
+                pd.Timestamp(min(e[0] for e in pending_next)).value // 10**6
+            )
+            state.setTimeoutTimestamp(first_ms + 1)
         if out:
             pdf_out = pd.DataFrame(out).rename(columns={"__k": key})
             pdf_out["ts"] = pd.to_datetime(pdf_out["ts"])
@@ -137,7 +176,9 @@ def temporal_join_stream(
         output_schema,
         "state string",
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if watermark_delay is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -46,6 +46,22 @@ Shapes covered (each exercises a different lowering path):
                 boundaries) vs the batch OVER window — the facade
                 computes in DOUBLE (documented divergence: Flink types
                 SUM(BIGINT) as BIGINT), so values compare as floats
+  window_join   TVF-windowed stream-stream join (both sides TUMBLE'd,
+                joined on key + window bounds) through the INSERT INTO
+                parquet path; flush keys DIFFER per side because the
+                stream-stream inner join emits matches eagerly
+  temporal_join streaming FOR SYSTEM_TIME AS OF vs the BATCH as-of
+                operator over the same files — two independent
+                implementations of one semantics.  FOUND a real bug on
+                its first run: watermark-held events for a key that
+                never received another row stayed buffered forever
+                (GroupStateTimeout.NoTimeout) — fixed with an
+                event-time drain timer at the earliest held event,
+                which in turn exposed that the single post-union
+                watermark was max-based and let the operator's
+                late-input filter drop in-flight dim versions — fixed
+                with per-input watermarks combined by Spark's default
+                min policy, the reference's two-input watermark
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -111,6 +127,8 @@ SHAPES = (
     "except_all",
     "intersect_all",
     "over_range",
+    "window_join",
+    "temporal_join",
 )
 
 
@@ -634,10 +652,183 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
             )
             return got, want
 
+        if shape == "window_join":
+            # TVF-windowed stream-stream join (StreamExecWindowJoin):
+            # both sides TUMBLE'd, joined on key + window bounds; rows
+            # pair only inside the same window. INSERT INTO parquet
+            # path; flush rows close every real window, and the batch
+            # side filters window_end <= the final watermark so the
+            # flush window (which never emits in streaming) drops out
+            # identically.
+            lsrc = os.path.join(tmp, "l")
+            rsrc = os.path.join(tmp, "r")
+            outdir = os.path.join(tmp, "out")
+            for dd in (lsrc, rsrc, outdir):
+                os.makedirs(dd, exist_ok=True)
+            rbatches = gen_batches(rng, n_batches, rows_per_batch)
+            _mk_tables(env, f"{tag}_l", lsrc, streaming=True,
+                       cols=cols, wm_col="ts")
+            _mk_tables(env, f"{tag}_r", rsrc, streaming=True,
+                       cols=cols, wm_col="ts")
+            env.execute_sql(
+                f"CREATE TABLE {tag}_sink (k BIGINT, lv BIGINT, "
+                f"rv BIGINT, ws TIMESTAMP(3)) WITH ("
+                f"'connector'='filesystem','path'='{outdir}',"
+                f"'format'='parquet',"
+                f"'checkpoint'='{os.path.join(tmp, 'ck')}')"
+            )
+            jq = """
+                SELECT L.k AS k, L.v AS lv, R.v AS rv,
+                       L.window_start AS ws
+                FROM (SELECT * FROM TABLE(TUMBLE(TABLE {L},
+                      DESCRIPTOR(ts), INTERVAL '1' MINUTE))) L
+                JOIN (SELECT * FROM TABLE(TUMBLE(TABLE {R},
+                      DESCRIPTOR(ts), INTERVAL '1' MINUTE))) R
+                ON L.k = R.k AND L.window_start = R.window_start
+                   AND L.window_end = R.window_end"""
+            d = _InsertDrain(
+                env,
+                f"INSERT INTO {tag}_sink "
+                + jq.format(L=f"{tag}_l", R=f"{tag}_r"),
+            )
+
+            def _wf_wj(i):
+                _write_batch(lsrc, i, batches[i])
+                _write_batch(rsrc, i, rbatches[i])
+
+            try:
+                _feed_loop(d, _wf_wj, n_batches, restart_at, restart_before)
+                # DISTINCT flush keys per side: the stream-stream inner
+                # join emits matches eagerly (it does not hold them to
+                # window close), so same-key flush rows would pair and
+                # emit a row the batch side's closed-window filter
+                # rightly excludes
+                _write_batch(lsrc, n_batches,
+                             [{"k": -1, "ts": _fmt(FLUSH_TS), "v": 1}])
+                _write_batch(rsrc, n_batches,
+                             [{"k": -2, "ts": _fmt(FLUSH_TS), "v": 1}])
+                d.process()
+            finally:
+                d.stop()
+            cols_out = ["k", "lv", "rv", "ws"]
+            got = _norm(spark.read.parquet(outdir).collect(), cols_out)
+            _mk_tables(env, f"{tag}_lb", lsrc, streaming=False,
+                       cols=cols, wm_col="ts")
+            _mk_tables(env, f"{tag}_rb", rsrc, streaming=False,
+                       cols=cols, wm_col="ts")
+            want = _norm(
+                env.execute_sql(
+                    jq.format(L=f"{tag}_lb", R=f"{tag}_rb")
+                    + f" WHERE L.window_end <= TIMESTAMP '{wm_cut}'"
+                ).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "temporal_join":
+            # Streaming FOR SYSTEM_TIME AS OF (StreamExecTemporalJoin)
+            # vs the BATCH as-of operator over the same accumulated
+            # files — two independent implementations of one
+            # semantics.  The generator alternates event-time bands:
+            # dim versions of round i live in band 2i and land+commit
+            # BEFORE round i's events (band 2i+1), so every event's
+            # applicable versions have always arrived, and later
+            # versions only ever affect later events.  The final flush
+            # writes to BOTH streams: the drain bound is the combined
+            # min watermark, so the DIM side's watermark must pass the
+            # held events too (this shape found the quiet-key
+            # never-drain bug and the max-watermark late-dim drop —
+            # see the module docstring).
+            ev = os.path.join(tmp, "ev")
+            dm = os.path.join(tmp, "dm")
+            os.makedirs(ev), os.makedirs(dm)
+            _mk_tables(env, f"{tag}_e", ev, streaming=True,
+                       cols="k BIGINT, ts TIMESTAMP(3), v BIGINT",
+                       wm_col="ts")
+            _mk_tables(env, f"{tag}_d", dm, streaming=True,
+                       cols="k BIGINT, upd TIMESTAMP(3), dv BIGINT",
+                       wm_col="upd")
+            jq = """
+                SELECT e.k AS k, e.v AS v, d.dv AS dv
+                FROM {E} AS e
+                LEFT JOIN {D} FOR SYSTEM_TIME AS OF e.ts AS d
+                ON e.k = d.k"""
+            # dim rounds: band 2i; events: band 2i+1 — alternating grid
+            dim_batches = []
+            ev_batches = []
+            for i in range(n_batches):
+                dband = BASE + timedelta(seconds=2 * i * BAND_S)
+                eband = BASE + timedelta(seconds=(2 * i + 1) * BAND_S)
+                offs = rng.sample(range(BAND_S - DELAY_S - 1), 10)
+                dim_batches.append(
+                    [{"k": rng.randint(1, 4),
+                      "upd": _fmt(dband + timedelta(seconds=o)),
+                      "dv": rng.randint(1, 10_000_000)}
+                     for o in offs[:4]]
+                )
+                ev_batches.append(
+                    [{"k": rng.randint(1, 4),
+                      "ts": _fmt(eband + timedelta(seconds=o)),
+                      "v": i * 1000 + j}
+                     for j, o in enumerate(offs[4:])]
+                )
+            d = _MemDrain(env, spark,
+                          jq.format(E=f"{tag}_e", D=f"{tag}_d"),
+                          tag, "update", tmp,
+                          restartable=restart_at is not None)
+
+            def _wf_tj(i):
+                # dim versions must COMMIT before the round's events
+                _write_batch(dm, i, dim_batches[i])
+                d.process()
+                _write_batch(ev, i, ev_batches[i])
+
+            try:
+                _feed_loop(d, _wf_tj, n_batches, restart_at,
+                           restart_before)
+                # flush both watermarks so held events emit; k=0 rows
+                # never join real keys and are dropped below
+                _write_batch(dm, n_batches,
+                             [{"k": 0, "upd": _fmt(FLUSH_TS), "dv": -1}])
+                _write_batch(ev, n_batches,
+                             [{"k": 0, "ts": _fmt(FLUSH_TS), "v": -1}])
+                d.process()
+            finally:
+                d.stop()
+            cols_out = ["k", "v", "dv"]
+            # update-mode changelog keyed on the globally unique v
+            final: dict[int, tuple] = {}
+            for r in d.emissions():
+                if r["k"] == 0:
+                    continue
+                final[r["v"]] = tuple(str(r[c]) for c in cols_out)
+            got = sorted(final.values())
+            _mk_tables(env, f"{tag}_eb", ev, streaming=False,
+                       cols="k BIGINT, ts TIMESTAMP(3), v BIGINT",
+                       wm_col="ts")
+            # the batch as-of operator requires the versioned side to
+            # declare its rowtime (WATERMARK), which _mk_tables only
+            # emits for streaming tables — declare it explicitly
+            env.execute_sql(
+                f"CREATE TABLE {tag}_db (k BIGINT, upd TIMESTAMP(3), "
+                f"dv BIGINT, WATERMARK FOR upd AS upd - INTERVAL "
+                f"'{DELAY_S}' SECOND) WITH ("
+                f"'connector'='filesystem','path'='{dm}',"
+                f"'format'='json','scan.streaming'='false')"
+            )
+            want = _norm(
+                [r for r in env.execute_sql(
+                    jq.format(E=f"{tag}_eb", D=f"{tag}_db")
+                ).collect() if r["k"] != 0],
+                cols_out,
+            )
+            return got, want
+
         raise ValueError(f"unknown shape: {shape}")
     finally:
         for t in (f"{tag}_s", f"{tag}_b", f"{tag}_l", f"{tag}_r",
-                  f"{tag}_lb", f"{tag}_rb", f"{tag}_sink"):
+                  f"{tag}_lb", f"{tag}_rb", f"{tag}_sink",
+                  f"{tag}_e", f"{tag}_d", f"{tag}_eb", f"{tag}_db"):
             try:
                 env.execute_sql(f"DROP TABLE IF EXISTS {t}")
             except Exception:

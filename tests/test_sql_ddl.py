@@ -3558,8 +3558,9 @@ def test_streaming_temporal_join_through_executesql(spark, tmp_path):
     q = run_to_memory(out, "tj_out", output_mode="update")
     try:
         q.processAllAvailable()
-        # a NEW version lands in a later batch, valid from 11:00 — it
-        # must apply to the 12:00 event only on the NEXT event pass
+        # a NEW version lands in a later batch, valid from 11:00 — the
+        # 12:00 event (already seen, still watermark-held) must pick it
+        # up when it eventually drains
         (dm / "d1.jsonl").write_text(
             _json.dumps(
                 {"cur": "EUR", "rate": 2.0, "upd": "2024-01-01T11:00:00"}
@@ -3591,9 +3592,30 @@ def test_streaming_temporal_join_through_executesql(spark, tmp_path):
             + "\n"
         )
         q.processAllAvailable()
+        # the drain bound is the COMBINED min watermark of both inputs
+        # (Flink's two-input operator watermark): the dim side is still
+        # at 11:00 - 1s, so only the 10:00 event has drained — events
+        # 12:00+ wait for the DIM watermark, exactly the reference's
+        # TemporalRowTimeJoinOperator discipline
+        held = {r["oid"] for r in spark.table("tj_out").collect()}
+        assert held == {1}
+        # a final dim version advances the dim watermark to 16:59:59 →
+        # combined min = event side 14:59:59 → 12/13/14:00 drain
+        (dm / "d2.jsonl").write_text(
+            _json.dumps(
+                {"cur": "EUR", "rate": 3.0, "upd": "2024-01-01T17:00:00"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
         got = {r["oid"]: r["rate"] for r in spark.table("tj_out").collect()}
         assert got[1] == 1.0          # 10:00 event → version at 00:00
+        assert got[2] == 2.0          # 12:00 event → 11:00 version (the
+        #                               version arrived AFTER the event
+        #                               was seen — held, then enriched)
         assert got[3] == 2.0          # 13:00 event → 11:00 version
+        assert got[4] == 2.0          # 14:00 event → 11:00 version
+        assert 5 not in got           # 15:00 > combined watermark: held
     finally:
         q.stop()
     # INNER temporal join on streams rejects with guidance

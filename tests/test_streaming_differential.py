@@ -14,6 +14,18 @@ per seed), and event-time RANGE over-aggregation (the
 streaming_over_range keyed-state facade vs the batch OVER window).
 Restart mode (r11, second half): the same equality with a mid-stream
 stop + checkpoint restart — see test_streaming_matches_batch_across_restart.
+Thirteen shapes since the r11 second half (+window_join, the TVF-windowed
+stream-stream join, and +temporal_join, streaming FOR SYSTEM_TIME AS OF
+vs the batch as-of operator).  temporal_join found a REAL bug on its
+first run: watermark-held events for keys with no further input never
+drained (NoTimeout) — fixed with an event-time drain timer
+(TemporalRowTimeJoinOperator's registerSmallestTimer), which exposed a
+second: the post-union max-based watermark let the stateful operator's
+late-input filter drop in-flight dim versions — fixed with per-input
+watermarks under Spark's default min combine policy (the reference's
+two-input operator watermark).  Both fixes are pinned by
+tests/test_temporal_stream.py::test_temporal_join_watermark_late_dim
+and the executeSql test's combined-watermark drain asserts.
 
 Found on first soak (seed 7, session shape): the batch SESSION TVF
 lowering started a new session at diff == gap while Flink

@@ -91,8 +91,12 @@ def test_proctime_temporal_join_latest_wins(spark, tmp_path):
 def test_temporal_join_watermark_late_dim(spark, tmp_path):
     """Watermark mode (TemporalRowTimeJoinOperator.java:78 buffering):
     an event whose matching dim version arrives one micro-batch LATER
-    must still enrich with that version — the event waits in state until
-    the watermark passes its timestamp."""
+    must still enrich with that version.  The drain bound is the
+    COMBINED min watermark of both inputs (Flink's two-input operator
+    watermark; Spark's multipleWatermarkPolicy=min over per-side
+    withWatermark) — so the event waits while the DIM side's watermark
+    still allows an applicable version to arrive, and only drains once
+    both sides have passed it."""
     ev_dir, dim_dir = str(tmp_path / "ev3"), str(tmp_path / "dim3")
     # batch 0: the event arrives BEFORE any dim version exists
     _drop(ev_dir, 0, [{"k": 1, "ets": "2024-01-01T10:00:00", "qty": 3}])
@@ -110,21 +114,36 @@ def test_temporal_join_watermark_late_dim(spark, tmp_path):
     q = run_to_memory(out, "tjw_out", output_mode="update")
     try:
         q.processAllAvailable()
-        # watermark hasn't passed 10:00 yet → nothing emitted (the old
+        # the dim watermark hasn't moved → nothing emitted (the old
         # in-order code would have emitted (3, null) here)
         assert spark.table("tjw_out").count() == 0
-        # batch 1: the dim version the event needs arrives LATE
-        # (vts 09:55 < event ts), plus a later event to push time along
+        # batch 1: the dim version the event needs arrives a batch
+        # LATE (vts 09:55 < the already-seen event ts — legal, the
+        # event side can't push the combined watermark past it), plus
+        # a later event
         _drop(dim_dir, 1, [{"k": 1, "vts": "2024-01-01T09:55:00", "price": 10.0}])
         _drop(ev_dir, 1, [{"k": 1, "ets": "2024-01-01T10:30:00", "qty": 5}])
         q.processAllAvailable()
-        # batch 2: watermark (>= 10:30) passes both buffered events
+        # still held: the DIM watermark (09:55) hasn't passed the
+        # events — Flink's min-of-inputs does exactly this
+        assert spark.table("tjw_out").count() == 0
+        # batch 2: a later dim version advances the dim watermark to
+        # 11:30, the event side reaches 11:00
+        _drop(dim_dir, 2, [{"k": 1, "vts": "2024-01-01T11:30:00", "price": 99.0}])
         _drop(ev_dir, 2, [{"k": 1, "ets": "2024-01-01T11:00:00", "qty": 7}])
+        q.processAllAvailable()
+        # batch 3 pushes the combined watermark STRICTLY past 11:00
+        # (to min(12:00, 11:30) = 11:30) — strictly, because whether
+        # the two batch-2 files land in one or two micro-batches
+        # decides if the drain timer (earliest pending + 1ms) has
+        # already fired at exactly 11:00
+        _drop(ev_dir, 3, [{"k": 1, "ets": "2024-01-01T12:00:00", "qty": 9}])
         q.processAllAvailable()
         rows = spark.table("tjw_out").collect()
     finally:
         q.stop()
     got = {r["qty"]: r["price"] for r in rows}
-    # qty=3 enriched by the LATE dim version; qty=5 by the same version;
-    # qty=7 still pending (watermark hasn't passed 11:00)
-    assert got == {3: 10.0, 5: 10.0}
+    # 3/5/7 enriched by the 09:55 version (11:30 is after every
+    # event's time); qty=9 still pending (combined watermark 11:30
+    # hasn't passed 12:00)
+    assert got == {3: 10.0, 5: 10.0, 7: 10.0}
