@@ -138,16 +138,38 @@ def match_recognize_stream(
                         if not all_rows:  # all-rows mode appends inside
                             out_rows.append(rendered)
         else:
+            # Only PAST_LAST_EVENT may CONSUME matched rows: its scan
+            # resumes after the match, so those rows can never serve a
+            # future match.  The revisiting strategies (TO_NEXT_ROW,
+            # SKIP_TO_FIRST/LAST) must RETAIN them — a row inside an
+            # emitted match may start a later overlapping match whose
+            # tail arrives in a future batch (FOUND by the r11 cep
+            # differential shape, seed 900: consuming up to the match
+            # end silently dropped the overlap).  Dedup is the NO_SKIP
+            # discipline: re-found matches whose last event is old were
+            # emitted when that event first arrived.  (A later row that
+            # reshapes an already-completed greedy match yields a
+            # second, longer emission — completion-order emission, the
+            # same growing output Flink's NFA produces when a looping
+            # state re-enters a final state.)
+            consume = pattern.skip == "PAST_LAST_EVENT"
             i = 0
             while i < len(pdf):
                 m = _match_at(pattern, pdf, i, pre)
                 if m:
-                    rendered, groups = render(m)
-                    if not all_rows:  # all-rows mode appends inside
-                        out_rows.append(rendered)
                     last_idx = max(idx for _, idx in m)
-                    consumed_until = max(consumed_until, last_idx)
-                    if pattern.skip == "PAST_LAST_EVENT":
+                    if consume or last_idx >= n_old:
+                        rendered, groups = render(m)
+                        if not all_rows:  # all-rows mode appends inside
+                            out_rows.append(rendered)
+                    else:
+                        # re-found old match: advance the scan chain
+                        # exactly as if reported, without re-emitting
+                        groups = {}
+                        for name, idx in m:
+                            groups.setdefault(name, []).append(idx)
+                    if consume:
+                        consumed_until = max(consumed_until, last_idx)
                         i = last_idx + 1
                     elif pattern.skip == "SKIP_TO_FIRST":
                         tgt = groups.get(pattern.skip_step, [])

@@ -62,6 +62,15 @@ Shapes covered (each exercises a different lowering path):
                 late-input filter drop in-flight dim versions — fixed
                 with per-input watermarks combined by Spark's default
                 min policy, the reference's two-input watermark
+  cep           streaming MATCH_RECOGNIZE (keyed-state NFA, partial
+                matches completing across micro-batches) vs the batch
+                NFA, same query text (fixed A B C, SKIP TO NEXT ROW).
+                FOUND a real bug on its first soak (seed 900): the
+                revisiting skip strategies consumed matched rows from
+                the NFA buffer, dropping overlapping matches whose
+                tail arrives in a later batch — only PAST_LAST_EVENT
+                may consume; the others now retain and dedup by
+                last-event-is-new
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -129,6 +138,7 @@ SHAPES = (
     "over_range",
     "window_join",
     "temporal_join",
+    "cep",
 )
 
 
@@ -820,6 +830,49 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 [r for r in env.execute_sql(
                     jq.format(E=f"{tag}_eb", D=f"{tag}_db")
                 ).collect() if r["k"] != 0],
+                cols_out,
+            )
+            return got, want
+
+        if shape == "cep":
+            # Streaming MATCH_RECOGNIZE → the keyed-state NFA
+            # (match_recognize_stream: the buffer is persisted in state,
+            # so partial matches COMPLETE across micro-batch boundaries
+            # and restart recovery carries the NFA buffer) vs the batch
+            # NFA over the same accumulated files, same query text.
+            # Fixed-length A B C with SKIP TO NEXT ROW — every position
+            # whose three consecutive per-key rows satisfy the DEFINEs
+            # is a match, batch and stream alike.  (src + the {tag}_s
+            # streaming table come from the shared single-source setup.)
+            mr = """
+                SELECT k, a_v, b_v, c_v
+                FROM {T} MATCH_RECOGNIZE (
+                  PARTITION BY k ORDER BY ts
+                  MEASURES A.v AS a_v, B.v AS b_v, C.v AS c_v
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP TO NEXT ROW
+                  PATTERN (A B C)
+                  DEFINE A AS A.v % 2 = 0, B AS B.v % 3 <> 0,
+                         C AS C.v % 2 = 1
+                ) AS m"""
+            # "update" because applyInPandasWithState declares update
+            # mode — but completed-match emission is append-only in
+            # content (each match emits exactly once), so emissions()
+            # needs no last-wins fold
+            d = _MemDrain(env, spark, mr.format(T=f"{tag}_s"), tag,
+                          "update", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+            finally:
+                d.stop()
+            cols_out = ["k", "a_v", "b_v", "c_v"]
+            got = _norm(d.emissions(), cols_out)
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(mr.format(T=f"{tag}_b")).collect(),
                 cols_out,
             )
             return got, want

@@ -227,3 +227,58 @@ def test_streaming_cep_iterative_condition_spans_batches(spark, tmp_path):
     assert [(r.user_id, r.anchor, r.dip, r.rebound) for r in rows] == [
         (1, 10.0, 7.0, 9.0)
     ]
+
+
+def test_streaming_cep_overlap_tail_in_next_batch(spark, tmp_path):
+    """SKIP TO NEXT ROW retention (FOUND by the r11 streaming-vs-batch
+    cep differential, seed 900): rows inside an emitted match may START
+    a later overlapping match whose tail arrives in a FUTURE batch, so
+    the buffer must retain them — the old code consumed everything up
+    to the match end and silently dropped the overlap.  Pattern
+    a b c over alternating click/view rows: (r0 r1 r2) completes in
+    batch 0, the overlapping (r1 r2 r3) completes when r3 lands in
+    batch 1.  Dedup still holds: batch 1 must not re-emit (r0 r1 r2)."""
+    src = str(tmp_path / "in")
+    _drop(src, 0, [
+        ("2024-01-01T10:00:00", 1, "click"),
+        ("2024-01-01T10:01:00", 1, "view"),
+        ("2024-01-01T10:02:00", 1, "click"),
+    ])
+    pat = (
+        Pattern.begin("a", lambda r: True)
+        .next("b", lambda r: True)
+        .next("c", lambda r: True)
+        .after_match_skip("TO_NEXT_ROW")
+    )
+
+    def measures(g):
+        return {
+            "s": g["a"]["ts"].iloc[0].isoformat(),
+            "e": g["c"]["ts"].iloc[-1].isoformat(),
+        }
+
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="s string, e string, user_id bigint",
+        payload_cols=["event_type"],
+    )
+    q = run_to_memory(out, "cep_overlap_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        first = {(r["s"], r["e"]) for r in spark.table("cep_overlap_out").collect()}
+        assert first == {("2024-01-01T10:00:00", "2024-01-01T10:02:00")}
+        _drop(src, 1, [("2024-01-01T10:03:00", 1, "view")])
+        q.processAllAvailable()
+        rows = [(r["s"], r["e"]) for r in spark.table("cep_overlap_out").collect()]
+    finally:
+        q.stop()
+    # exactly TWO matches total: the overlap completed, nothing re-emitted
+    assert sorted(rows) == [
+        ("2024-01-01T10:00:00", "2024-01-01T10:02:00"),
+        ("2024-01-01T10:01:00", "2024-01-01T10:03:00"),
+    ]
