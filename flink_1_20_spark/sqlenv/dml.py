@@ -677,6 +677,30 @@ class DmlMixin:
                         or "streaming aggregations" not in str(ex)
                     ):
                         raise
+                    # the failed append attempt drops a FileStreamSink
+                    # metadata log (and, absent an explicit checkpoint
+                    # option, the default in-path checkpoint dir) into
+                    # the sink directory.  On a RE-EXECUTED insert the
+                    # directory already holds the live upsert table, and
+                    # a leftover _spark_metadata makes every plain
+                    # parquet read of it resolve against the (empty)
+                    # sink log instead of the files — scrub the
+                    # droppings before falling back.  (FOUND by the r11
+                    # upsert_agg restart differential: the re-executed
+                    # INSERT's first merge crashed reading its own
+                    # table.)  An upsert table never legitimately owns a
+                    # _spark_metadata — its snapshots are plain batch
+                    # parquet writes.
+                    _p = meta.options["path"]
+                    shutil.rmtree(
+                        os.path.join(_p, "_spark_metadata"),
+                        ignore_errors=True,
+                    )
+                    if "checkpoint" not in meta.options:
+                        shutil.rmtree(
+                            os.path.join(_p, "_checkpoint"),
+                            ignore_errors=True,
+                        )
                     q = self._upsert_materialized_insert(name, meta, df, fmt)
                 self._register_streaming_sink(meta, q)
                 return q

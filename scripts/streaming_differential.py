@@ -71,6 +71,14 @@ Shapes covered (each exercises a different lowering path):
                 tail arrives in a later batch — only PAST_LAST_EVENT
                 may consume; the others now retain and dedup by
                 last-event-is-new
+  upsert_agg    non-windowed streaming GROUP BY materialized into a
+                PRIMARY KEY file sink (SinkUpsertMaterializer epoch
+                swap) vs the batch GROUP BY, same text.  Its RESTART
+                variant FOUND a real bug: the re-executed INSERT's
+                failed append attempt dropped a _spark_metadata sink
+                log into the live table directory, poisoning the
+                upsert merge's read of its own table — the fallback
+                now scrubs the droppings
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -139,6 +147,7 @@ SHAPES = (
     "window_join",
     "temporal_join",
     "cep",
+    "upsert_agg",
 )
 
 
@@ -873,6 +882,47 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                        wm_col="ts")
             want = _norm(
                 env.execute_sql(mr.format(T=f"{tag}_b")).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "upsert_agg":
+            # Non-windowed streaming GROUP BY materialized into a
+            # PRIMARY KEY file sink (the SinkUpsertMaterializer path:
+            # per-epoch keyed upsert, snapshot swap) — final sink
+            # snapshot vs the batch GROUP BY, same query text.  Restart
+            # mode re-executes the INSERT against the sink-derived
+            # checkpoint, covering epoch-swap recovery.
+            outdir = os.path.join(tmp, "out")
+            env.execute_sql(
+                f"CREATE TABLE {tag}_sink (gk BIGINT, cnt BIGINT, "
+                f"total BIGINT, lo BIGINT, hi BIGINT, "
+                f"PRIMARY KEY (gk) NOT ENFORCED) WITH ("
+                f"'connector'='filesystem','path'='{outdir}',"
+                f"'format'='parquet')"
+            )
+            body = (
+                "SELECT k % 3 AS gk, count(*) AS cnt, "
+                "sum(v) AS total, min(v) AS lo, max(v) AS hi "
+                "FROM {T} GROUP BY k % 3"
+            )
+            d = _InsertDrain(
+                env, f"INSERT INTO {tag}_sink " + body.format(T=f"{tag}_s")
+            )
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+            finally:
+                d.stop()
+            cols_out = ["gk", "cnt", "total", "lo", "hi"]
+            got = _norm(
+                env.execute_sql(f"SELECT * FROM {tag}_sink").collect(),
+                cols_out,
+            )
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(body.format(T=f"{tag}_b")).collect(),
                 cols_out,
             )
             return got, want

@@ -2504,6 +2504,60 @@ def test_streaming_group_agg_upsert_insert(spark, tmp_path):
     assert env._live_sink_views == {}
 
 
+def test_streaming_upsert_insert_reexecute_resumes(spark, tmp_path):
+    """Re-executing the SAME updating INSERT INTO a PK sink (stop →
+    execute_sql again, e.g. job restart) resumes from the sink-derived
+    checkpoint AND must not corrupt the live table (FOUND by the r11
+    upsert_agg restart differential): every execution first attempts an
+    append FileStreamSink, whose failed start drops a _spark_metadata
+    log into the sink directory — on re-execution that directory holds
+    the live upsert table, and the leftover log made the merge's plain
+    parquet read of its own table resolve against the empty sink log.
+    The fallback now scrubs the droppings."""
+    import json as _json
+
+    src = tmp_path / "uar_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(_json.dumps({"k": 1, "v": 2.0}) + "\n")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE uar_src (k INT, v DOUBLE) WITH (
+          'connector'='filesystem','path'='{src}',
+          'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE uar_sink (
+            k INT, cnt BIGINT, total DOUBLE,
+            PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{tmp_path}/uar_sink',
+                'format'='parquet')
+    """)
+    ins = (
+        "INSERT INTO uar_sink SELECT k, COUNT(*) AS cnt, "
+        "SUM(v) AS total FROM uar_src GROUP BY k"
+    )
+    q = env.execute_sql(ins)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # files pending at restart: the re-executed insert must pick them
+    # up from recovered offsets and merge into the existing table
+    (src / "b1.jsonl").write_text(
+        _json.dumps({"k": 1, "v": 3.0}) + "\n"
+        + _json.dumps({"k": 2, "v": 5.0}) + "\n"
+    )
+    q2 = env.execute_sql(ins)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        tuple(r) for r in env.execute_sql("SELECT * FROM uar_sink").collect()
+    }
+    assert got == {(1, 2, 5.0), (2, 1, 5.0)}
+
+
 def test_streaming_session_tvf_insert_end_to_end(spark, tmp_path):
     """Streaming SESSION window TVF through executeSql: the lowering
     switches to Spark's native session_window struct for streaming
