@@ -79,6 +79,10 @@ Shapes covered (each exercises a different lowering path):
                 log into the live table directory, poisoning the
                 upsert merge's read of its own table — the fallback
                 now scrubs the droppings
+  over_rows     event-time ROWS n PRECEDING over-agg → the
+                streaming_over_rows keyed-state facade (the ROWS twin
+                of over_range; frames depend on per-key arrival order,
+                which the band generator preserves)
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -148,6 +152,7 @@ SHAPES = (
     "temporal_join",
     "cep",
     "upsert_agg",
+    "over_rows",
 )
 
 
@@ -629,20 +634,27 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
             )
             return got, want
 
-        if shape == "over_range":
-            # event-time RANGE over-agg → streaming_over_range keyed-
-            # state facade (one emission per input row, update mode,
-            # windows span micro-batches). The band generator keeps
-            # every in-range predecessor in an earlier-or-same batch
-            # (band spacing 60s > the 30s bound + band width), so no
-            # emission can miss a late frame member — the contract
-            # Flink enforces by buffering to the watermark.
+        if shape in ("over_range", "over_rows"):
+            # event-time RANGE / ROWS over-agg → the keyed-state
+            # facades streaming_over_range / streaming_over_rows (one
+            # emission per input row, update mode, windows span
+            # micro-batches). The band generator keeps every in-range
+            # predecessor in an earlier-or-same batch (band spacing
+            # 60s > the 30s bound + band width), so no emission can
+            # miss a late frame member — the contract Flink enforces
+            # by buffering to the watermark; ROWS frames depend only
+            # on per-key arrival order, which the bands preserve.
+            frame = (
+                "RANGE BETWEEN INTERVAL '30' SECOND PRECEDING "
+                if shape == "over_range"
+                else "ROWS BETWEEN 2 PRECEDING "
+            )
             body = (
                 "SELECT k, ts, v, SUM(v) OVER w AS wsum, "
                 "COUNT(*) OVER w AS wcnt, AVG(v) OVER w AS wavg "
                 "FROM {T} "
                 "WINDOW w AS (PARTITION BY k ORDER BY ts "
-                "RANGE BETWEEN INTERVAL '30' SECOND PRECEDING "
+                + frame +
                 "AND CURRENT ROW)"
             )
             d = _MemDrain(env, spark, body.format(T=f"{tag}_s"), tag,
