@@ -659,6 +659,16 @@ class DmlMixin:
                 q = df.writeStream.format("noop").outputMode(mode).start()
             elif meta.connector == "filesystem":
                 fmt = meta.options.get("format", "parquet")
+                # snapshot BEFORE the append attempt: if the attempt
+                # fails and we fall back to the upsert materializer,
+                # only droppings the attempt itself created may be
+                # scrubbed — a pre-existing _spark_metadata/_checkpoint
+                # belongs to an earlier LEGITIMATE append-mode insert
+                # into this table and deleting it would destroy that
+                # sink's exactly-once log (r11 review find)
+                _p = meta.options["path"]
+                _pre_meta = os.path.exists(os.path.join(_p, "_spark_metadata"))
+                _pre_ckpt = os.path.exists(os.path.join(_p, "_checkpoint"))
                 try:
                     q = (
                         df.writeStream.format(fmt)
@@ -685,18 +695,35 @@ class DmlMixin:
                     # a leftover _spark_metadata makes every plain
                     # parquet read of it resolve against the (empty)
                     # sink log instead of the files — scrub the
-                    # droppings before falling back.  (FOUND by the r11
-                    # upsert_agg restart differential: the re-executed
-                    # INSERT's first merge crashed reading its own
-                    # table.)  An upsert table never legitimately owns a
-                    # _spark_metadata — its snapshots are plain batch
-                    # parquet writes.
-                    _p = meta.options["path"]
+                    # droppings before falling back, but ONLY those this
+                    # attempt created (the pre-attempt snapshot guards a
+                    # legitimate earlier append insert's artifacts).
+                    # (FOUND by the r11 upsert_agg restart differential:
+                    # the re-executed INSERT's first merge crashed
+                    # reading its own table.)  An upsert insert never
+                    # creates a _spark_metadata — its snapshots are
+                    # plain batch parquet writes.
+                    if _pre_meta:
+                        # a pre-existing log means an earlier APPEND
+                        # streaming insert owns this directory — the
+                        # upsert materializer's plain parquet reads and
+                        # swap writes cannot coexist with it; fail
+                        # clearly rather than crash inside the first
+                        # merge (and never delete the append sink's
+                        # exactly-once log)
+                        raise ValueError(
+                            f"table {meta.name!r} at {_p!r} already "
+                            "holds an append streaming sink log "
+                            "(_spark_metadata) from a previous "
+                            "append-mode INSERT — an updating INSERT "
+                            "cannot upsert-materialize into it; use a "
+                            "fresh table/path for the updating query"
+                        )
                     shutil.rmtree(
                         os.path.join(_p, "_spark_metadata"),
                         ignore_errors=True,
                     )
-                    if "checkpoint" not in meta.options:
+                    if not _pre_ckpt and "checkpoint" not in meta.options:
                         shutil.rmtree(
                             os.path.join(_p, "_checkpoint"),
                             ignore_errors=True,

@@ -209,14 +209,17 @@ class StreamingSqlMixin:
             )
             # each side's DECLARED watermark delay bounds its own
             # disorder — the operator combines the two watermarks with
-            # Spark's min policy, the reference's two-input watermark
+            # Spark's min policy, the reference's two-input watermark.
+            # The STRICT shared parse (not an INTERVAL-token search):
+            # the zero-delay forms (ascending `<col>`,
+            # SOURCE_WATERMARK()) must map to '0 seconds', not to
+            # watermark-mode-off (r11 review find).
+            from flink_1_20_spark.sqlenv.text import parse_watermark_delay
+
             def _declared_delay(meta_):
                 if meta_ is None or meta_.watermark is None:
                     return None
-                dm = re.search(
-                    r"INTERVAL\s+'([^']+)'\s+(\w+)", meta_.watermark[1], re.I
-                )
-                return f"{dm.group(1)} {dm.group(2).lower()}" if dm else None
+                return parse_watermark_delay(*meta_.watermark)
 
             delay = _declared_delay(fmeta2)
             joined = temporal_join_stream(

@@ -407,18 +407,22 @@ def _from_comma_tables(text: str) -> set[str]:
     return out
 
 
-def _apply_watermark(df, col: str, delay: str):
-    """WATERMARK FOR <col> AS <expr> → Spark withWatermark.  A
-    bounded-delay expression (``<col> - INTERVAL '<n>' <unit>``) maps
-    to the interval; SOURCE_WATERMARK() (connector-provided — the
-    monitored-dir source has none of its own) and the strictly-
-    ascending form (``AS <col>``) map to a zero-delay watermark.  Any
-    OTHER expression raises: silently tightening an unrecognized
-    strategy (a UDF, arithmetic the INTERVAL regex misses) to 0 seconds
-    would drop late rows the declared strategy accepts.  A redundant
-    outer-paren form ``(<col> - INTERVAL '<n>' <unit>)`` is accepted
-    (r10): the parens change nothing semantically, and DDL written that
-    way used to register before the r9 fail-safe tightening."""
+def parse_watermark_delay(col: str, delay: str) -> str:
+    """WATERMARK FOR <col> AS <expr> → the Spark withWatermark delay
+    string.  A bounded-delay expression (``<col> - INTERVAL '<n>'
+    <unit>``) maps to the interval; SOURCE_WATERMARK()
+    (connector-provided — the monitored-dir source has none of its own)
+    and the strictly-ascending form (``AS <col>``) map to ``0
+    seconds``.  Any OTHER expression raises: silently tightening an
+    unrecognized strategy (a UDF, arithmetic the INTERVAL regex misses)
+    to 0 seconds would drop late rows the declared strategy accepts.  A
+    redundant outer-paren form ``(<col> - INTERVAL '<n>' <unit>)`` is
+    accepted (r10): the parens change nothing semantically, and DDL
+    written that way used to register before the r9 fail-safe
+    tightening.  Shared by _apply_watermark and every consumer that
+    needs a declared delay as a STRING (the streaming temporal join's
+    per-input watermarks) — a loose INTERVAL-token search there would
+    silently miss the two zero-delay forms (r11 review find)."""
     d = delay.strip().rstrip(";").strip()
     # strip BALANCED redundant outer parens only: "(a) - (b)" must not
     # lose its first "(" — require the opening paren to close at the end
@@ -445,11 +449,11 @@ def _apply_watermark(df, col: str, delay: str):
         rf"`?{re.escape(col)}`?\s*-\s*INTERVAL\s+'([^']+)'\s+(\w+)", d, re.I
     )
     if wm:
-        return df.withWatermark(col, f"{wm.group(1)} {wm.group(2).lower()}")
+        return f"{wm.group(1)} {wm.group(2).lower()}"
     if re.fullmatch(r"SOURCE_WATERMARK\s*\(\s*\)", d, re.I) or re.fullmatch(
         rf"`?{re.escape(col)}`?", d, re.I
     ):
-        return df.withWatermark(col, "0 seconds")
+        return "0 seconds"
     raise ValueError(
         f"unsupported watermark strategy {delay!r} for column {col!r} — "
         "supported: '<col> - INTERVAL '<n>' <unit>' (bounded delay), "
@@ -457,6 +461,12 @@ def _apply_watermark(df, col: str, delay: str):
         "other expressions cannot be mapped onto a Spark watermark "
         "without changing which late rows are accepted"
     )
+
+
+def _apply_watermark(df, col: str, delay: str):
+    """WATERMARK FOR <col> AS <expr> → Spark withWatermark (see
+    parse_watermark_delay for the accepted strategy forms)."""
+    return df.withWatermark(col, parse_watermark_delay(col, delay))
 
 
 def _scan_streaming_setops(query: str) -> list[tuple[int, int, str, bool]]:
@@ -599,6 +609,7 @@ __all__ = [
     "_blank_comments",
     "_from_comma_tables",
     "_apply_watermark",
+    "parse_watermark_delay",
     "_scan_streaming_setops",
     "TableMeta",
     "_computed_col_expr",

@@ -10,15 +10,33 @@ event buffer (the NFA's shared buffer, SharedBuffer.java) serialized in
 GroupState; each micro-batch appends its rows, re-sorts by event time,
 runs the same NFA used in batch (`_match_at`, or `_match_all_at`
 branch enumeration under NO_SKIP / followedByAny), emits completed
-matches, and retains only rows after the last consumed event
-(PAST_LAST_EVENT / TO_NEXT_ROW / SKIP_TO_FIRST / SKIP_TO_LAST all
-supported), bounded by `max_buffer` and `within`-pruning.
+matches, and retains the buffer per skip strategy: PAST_LAST_EVENT
+consumes matched rows (its scan can never revisit them); the
+REVISITING strategies (TO_NEXT_ROW / SKIP_TO_FIRST / SKIP_TO_LAST)
+retain them — a row inside an emitted match may start a later
+overlapping match whose tail arrives in a future batch (r11
+differential find) — and dedup re-found matches by requiring the last
+bound event to be new in the batch.  Retention is bounded by
+`within`-pruning and `max_buffer`; strict-contiguity bounded patterns
+under TO_NEXT_ROW (the SQL MATCH_RECOGNIZE class) additionally trim to
+the pattern-length horizon, since a future match can reach back at
+most that many consecutive rows.
 
 Contract/simplification vs Flink: matches are emitted at micro-batch
 granularity assuming per-key in-order arrival across batches (no
 watermark-held partial matches). Out-of-order *within* a batch is
 handled by the sort; a row older than an already-consumed match is
-dropped — the same effect as arriving after the watermark.
+dropped — the same effect as arriving after the watermark.  Two
+caveats on the revisiting strategies: (1) a later row that RESHAPES an
+already-completed greedy match yields a second, longer emission
+(completion-order emission — Flink's NFA likewise re-emits when a
+looping state re-enters a final state); (2) under SKIP_TO_FIRST/LAST
+with variable-length patterns, the skip-jump chain is recomputed over
+the retained buffer each batch, so a greedy re-match that moves a jump
+target can leave an emission the batch NFA's single-pass chain would
+not have produced — exact batch parity holds for bounded patterns
+whose completed matches later input cannot extend (disjoint step
+conditions, e.g. every SQL shape the differential pins).
 """
 
 from __future__ import annotations
@@ -190,6 +208,26 @@ def match_recognize_stream(
         if pattern.within_seconds is not None and len(tail):
             cutoff = pdf[ts].iloc[-1] - pd.Timedelta(seconds=pattern.within_seconds)
             tail = tail[tail[ts] >= cutoff]
+        if (
+            pattern.skip == "TO_NEXT_ROW"
+            and all(s.strict for s in pattern.steps[1:])
+            and not any(
+                s.max_times == -1 for s in pattern.steps if not s.negative
+            )
+            and not any(s.any_match for s in pattern.steps)
+        ):
+            # strict-contiguity bounded pattern (the SQL
+            # MATCH_RECOGNIZE class — SQL contiguity is always strict):
+            # a future match must END at a not-yet-seen row and spans
+            # at most `horizon` consecutive rows, so only the last
+            # horizon-1 retained rows can ever serve one — O(pattern
+            # length) state instead of O(max_buffer) re-scanned every
+            # batch (negatives consume no rows; counted anyway as a
+            # conservative margin)
+            horizon = sum(
+                max(1, s.max_times) for s in pattern.steps
+            )
+            tail = tail.tail(max(horizon - 1, 0))
         tail = tail.tail(max_buffer)
         new_buf = _buffer_records(tail, payload_cols, ts)
         state.update((json.dumps(new_buf, default=_json_default), match_no))

@@ -1113,7 +1113,14 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--only", nargs="*", default=[],
-                    help="restrict to these shape labels")
+                    help="restrict GENERATION to these shape labels "
+                         "(per-shape soak mode — all n queries come "
+                         "from the selected shapes).  NOTE: this "
+                         "changes the shared rng consumption order, so "
+                         "it does NOT reproduce a specific query from "
+                         "a full-battery run of the same seed; for "
+                         "that, use the failing SQL pair the full run "
+                         "prints verbatim")
     args = ap.parse_args()
     fails = run_battery(args.seed, args.n, args.sf, verbose=args.verbose,
                         only=tuple(args.only))

@@ -225,7 +225,11 @@ class _MemDrain:
         # foreachBatch instead — recovery-supported, and the driver-side
         # accumulator persists across runs, preserving emission order.
         self.use_fb = restartable and mode != "complete"
-        self.acc: list[list] = []
+        # keyed by epoch id: a restart that interrupts an in-flight
+        # micro-batch (restart_before stops the query with files
+        # pending) replays that epoch under the SAME id — the replay
+        # overwrites its own slot instead of appending duplicates
+        self.acc: dict[int, list] = {}
         self.q = None
         self._start()
 
@@ -236,7 +240,7 @@ class _MemDrain:
             acc = self.acc
             self.q = (
                 out.writeStream.foreachBatch(
-                    lambda df, _eid: acc.append(df.collect())
+                    lambda df, eid: acc.__setitem__(int(eid), df.collect())
                 )
                 .outputMode(self.mode)
                 .option("checkpointLocation", self.ckpt)
@@ -271,7 +275,11 @@ class _MemDrain:
         modes: the union of per-run tables IS the changelog — a clean
         stop after processAllAvailable commits, so no replay dups)."""
         if self.use_fb:
-            return [r for batch in self.acc for r in batch]
+            return [
+                r
+                for eid in sorted(self.acc)
+                for r in self.acc[eid]
+            ]
         rows = []
         for n in self.names:
             rows.extend(self.spark.table(n).collect())
