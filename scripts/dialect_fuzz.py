@@ -1,4 +1,4 @@
-"""Grammar-driven dialect fuzz harness (26 shapes): seeded random SQL over the
+"""Grammar-driven dialect fuzz harness (30 shapes): seeded random SQL over the
 fixture tables, executed through BOTH executeSql→Spark (the hand-written
 dialect surface in sql_ddl.py + sql_flink.py) and DuckDB, with
 order-insensitive value comparison — the property-test upgrade of the
@@ -957,6 +957,89 @@ class Gen:
             f"SELECT {pk}, {', '.join(items_d)} {tail}",
         )
 
+    def q_nested_setop(self) -> tuple[str, str]:
+        """Parenthesized nested set operations — (A op B) op C —
+        exercising set-op precedence/associativity in both parsers;
+        dialect-shared text."""
+        r = self.rng
+        inner = r.choice(["UNION ALL", "UNION", "EXCEPT"])
+        outer = r.choice(["INTERSECT", "EXCEPT", "UNION"])
+        k = r.choice([5, 7])
+        parts = []
+        for t in (r.choice(["customer", "supplier"]),
+                  r.choice(["orders", "customer"]), "nation"):
+            kc = self.int_col(t)
+            parts.append(
+                f"SELECT {kc} % {k} AS k FROM {t} WHERE {self.pred(t)}"
+            )
+        sql = (
+            f"({parts[0]} {inner} {parts[1]}) {outer} {parts[2]}"
+        )
+        return sql, sql
+
+    def q_case_nest(self) -> tuple[str, str]:
+        """Nested CASE / COALESCE / NULLIF expression battery —
+        expression-tree depth the flat scalar shape never reaches;
+        dialect-shared text."""
+        r = self.rng
+        t = self.table()
+        ic1, ic2 = self.int_col(t), self.int_col(t)
+        k1, k2 = r.choice([3, 5]), r.choice([4, 7])
+        expr = (
+            f"CASE WHEN {ic1} % {k1} = 0 THEN "
+            f"  CASE WHEN {ic2} % {k2} = 1 THEN 'a' "
+            f"       WHEN {ic2} % {k2} = 2 THEN 'b' ELSE 'c' END "
+            f"WHEN NULLIF({ic1} % {k1}, 1) IS NULL THEN 'n' "
+            f"ELSE coalesce(NULLIF('z', 'z'), 'dflt') END"
+        )
+        num = (
+            f"coalesce(NULLIF({ic1} % {k1}, 0), "
+            f"CASE WHEN {ic2} % 2 = 0 THEN -1 ELSE -2 END)"
+        )
+        pk = self.pk_order(t)
+        sql = (
+            f"SELECT {pk}, {expr} AS c_s, CAST({num} AS BIGINT) AS c_i "
+            f"FROM {t} WHERE {self.pred(t)} ORDER BY {pk} "
+            f"LIMIT {r.choice([15, 40])}"
+        )
+        return sql, sql
+
+    def q_having_subquery(self) -> tuple[str, str]:
+        """HAVING compared against an uncorrelated scalar subquery —
+        the aggregate-vs-global-aggregate shape (groups above the
+        table-wide average); dialect-shared text."""
+        r = self.rng
+        t = r.choice(["lineitem", "orders", "customer", "part"])
+        gexpr, galias = self.group_expr(t)
+        ic = self.int_col(t)
+        cmp_ = r.choice([">", ">=", "<"])
+        sql = (
+            f"SELECT {gexpr} AS {galias}, count(*) AS cnt, "
+            f"CAST(sum({ic}) AS BIGINT) AS s "
+            f"FROM {t} GROUP BY {gexpr} "
+            f"HAVING count(*) {cmp_} "
+            f"(SELECT count(*) / {r.choice([4, 8, 16])} FROM {t})"
+        )
+        return sql, sql
+
+    def q_in_join(self) -> tuple[str, str]:
+        """IN-subquery whose inner query is itself a JOIN — the
+        decorrelation-over-join path; dialect-shared text."""
+        r = self.rng
+        fact, dim, on = r.choice(JOINS)
+        fk = on.split("=")[0].strip()
+        outer = r.choice([tt for tt in (fact, dim)])
+        oc = self.int_col(outer)
+        neg = "NOT " if r.random() < 0.3 else ""
+        sql = (
+            f"SELECT {self.pk_order(outer)} FROM {outer} "
+            f"WHERE {oc} % 2 = 0 AND {self.int_col(outer)} {neg}IN ("
+            f"  SELECT {fk} FROM {fact} JOIN {dim} ON {on} "
+            f"  WHERE {self.pred(fact)}) "
+            f"ORDER BY {self.pk_order(outer)} LIMIT {r.choice([20, 50])}"
+        )
+        return sql, sql
+
     # ------------------------------------------------------ battery
 
     SHAPES = (
@@ -989,6 +1072,11 @@ class Gen:
         ("outer_join", "q_outer_join_full", 2),
         ("distinct_mix", "q_distinct_agg_mix", 2),
         ("temporal_diff", "q_temporal_diff", 2),
+        # r11 second-half growth, part 2
+        ("nested_setop", "q_nested_setop", 2),
+        ("case_nest", "q_case_nest", 2),
+        ("having_subq", "q_having_subquery", 2),
+        ("in_join", "q_in_join", 2),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:
