@@ -110,6 +110,10 @@ class TableEnvironment(
         # view definition SQL (SHOW CREATE VIEW), keyed per catalog.db
         self._db_meta: dict[str, dict[str, str | dict]] = {}
         self._view_sql: dict[str, str] = {}
+        # view columns that are PROPAGATED window time attributes
+        # (window_time/window_end of an inner window TVF, possibly
+        # aliased) — consumed by the cascading-window TVF pre-pass
+        self._view_time_attrs: dict[str, set[str]] = {}
         self.session_options: dict[str, str] = {}  # SET 'k' = 'v' store
         # Spark-conf values as they were before our SET mutated them,
         # keyed by the Spark key — RESET restores these (Flink's RESET
@@ -151,6 +155,12 @@ class TableEnvironment(
             spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         except Exception:
             pass  # conf locked down (e.g. a connect session) — map
+
+    def _cascade_time_attr(self, table: str, col: str) -> bool:
+        """Is `col` a recorded propagated window time attribute of the
+        view `table`?  (The cascading-window pre-pass's alias lookup —
+        see rewrite_cascading_tvf_sources.)"""
+        return col in self._view_time_attrs.get(table, ())
 
     # -- statement router ------------------------------------------------
     def execute_sql(self, stmt: str) -> DataFrame | None:
@@ -705,11 +715,37 @@ class TableEnvironment(
             vname = m.group(1).strip("`")
             body.createOrReplaceTempView(vname)
             self._view_sql[vname] = m.group(2).strip()  # SHOW CREATE VIEW
+            # cascading windows: record which of this view's columns
+            # are propagated window time attributes — window_time of
+            # an inner window TVF, under whatever alias the view gave
+            # it (the reference REQUIRES aliasing in the inner view to
+            # avoid clashing with the outer TVF's own window columns;
+            # window-agg.md 'cascading window aggregation' aliases
+            # window_time AS rowtime — and ONLY window_time stays a
+            # time attribute of a window agg's output there).  The
+            # regex also sees subquery projections — harmlessly
+            # conservative: such a column is still a window attribute
+            # of SOME layer of this view.
+            if re.search(
+                r"\bTABLE\s*\(\s*(?:TUMBLE|HOP|CUMULATE|SESSION)\s*\(",
+                m.group(2),
+                re.I,
+            ):
+                self._view_time_attrs[vname] = {
+                    (mm.group(2) or mm.group(1)).lower()
+                    for mm in re.finditer(
+                        r"\b(window_time)\b"
+                        r"(?:\s+AS\s+`?(\w+)`?)?",
+                        m.group(2),
+                        re.I,
+                    )
+                }
             return None
         if re.match(r"DROP\s+(?:TEMPORARY\s+)?VIEW\b", u):
             name = s.split()[-1].strip("`")
             self.spark.catalog.dropTempView(name)
             self._view_sql.pop(name, None)
+            self._view_time_attrs.pop(name, None)
             return None
         m = re.match(r"SHOW\s+CREATE\s+VIEW\s+(\S+)$", s, re.I)
         if m:
@@ -978,6 +1014,7 @@ class TableEnvironment(
         if over is not None:
             return over
         s = rewrite_streaming_session_tvf(s, self._is_streaming_table)
+        s = self._rewrite_cascading_tvf_sources(s)
         s = rewrite_unnest(rewrite_legacy_group_windows(rewrite_window_tvfs(s)))
         s = rewrite_flink_builtins(s)
         if re.search(r"\bMATCH_RECOGNIZE\b", u):

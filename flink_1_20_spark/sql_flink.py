@@ -155,13 +155,13 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
     kind = kind.upper()
     table, pby = _parse_source(args[0])
     ts = _parse_descriptor(args[1])
-    win_time = "window_end - INTERVAL '0.001' SECOND AS window_time"
+    win_time = "__w.end - INTERVAL '0.001' SECOND AS window_time"
 
     if kind == "TUMBLE":
         dur, _, _ = _parse_interval(args[2])
         return (
             f"(SELECT * EXCEPT(__w), __w.start AS window_start, "
-            f"__w.end AS window_end, __w.end - INTERVAL '0.001' SECOND AS window_time "
+            f"__w.end AS window_end, {win_time} "
             f"FROM (SELECT *, window(`{ts}`, '{dur}') AS __w FROM {table}))"
         )
     if kind == "HOP":
@@ -170,7 +170,7 @@ def _tvf_subquery(kind: str, args: list[str]) -> str:
         size, _, _ = _parse_interval(args[3])
         return (
             f"(SELECT * EXCEPT(__w), __w.start AS window_start, "
-            f"__w.end AS window_end, __w.end - INTERVAL '0.001' SECOND AS window_time "
+            f"__w.end AS window_end, {win_time} "
             f"FROM (SELECT *, window(`{ts}`, '{size}', '{slide}') AS __w FROM {table}))"
         )
     if kind == "CUMULATE":
@@ -255,6 +255,38 @@ def rewrite_window_tvfs(sql: str) -> str:
         args = _split_args(sql[inner_open + 1 : inner_close])
         sub = _tvf_subquery(m.group(1), args)
         sql = sql[: m.start()] + sub + sql[outer_close + 1 :]
+
+
+def find_cascading_tvf_sources(sql: str, is_time_attr) -> list[tuple[str, str]]:
+    """Scan window-TVF heads and return the (source_table, descriptor)
+    pairs whose descriptor is a recorded propagated window_time
+    attribute of that source view — the cascading-window pattern
+    (docs/dev/table/sql/queries/window-agg.md 'cascading window
+    aggregation': only window_time stays a time attribute of a window
+    agg's output; window_start/window_end are plain TIMESTAMPs in the
+    reference too).  The environment rebuilds each such source with a
+    metadata-propagating lowering (see
+    StreamingSqlMixin._rewrite_cascading_tvf_sources) — re-watermarking
+    the view instead would DEADLOCK: two watermark nodes combine by
+    min, and the outer node never sees data until the inner agg emits,
+    which waits on the combined watermark."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while True:
+        m = _TVF_HEAD.search(sql, pos)
+        if not m:
+            return out
+        pos = m.end()
+        inner_open = sql.index("(", m.end() - 1)
+        inner_close = _find_close(sql, inner_open)
+        args = _split_args(sql[inner_open + 1 : inner_close])
+        try:
+            table, _pby = _parse_source(args[0])
+            ts = _parse_descriptor(args[1])
+        except (ValueError, IndexError):
+            continue
+        if is_time_attr(table, ts.lower()):
+            out.append((table, ts))
 
 
 def rewrite_streaming_session_tvf(sql: str, is_streaming) -> str:

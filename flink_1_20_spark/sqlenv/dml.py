@@ -595,6 +595,7 @@ class DmlMixin:
         dedup = self._try_streaming_dedup(query)
         over = self._try_streaming_over(query) if dedup is None else None
         query = rewrite_streaming_session_tvf(query, self._is_streaming_table)
+        query = self._rewrite_cascading_tvf_sources(query)
         query = rewrite_unnest(
             rewrite_legacy_group_windows(rewrite_window_tvfs(query))
         )

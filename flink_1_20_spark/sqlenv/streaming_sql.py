@@ -465,6 +465,105 @@ class StreamingSqlMixin:
         out.createOrReplaceTempView(view)
         return self.spark.sql(f"SELECT {outer} FROM {view}")
 
+    def _rewrite_cascading_tvf_sources(self, sql: str) -> str:
+        """Cascading window aggregation (window-agg.md 'cascading
+        window aggregation'): when a window TVF's source is a VIEW over
+        another window TVF aggregation and the descriptor is that
+        view's (aliased) window_time, rebuild the view with the
+        metadata-PROPAGATING lowering — window_time(__w) carries
+        spark.watermarkDelayMs, Spark's chained-windowed-aggregation
+        mechanism — under `<view>__cascade_wm` and redirect the TVF
+        source.  Re-watermarking instead would deadlock (two watermark
+        nodes, min-combined; see find_cascading_tvf_sources).  Only
+        TUMBLE/HOP inner views can propagate (their lowerings keep the
+        native window struct; the CUMULATE/SESSION lowerings do not),
+        and only window_time is a time attribute of a window agg's
+        output — both matching the reference.  Value caveat: the
+        rebuilt view's window_time is end - 1µs (Spark's function)
+        where the reference's is end - 1ms — same window assignment
+        for any sane outer window size."""
+        from flink_1_20_spark.sql_flink import (
+            find_cascading_tvf_sources,
+            rewrite_flink_builtins,
+            rewrite_legacy_group_windows,
+            rewrite_unnest,
+            rewrite_window_tvfs,
+        )
+
+        for table, ts in find_cascading_tvf_sources(
+            sql, self._cascade_time_attr
+        ):
+            body = self._view_sql.get(table)
+            if body is None:
+                continue
+            try:
+                df = self.spark.table(table)
+            except Exception:
+                continue
+            if not df.isStreaming or ts not in df.columns:
+                continue
+            if "spark.watermarkDelayMs" in (df.schema[ts].metadata or {}):
+                continue  # already carries event time — nothing to do
+            b = rewrite_unnest(
+                rewrite_legacy_group_windows(rewrite_window_tvfs(body))
+            )
+            b = rewrite_flink_builtins(b)
+            # swap the rowtime projection for the metadata-carrying
+            # window_time(__w) — a function of the group key (the __w
+            # GROUP BY fix below exposes the struct), so ONLY the
+            # aliased output column is event-time-tagged; projecting
+            # window_time(__w) inside the derived table instead would
+            # put TWO tagged columns (__w + window_time) in one
+            # intermediate ("More than one event time columns").
+            b, nsub = re.subn(
+                rf"\bwindow_time\s+AS\s+`?{re.escape(ts)}`?",
+                f"window_time(__w) AS {ts}",
+                b,
+                count=1,
+                flags=re.I,
+            )
+            if not nsub:
+                continue  # descriptor not an aliased window_time of a
+                # TUMBLE/HOP body — keep the loud downstream failure
+            # expose __w to the agg (the same two substitutions the
+            # streaming __w re-lowering applies — applied HERE because
+            # the swapped window_time(__w) reference cannot even
+            # ANALYZE before the struct is exposed)
+            gm = re.search(
+                r"GROUP\s+BY\s+(?=[\w\s,.`]*\bwindow_start\b)", b, re.I
+            )
+            if gm is None:
+                continue
+            # group by the metadata-carrying expression itself: a
+            # tagged window_time(__w) key satisfies Spark's streaming
+            # append check on its own, and it must be the ONLY tagged
+            # key — adding __w as well trips "More than one event time
+            # columns" at runtime (both keys carry the tag)
+            grouped = re.sub(
+                r"\bwindow_time\b(?!\s*\()",
+                "window_time(__w)",
+                b[gm.end():],
+            )
+            b = b[: gm.end()] + grouped
+            b = b.replace("SELECT * EXCEPT(__w),", "SELECT *,")
+            try:
+                rebuilt = self.spark.sql(b)
+            except Exception:
+                continue  # unexpected body shape — loud failure stays
+            if "spark.watermarkDelayMs" not in (
+                rebuilt.schema[ts].metadata or {}
+            ):
+                continue  # propagation didn't take — keep the loud
+                # downstream failure rather than mis-wire
+            wm_view = f"{table}__cascade_wm"
+            rebuilt.createOrReplaceTempView(wm_view)
+            sql = re.sub(
+                rf"(TABLE\s+)`?{re.escape(table)}`?(?=\s*,|\s+PARTITION\b)",
+                lambda mm: mm.group(1) + wm_view,
+                sql,
+            )
+        return sql
+
     def _sql_streaming_lowered(self, query: str) -> DataFrame:
         """spark.sql with the streaming window-TVF compatibility pass:
         streaming CUMULATE gets the documented facade pointer, and a

@@ -83,6 +83,16 @@ Shapes covered (each exercises a different lowering path):
                 streaming_over_rows keyed-state facade (the ROWS twin
                 of over_range; frames depend on per-key arrival order,
                 which the band generator preserves)
+  cascade       CASCADING window aggregation (window-agg.md): a
+                1-minute TUMBLE agg view (window columns aliased,
+                window_time AS rowtime — the reference's required
+                idiom) feeding a 5-minute TUMBLE rollup over the
+                propagated time attribute.  Exercises the
+                metadata-propagating view rebuild (window_time(__w)
+                carries the event-time tag; a re-watermark would
+                deadlock the min-combined watermark) — partial sums
+                compose across micro-batches before outer windows
+                close, and the chained plan restarts from checkpoint
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -153,6 +163,7 @@ SHAPES = (
     "cep",
     "upsert_agg",
     "over_rows",
+    "cascade",
 )
 
 
@@ -945,6 +956,78 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 env.execute_sql(body.format(T=f"{tag}_b")).collect(),
                 cols_out,
             )
+            return got, want
+
+        if shape == "cascade":
+            # CASCADING WINDOW AGGREGATION (the reference's documented
+            # composition, window-agg.md 'cascading window
+            # aggregation': a 1-minute TUMBLE agg view — window columns
+            # ALIASED, window_time AS rowtime, exactly as the docs
+            # require — feeding a 5-minute TUMBLE rollup over the
+            # propagated time attribute).  The streaming side exercises
+            # the metadata-propagating view rebuild (window_time(__w));
+            # partial sums must compose across micro-batches before the
+            # outer windows close.  (src + the {tag}_s streaming table
+            # come from the shared single-source setup.)
+            env.execute_sql(
+                f"CREATE VIEW {tag}_v AS "
+                f"SELECT window_start AS iws, window_end AS iwe, "
+                f"window_time AS rowtime, k, count(*) AS n, "
+                f"CAST(sum(v) AS BIGINT) AS total "
+                f"FROM TABLE(TUMBLE(TABLE {tag}_s, DESCRIPTOR(ts), "
+                f"INTERVAL '1' MINUTE)) "
+                f"GROUP BY window_start, window_end, window_time, k"
+            )
+            body = (
+                "SELECT window_start, window_end, k, "
+                "CAST(sum(n) AS BIGINT) AS n5, "
+                "CAST(sum(total) AS BIGINT) AS total5 "
+                "FROM TABLE(TUMBLE(TABLE {V}, DESCRIPTOR(rowtime), "
+                "INTERVAL '5' MINUTE)) "
+                "GROUP BY window_start, window_end, k"
+            )
+            d = _MemDrain(env, spark, body.format(V=f"{tag}_v"), tag,
+                          "append", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d,
+                           lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+                _write_batch(
+                    src, n_batches,
+                    [{"k": 1, "ts": _fmt(FLUSH_TS), "v": 1}],
+                )
+                d.process()
+            finally:
+                d.stop()
+            cols_out = ["window_start", "window_end", "k", "n5", "total5"]
+            got = _norm(d.emissions(), cols_out)
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            env.execute_sql(
+                f"CREATE VIEW {tag}_vb AS "
+                f"SELECT window_start AS iws, window_end AS iwe, "
+                f"window_time AS rowtime, k, count(*) AS n, "
+                f"CAST(sum(v) AS BIGINT) AS total "
+                f"FROM TABLE(TUMBLE(TABLE {tag}_b, DESCRIPTOR(ts), "
+                f"INTERVAL '1' MINUTE)) "
+                f"GROUP BY window_start, window_end, window_time, k"
+            )
+            # batch rowtime is end - 1ms, the streaming rebuild's is
+            # end - 1us — same OUTER window assignment, and neither
+            # appears in the compared output
+            want = _norm(
+                env.execute_sql(
+                    body.format(V=f"{tag}_vb")
+                    + f" HAVING window_end <= TIMESTAMP '{wm_cut}'"
+                ).collect(),
+                cols_out,
+            )
+            for v in (f"{tag}_v", f"{tag}_vb"):
+                try:
+                    env.execute_sql(f"DROP VIEW IF EXISTS {v}")
+                except Exception:
+                    pass
             return got, want
 
         raise ValueError(f"unknown shape: {shape}")

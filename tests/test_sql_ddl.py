@@ -4791,3 +4791,76 @@ def test_proctime_lookup_join_streaming(spark, tmp_path):
             JOIN slk_sdim FOR SYSTEM_TIME AS OF f.pt AS d
             ON f.fk = d.k
         """)
+
+
+def test_cascading_window_aggregation(spark, tmp_path):
+    """Cascading window aggregation (the reference's documented
+    composition — docs/dev/table/sql/queries/window-agg.md: an inner
+    window agg view whose ALIASED window_time feeds an outer window
+    TVF).  Spark-side this requires the metadata-propagating view
+    rebuild (window_time(__w) carries spark.watermarkDelayMs, the
+    chained-windowed-aggregation mechanism; a second withWatermark
+    would DEADLOCK the min-combined watermark: the outer node never
+    sees data until the inner agg emits, which waits on the combined
+    watermark).  Values: 1-minute partials summing into 5-minute
+    totals across micro-batches."""
+    import json as _json
+
+    src = tmp_path / "casc_src"
+    src.mkdir()
+    rows0 = [
+        {"k": 1, "ts": "2024-01-01T10:00:01", "v": 5},
+        {"k": 1, "ts": "2024-01-01T10:02:30", "v": 3},
+        {"k": 2, "ts": "2024-01-01T10:00:30", "v": 7},
+    ]
+    (src / "b0.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows0) + "\n"
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE casc_src (k BIGINT, ts TIMESTAMP(3), v BIGINT,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','scan.streaming'='true')
+    """)
+    env.execute_sql("""
+        CREATE VIEW casc_w1 AS
+        SELECT window_start AS ws1, window_end AS we1,
+               window_time AS rowtime, k, CAST(sum(v) AS BIGINT) AS total
+        FROM TABLE(TUMBLE(TABLE casc_src, DESCRIPTOR(ts),
+                          INTERVAL '1' MINUTE))
+        GROUP BY window_start, window_end, window_time, k
+    """)
+    out = env.execute_sql("""
+        SELECT window_start, window_end, k,
+               CAST(sum(total) AS BIGINT) AS total5
+        FROM TABLE(TUMBLE(TABLE casc_w1, DESCRIPTOR(rowtime),
+                          INTERVAL '5' MINUTE))
+        GROUP BY window_start, window_end, k
+    """)
+    assert out.isStreaming
+    from flink_1_20_spark.streaming import run_to_memory
+
+    q = run_to_memory(out, "casc_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # advance both window layers' watermark past the 10:00 windows
+        for i in range(1, 5):
+            (src / f"b{i}.jsonl").write_text(
+                _json.dumps(
+                    {"k": 1, "ts": f"2024-01-01T{10 + i}:00:00", "v": 1}
+                )
+                + "\n"
+            )
+            q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["k"]): r["total5"]
+            for r in spark.table("casc_out").collect()
+        }
+    finally:
+        q.stop()
+    # two 1-minute partials for k=1 (5 at 10:00, 3 at 10:02) roll up
+    # into one 5-minute total; k=2's single partial stays 7
+    assert got[("2024-01-01 10:00:00", 1)] == 8
+    assert got[("2024-01-01 10:00:00", 2)] == 7
+    env.execute_sql("DROP VIEW casc_w1")
