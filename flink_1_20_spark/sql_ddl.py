@@ -715,6 +715,11 @@ class TableEnvironment(
             vname = m.group(1).strip("`")
             body.createOrReplaceTempView(vname)
             self._view_sql[vname] = m.group(2).strip()  # SHOW CREATE VIEW
+            # replacing a view invalidates any time-attr record and any
+            # cascade-rebuilt sibling derived from the OLD body — a new
+            # record is laid down below only if the new body has a TVF
+            self._view_time_attrs.pop(vname, None)
+            self.spark.catalog.dropTempView(f"{vname}__cascade_wm")
             # cascading windows: record which of this view's columns
             # are propagated window time attributes — window_time of
             # an inner window TVF, under whatever alias the view gave
@@ -744,6 +749,7 @@ class TableEnvironment(
         if re.match(r"DROP\s+(?:TEMPORARY\s+)?VIEW\b", u):
             name = s.split()[-1].strip("`")
             self.spark.catalog.dropTempView(name)
+            self.spark.catalog.dropTempView(f"{name}__cascade_wm")
             self._view_sql.pop(name, None)
             self._view_time_attrs.pop(name, None)
             return None

@@ -257,20 +257,25 @@ def rewrite_window_tvfs(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[outer_close + 1 :]
 
 
-def find_cascading_tvf_sources(sql: str, is_time_attr) -> list[tuple[str, str]]:
-    """Scan window-TVF heads and return the (source_table, descriptor)
-    pairs whose descriptor is a recorded propagated window_time
-    attribute of that source view — the cascading-window pattern
-    (docs/dev/table/sql/queries/window-agg.md 'cascading window
-    aggregation': only window_time stays a time attribute of a window
-    agg's output; window_start/window_end are plain TIMESTAMPs in the
-    reference too).  The environment rebuilds each such source with a
-    metadata-propagating lowering (see
-    StreamingSqlMixin._rewrite_cascading_tvf_sources) — re-watermarking
-    the view instead would DEADLOCK: two watermark nodes combine by
-    min, and the outer node never sees data until the inner agg emits,
-    which waits on the combined watermark."""
-    out: list[tuple[str, str]] = []
+def find_cascading_tvf_sources(
+    sql: str, is_time_attr
+) -> list[tuple[str, str, int, int]]:
+    """Scan window-TVF heads and return (source_table, descriptor,
+    name_start, name_end) for each head whose descriptor is a recorded
+    propagated window_time attribute of that source view — the
+    cascading-window pattern (docs/dev/table/sql/queries/window-agg.md
+    'cascading window aggregation': only window_time stays a time
+    attribute of a window agg's output; window_start/window_end are
+    plain TIMESTAMPs in the reference too).  name_start/name_end span
+    the source-table token inside THIS head so the caller redirects
+    only the head that matched — a second TVF over the same view keyed
+    on a different column must keep reading the original view.  The
+    environment rebuilds each such source with a metadata-propagating
+    lowering (see StreamingSqlMixin._rewrite_cascading_tvf_sources) —
+    re-watermarking the view instead would DEADLOCK: two watermark
+    nodes combine by min, and the outer node never sees data until the
+    inner agg emits, which waits on the combined watermark."""
+    out: list[tuple[str, str, int, int]] = []
     pos = 0
     while True:
         m = _TVF_HEAD.search(sql, pos)
@@ -286,7 +291,12 @@ def find_cascading_tvf_sources(sql: str, is_time_attr) -> list[tuple[str, str]]:
         except (ValueError, IndexError):
             continue
         if is_time_attr(table, ts.lower()):
-            out.append((table, ts))
+            head = re.compile(r"\s*TABLE\s+", re.I).match(sql, inner_open + 1)
+            name_start = head.end()
+            name_end = name_start + len(
+                re.match(r"[^\s,)]+", sql[name_start:]).group(0)
+            )
+            out.append((table, ts, name_start, name_end))
 
 
 def rewrite_streaming_session_tvf(sql: str, is_streaming) -> str:

@@ -667,17 +667,24 @@ class DmlMixin:
                 # belongs to an earlier LEGITIMATE append-mode insert
                 # into this table and deleting it would destroy that
                 # sink's exactly-once log (r11 review find)
-                _p = meta.options["path"]
+                _p = meta.options.get("path")
+                if _p is None:
+                    raise ValueError(
+                        f"filesystem table {meta.name!r} has no 'path' "
+                        "option — a filesystem sink requires one "
+                        "(CREATE TABLE ... WITH ('connector'="
+                        "'filesystem', 'path'='...'))"
+                    )
                 _pre_meta = os.path.exists(os.path.join(_p, "_spark_metadata"))
                 _pre_ckpt = os.path.exists(os.path.join(_p, "_checkpoint"))
                 try:
                     q = (
                         df.writeStream.format(fmt)
-                        .option("path", meta.options["path"])
+                        .option("path", _p)
                         .option(
                             "checkpointLocation",
                             meta.options.get(
-                                "checkpoint", meta.options["path"] + "/_checkpoint"
+                                "checkpoint", _p + "/_checkpoint"
                             ),
                         )
                         .start()

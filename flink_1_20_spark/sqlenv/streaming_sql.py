@@ -490,8 +490,12 @@ class StreamingSqlMixin:
             rewrite_window_tvfs,
         )
 
-        for table, ts in find_cascading_tvf_sources(
-            sql, self._cascade_time_attr
+        # reverse source order: each successful redirect splices the
+        # rebuilt view name into THIS head's source-token span only, so
+        # later (earlier-offset) spans stay valid and a second TVF over
+        # the same view keyed on a different column keeps the original
+        for table, ts, name_start, name_end in reversed(
+            find_cascading_tvf_sources(sql, self._cascade_time_attr)
         ):
             body = self._view_sql.get(table)
             if body is None:
@@ -557,11 +561,7 @@ class StreamingSqlMixin:
                 # downstream failure rather than mis-wire
             wm_view = f"{table}__cascade_wm"
             rebuilt.createOrReplaceTempView(wm_view)
-            sql = re.sub(
-                rf"(TABLE\s+)`?{re.escape(table)}`?(?=\s*,|\s+PARTITION\b)",
-                lambda mm: mm.group(1) + wm_view,
-                sql,
-            )
+            sql = sql[:name_start] + wm_view + sql[name_end:]
         return sql
 
     def _sql_streaming_lowered(self, query: str) -> DataFrame:

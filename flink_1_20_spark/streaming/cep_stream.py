@@ -99,13 +99,22 @@ def match_recognize_stream(
             match_no = int(state.get[1])
         else:
             buf, match_no = [], 0
-        n_old = len(buf)  # rows carried from previous batches (in-order
-        # contract: new rows sort strictly after them)
+        n_old = len(buf)  # rows carried from previous batches
         for pdf in batches:
             buf.extend(_buffer_records(pdf, payload_cols, ts))
         if not buf:
             return
         pdf = pd.DataFrame(buf)
+        # arrival mask BEFORE the sort: buf holds retained rows first,
+        # this batch's appended rows after, so position alone says which
+        # rows are new — and the mask travels with the sort, so dedup
+        # keys on ARRIVAL, not buffer index.  If a row ever violates the
+        # in-order contract and sorts before retained rows, matches
+        # ending at retained rows stay old → the violation degrades to a
+        # DROP, never a duplicate re-emission (r11 ADVICE fix: the index
+        # test `last_idx >= n_old` re-emitted when retained rows shifted
+        # past n_old).
+        pdf["__new"] = pdf.index >= n_old
         pdf[ts] = pd.to_datetime(pdf[ts])
         pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
         pdf["__ts"] = pdf[ts]
@@ -127,7 +136,7 @@ def match_recognize_stream(
                 prefix: dict[str, list[int]] = {}
                 for name, idx in m:
                     prefix.setdefault(name, []).append(idx)
-                    src = pdf.iloc[idx].drop(labels="__ts").to_dict()
+                    src = pdf.iloc[idx].drop(labels=["__ts", "__new"]).to_dict()
                     src[classifier_col] = name
                     src[match_number_col] = match_no
                     src.update(
@@ -151,7 +160,7 @@ def match_recognize_stream(
             # arrived — same in-order contract as the module docstring).
             for i in range(len(pdf)):
                 for m in _match_all_at(pattern, pdf, i, pre):
-                    if m and max(idx for _, idx in m) >= n_old:
+                    if m and bool(pdf["__new"].iat[max(idx for _, idx in m)]):
                         rendered, _ = render(m)
                         if not all_rows:  # all-rows mode appends inside
                             out_rows.append(rendered)
@@ -176,7 +185,7 @@ def match_recognize_stream(
                 m = _match_at(pattern, pdf, i, pre)
                 if m:
                     last_idx = max(idx for _, idx in m)
-                    if consume or last_idx >= n_old:
+                    if consume or bool(pdf["__new"].iat[last_idx]):
                         rendered, groups = render(m)
                         if not all_rows:  # all-rows mode appends inside
                             out_rows.append(rendered)

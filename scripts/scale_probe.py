@@ -154,6 +154,211 @@ def run_hundred(spark, dst: str) -> None:
         )
 
 
+# ---- flagship decade (r12, VERDICT r11 task 1): second-decade (100x
+# more than the 10x battery) evidence for the dedup/similarity
+# flagships whose 100 TB claims rested on 10x data + design reasoning.
+# documents and embeddings are replicated 1000x (5k -> 5M docs, 2k ->
+# 2M embeddings, 64-file layout) — the scale where the collapse-first
+# and cell-restriction claims must actually carry the cost.  Text is
+# byte-equal across replicas (the key-shift touches ids only), which is
+# exactly the dup-heavy structure the collapse-first ops claim to eat:
+# the linear scan + one collapse shuffle is the 1000x part, the
+# quadratic core runs on distinct content.  The probe reports both the
+# wall clock and that adjudication.
+FLAGSHIP_TABLES = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FLAGSHIP_REP = 1000
+
+
+def generate_flagship(spark, dst: str, rep: int) -> None:
+    for t, keys in FLAGSHIP_TABLES.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+        for k in keys:
+            r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
+        r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"generated {t} x{rep}: {n} rows")
+
+
+def run_flagship(spark, dst: str) -> None:
+    """Warm min-of-2 over the four flagships (the JIT-retime discipline
+    from the 100x subset).  dedup_semantic_cells is probed through
+    semantic_dedup directly with n_centroids scaled to the corpus (its
+    own docstring prescription — SemDeDup runs 10^4-10^5 cells at web
+    scale; the registered 16-cell form is the sf0.01 oracle shape, and
+    16 cells over 2M vectors would put ~125k rows in one cell's
+    quadratic verdict).  minhash-LSH collapsed is probed through the
+    operator (it has no registered query — the raw registered form is
+    the oracle shape)."""
+    import __spark_entry__ as entry
+
+    from flink_1_20_spark.operators.simsearch import semantic_dedup
+    from flink_1_20_spark.operators.textdedup import (
+        minhash_lsh_pairs_collapsed,
+    )
+
+    qs = entry.queries()
+
+    def probe(name, thunk):
+        times, cnt = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            cnt = thunk().count()
+            times.append(time.time() - t0)
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  {name}",
+            flush=True,
+        )
+
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    emb = spark.read.parquet(f"{dst}/embeddings.parquet")
+    probe(
+        "minhash_lsh_pairs_collapsed",
+        lambda: minhash_lsh_pairs_collapsed(docs, "doc_id", "text"),
+    )
+    probe(
+        "dedup_semantic_cells(n_centroids=1024)",
+        lambda: semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, n_centroids=1024
+        ),
+    )
+    for name in ("pipeline_corpus_curation", "dedup_cross_corpus"):
+        probe(name, lambda n=name: qs[n](spark, dst))
+
+
+# ---- skew probe (r12, VERDICT r11 task 2): every scale replica to
+# date is key-shifted UNIFORM; real 100 TB corpora are Zipfian.  One
+# hot customer carries ~20% of ALL orders (o_orderkey % 5 == 0 after
+# replication → the SAME hot key across replicas), at 100x so the hot
+# side is big enough to cross AQE's skew thresholds (15M orders, 3M on
+# the hot key; at 10x the hot partition is ~60MB and never crosses the
+# 256MB skewedPartitionThresholdInBytes default).
+SKEW_HOT_KEY = 1  # c_custkey 1 — exists at every sf
+
+
+def generate_skew(spark, dst: str, rep: int) -> None:
+    for t in COPY:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    for t, keys in (
+        ("lineitem", ["l_orderkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey"]),
+    ):
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+        for k in keys:
+            r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
+        if t == "orders":
+            r = r.withColumn(
+                "o_custkey",
+                F.when(
+                    F.col("o_orderkey") % 5 == 0, F.lit(SKEW_HOT_KEY)
+                ).otherwise(F.col("o_custkey")),
+            )
+        r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"generated {t} x{rep}: {n} rows")
+
+
+def run_skew(spark, dst: str) -> None:
+    """Three-way A/B on the hot-key shuffle join + the headline queries
+    on the skewed fixture.
+
+    The headline queries run at session defaults: customer is
+    AQE-broadcast at this scale, so the hot key never meets a shuffle —
+    record that plan fact.  The dedicated A/B then FORCES the shuffle
+    (broadcast thresholds -1, simulating a dim too big to broadcast at
+    1000 executors) and compares (a) AQE skew-split ON — the engine
+    default, (b) skew-split OFF — the serialized-hot-task baseline,
+    (c) operators/skew.py salted_skew_join — the explicit mitigation
+    for engines/runs without AQE."""
+    import __spark_entry__ as entry
+
+    from flink_1_20_spark.operators.skew import salted_skew_join
+
+    qs = entry.queries()
+    for name in ("tpch_q3_shipping_priority", "tpch_q10_returned_items"):
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            cnt = qs[name](spark, dst).count()
+            times.append(time.time() - t0)
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  "
+            f"{name} [session defaults]",
+            flush=True,
+        )
+
+    orders = spark.read.parquet(f"{dst}/orders.parquet")
+    customer = spark.read.parquet(f"{dst}/customer.parquet")
+
+    def timed(name, thunk, grep_plan: str | None = None):
+        times, cnt, plan = [], 0, ""
+        for _ in range(2):
+            t0 = time.time()
+            df = thunk()
+            cnt = df.count()
+            times.append(time.time() - t0)
+            plan = df._jdf.queryExecution().toString()
+        note = ""
+        if grep_plan is not None:
+            note = f"  [{grep_plan} in final plan: {grep_plan.lower() in plan.lower()}]"
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  {name}{note}",
+            flush=True,
+        )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        timed(
+            "hot join, shuffle-forced, AQE skew-split ON",
+            lambda: orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ),
+            grep_plan="skew",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timed(
+            "hot join, shuffle-forced, skew-split OFF (serialized baseline)",
+            lambda: orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ),
+        )
+        timed(
+            "hot join, salted_skew_join(16) (explicit mitigation)",
+            lambda: salted_skew_join(
+                orders, customer, "o_custkey", "c_custkey", num_salts=16
+            ),
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def generate(spark, dst: str, rep: int) -> None:
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
@@ -209,8 +414,38 @@ def main() -> None:
         help="100x subset mode: lineitem+documents only, subset battery "
         "(default --rep 100, --dst /tmp/sfX2)",
     )
+    ap.add_argument(
+        "--flagship",
+        action="store_true",
+        help="flagship-decade mode: documents+embeddings at 1000x "
+        "(5M docs / 2M embeddings), the four dedup/similarity flagships "
+        "(default --dst /tmp/sfX3)",
+    )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="Zipfian hot-key mode: one customer carries 20%% of orders "
+        "at 100x; AQE skew-split vs salted join A/B "
+        "(default --dst /tmp/sfX5)",
+    )
     args = ap.parse_args()
     spark = get_spark("scale-probe")
+    if args.flagship:
+        rep = args.rep if args.rep is not None else FLAGSHIP_REP
+        dst = args.dst if args.dst is not None else "/tmp/sfX3"
+        if args.gen or not (args.gen or args.run):
+            generate_flagship(spark, dst, rep)
+        if args.run or not (args.gen or args.run):
+            run_flagship(spark, dst)
+        return
+    if args.skew:
+        rep = args.rep if args.rep is not None else 100
+        dst = args.dst if args.dst is not None else "/tmp/sfX5"
+        if args.gen or not (args.gen or args.run):
+            generate_skew(spark, dst, rep)
+        if args.run or not (args.gen or args.run):
+            run_skew(spark, dst)
+        return
     if args.hundred:
         rep = args.rep if args.rep is not None else 100
         dst = args.dst if args.dst is not None else "/tmp/sfX2"
