@@ -357,7 +357,17 @@ def _match_at(
                     j += 1
                 else:
                     break
-            for take in range(len(matches), step.min_times - 1, -1):
+            # backtracking order = quantifier preference: greedy tries
+            # the maximal run first, reluctant (B+? — Quantifier.java
+            # consumingStrategy) the MINIMAL — the r12 match_varlen fuzz
+            # shape caught reluctant steps being resolved greedily here
+            # (B+? behaved as B+ under the single-match skip strategies)
+            order = (
+                range(len(matches), step.min_times - 1, -1)
+                if step.greedy
+                else range(step.min_times, len(matches) + 1)
+            )
+            for take in order:
                 nxt = sp + take if take > 0 else sp
                 taken = [(step.name, idx) for idx in matches[:take]]
                 rest = rec(step_i + 1, nxt, acc + taken)

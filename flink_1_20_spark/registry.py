@@ -65,65 +65,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q1_returns_above_avg",
     # decimal-output-ban regression sentinel (red r4-r5, green r6)
     "join_range_banded",
-    # ---- r11 rotation. (1) the ONE query without a driver row —
-    # landed after the r10 window froze (r10 ledger); a green row here
-    # closes cumulative driver confirmation at 283/283, coverage
-    # complete. Green in the r10 bare AND perturbed sweeps and again
-    # this round.
-    "decontaminate_exact_substring_tokens",
-    # (2)-(5) guard-path re-proof: the compact-input scan guard moved
-    # to the public operators/util.ensure_scan_parallelism this round
-    # and gained the split-count estimate (files are not splits — r11
-    # ADVICE), and the exact-substring/decon oracles+call sites now
-    # derive their pinned constants from one place (byte-identical SQL,
-    # verified) — the driver re-confirms one query per touched family.
-    "dedup_exact_substring",
-    "decontaminate_exact_substring",
-    "text_contamination_ngram",
-    "pipeline_dsir_select",
-    # ---- 37 re-proof slots: the queries whose last driver
-    # confirmation is OLDEST (all 25 remaining r3-confirmed + the 12
-    # oldest r4-confirmed) — ages the whole registry forward while
-    # keeping one+ per operator family (joins incl. outer/semi/anti/
-    # nonequi/window, all set ops, agg tail, over windows, rank/dedup,
-    # sort/limit).
-    "join_inner_equi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_left_semi",
-    "join_cross",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "limit_offset",
-    "agg_stats",
-    "agg_first_last_value",
-    "agg_listagg",
-    "agg_sum0_empty",
-    "agg_collect_multiset",
-    "agg_rollup",
-    "agg_grouping_id",
-    "agg_having",
-    "agg_bool_bit",
-    "over_rows_running",
-    "over_rows_sliding",
-    "over_range_numeric",
-    "over_lead_lag",
-    "over_first_last_nth",
-    "dedup_keep_first",
-    "join_full_outer",
-    "join_left_anti",
-    "join_nonequi_range",
-    "join_window",
-    "setop_intersect_all",
-    "sort_multicol_nulls",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_pivot",
-    "table_agg_top2_per_group",
-    "over_rank_functions",
-    "rank_topn_per_group",
+    # ---- r12 rotation (VERDICT r11 task 6): the 42 re-proof slots go
+    # to the queries whose last driver confirmation is OLDEST — all 22
+    # remaining r4-confirmed plus the 20 oldest r5-confirmed (the
+    # wtvf_* / cep_* / udx_* / approx-agg era the verdict names).
+    # Cumulative driver confirmation closed at 283/283 in r11; from
+    # here the window purely ages the registry forward.  The r12 CEP
+    # reluctant-backtracking fix (operators/cep.py) makes the two cep_*
+    # rows and wtvf_window_rank this round's guard-path re-proofs.
+    "dedup_keep_last",
+    "over_range_time",
+    "correlate_lateral_topn",
+    "subquery_exists_correlated",
+    "fn_string_advanced",
+    "fn_time_type",
+    "fn_json_path",
+    "wtvf_tumble",
+    "wtvf_session",
+    "asof_join_backward",
+    "lookup_join_dims",
+    "cep_funnel_strict",
+    "cep_followed_by_any",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "simsearch_lsh_topk",
+    "text_quality",
+    "changelog_join_semi",
+    "tpcds_q36_rollup_rank",
+    "tpcds_q78_no_return_by_year",
+    "tpcds_q72_residual_inequality",
+    "agg_approx_count_distinct",
+    "fn_string_basic",
+    "wtvf_hop",
+    "wtvf_cumulate",
+    "wtvf_window_rank",
+    "dedup_simhash",
+    "simsearch_topk_bruteforce",
+    "embed_quantize_int8",
+    "text_tokens",
+    "multimodal_resize_nearest",
+    "count_window_tumble",
+    "changelog_join_anti",
+    "udx_table_function",
+    "temporal_sort",
+    "script_transform_pipe",
+    "tpch_q12_priority_by_status",
+    "tpcds_q99_ship_bucket_grid",
+    "tpcds_q97_matched_unmatched",
+    "tpcds_q50_latency_buckets",
+    "tpcds_q86_rollup_rank_within_parent",
+    "tpcds_q30_returns_above_nation_avg",
 )
 
 

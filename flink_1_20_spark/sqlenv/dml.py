@@ -181,6 +181,12 @@ class DmlMixin:
             path=path,
             output_mode="update",
             checkpoint=meta.options.get("checkpoint", path + ".__ckpt__"),
+            # changelog-agg plans mark fully-retracted groups (live
+            # count 0 — Flink's GroupAggFunction emits DELETE there);
+            # the materializer removes those keys from the table
+            retract_col=(
+                "__retract_live" if "__retract_live" in df.columns else None
+            ),
         )
 
     def _row_level_target(self, op: str, name: str) -> TableMeta:
@@ -612,7 +618,13 @@ class DmlMixin:
         elif re.search(r"\bMATCH_RECOGNIZE\b", query, re.I):
             df = run_match_recognize(self.spark, query)
         else:
-            df = self._sql_streaming_lowered(query)
+            # retract-aware changelog aggregation first: a GROUP BY over
+            # a CDC changelog source must subtract -U/-D rows (Flink's
+            # GroupAggFunction retract path); the rewrite adds a hidden
+            # __retract_live marker the upsert materializer consumes
+            df = self._maybe_changelog_agg(query)
+            if df is None:
+                df = self._sql_streaming_lowered(query)
         if (static_partition or columns) and meta.columns:
             df = self._align_insert_columns(meta, df, static_partition, columns)
         elif meta.columns:
@@ -620,9 +632,10 @@ class DmlMixin:
             # implicit casts (DynamicSinkUtils.validateSchemaAndApplyImplicitCast)
             # — without this, `INSERT INTO t VALUES (...)` writes col1/
             # col2/... into the files and by-name reads see NULLs
-            if len(df.columns) != len(meta.columns):
+            phys = [c for c in df.columns if c != "__retract_live"]
+            if len(phys) != len(meta.columns):
                 raise ValueError(
-                    f"INSERT query produces {len(df.columns)} columns "
+                    f"INSERT query produces {len(phys)} columns "
                     f"for {len(meta.columns)} declared columns of "
                     f"{meta.name}"
                 )
@@ -631,8 +644,9 @@ class DmlMixin:
             df = df.select(
                 [
                     df[src].cast(t).alias(c)
-                    for src, (c, t) in zip(df.columns, meta.columns)
+                    for src, (c, t) in zip(phys, meta.columns)
                 ]
+                + [df[c] for c in df.columns if c == "__retract_live"]
             )
         if meta.distribution is not None:
             df = self._apply_distribution(df, meta)

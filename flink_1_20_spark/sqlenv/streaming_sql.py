@@ -27,6 +27,158 @@ from flink_1_20_spark.sqlenv.text import (
 class StreamingSqlMixin:
     """Methods host: composed into TableEnvironment."""
 
+    # -- changelog (CDC) source aggregation -------------------------------
+
+    # canonical retractable-agg shape: single changelog table, optional
+    # WHERE, GROUP BY — the ChangelogSourceITCase query class
+    _CHANGELOG_AGG = re.compile(
+        r"^\s*SELECT\s+(?P<list>.*?)\s+FROM\s+`?(?P<tbl>\w+)`?"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?"
+        r"\s+GROUP\s+BY\s+(?P<keys>[^;]+?)\s*;?\s*$",
+        re.S | re.I,
+    )
+    _AGG_FN = re.compile(
+        r"\b(count|sum|min|max|avg|stddev\w*|var\w*|listagg|collect|"
+        r"first_value|last_value|approx_\w+|percentile\w*)\s*\(",
+        re.I,
+    )
+
+    def _is_changelog_stream(self, tbl: str) -> bool:
+        """True when `tbl` is a monitored-directory CDC table — its
+        frame carries RowKind (+I/-U/+U/-D) rows as data."""
+        meta = self._resolve_meta(tbl.strip("`"))
+        return (
+            meta is not None
+            and meta.options.get("format") in self._CDC_FORMATS
+            and meta.options.get("scan.streaming", "false") == "true"
+        )
+
+    def _guard_changelog_misuse(self, query: str) -> None:
+        """A streaming aggregate over a CDC changelog source must apply
+        retractions (-U/-D subtract — Flink's GroupAggFunction retract
+        path); Spark's native streaming aggregation would count every
+        changelog row as an insert and produce silently WRONG results.
+        The canonical single-table shape is rewritten by
+        _maybe_changelog_agg on the INSERT path; everything else —
+        bare streaming SELECT ... GROUP BY, joins of changelog sources
+        — rejects loudly here.  A query that references row_kind
+        explicitly has opted into the rows-as-data view (RowKind is
+        data in this engine's changelog model) and passes through."""
+        if not re.search(r"\bGROUP\s+BY\b", query, re.I):
+            return
+        if re.search(r"\brow_kind\b", query, re.I):
+            return
+        blanked = _mask_string_literals(_blank_comments(query))
+        for tm in re.finditer(r"\b(?:FROM|JOIN)\s+`?(\w+)`?", blanked, re.I):
+            if self._is_changelog_stream(tm.group(1)):
+                raise ValueError(
+                    f"aggregating the CDC changelog stream "
+                    f"{tm.group(1)!r} requires retraction-aware "
+                    "aggregation (-U/-D rows subtract — Flink's "
+                    "GroupAggFunction retract path), which this engine "
+                    "applies on `INSERT INTO <sink with PRIMARY KEY> "
+                    "SELECT ... FROM <changelog> [WHERE ...] GROUP BY "
+                    "...` with SUM/COUNT aggregates; for other shapes "
+                    "materialize the final image first "
+                    "(operators/changelog.materialize_changelog) and "
+                    "aggregate that, or reference row_kind explicitly "
+                    "to aggregate the raw changelog rows as data"
+                )
+
+    def _maybe_changelog_agg(self, query: str) -> DataFrame | None:
+        """Retract-aware streaming GROUP BY over a CDC changelog source
+        (StreamExecGroupAggregate's retract path over a changelog-mode
+        ScanTableSource — flink-table-planner ChangelogSourceITCase):
+        +I/+U rows add, -U/-D rows subtract, so SUM becomes
+        sum(expr * sign) and COUNT becomes sum(sign) — a plain signed
+        aggregation that keeps Catalyst's map-side partials.  An UPDATE
+        that moves a row between groups retracts from the old group
+        (-U, sign -1) and adds to the new (+U, +1); a WHERE predicate
+        filters each image independently (Flink's changelog filter
+        semantics).  MIN/MAX/AVG and DISTINCT aggregates need
+        retractable accumulators holding per-group multiset state
+        (Flink's retractable agg functions) — rejected loudly.
+
+        The output carries a hidden `__retract_live` column =
+        sum(sign): when a group's live count reaches 0, Flink emits a
+        DELETE to the sink (GroupAggFunction emits UPDATE_BEFORE/DELETE
+        when the count accumulator hits zero) — the upsert materializer
+        consumes the marker and removes the key (streaming/sinks.py
+        upsert_foreach_batch retract_col).  Returns None when the
+        statement is not the canonical shape or the table is not a
+        changelog stream."""
+        m = self._CHANGELOG_AGG.match(query)
+        if not m:
+            return None
+        tbl = m.group("tbl")
+        if not self._is_changelog_stream(tbl):
+            return None
+        if re.search(r"\brow_kind\b", query, re.I):
+            return None  # rows-as-data view, user opted in
+        if not self.spark.table(tbl).isStreaming:
+            return None
+        items = _split_top_all(m.group("list"), ",")
+        out_items = []
+        for it in items:
+            it = it.strip()
+            if not self._AGG_FN.search(it):
+                out_items.append(it)  # group key / plain expression
+                continue
+            if re.search(r"\bDISTINCT\b", it, re.I):
+                raise ValueError(
+                    f"changelog aggregation: DISTINCT aggregates need a "
+                    f"retractable distinct accumulator — not supported "
+                    f"over CDC source {tbl!r}; materialize the final "
+                    "image first (materialize_changelog) and aggregate "
+                    "that"
+                )
+            cm = re.match(
+                r"^COUNT\s*\(\s*(?:\*|1)\s*\)\s*(?:AS\s+(`?\w+`?))?$",
+                it, re.I,
+            )
+            if cm:
+                alias = f" AS {cm.group(1)}" if cm.group(1) else ""
+                out_items.append(f"CAST(sum(__sign) AS BIGINT){alias}")
+                continue
+            cm = re.match(
+                r"^COUNT\s*\((.+)\)\s*(?:AS\s+(`?\w+`?))?$", it, re.I | re.S
+            )
+            if cm:
+                alias = f" AS {cm.group(2)}" if cm.group(2) else ""
+                out_items.append(
+                    f"CAST(sum(CASE WHEN ({cm.group(1).strip()}) IS NOT "
+                    f"NULL THEN __sign ELSE 0 END) AS BIGINT){alias}"
+                )
+                continue
+            cm = re.match(
+                r"^SUM\s*\((.+)\)\s*(?:AS\s+(`?\w+`?))?$", it, re.I | re.S
+            )
+            if cm:
+                alias = f" AS {cm.group(2)}" if cm.group(2) else ""
+                out_items.append(
+                    f"sum(({cm.group(1).strip()}) * __sign){alias}"
+                )
+                continue
+            raise ValueError(
+                f"changelog aggregation supports SUM and COUNT over CDC "
+                f"source {tbl!r} (retract = signed aggregation); "
+                f"{it!r} needs a retractable accumulator holding "
+                "per-group state — materialize the final image first "
+                "(operators/changelog.materialize_changelog) and "
+                "aggregate that"
+            )
+        where = f" WHERE {m.group('where')}" if m.group("where") else ""
+        inner = (
+            f"(SELECT *, CASE WHEN row_kind IN ('+I', '+U') "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END "
+            f"AS __sign FROM {tbl}{where}) __changelog"
+        )
+        sel = ", ".join(out_items)
+        return self.spark.sql(
+            f"SELECT {sel}, CAST(sum(__sign) AS BIGINT) AS __retract_live "
+            f"FROM {inner} GROUP BY {m.group('keys').strip()}"
+        )
+
     # -- temporal (versioned) join ---------------------------------------
     def _proctime_lookup_join(
         self, sel, fact, fa, left_kw, dim, da, where, fact_keys, dim_keys
@@ -574,6 +726,7 @@ class StreamingSqlMixin:
         between GROUP BY and window_start, so GROUP BYs of unrelated
         subqueries (crossing parentheses) are never touched. Shared by
         the SELECT fallthrough and the INSERT body path."""
+        self._guard_changelog_misuse(query)
         df = self.spark.sql(query)
         if df.isStreaming and "__cum" in query:
             # streaming CUMULATE: expose the hidden max-window struct and

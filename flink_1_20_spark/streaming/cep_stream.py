@@ -15,28 +15,45 @@ consumes matched rows (its scan can never revisit them); the
 REVISITING strategies (TO_NEXT_ROW / SKIP_TO_FIRST / SKIP_TO_LAST)
 retain them — a row inside an emitted match may start a later
 overlapping match whose tail arrives in a future batch (r11
-differential find) — and dedup re-found matches by requiring the last
-bound event to be new in the batch.  Retention is bounded by
-`within`-pruning and `max_buffer`; strict-contiguity bounded patterns
-under TO_NEXT_ROW (the SQL MATCH_RECOGNIZE class) additionally trim to
-the pattern-length horizon, since a future match can reach back at
-most that many consecutive rows.
+differential find).  Retention is bounded by `within`-pruning and
+`max_buffer`; strict-contiguity bounded patterns under TO_NEXT_ROW
+(the SQL MATCH_RECOGNIZE class) additionally trim to the
+pattern-length horizon, since a future match can reach back at most
+that many consecutive rows.
+
+Exact skip-chain parity for the chain strategies (r12 — closes the r11
+documented divergence, decided by the cep_skip_extend differential
+shape, seed 102): (1) a VARIABLE-LENGTH match whose last bound event
+is the key's last buffered row is PROVISIONAL — completed by
+backtracking only because the buffer ran out, later input can reshape
+it into a longer match the batch single-pass chain reports instead —
+so the scan HOLDS there: no emission, no consumption, the chain from
+that point replays next batch (Flink's greedy NFA likewise cannot emit
+until extension is ruled out; on a bounded stream its end-of-input
+MAX_WATERMARK finalizes — here the next per-key row plays that role,
+so finite inputs need a final non-matching row per key to flush, as
+the differential sends).  Fixed-length matches can never reshape
+(strict contiguity + deterministic predicates) and emit immediately.
+(2) Emission dedup keys on a per-key LOG of (first_ts, last_ts) match
+identities rather than row arrival: the re-run chain can be RE-ROUTED
+when a later-completing match at an earlier position moves a jump
+target, and arrival age alone then under-emits never-scanned matches
+behind a hold point and re-emits already-reported ones.  The log is
+pruned to identities a retained-buffer re-find could still produce,
+so it is bounded by the buffer bounds.  With tied event times ACROSS
+batches inside one key, two distinct matches can share an identity and
+dedup collapses them — supply an order tiebreak column upstream (the
+executeSql path's ORDER BY contract) where ties are possible.
 
 Contract/simplification vs Flink: matches are emitted at micro-batch
 granularity assuming per-key in-order arrival across batches (no
 watermark-held partial matches). Out-of-order *within* a batch is
 handled by the sort; a row older than an already-consumed match is
-dropped — the same effect as arriving after the watermark.  Two
-caveats on the revisiting strategies: (1) a later row that RESHAPES an
-already-completed greedy match yields a second, longer emission
-(completion-order emission — Flink's NFA likewise re-emits when a
-looping state re-enters a final state); (2) under SKIP_TO_FIRST/LAST
-with variable-length patterns, the skip-jump chain is recomputed over
-the retained buffer each batch, so a greedy re-match that moves a jump
-target can leave an emission the batch NFA's single-pass chain would
-not have produced — exact batch parity holds for bounded patterns
-whose completed matches later input cannot extend (disjoint step
-conditions, e.g. every SQL shape the differential pins).
+dropped — the same effect as arriving after the watermark.  One caveat
+remains on NO_SKIP / followedByAny enumeration: a later row that
+RESHAPES an already-completed greedy branch yields a second, longer
+emission (completion-order emission — Flink's NFA likewise re-emits
+when a looping state re-enters a final state).
 """
 
 from __future__ import annotations
@@ -93,12 +110,36 @@ def match_recognize_stream(
     Flink's SharedBuffer stores whole rows, we store the projection)."""
     key_cols = list(keys)
 
+    # variable-length patterns (a quantifier that may consume MORE rows
+    # than it did) can be RESHAPED by later input when the match was
+    # completed by backtracking at the buffer end — the greedy tail
+    # wanted more rows and settled for a shorter binding only because
+    # the buffer ran out.  Such a match is PROVISIONAL: emitting it
+    # would produce a row the batch NFA's single-pass scan never
+    # reports (r12 differential find, cep_skip_extend seed 102).  The
+    # scan HOLDS there — no emission, no consumption, scan stops (the
+    # skip-jump chain beyond it is equally provisional) — and resumes
+    # at the same position next batch, emitting once a row AFTER the
+    # match proves it final (Flink's greedy NFA likewise cannot emit
+    # until extension is ruled out; a bounded Flink stream finalizes
+    # via the end-of-input MAX_WATERMARK — here, the next key row or a
+    # flush row plays that role).  Fixed-length patterns can never
+    # reshape (strict contiguity binds consecutive rows; deterministic
+    # predicates re-reject the same extensions), so they emit
+    # immediately as before.
+    var_len = any(
+        s.max_times == -1 or s.max_times > s.min_times
+        for s in pattern.steps
+        if not s.negative
+    )
+
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             buf = json.loads(state.get[0])
             match_no = int(state.get[1])
+            elog = {tuple(e) for e in json.loads(state.get[2] or "[]")}
         else:
-            buf, match_no = [], 0
+            buf, match_no, elog = [], 0, set()
         n_old = len(buf)  # rows carried from previous batches
         for pdf in batches:
             buf.extend(_buffer_records(pdf, payload_cols, ts))
@@ -122,6 +163,7 @@ def match_recognize_stream(
 
         out_rows: list[dict] = []
         consumed_until = -1
+        held_idx = None  # provisional-match hold point (chain strategies)
 
         def render(m: list[tuple[str, int]]) -> tuple[dict, dict]:
             nonlocal match_no
@@ -180,18 +222,43 @@ def match_recognize_stream(
             # same growing output Flink's NFA produces when a looping
             # state re-enters a final state.)
             consume = pattern.skip == "PAST_LAST_EVENT"
+            # Dedup by an EMISSION LOG of (first_ts, last_ts) identities
+            # rather than by row arrival: the skip-jump chain is
+            # deterministic over the buffer, but it is re-run each batch
+            # and can be RE-ROUTED when a later-completing match at an
+            # earlier position changes a jump target — arrival age alone
+            # then both under-emits (a never-scanned match whose rows
+            # aged behind a hold point) and over-emits (a re-visited
+            # match that already emitted under the old route).  A match's
+            # (start, end) identity is stable (final matches cannot
+            # reshape — see var_len note), so log membership IS
+            # emitted-before; entries are pruned once their end falls
+            # before the retained buffer (no re-find can reach them).
             i = 0
             while i < len(pdf):
                 m = _match_at(pattern, pdf, i, pre)
                 if m:
                     last_idx = max(idx for _, idx in m)
-                    if consume or bool(pdf["__new"].iat[last_idx]):
+                    if var_len and last_idx == len(pdf) - 1:
+                        # provisional (see var_len note above): hold the
+                        # match AND the scan — everything from here
+                        # replays next batch with more rows
+                        held_idx = i
+                        break
+                    first_idx = min(idx for _, idx in m)
+                    ident = (
+                        pdf["__ts"].iat[first_idx].isoformat(),
+                        pdf["__ts"].iat[last_idx].isoformat(),
+                    )
+                    if ident not in elog:
+                        elog.add(ident)
                         rendered, groups = render(m)
                         if not all_rows:  # all-rows mode appends inside
                             out_rows.append(rendered)
                     else:
-                        # re-found old match: advance the scan chain
-                        # exactly as if reported, without re-emitting
+                        # re-found already-emitted match: advance the
+                        # scan chain exactly as if reported, without
+                        # re-emitting
                         groups = {}
                         for name, idx in m:
                             groups.setdefault(name, []).append(idx)
@@ -219,6 +286,8 @@ def match_recognize_stream(
             tail = tail[tail[ts] >= cutoff]
         if (
             pattern.skip == "TO_NEXT_ROW"
+            and held_idx is None  # a held match's START must survive —
+            # the trim's already-emitted assumption doesn't hold for it
             and all(s.strict for s in pattern.steps[1:])
             and not any(
                 s.max_times == -1 for s in pattern.steps if not s.negative
@@ -238,15 +307,35 @@ def match_recognize_stream(
             )
             tail = tail.tail(max(horizon - 1, 0))
         tail = tail.tail(max_buffer)
+        if held_idx is not None and len(pdf) - held_idx > len(tail):
+            # the held match replays from its start next batch — the
+            # within/horizon/max_buffer prunes must not cut it (its span
+            # already satisfied `within`, so this only widens the tail
+            # when a prune crossed the hold point)
+            tail = pdf.iloc[held_idx:]
+        # prune the emission log to identities a retained-buffer re-find
+        # could still produce (end >= first retained ts)
+        if elog:
+            if len(tail):
+                lo = tail["__ts"].iloc[0].isoformat()
+                elog = {e for e in elog if e[1] >= lo}
+            else:
+                elog = set()
         new_buf = _buffer_records(tail, payload_cols, ts)
-        state.update((json.dumps(new_buf, default=_json_default), match_no))
+        state.update(
+            (
+                json.dumps(new_buf, default=_json_default),
+                match_no,
+                json.dumps(sorted(elog)),
+            )
+        )
         if out_rows:
             yield pd.DataFrame(out_rows)
 
     return df.groupBy(*key_cols).applyInPandasWithState(
         fn,
         output_schema,
-        "buf string, match_no bigint",
+        "buf string, match_no bigint, elog string",
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -52,6 +52,7 @@ def upsert_foreach_batch(
     order_col: str | None = None,
     output_mode: str = "append",
     checkpoint: str | None = None,
+    retract_col: str | None = None,
 ) -> "StreamingQuery":  # noqa: F821
     """Upsert each micro-batch into a parquet table at `path`.
 
@@ -69,6 +70,12 @@ def upsert_foreach_batch(
     checkpoint must live OUTSIDE `path`: the merge swaps the whole data
     directory per epoch, and a checkpoint inside it would be swapped
     away mid-stream.
+
+    `retract_col`: name of a hidden live-count marker column (the
+    changelog-agg lowering's __retract_live) — a key whose latest row
+    carries 0 is DELETED from the table instead of upserted (Flink's
+    GroupAggFunction emits DELETE when the count accumulator hits
+    zero); the column itself never reaches the written files.
     """
     if checkpoint is not None and (
         os.path.abspath(checkpoint) == os.path.abspath(path)
@@ -95,6 +102,13 @@ def upsert_foreach_batch(
             )
         else:
             batch = batch.dropDuplicates(keys)
+        if retract_col is not None:
+            # every batch key is replaced below (anti-join on ALL batch
+            # keys); only live ones come back, so a zero-live key is a
+            # delete — and the marker column never reaches the files
+            live = batch.filter(F.col(retract_col) != 0).drop(retract_col)
+        else:
+            live = batch
         import os
         import shutil
 
@@ -113,10 +127,10 @@ def upsert_foreach_batch(
         if has_data_files(path):
             current = spark.read.parquet(path)
             merged = current.join(batch.select(*keys), on=keys, how="left_anti").unionByName(
-                batch
+                live
             )
         else:
-            merged = batch  # first batch — no table yet
+            merged = live  # first batch — no table yet
         # Write-then-swap: can't overwrite the path being read. The write
         # is fully distributed; the swap is two metadata renames with the
         # previous table parked at `old` until the new one is in place —

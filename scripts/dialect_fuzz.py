@@ -1040,6 +1040,117 @@ class Gen:
         )
         return sql, sql
 
+    def q_match_varlen(self) -> tuple[str, str]:
+        """Variable-length MATCH_RECOGNIZE (PATTERN (A B+ C), greedy or
+        reluctant, AFTER MATCH SKIP TO NEXT ROW) vs a run-length oracle:
+        with strict contiguity, the B-run length starting after each
+        A-anchor is (next non-B position) - (anchor + 1); greedy binds C
+        at the FURTHEST in-run-or-adjacent position satisfying C
+        (regex backtracking — max c_rn), reluctant at the NEAREST (min
+        c_rn).  Every anchor reports independently under TO_NEXT_ROW,
+        so no recursive chain replay is needed (contrast
+        cep_error_burst's skip-past-last oracle)."""
+        r = self.rng
+        t1 = r.choice(["click", "view", "signup"])
+        x = r.choice([50, 100, 200])
+        t2 = r.choice(["error", "purchase"])
+        greedy = r.random() < 0.5
+        quant = "B+" if greedy else "B+?"
+        pick = "max" if greedy else "min"
+        spark_sql = (
+            f"SELECT user_id, a_id, b_last, c_id "
+            f"FROM events MATCH_RECOGNIZE ("
+            f"  PARTITION BY user_id ORDER BY ts, event_id"
+            f"  MEASURES A.event_id AS a_id, LAST(B.event_id) AS b_last, "
+            f"C.event_id AS c_id"
+            f"  ONE ROW PER MATCH"
+            f"  AFTER MATCH SKIP TO NEXT ROW"
+            f"  PATTERN (A {quant} C)"
+            f"  DEFINE A AS A.event_type = '{t1}', "
+            f"B AS B.`value` > {x}, C AS C.event_type = '{t2}'"
+            f") AS m"
+        )
+        duck_sql = (
+            f"WITH ordered AS ("
+            f"  SELECT user_id, event_id, event_type, value,"
+            f"    row_number() OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id) AS rn FROM events),\n"
+            f"nb AS (SELECT user_id, rn,"
+            f"  min(CASE WHEN NOT (value > {x}) THEN rn END) OVER ("
+            f"    PARTITION BY user_id ORDER BY rn "
+            f"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nb,"
+            f"  max(rn) OVER (PARTITION BY user_id) AS nmax "
+            f"FROM ordered),\n"
+            f"anchors AS ("
+            f"  SELECT o.user_id, o.rn AS p, o.event_id AS a_id,"
+            f"    coalesce(n.next_nb, n.nmax + 1) - (o.rn + 1) AS brun "
+            f"  FROM ordered o JOIN nb n "
+            f"    ON n.user_id = o.user_id AND n.rn = o.rn + 1 "
+            f"  WHERE o.event_type = '{t1}'),\n"
+            f"cands AS ("
+            f"  SELECT a.user_id, a.p, a.a_id, c.rn AS c_rn "
+            f"  FROM anchors a JOIN ordered c ON c.user_id = a.user_id "
+            f"   AND c.rn BETWEEN a.p + 2 AND a.p + 1 + a.brun "
+            f"   AND c.event_type = '{t2}' "
+            f"  WHERE a.brun >= 1),\n"
+            f"pick AS (SELECT user_id, p, a_id, {pick}(c_rn) AS c_rn "
+            f"FROM cands GROUP BY user_id, p, a_id)\n"
+            f"SELECT k.user_id, k.a_id, b.event_id AS b_last, "
+            f"c.event_id AS c_id FROM pick k "
+            f"JOIN ordered b ON b.user_id = k.user_id "
+            f"AND b.rn = k.c_rn - 1 "
+            f"JOIN ordered c ON c.user_id = k.user_id AND c.rn = k.c_rn"
+        )
+        return spark_sql, duck_sql
+
+    def q_over_range_interval(self) -> tuple[str, str]:
+        """Event-time RANGE INTERVAL frame over-aggregation (Flink's
+        RANGE BETWEEN INTERVAL ... PRECEDING over a rowtime —
+        over-agg.md): value-based frames include ALL ts-peers, so the
+        result is deterministic without a pk tiebreak.  Same frame in
+        DuckDB, dialect-differing interval spelling."""
+        r = self.rng
+        secs = r.choice([300, 900, 3600])
+        both = (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS wcnt, "
+            "round(sum(`value`) OVER w, 4) AS wsum "
+            "FROM events WHERE {pred} "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN {iv} PRECEDING AND CURRENT ROW)"
+        )
+        pred = self.pred("events")
+        spark_sql = both.format(
+            pred=pred, iv=f"INTERVAL '{secs}' SECOND"
+        ).replace("`value`", "`value`")
+        duck_sql = both.format(
+            pred=pred, iv=f"INTERVAL {secs} SECONDS"
+        ).replace("`value`", "value")
+        return spark_sql, duck_sql
+
+    def q_exists_setop(self) -> tuple[str, str]:
+        """Correlated [NOT] EXISTS whose subquery wraps a SET OPERATION
+        — the decorrelation path has to pull the correlation above the
+        set op; dialect-shared text."""
+        r = self.rng
+        op = r.choice(["UNION", "INTERSECT", "EXCEPT"])
+        neg = "NOT " if r.random() < 0.4 else ""
+        x = r.choice([1000, 5000, 20000])
+        bal = r.choice([0, 1000, 5000])
+        sql = (
+            f"SELECT c_custkey, c_nationkey FROM customer c "
+            f"WHERE {neg}EXISTS ("
+            f"  SELECT 1 FROM ("
+            f"    SELECT o_custkey AS k FROM orders "
+            f"WHERE o_totalprice > {x} "
+            f"    {op} "
+            f"    SELECT c2.c_custkey AS k FROM customer c2 "
+            f"WHERE c2.c_acctbal < {bal}"
+            f"  ) u WHERE u.k = c.c_custkey) "
+            f"ORDER BY c_custkey LIMIT {r.choice([25, 50])}"
+        )
+        return sql, sql
+
     # ------------------------------------------------------ battery
 
     SHAPES = (
@@ -1077,6 +1188,10 @@ class Gen:
         ("case_nest", "q_case_nest", 2),
         ("having_subq", "q_having_subquery", 2),
         ("in_join", "q_in_join", 2),
+        # r12 grammar growth (VERDICT r11 task 4)
+        ("match_varlen", "q_match_varlen", 1),
+        ("over_range_iv", "q_over_range_interval", 2),
+        ("exists_setop", "q_exists_setop", 2),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:

@@ -324,11 +324,22 @@ def run_skew(spark, dst: str) -> None:
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         )
     }
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # the hot partition is ~150MB at 100x — set the skew threshold
+        # the way a real deployment tunes it for its partition sizing
+        # (the 256MB default targets multi-GB shuffles); 16MB advisory
+        # splits the hot key ~10 ways
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32MB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timed(

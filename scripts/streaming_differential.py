@@ -164,6 +164,13 @@ SHAPES = (
     "upsert_agg",
     "over_rows",
     "cascade",
+    # r12 additions (VERDICT r11 tasks 3 + 5)
+    "window_topn",
+    "session_dynamic",
+    "cep_all_rows",
+    "cep_skip_extend",
+    "proctime_lookup",
+    "cdc_source",
 )
 
 
@@ -224,8 +231,13 @@ class _MemDrain:
     operator order/schema), which is this engine's analogue of Flink's
     savepoint operator-ID stability."""
 
-    def __init__(self, env, spark, query_text: str, tag: str, mode: str,
+    def __init__(self, env, spark, query_text, tag: str, mode: str,
                  tmp: str, restartable: bool = False):
+        """query_text: the executeSql statement, or a zero-arg callable
+        returning the streaming DataFrame (composition-API shapes —
+        window Top-N, dynamic-gap session — that have no executeSql
+        spelling; the callable must build the SAME plan on every call
+        so restart recovery sees a checkpoint-compatible query)."""
         self.env, self.spark = env, spark
         self.query_text, self.tag, self.mode = query_text, tag, mode
         self.ckpt = os.path.join(tmp, f"ckpt_{tag}")
@@ -245,7 +257,11 @@ class _MemDrain:
         self._start()
 
     def _start(self) -> None:
-        out = self.env.execute_sql(self.query_text)
+        out = (
+            self.query_text()
+            if callable(self.query_text)
+            else self.env.execute_sql(self.query_text)
+        )
         assert out.isStreaming, "shape did not produce a streaming frame"
         if self.use_fb:
             acc = self.acc
@@ -958,6 +974,358 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
             )
             return got, want
 
+        if shape == "window_topn":
+            # WINDOW Top-N (StreamExecWindowRank.java:77): rank within a
+            # tumbling window — the streaming_topn composition keyed by
+            # the window bucket (state per (window, key) bounded by N; a
+            # closed window's leaderboard simply stops changing) vs the
+            # batch ROW_NUMBER over the TUMBLE TVF.  No watermark close
+            # is needed: the update-mode fold's final state per
+            # (window, key, rank) equals the batch rank over ALL rows.
+            from pyspark.sql import functions as F
+
+            from flink_1_20_spark.streaming.rank import streaming_topn
+
+            def _build_wtn():
+                stream = spark.table(f"{tag}_s").withColumn(
+                    "w", F.date_trunc("minute", F.col("ts"))
+                )
+                return streaming_topn(
+                    stream, ["w", "k"], "v", n=2, ascending=True
+                )
+
+            d = _MemDrain(env, spark, _build_wtn, tag, "update", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+            finally:
+                d.stop()
+            final: dict[tuple, tuple] = {}
+            for r in d.emissions():
+                final[(str(r["w"]), r["k"], r["rn"])] = (
+                    str(r["w"]), str(r["k"]), str(r["v"]), str(r["rn"])
+                )
+            got = sorted(final.values())
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(
+                    "SELECT window_start AS w, k, v, rn FROM ("
+                    "  SELECT window_start, k, v, ROW_NUMBER() OVER ("
+                    "    PARTITION BY window_start, k ORDER BY v ASC"
+                    "  ) AS rn FROM TABLE(TUMBLE(TABLE " + f"{tag}_b" + ", "
+                    "DESCRIPTOR(ts), INTERVAL '1' MINUTE))"
+                    ") WHERE rn <= 2"
+                ).collect(),
+                ["w", "k", "v", "rn"],
+            )
+            return got, want
+
+        if shape == "session_dynamic":
+            # dynamic-gap SESSION (DataStream DynamicSessionWindows /
+            # SessionWindowTimeGapExtractor): per-event gap expression —
+            # Spark's session_window accepts a gap COLUMN; merged end =
+            # running max(ts + gap), merge inclusive at the boundary
+            # (Flink TimeWindow.intersects, r11 find).  Gap 8s/20s vs
+            # the 60s band spacing: sessions merge within a band and
+            # occasionally across the boundary (max offset 53 → next
+            # band 60 is 7s < both gaps).  Oracle = gaps-and-islands
+            # with a running-max end (a plain lag is wrong once gaps
+            # vary — wtvf_session_dynamic_gap precedent).
+            from pyspark.sql import functions as F
+
+            def _build_sdyn():
+                # {tag}_s already carries the declared WATERMARK —
+                # re-applying one here trips "Redefining watermark"
+                stream = spark.table(f"{tag}_s")
+                gap = F.when(
+                    F.col("v") % 2 == 0, F.lit("20 seconds")
+                ).otherwise(F.lit("8 seconds"))
+                return (
+                    stream
+                    .groupBy(F.session_window("ts", gap), F.col("k"))
+                    .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+                    .select(
+                        F.col("session_window.start").alias("ws"),
+                        F.col("session_window.end").alias("we"),
+                        "k", "n", "total",
+                    )
+                )
+
+            d = _MemDrain(env, spark, _build_sdyn, tag, "append", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+                _write_batch(
+                    src, n_batches,
+                    [{"k": 1, "ts": _fmt(FLUSH_TS), "v": 1}],
+                )
+                d.process()
+            finally:
+                d.stop()
+            cols_out = ["ws", "we", "k", "n", "total"]
+            got = _norm(d.emissions(), cols_out)
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(
+                    "WITH g AS (SELECT k, ts, v, CASE WHEN v % 2 = 0 "
+                    "THEN 20 ELSE 8 END AS gap FROM " + f"{tag}_b" + "), "
+                    "o AS (SELECT *, max(ts + make_interval(0,0,0,0,0,0,"
+                    "gap)) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN "
+                    "UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end "
+                    "FROM g), "
+                    "f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > "
+                    "prev_end THEN 1 ELSE 0 END AS new_s FROM o), "
+                    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY k "
+                    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+                    "SELECT min(ts) AS ws, max(ts + make_interval(0,0,0,"
+                    "0,0,0,gap)) AS we, k, count(*) AS n, "
+                    "sum(v) AS total FROM s GROUP BY k, sid "
+                    f"HAVING we <= TIMESTAMP '{wm_cut}'"
+                ).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "cep_all_rows":
+            # streaming MATCH_RECOGNIZE with ALL ROWS PER MATCH: one
+            # output row per bound input row, CLASSIFIER() + per-key
+            # MATCH_NUMBER() persisted in state across micro-batches —
+            # vs the batch NFA, same text.  Fixed-length pattern under
+            # TO_NEXT_ROW: matches complete in position order per key,
+            # so the stream's completion-order numbering equals the
+            # batch scan-order numbering.
+            mr = """
+                SELECT k, ts, v, cls, mno
+                FROM {T} MATCH_RECOGNIZE (
+                  PARTITION BY k ORDER BY ts
+                  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno
+                  ALL ROWS PER MATCH
+                  AFTER MATCH SKIP TO NEXT ROW
+                  PATTERN (A B C)
+                  DEFINE A AS A.v % 2 = 0, B AS B.v % 3 <> 0,
+                         C AS C.v % 2 = 1
+                ) AS m"""
+            d = _MemDrain(env, spark, mr.format(T=f"{tag}_s"), tag,
+                          "update", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+            finally:
+                d.stop()
+            cols_out = ["k", "ts", "v", "cls", "mno"]
+            got = _norm(d.emissions(), cols_out)
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(mr.format(T=f"{tag}_b")).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "cep_skip_extend":
+            # the SKIP_TO_LAST + variable-length decider (VERDICT r11
+            # task 5): greedy B+ whose step conditions OVERLAP C's
+            # (multiples of 6 satisfy both), so a match completed by
+            # BACKTRACKING at a batch boundary (C bound at buffer end
+            # while B+ wanted more) CAN be reshaped by later input —
+            # the class where the recomputed skip-jump chain could
+            # diverge from the batch single-pass chain.
+            mr = """
+                SELECT k, a_v, b_last, c_v
+                FROM {T} MATCH_RECOGNIZE (
+                  PARTITION BY k ORDER BY ts
+                  MEASURES A.v AS a_v, LAST(B.v) AS b_last, C.v AS c_v
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP TO LAST B
+                  PATTERN (A B+ C)
+                  DEFINE A AS A.v % 5 = 0, B AS B.v % 2 = 0,
+                         C AS C.v % 3 = 0
+                ) AS m"""
+            d = _MemDrain(env, spark, mr.format(T=f"{tag}_s"), tag,
+                          "update", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+                # per-key finalizers: v=7 fails A (%5), B (%2) and C
+                # (%3), so a HELD greedy match at true end-of-input gets
+                # its proof of non-extendability and emits — the role
+                # Flink's end-of-input MAX_WATERMARK plays on a bounded
+                # stream.  The batch side sees the same rows and matches
+                # nothing on them.
+                _write_batch(
+                    src, n_batches,
+                    [{"k": kk, "ts": _fmt(FLUSH_TS), "v": 7}
+                     for kk in range(1, 5)],
+                )
+                d.process()
+            finally:
+                d.stop()
+            cols_out = ["k", "a_v", "b_last", "c_v"]
+            got = _norm(d.emissions(), cols_out)
+            _mk_tables(env, f"{tag}_b", src, streaming=False, cols=cols,
+                       wm_col="ts")
+            want = _norm(
+                env.execute_sql(mr.format(T=f"{tag}_b")).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "proctime_lookup":
+            # processing-time lookup join (TemporalProcessTimeJoinOperator
+            # .java:48 / CommonExecLookupJoin): a streaming fact with a
+            # PROCTIME() attribute enriches against the dim's CURRENT
+            # snapshot per micro-batch (stream-static join).  The dim is
+            # fixed for the whole run — the deterministic case — so the
+            # batch oracle is the same text over the accumulated fact
+            # files; covers the lowering (alias stripping, LEFT nulls)
+            # and its restart recovery.
+            dim_path = os.path.join(tmp, "dim.csv")
+            with open(dim_path, "w") as f:
+                f.write("k,name\n1,one\n2,two\n3,three\n")  # k=4 missing
+            env.execute_sql(
+                f"CREATE TABLE {tag}_d (k BIGINT, name STRING) WITH ("
+                f"'connector'='filesystem','path'='{dim_path}',"
+                f"'format'='csv')"
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_f (k BIGINT, ts TIMESTAMP(3), "
+                f"v BIGINT, pt AS PROCTIME()) WITH ("
+                f"'connector'='filesystem','path'='{src}',"
+                f"'format'='json','scan.streaming'='true')"
+            )
+            jq = """
+                SELECT f.k AS k, f.v AS v, d.name AS dname
+                FROM {F} f
+                LEFT JOIN {D} FOR SYSTEM_TIME AS OF f.pt AS d
+                ON f.k = d.k"""
+            d = _MemDrain(env, spark, jq.format(F=f"{tag}_f", D=f"{tag}_d"),
+                          tag, "append", tmp,
+                          restartable=restart_at is not None)
+            try:
+                _feed_loop(d, lambda i: _write_batch(src, i, batches[i]),
+                           n_batches, restart_at, restart_before)
+            finally:
+                d.stop()
+            cols_out = ["k", "v", "dname"]
+            got = _norm(d.emissions(), cols_out)
+            env.execute_sql(
+                f"CREATE TABLE {tag}_fb (k BIGINT, ts TIMESTAMP(3), "
+                f"v BIGINT, pt AS PROCTIME()) WITH ("
+                f"'connector'='filesystem','path'='{src}',"
+                f"'format'='json')"
+            )
+            want = _norm(
+                env.execute_sql(
+                    jq.format(F=f"{tag}_fb", D=f"{tag}_d")
+                ).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "cdc_source":
+            # CDC/changelog source (ChangelogSourceITCase): a
+            # monitored-dir debezium-json table feeds a retract-aware
+            # streaming GROUP BY (the changelog-agg lowering: -U/-D
+            # subtract; a group whose live count hits 0 is DELETED at
+            # the sink) into a PRIMARY KEY upsert sink — final table vs
+            # the batch aggregate over the MATERIALIZED final image of
+            # the same files.  The generator maintains a live-row model
+            # and emits insert/update/delete envelopes (updates may
+            # MOVE a row between groups — the retraction crosses group
+            # boundaries); whole groups drain to empty with real
+            # probability under the small key domain.
+            outdir = os.path.join(tmp, "out")
+            env.execute_sql(
+                f"CREATE TABLE {tag}_c (id BIGINT, gk BIGINT, amt BIGINT)"
+                f" WITH ('connector'='filesystem','path'='{src}',"
+                f"'format'='debezium-json','scan.streaming'='true')"
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_sink (gk BIGINT, total BIGINT, "
+                f"cnt BIGINT, PRIMARY KEY (gk) NOT ENFORCED) WITH ("
+                f"'connector'='filesystem','path'='{outdir}',"
+                f"'format'='parquet')"
+            )
+            d = _InsertDrain(
+                env,
+                f"INSERT INTO {tag}_sink SELECT gk, sum(amt) AS total, "
+                f"count(*) AS cnt FROM {tag}_c GROUP BY gk",
+            )
+            live: dict[int, tuple[int, int]] = {}
+            next_id, seq = 1, 0
+
+            def _wf_cdc(i):
+                nonlocal next_id, seq
+                ops = []
+                for _ in range(rng.randint(3, 10)):
+                    seq += 1
+                    roll = rng.random()
+                    if live and roll < 0.3:  # delete
+                        rid = rng.choice(sorted(live))
+                        gk, amt = live.pop(rid)
+                        ops.append({"op": "d", "ts_ms": seq,
+                                    "before": {"id": rid, "gk": gk,
+                                               "amt": amt},
+                                    "after": None})
+                    elif live and roll < 0.55:  # update (may move group)
+                        rid = rng.choice(sorted(live))
+                        gk, amt = live[rid]
+                        ngk = rng.randint(0, 3)
+                        namt = rng.randint(1, 100)
+                        live[rid] = (ngk, namt)
+                        ops.append({"op": "u", "ts_ms": seq,
+                                    "before": {"id": rid, "gk": gk,
+                                               "amt": amt},
+                                    "after": {"id": rid, "gk": ngk,
+                                              "amt": namt}})
+                    else:  # insert
+                        rid = next_id
+                        next_id += 1
+                        gk = rng.randint(0, 3)
+                        amt = rng.randint(1, 100)
+                        live[rid] = (gk, amt)
+                        ops.append({"op": "c", "ts_ms": seq,
+                                    "before": None,
+                                    "after": {"id": rid, "gk": gk,
+                                              "amt": amt}})
+                _write_batch(src, i, ops)
+
+            try:
+                _feed_loop(d, _wf_cdc, n_batches, restart_at,
+                           restart_before)
+            finally:
+                d.stop()
+            cols_out = ["gk", "total", "cnt"]
+            got = _norm(
+                env.execute_sql(f"SELECT * FROM {tag}_sink").collect(),
+                cols_out,
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_cb (id BIGINT, gk BIGINT, "
+                f"amt BIGINT) WITH ('connector'='filesystem',"
+                f"'path'='{src}','format'='debezium-json')"
+            )
+            want = _norm(
+                env.execute_sql(
+                    "SELECT gk, CAST(sum(amt) AS BIGINT) AS total, "
+                    "count(*) AS cnt FROM ("
+                    "  SELECT id, gk, amt FROM ("
+                    "    SELECT *, ROW_NUMBER() OVER (PARTITION BY id "
+                    "ORDER BY ts_ms DESC) AS rn "
+                    f"    FROM {tag}_cb WHERE row_kind <> '-U'"
+                    "  ) WHERE rn = 1 AND row_kind <> '-D'"
+                    ") GROUP BY gk"
+                ).collect(),
+                cols_out,
+            )
+            return got, want
+
         if shape == "cascade":
             # CASCADING WINDOW AGGREGATION (the reference's documented
             # composition, window-agg.md 'cascading window
@@ -1034,7 +1402,8 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
     finally:
         for t in (f"{tag}_s", f"{tag}_b", f"{tag}_l", f"{tag}_r",
                   f"{tag}_lb", f"{tag}_rb", f"{tag}_sink",
-                  f"{tag}_e", f"{tag}_d", f"{tag}_eb", f"{tag}_db"):
+                  f"{tag}_e", f"{tag}_d", f"{tag}_eb", f"{tag}_db",
+                  f"{tag}_f", f"{tag}_fb", f"{tag}_c", f"{tag}_cb"):
             try:
                 env.execute_sql(f"DROP TABLE IF EXISTS {t}")
             except Exception:

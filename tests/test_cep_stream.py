@@ -282,3 +282,77 @@ def test_streaming_cep_overlap_tail_in_next_batch(spark, tmp_path):
         ("2024-01-01T10:00:00", "2024-01-01T10:02:00"),
         ("2024-01-01T10:01:00", "2024-01-01T10:03:00"),
     ]
+
+
+def test_streaming_cep_variable_length_hold(spark, tmp_path):
+    """Greedy variable-length matches completed by BACKTRACKING at the
+    buffer end are PROVISIONAL (r12, decided by the cep_skip_extend
+    differential seed 102): later input reshapes them into the longer
+    match the batch single-pass chain reports, so the stream must HOLD
+    — no emission until a row after the match proves it final — and
+    then emit exactly the batch NFA's output, once."""
+    src = str(tmp_path / "in")
+
+    def drop_v(n, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, f"b{n}.json"), "w") as f:
+            for ts, uid, v in rows:
+                f.write(json.dumps({"ts": ts, "user_id": uid, "v": v}) + "\n")
+
+    # batch 0: A=10 (10%5=0), B=4, B/C=6 — greedy B+ wants {4,6} but C
+    # has no row left, so backtracking would complete (A, B={4}, C=6)
+    # AT the buffer end: provisional, must not emit
+    drop_v(0, [
+        ("2024-01-01T10:00:00", 1, 10),
+        ("2024-01-01T10:01:00", 1, 4),
+        ("2024-01-01T10:02:00", 1, 6),
+    ])
+    pat = (
+        Pattern.begin("a", lambda r: r["v"] % 5 == 0)
+        .next("b", lambda r: r["v"] % 2 == 0)
+        .one_or_more()
+        .strict_repeat()
+        .next("c", lambda r: r["v"] % 3 == 0)
+        .after_match_skip("SKIP_TO_LAST", "b")
+    )
+
+    def measures(g):
+        return {
+            "a_v": int(g["a"]["v"].iloc[0]),
+            "b_last": int(g["b"]["v"].iloc[-1]),
+            "c_v": int(g["c"]["v"].iloc[-1]),
+        }
+
+    stream = file_source(
+        spark, src, "ts timestamp, user_id bigint, v bigint", fmt="json"
+    )
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="a_v bigint, b_last bigint, c_v bigint, user_id bigint",
+        payload_cols=["v"],
+    )
+    q = run_to_memory(out, "cep_hold_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert spark.table("cep_hold_out").count() == 0  # held
+        # batch 1: C=12 (also B) reshapes the match to (A, B={4,6}, C=12)
+        # — still ends at the buffer end, so still held
+        drop_v(1, [("2024-01-01T10:03:00", 1, 12)])
+        q.processAllAvailable()
+        assert spark.table("cep_hold_out").count() == 0  # still held
+        # batch 2: v=7 fails every step — proves non-extendability; the
+        # FINAL reshaped match emits exactly once (the short provisional
+        # (A, {4}, 6) must never have appeared)
+        drop_v(2, [("2024-01-01T10:04:00", 1, 7)])
+        q.processAllAvailable()
+        rows = [
+            (r.a_v, r.b_last, r.c_v)
+            for r in spark.table("cep_hold_out").collect()
+        ]
+    finally:
+        q.stop()
+    assert rows == [(10, 6, 12)]

@@ -327,6 +327,44 @@ def test_sql_match_recognize_cross_var_define(fixture_env, spark):
     assert got.count() > 0  # non-vacuous on the fixture
 
 
+def test_sql_match_recognize_reluctant_vs_greedy(spark):
+    """B+? must bind the MINIMAL run (Quantifier.java consumingStrategy)
+    where B+ binds the maximal — the r12 match_varlen fuzz shape caught
+    _match_at resolving reluctant steps greedily under the single-match
+    skip strategies (B+? behaved exactly like B+)."""
+    from flink_1_20_spark.sql_ddl import TableEnvironment
+
+    spark.createDataFrame(
+        [(f"2024-01-01 10:0{i}:00", 1, v) for i, v in
+         enumerate([10, 4, 6, 12])],
+        "ts string, user_id bigint, v bigint",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id", "v"
+                 ).createOrReplaceTempView("mr_rel_src")
+    env = TableEnvironment(spark)
+
+    def run(quant):
+        return [
+            (r.a_v, r.b_last, r.c_v)
+            for r in env.execute_sql(f"""
+                SELECT a_v, b_last, c_v
+                FROM mr_rel_src MATCH_RECOGNIZE (
+                    PARTITION BY user_id ORDER BY ts
+                    MEASURES A.v AS a_v, LAST(B.v) AS b_last, C.v AS c_v
+                    ONE ROW PER MATCH
+                    AFTER MATCH SKIP TO NEXT ROW
+                    PATTERN (A {quant} C)
+                    DEFINE A AS A.v % 5 = 0, B AS B.v % 2 = 0,
+                           C AS C.v % 3 = 0
+                ) AS m
+            """).collect()
+        ]
+
+    # greedy backtracks from the maximal run: B+ = {4, 6}, C = 12
+    assert run("B+") == [(10, 6, 12)]
+    # reluctant takes the minimal: B+? = {4}, C = 6
+    assert run("B+?") == [(10, 4, 6)]
+
+
 def test_sql_legacy_group_windows(fixture_env, spark, sf_dir):
     """Gen-1 syntax: GROUP BY TUMBLE(ts, ...) + TUMBLE_START/END
     (FlinkSqlOperatorTable.java:1003) — same results as the TVF form."""
@@ -922,6 +960,92 @@ def test_create_table_cdc_streaming(spark, tmp_path):
         assert kinds == [("+I", 1), ("-D", 1)]
     finally:
         q.stop()
+
+
+def test_changelog_source_retract_aggregation(spark, tmp_path):
+    """Retract-aware streaming GROUP BY over a CDC changelog source
+    (StreamExecGroupAggregate retract path, ChangelogSourceITCase):
+    -U/-D subtract, an update MOVES a row between groups, and a group
+    whose live count reaches zero is DELETED from the PK upsert sink
+    (GroupAggFunction emits DELETE at count 0)."""
+    import json as _json
+
+    src = tmp_path / "clagg"
+    src.mkdir()
+    out = str(tmp_path / "clagg_out")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE cl_src (id BIGINT, grp BIGINT, amt BIGINT)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='debezium-json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE cl_sink (grp BIGINT, total BIGINT, cnt BIGINT,
+                              PRIMARY KEY (grp) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')
+    """)
+    q = env.execute_sql(
+        "INSERT INTO cl_sink SELECT grp, sum(amt) AS total, "
+        "count(*) AS cnt FROM cl_src GROUP BY grp"
+    )
+
+    def drop(n, ops):
+        (src / f"b{n}.jsonl").write_text(
+            "\n".join(_json.dumps(o) for o in ops) + "\n"
+        )
+
+    def snap():
+        return sorted(
+            (r.grp, r.total, r.cnt)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    try:
+        drop(0, [
+            {"op": "c", "ts_ms": 1, "before": None,
+             "after": {"id": 1, "grp": 1, "amt": 10}},
+            {"op": "c", "ts_ms": 2, "before": None,
+             "after": {"id": 2, "grp": 1, "amt": 5}},
+            {"op": "c", "ts_ms": 3, "before": None,
+             "after": {"id": 3, "grp": 2, "amt": 7}},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 15, 2), (2, 7, 1)]
+        # update moves id=2 from grp 1 to grp 2; delete id=3
+        drop(1, [
+            {"op": "u", "ts_ms": 4,
+             "before": {"id": 2, "grp": 1, "amt": 5},
+             "after": {"id": 2, "grp": 2, "amt": 6}},
+            {"op": "d", "ts_ms": 5,
+             "before": {"id": 3, "grp": 2, "amt": 7}, "after": None},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 10, 1), (2, 6, 1)]
+        # full retraction: grp 2's last row deleted -> group DISAPPEARS
+        drop(2, [
+            {"op": "d", "ts_ms": 6,
+             "before": {"id": 2, "grp": 2, "amt": 6}, "after": None},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 10, 1)]
+    finally:
+        q.stop()
+    # bare streaming SELECT agg over a changelog source is silently
+    # wrong under plain streaming aggregation -> loud rejection...
+    with pytest.raises(ValueError, match="retraction-aware"):
+        env.execute_sql("SELECT grp, count(*) FROM cl_src GROUP BY grp")
+    # ...unless the query references row_kind (rows-as-data opt-in)
+    assert (
+        env.execute_sql(
+            "SELECT row_kind, count(*) AS n FROM cl_src GROUP BY row_kind"
+        ).isStreaming
+    )
+    # non-decomposable aggregates need retractable accumulators
+    with pytest.raises(ValueError, match="retractable accumulator"):
+        env.execute_sql(
+            "INSERT INTO cl_sink SELECT grp, max(amt) AS total, "
+            "count(*) AS cnt FROM cl_src GROUP BY grp"
+        )
 
 
 def test_temporal_join_for_system_time(spark, tmp_path):
