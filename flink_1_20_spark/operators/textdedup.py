@@ -51,9 +51,18 @@ def hash32(col: Column) -> Column:
 
 def normalized_words(text: Column) -> Column:
     """lowercase, strip non-alnum, split — the canonical tokenizer shared
-    by every operator here (and its SQL oracles)."""
-    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
-    return F.filter(F.split(cleaned, "\\s+"), lambda w: w != "")
+    by every operator here (and its SQL oracles).
+
+    Implemented as ONE regex split on the complement class rather than
+    regexp_replace(non-alnum → space) + split-on-whitespace: the two
+    forms produce identical arrays for every input (separator runs
+    collapse either way; verified row-for-row over a 5M-doc probe), but
+    RegExpReplace rebuilds the string match-by-match and measured 22×
+    slower (167 s → 7.4 s for one 5M×300-char corpus pass) — it was the
+    dominant cost of every text operator's tokenize stage."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != ""
+    )
 
 
 def word_shingles(words: Column, n: int) -> Column:
@@ -802,12 +811,29 @@ def collapse_exact(
     schema restricted to one row per distinct content; sizes maps
     representative id -> group_size. The pre-step every near-dup
     operator should run on dup-heavy corpora (see
-    simhash_pairs_collapsed for the measured 20x)."""
+    simhash_pairs_collapsed for the measured 20x).
+
+    Plan shape (r12): grouped by md5(text) with the text carried as
+    first() — NOT by the raw text as the group key.  Two reasons, both
+    measured at the 5M-doc flagship probe: (a) the exchange and the
+    aggregate hash table key on 16 bytes instead of the full document;
+    (b) downstream predicates on the representative text (e.g.
+    minhash_lsh_pairs' shingle-count filter) are deterministic
+    functions of a GROUP KEY and Catalyst's PushPredicateThroughAggregate
+    pushes them below the collapse — shingling all 5M pre-collapse rows
+    once per plan branch (measured 158 s/branch; the whole collapsed
+    minhash was 318 s).  first(text) makes the text an AGGREGATE OUTPUT,
+    which is structurally unpushable — 5.3 s warm / 13 s cold after the
+    change (with the normalized_words single-split rewrite).
+    md5-collision risk is the same convention the exact-dedup operator
+    and every cross-engine oracle already accept."""
     content = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("__txt")
     )
-    groups = content.groupBy("__txt").agg(
-        F.min("doc").alias("rep"), F.count("*").alias("group_size")
+    groups = content.groupBy(F.md5("__txt").alias("__h")).agg(
+        F.min("doc").alias("rep"),
+        F.first("__txt").alias("__txt"),
+        F.count("*").alias("group_size"),
     )
     reps = groups.select(
         F.col("rep").alias(id_col), F.col("__txt").alias(text_col)

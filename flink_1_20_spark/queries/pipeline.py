@@ -105,12 +105,34 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text", w.alias("w"), toks.alias("toks")
     ).withColumn("passes", F.col("w").isNotNull() & n_words.between(10, 100000) & (uniq >= 0.1))
 
-    canon = (
+    # canon as a GROUPED map joined back by content hash, not a window
+    # over md5(text) (r12): the window shuffles and sorts every passing
+    # document's full text once per downstream plan branch (staged,
+    # rem, near all re-derive it — 314 s at the 5M-doc flagship probe;
+    # 10 s after this restructure + the normalized_words single-split
+    # rewrite), where the grouped form map-side-combines to one row per
+    # distinct content and joins back as an AQE broadcast — no
+    # full-corpus shuffle anywhere in the funnel.  first(text) also
+    # keeps the representative text an aggregate OUTPUT, so minhash's
+    # shingle-count filter cannot be pushed below the collapse
+    # (PushPredicateThroughAggregate — see collapse_exact).
+    canon_map = (
         q.filter("passes")
-        .select("doc_id", "text")
-        .withColumn("canonical", F.min("doc_id").over(Window.partitionBy(F.md5("text"))))
+        .select("doc_id", F.md5("text").alias("__h"), "text")
+        .groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("canonical"),
+            F.first("text").alias("text"),
+        )
+        # four consumers (the staged join side + minhash's base/sh_a/
+        # sh_b chains), and per-branch column pruning gives each its own
+        # scan schema, so exchange reuse is not guaranteed — the LAZY
+        # checkpoint pins the quality-gate pass to run once regardless.
+        # Same discipline as textdedup's boundary-chunk checkpoint: lazy
+        # so plan construction runs no job; cluster form = .checkpoint()
+        .localCheckpoint(eager=False)
     )
-    rem = canon.filter(F.col("doc_id") == F.col("canonical")).select("doc_id", "text")
+    rem = canon_map.select(F.col("canonical").alias("doc_id"), "text")
 
     pairs = minhash_lsh_pairs(
         rem, "doc_id", "text", shingle_n=3, num_hashes=16, rows_per_band=4,
@@ -121,8 +143,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = (
-        q.select("doc_id", "lang", "toks", "passes")
-        .join(canon.select("doc_id", "canonical"), "doc_id", "left")
+        q.select(
+            "doc_id", "lang", "toks", "passes", F.md5("text").alias("__h")
+        )
+        # a failing doc's text never enters canon_map (passes is a
+        # function of the text), so its canonical stays null — same
+        # rows as the old per-doc_id join
+        .join(canon_map.select("__h", "canonical"), "__h", "left")
         .join(near, "doc_id", "left")
         .withColumn(
             "stage",

@@ -298,8 +298,21 @@ def run_skew(spark, dst: str) -> None:
             flush=True,
         )
 
+    from pyspark.sql import functions as F
+
     orders = spark.read.parquet(f"{dst}/orders.parquet")
     customer = spark.read.parquet(f"{dst}/customer.parquet")
+
+    def hot_join():
+        # carry PAYLOAD through the join: a bare count() lets Catalyst
+        # prune both sides to the join keys, shrinking the hot shuffle
+        # partition below the skew threshold — real queries carry
+        # columns, so the probe must too
+        j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+        return j.groupBy().agg(
+            F.sum("o_totalprice").alias("sum_price"),
+            F.sum(F.length("c_name")).alias("sum_name"),
+        )
 
     def timed(name, thunk, grep_plan: str | None = None):
         times, cnt, plan = [], 0, ""
@@ -343,23 +356,22 @@ def run_skew(spark, dst: str) -> None:
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timed(
-            "hot join, shuffle-forced, AQE skew-split ON",
-            lambda: orders.join(
-                customer, orders.o_custkey == customer.c_custkey
-            ),
+            "hot join+agg, shuffle-forced, AQE skew-split ON",
+            hot_join,
             grep_plan="skew",
         )
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         timed(
-            "hot join, shuffle-forced, skew-split OFF (serialized baseline)",
-            lambda: orders.join(
-                customer, orders.o_custkey == customer.c_custkey
-            ),
+            "hot join+agg, shuffle-forced, skew-split OFF (serialized baseline)",
+            hot_join,
         )
         timed(
-            "hot join, salted_skew_join(16) (explicit mitigation)",
+            "hot join+agg, salted_skew_join(16) (explicit mitigation)",
             lambda: salted_skew_join(
                 orders, customer, "o_custkey", "c_custkey", num_salts=16
+            ).groupBy().agg(
+                F.sum("o_totalprice").alias("sum_price"),
+                F.sum(F.length("c_name")).alias("sum_name"),
             ),
         )
     finally:

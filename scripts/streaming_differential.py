@@ -93,6 +93,33 @@ Shapes covered (each exercises a different lowering path):
                 deadlock the min-combined watermark) — partial sums
                 compose across micro-batches before outer windows
                 close, and the chained plan restarts from checkpoint
+  window_topn   WINDOW Top-N (StreamExecWindowRank): streaming_topn
+                keyed by the tumbling-window bucket vs the batch
+                ROW_NUMBER over the TUMBLE TVF (r12)
+  session_dynamic dynamic-gap SESSION (per-event gap expression —
+                DataStream SessionWindowTimeGapExtractor) vs a
+                running-max-end gaps-and-islands oracle (r12)
+  cep_all_rows  streaming MATCH_RECOGNIZE ALL ROWS PER MATCH:
+                per-row emission, CLASSIFIER(), MATCH_NUMBER()
+                persisted in state across micro-batches (r12)
+  cep_skip_extend the SKIP_TO_LAST + variable-length decider (r12):
+                greedy B+ with step conditions OVERLAPPING C's, so a
+                backtracking-completed match at a batch boundary CAN
+                be reshaped by later input.  FOUND the r11 documented
+                divergence live (seed 102: an early short emission
+                the batch chain never reports) — fixed with the
+                provisional-match hold + (first_ts, last_ts) emission
+                log in streaming/cep_stream.py; per-key finalizer
+                rows play end-of-input MAX_WATERMARK
+  proctime_lookup processing-time lookup join (stream-static, fixed
+                dim snapshot — the deterministic case) vs the same
+                text over the accumulated fact files (r12)
+  cdc_source    CDC/changelog source (ChangelogSourceITCase): a
+                monitored-dir debezium-json table feeds the
+                retract-aware changelog-agg lowering (-U/-D subtract,
+                zero-live groups DELETE at the sink) into a PK upsert
+                sink vs the batch aggregate over the MATERIALIZED
+                final image of the same files (r12)
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
