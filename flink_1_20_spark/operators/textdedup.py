@@ -282,12 +282,20 @@ def simhash_pairs(
     # measured fresh-session at 10x: SMJ 291.7s vs SHJ 355.7s. The
     # engine default is hash-first (session.py), so pin SMJ here where
     # it is measurably right.
+    #
+    # hamming filter BEFORE dropDuplicates (r12): both fingerprints are
+    # already on the joined row, and the 8-bit block values make the
+    # candidate cross product far larger than the true pair set —
+    # deduplicating first shuffled EVERY candidate pair and only then
+    # discarded the far ones.  Filtering first cuts the dedup shuffle
+    # to rows that can appear in the output (identical result: hamming
+    # is a function of the pair, so filter and dedup commute).
     return (
         left.hint("merge").join(right, ["blk_idx", "blk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

@@ -321,7 +321,10 @@ def run_skew(spark, dst: str) -> None:
             df = thunk()
             cnt = df.count()
             times.append(time.time() - t0)
-            plan = df._jdf.queryExecution().toString()
+            # executedPlan AFTER the action: queryExecution().toString()
+            # renders the INITIAL adaptive plan (isFinalPlan=false) and
+            # never shows AQE's runtime skew rewrites
+            plan = df._jdf.queryExecution().executedPlan().toString()
         note = ""
         if grep_plan is not None:
             note = f"  [{grep_plan} in final plan: {grep_plan.lower() in plan.lower()}]"
