@@ -319,11 +319,13 @@ def run_skew(spark, dst: str) -> None:
         for _ in range(2):
             t0 = time.time()
             df = thunk()
-            cnt = df.count()
+            # collect() executes THIS DataFrame's plan — count() builds
+            # a separate aggregation plan, leaving df's own
+            # AdaptiveSparkPlan at isFinalPlan=false so the skew check
+            # would read the pre-runtime plan (r12 probe fix); the A/B
+            # arms all end in a global aggregate, so collect is tiny
+            cnt = len(df.collect())
             times.append(time.time() - t0)
-            # executedPlan AFTER the action: queryExecution().toString()
-            # renders the INITIAL adaptive plan (isFinalPlan=false) and
-            # never shows AQE's runtime skew rewrites
             plan = df._jdf.queryExecution().executedPlan().toString()
         note = ""
         if grep_plan is not None:
@@ -347,15 +349,16 @@ def run_skew(spark, dst: str) -> None:
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        # the hot partition is ~150MB at 100x — set the skew threshold
-        # the way a real deployment tunes it for its partition sizing
-        # (the 256MB default targets multi-GB shuffles); 16MB advisory
-        # splits the hot key ~10 ways
+        # the hot partition is ~25MB COMPRESSED at 100x (3M rows of
+        # custkey+totalprice after pruning) — set the skew threshold the
+        # way a real deployment tunes it for its partition sizing (the
+        # 256MB default targets multi-GB shuffles); 4MB advisory splits
+        # the hot key ~6 ways
         conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "32MB",
+            "8MB",
         )
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timed(
