@@ -148,13 +148,14 @@ def match_recognize_stream(
         pdf = pd.DataFrame(buf)
         # arrival mask BEFORE the sort: buf holds retained rows first,
         # this batch's appended rows after, so position alone says which
-        # rows are new — and the mask travels with the sort, so dedup
-        # keys on ARRIVAL, not buffer index.  If a row ever violates the
-        # in-order contract and sorts before retained rows, matches
-        # ending at retained rows stay old → the violation degrades to a
-        # DROP, never a duplicate re-emission (r11 ADVICE fix: the index
-        # test `last_idx >= n_old` re-emitted when retained rows shifted
-        # past n_old).
+        # rows are new — and the mask travels with the sort, so the
+        # NO_SKIP enumeration branch dedups on ARRIVAL, not buffer index
+        # (the chain branch dedups on the emission LOG instead — see
+        # below).  If a row ever violates the in-order contract and
+        # sorts before retained rows, matches ending at retained rows
+        # stay old → the violation degrades to a DROP, never a duplicate
+        # re-emission (r11 ADVICE fix: the index test `last_idx >=
+        # n_old` re-emitted when retained rows shifted past n_old).
         pdf["__new"] = pdf.index >= n_old
         pdf[ts] = pd.to_datetime(pdf[ts])
         pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
@@ -214,13 +215,7 @@ def match_recognize_stream(
             # emitted match may start a later overlapping match whose
             # tail arrives in a future batch (FOUND by the r11 cep
             # differential shape, seed 900: consuming up to the match
-            # end silently dropped the overlap).  Dedup is the NO_SKIP
-            # discipline: re-found matches whose last event is old were
-            # emitted when that event first arrived.  (A later row that
-            # reshapes an already-completed greedy match yields a
-            # second, longer emission — completion-order emission, the
-            # same growing output Flink's NFA produces when a looping
-            # state re-enters a final state.)
+            # end silently dropped the overlap).
             consume = pattern.skip == "PAST_LAST_EVENT"
             # Dedup by an EMISSION LOG of (first_ts, last_ts) identities
             # rather than by row arrival: the skip-jump chain is
