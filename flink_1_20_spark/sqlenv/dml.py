@@ -704,10 +704,19 @@ class DmlMixin:
                         .start()
                     )
                 except Exception as ex:
-                    if "STREAMING_OUTPUT_MODE" not in str(ex) and (
-                        "not supported" not in str(ex)
-                        or "streaming aggregations" not in str(ex)
-                    ):
+                    # updating-plan signatures that mean "this needs the
+                    # upsert materializer, not an append file sink":
+                    # non-windowed streaming aggregation, and the
+                    # stateful changelog-agg fold (applyInPandasWithState
+                    # runs in update mode, which an append sink rejects)
+                    _upd = (
+                        "STREAMING_OUTPUT_MODE" in str(ex),
+                        "not supported" in str(ex)
+                        and "streaming aggregations" in str(ex),
+                        "applyInPandasWithState in update mode"
+                        in str(ex),
+                    )
+                    if not any(_upd):
                         raise
                     # the failed append attempt drops a FileStreamSink
                     # metadata log (and, absent an explicit checkpoint

@@ -78,7 +78,8 @@ class StreamingSqlMixin:
                     "GroupAggFunction retract path), which this engine "
                     "applies on `INSERT INTO <sink with PRIMARY KEY> "
                     "SELECT ... FROM <changelog> [WHERE ...] GROUP BY "
-                    "...` with SUM/COUNT aggregates; for other shapes "
+                    "...` with SUM/COUNT/AVG/MIN/MAX aggregates; for "
+                    "other shapes "
                     "materialize the final image first "
                     "(operators/changelog.materialize_changelog) and "
                     "aggregate that, or reference row_kind explicitly "
@@ -95,9 +96,12 @@ class StreamingSqlMixin:
         that moves a row between groups retracts from the old group
         (-U, sign -1) and adds to the new (+U, +1); a WHERE predicate
         filters each image independently (Flink's changelog filter
-        semantics).  MIN/MAX/AVG and DISTINCT aggregates need
-        retractable accumulators holding per-group multiset state
-        (Flink's retractable agg functions) — rejected loudly.
+        semantics).  AVG is decomposable too (AvgAggFunction's retract
+        path is signed sum / signed count).  MIN/MAX need per-group
+        multiset state (Flink's Min/MaxWithRetractAggFunction MapState)
+        — routed to streaming/changelog_agg.py's
+        applyInPandasWithState fold; DISTINCT and other
+        non-decomposable aggregates are rejected loudly.
 
         The output carries a hidden `__retract_live` column =
         sum(sign): when a group's live count reaches 0, Flink emits a
@@ -118,11 +122,11 @@ class StreamingSqlMixin:
         if not self.spark.table(tbl).isStreaming:
             return None
         items = _split_top_all(m.group("list"), ",")
-        out_items = []
+        parsed = []  # ("pass", text) | (kind, arg_sql, alias|None)
         for it in items:
             it = it.strip()
             if not self._AGG_FN.search(it):
-                out_items.append(it)  # group key / plain expression
+                parsed.append(("pass", it))  # group key / plain expr
                 continue
             if re.search(r"\bDISTINCT\b", it, re.I):
                 raise ValueError(
@@ -137,33 +141,28 @@ class StreamingSqlMixin:
                 it, re.I,
             )
             if cm:
-                alias = f" AS {cm.group(1)}" if cm.group(1) else ""
-                out_items.append(f"CAST(sum(__sign) AS BIGINT){alias}")
+                parsed.append(("count_star", None, cm.group(1)))
                 continue
             cm = re.match(
-                r"^COUNT\s*\((.+)\)\s*(?:AS\s+(`?\w+`?))?$", it, re.I | re.S
+                r"^(COUNT|SUM|AVG|MIN|MAX)\s*\((.+)\)\s*"
+                r"(?:AS\s+(`?\w+`?))?$",
+                it, re.I | re.S,
             )
             if cm:
-                alias = f" AS {cm.group(2)}" if cm.group(2) else ""
-                out_items.append(
-                    f"CAST(sum(CASE WHEN ({cm.group(1).strip()}) IS NOT "
-                    f"NULL THEN __sign ELSE 0 END) AS BIGINT){alias}"
-                )
-                continue
-            cm = re.match(
-                r"^SUM\s*\((.+)\)\s*(?:AS\s+(`?\w+`?))?$", it, re.I | re.S
-            )
-            if cm:
-                alias = f" AS {cm.group(2)}" if cm.group(2) else ""
-                out_items.append(
-                    f"sum(({cm.group(1).strip()}) * __sign){alias}"
+                parsed.append(
+                    (
+                        cm.group(1).lower(),
+                        cm.group(2).strip(),
+                        cm.group(3),
+                    )
                 )
                 continue
             raise ValueError(
-                f"changelog aggregation supports SUM and COUNT over CDC "
-                f"source {tbl!r} (retract = signed aggregation); "
-                f"{it!r} needs a retractable accumulator holding "
-                "per-group state — materialize the final image first "
+                f"changelog aggregation supports SUM/COUNT/AVG (signed "
+                f"decomposition) and retractable MIN/MAX (multiset "
+                f"state) over CDC source {tbl!r}; {it!r} needs a "
+                "retractable accumulator this engine does not keep — "
+                "materialize the final image first "
                 "(operators/changelog.materialize_changelog) and "
                 "aggregate that"
             )
@@ -173,6 +172,40 @@ class StreamingSqlMixin:
             f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END "
             f"AS __sign FROM {tbl}{where}) __changelog"
         )
+        if any(p[0] in ("min", "max") for p in parsed):
+            # multiset-backed path (Min/MaxWithRetractAggFunction)
+            from flink_1_20_spark.streaming.changelog_agg import (
+                retractable_changelog_agg,
+            )
+
+            keys = [
+                k.strip()
+                for k in _split_top_all(m.group("keys").strip(), ",")
+            ]
+            return retractable_changelog_agg(
+                self.spark, inner, keys, parsed
+            )
+        out_items = []
+        for p in parsed:
+            if p[0] == "pass":
+                out_items.append(p[1])
+                continue
+            kind, arg, alias = p
+            alias = f" AS {alias}" if alias else ""
+            if kind == "count_star":
+                out_items.append(f"CAST(sum(__sign) AS BIGINT){alias}")
+            elif kind == "count":
+                out_items.append(
+                    f"CAST(sum(CASE WHEN ({arg}) IS NOT NULL THEN "
+                    f"__sign ELSE 0 END) AS BIGINT){alias}"
+                )
+            elif kind == "sum":
+                out_items.append(f"sum(({arg}) * __sign){alias}")
+            else:  # avg — AvgAggFunction retract: signed sum / count
+                out_items.append(
+                    f"(sum(({arg}) * __sign) / sum(CASE WHEN ({arg}) "
+                    f"IS NOT NULL THEN __sign ELSE 0 END)){alias}"
+                )
         sel = ", ".join(out_items)
         return self.spark.sql(
             f"SELECT {sel}, CAST(sum(__sign) AS BIGINT) AS __retract_live "

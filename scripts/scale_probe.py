@@ -154,6 +154,65 @@ def run_hundred(spark, dst: str) -> None:
         )
 
 
+# ---- full-TPC-H 100x battery (r12 second half): the 100x subset
+# covered 5 of 22 TPC-H queries; this mode runs ALL 22 at 100x on a
+# fixture where EVERY join partner scales with the fact table — part
+# is shifted to 2M rows (the real TPC-H sf10 part cardinality) and
+# supplier to 100k, with lineitem's l_partkey/l_suppkey shifted per
+# replica so within-replica join integrity holds (the same key-shift
+# discipline as the subset fixture).  This is the evidence class the
+# r11 verdict called out: "the 100x subset still covers only 9
+# queries".  Nation/region stay true fixed dims (25/5 rows at every
+# TPC-H scale factor).
+TPCH_FULL_TABLES = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+TPCH_FULL_COPY = ["region", "nation"]
+
+
+def generate_tpch_full(spark, dst: str, rep: int) -> None:
+    for t in TPCH_FULL_COPY:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    for t, keys in TPCH_FULL_TABLES.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        r = df.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+        for k in keys:
+            r = r.withColumn(k, F.col(k) + F.col("__rep") * OFF)
+        r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"generated {t} x{rep}: {n} rows")
+
+
+def run_tpch_full(spark, dst: str) -> None:
+    """All 22 TPC-H queries at 100x, warm min-of-2 (the JIT-retime
+    discipline from the subset battery)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = sorted(
+        (n for n in qs if n.startswith("tpch_q")),
+        key=lambda n: int(n.split("_")[1][1:]),
+    )
+    for name in names:
+        times, cnt = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            cnt = qs[name](spark, dst).count()
+            times.append(time.time() - t0)
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  {name}",
+            flush=True,
+        )
+
+
 # ---- flagship decade (r12, VERDICT r11 task 1): second-decade (100x
 # more than the 10x battery) evidence for the dedup/similarity
 # flagships whose 100 TB claims rested on 10x data + design reasoning.
@@ -444,6 +503,12 @@ def main() -> None:
         "(default --rep 100, --dst /tmp/sfX2)",
     )
     ap.add_argument(
+        "--tpch-full",
+        action="store_true",
+        help="full-TPC-H 100x mode: all 22 queries on a fixture where "
+        "part/supplier scale too (default --rep 100, --dst /tmp/sfX6)",
+    )
+    ap.add_argument(
         "--flagship",
         action="store_true",
         help="flagship-decade mode: documents+embeddings at 1000x "
@@ -459,6 +524,14 @@ def main() -> None:
     )
     args = ap.parse_args()
     spark = get_spark("scale-probe")
+    if args.tpch_full:
+        rep = args.rep if args.rep is not None else 100
+        dst = args.dst if args.dst is not None else "/tmp/sfX6"
+        if args.gen or not (args.gen or args.run):
+            generate_tpch_full(spark, dst, rep)
+        if args.run or not (args.gen or args.run):
+            run_tpch_full(spark, dst)
+        return
     if args.flagship:
         rep = args.rep if args.rep is not None else FLAGSHIP_REP
         dst = args.dst if args.dst is not None else "/tmp/sfX3"

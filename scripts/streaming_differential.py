@@ -120,6 +120,11 @@ Shapes covered (each exercises a different lowering path):
                 zero-live groups DELETE at the sink) into a PK upsert
                 sink vs the batch aggregate over the MATERIALIZED
                 final image of the same files (r12)
+  cdc_minmax    retractable MIN/MAX + AVG over the same CDC envelope
+                generator: the multiset-state path (Flink's
+                Min/MaxWithRetractAggFunction) — a retracted extreme
+                must expose the next-best LIVE value, duplicates
+                counted not set-collapsed (r12 second half)
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -198,6 +203,9 @@ SHAPES = (
     "cep_skip_extend",
     "proctime_lookup",
     "cdc_source",
+    # r12 second half: the retractable-accumulator path (multiset
+    # MIN/MAX + AVG) of the changelog aggregation
+    "cdc_minmax",
 )
 
 
@@ -1341,6 +1349,109 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
             want = _norm(
                 env.execute_sql(
                     "SELECT gk, CAST(sum(amt) AS BIGINT) AS total, "
+                    "count(*) AS cnt FROM ("
+                    "  SELECT id, gk, amt FROM ("
+                    "    SELECT *, ROW_NUMBER() OVER (PARTITION BY id "
+                    "ORDER BY ts_ms DESC) AS rn "
+                    f"    FROM {tag}_cb WHERE row_kind <> '-U'"
+                    "  ) WHERE rn = 1 AND row_kind <> '-D'"
+                    ") GROUP BY gk"
+                ).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "cdc_minmax":
+            # Retractable MIN/MAX + AVG over a CDC changelog source:
+            # the multiset-state path (Flink's
+            # Min/MaxWithRetractAggFunction) — a retraction of the
+            # current extreme must expose the NEXT-BEST live value,
+            # which no signed decomposition can answer.  Same envelope
+            # generator as cdc_source (insert/update/delete with
+            # group-moving updates and full group drains); the final
+            # sink table must equal MIN/MAX/AVG/COUNT over the batch
+            # materialization of the same files.
+            outdir = os.path.join(tmp, "out")
+            env.execute_sql(
+                f"CREATE TABLE {tag}_c (id BIGINT, gk BIGINT, amt BIGINT)"
+                f" WITH ('connector'='filesystem','path'='{src}',"
+                f"'format'='debezium-json','scan.streaming'='true')"
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_sink (gk BIGINT, mn BIGINT, "
+                f"mx BIGINT, av DOUBLE, cnt BIGINT, "
+                f"PRIMARY KEY (gk) NOT ENFORCED) WITH ("
+                f"'connector'='filesystem','path'='{outdir}',"
+                f"'format'='parquet')"
+            )
+            d = _InsertDrain(
+                env,
+                f"INSERT INTO {tag}_sink SELECT gk, min(amt) AS mn, "
+                f"max(amt) AS mx, avg(amt) AS av, count(*) AS cnt "
+                f"FROM {tag}_c GROUP BY gk",
+            )
+            live: dict[int, tuple[int, int]] = {}
+            next_id, seq = 1, 0
+
+            def _wf_mm(i):
+                nonlocal next_id, seq
+                ops = []
+                for _ in range(rng.randint(3, 10)):
+                    seq += 1
+                    roll = rng.random()
+                    if live and roll < 0.3:  # delete
+                        rid = rng.choice(sorted(live))
+                        gk, amt = live.pop(rid)
+                        ops.append({"op": "d", "ts_ms": seq,
+                                    "before": {"id": rid, "gk": gk,
+                                               "amt": amt},
+                                    "after": None})
+                    elif live and roll < 0.55:  # update (may move group)
+                        rid = rng.choice(sorted(live))
+                        gk, amt = live[rid]
+                        ngk = rng.randint(0, 3)
+                        # small value domain so duplicate amts are
+                        # common — the count-based multiset (not a set)
+                        # is what keeps min/max right when ONE of two
+                        # equal extremes retracts
+                        namt = rng.randint(1, 12)
+                        live[rid] = (ngk, namt)
+                        ops.append({"op": "u", "ts_ms": seq,
+                                    "before": {"id": rid, "gk": gk,
+                                               "amt": amt},
+                                    "after": {"id": rid, "gk": ngk,
+                                              "amt": namt}})
+                    else:  # insert
+                        rid = next_id
+                        next_id += 1
+                        gk = rng.randint(0, 3)
+                        amt = rng.randint(1, 12)
+                        live[rid] = (gk, amt)
+                        ops.append({"op": "c", "ts_ms": seq,
+                                    "before": None,
+                                    "after": {"id": rid, "gk": gk,
+                                              "amt": amt}})
+                _write_batch(src, i, ops)
+
+            try:
+                _feed_loop(d, _wf_mm, n_batches, restart_at,
+                           restart_before)
+            finally:
+                d.stop()
+            cols_out = ["gk", "mn", "mx", "av", "cnt"]
+            got = _norm(
+                env.execute_sql(f"SELECT * FROM {tag}_sink").collect(),
+                cols_out,
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_cb (id BIGINT, gk BIGINT, "
+                f"amt BIGINT) WITH ('connector'='filesystem',"
+                f"'path'='{src}','format'='debezium-json')"
+            )
+            want = _norm(
+                env.execute_sql(
+                    "SELECT gk, CAST(min(amt) AS BIGINT) AS mn, "
+                    "CAST(max(amt) AS BIGINT) AS mx, avg(amt) AS av, "
                     "count(*) AS cnt FROM ("
                     "  SELECT id, gk, amt FROM ("
                     "    SELECT *, ROW_NUMBER() OVER (PARTITION BY id "

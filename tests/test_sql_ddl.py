@@ -1040,12 +1040,104 @@ def test_changelog_source_retract_aggregation(spark, tmp_path):
             "SELECT row_kind, count(*) AS n FROM cl_src GROUP BY row_kind"
         ).isStreaming
     )
-    # non-decomposable aggregates need retractable accumulators
+    # non-decomposable aggregates need retractable accumulators this
+    # engine does not keep (MIN/MAX have the multiset path; stddev has
+    # none)
     with pytest.raises(ValueError, match="retractable accumulator"):
         env.execute_sql(
-            "INSERT INTO cl_sink SELECT grp, max(amt) AS total, "
+            "INSERT INTO cl_sink SELECT grp, stddev(amt) AS total, "
             "count(*) AS cnt FROM cl_src GROUP BY grp"
         )
+
+
+def test_changelog_retractable_min_max_avg(spark, tmp_path):
+    """Retractable MIN/MAX over a CDC changelog source: the per-group
+    multiset state (Flink's Min/MaxWithRetractAggFunction MapState)
+    must expose the NEXT-BEST value when the current extreme is
+    retracted — the case no signed decomposition can answer.  AVG rides
+    along on the same statement (mixed decomposable + multiset
+    aggregates share one stateful fold), and a fully-retracted group is
+    DELETED from the PK upsert sink."""
+    import json as _json
+
+    src = tmp_path / "clmm"
+    src.mkdir()
+    out = str(tmp_path / "clmm_out")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE mm_src (id BIGINT, grp BIGINT, amt BIGINT)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='debezium-json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE mm_sink (grp BIGINT, mn BIGINT, mx BIGINT,
+                              av DOUBLE, cnt BIGINT,
+                              PRIMARY KEY (grp) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')
+    """)
+    q = env.execute_sql(
+        "INSERT INTO mm_sink SELECT grp, min(amt) AS mn, max(amt) AS mx, "
+        "avg(amt) AS av, count(*) AS cnt FROM mm_src GROUP BY grp"
+    )
+
+    def drop(n, ops):
+        (src / f"b{n}.jsonl").write_text(
+            "\n".join(_json.dumps(o) for o in ops) + "\n"
+        )
+
+    def snap():
+        return sorted(
+            (r.grp, r.mn, r.mx, r.av, r.cnt)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    try:
+        drop(0, [
+            {"op": "c", "ts_ms": 1, "before": None,
+             "after": {"id": 1, "grp": 1, "amt": 10}},
+            {"op": "c", "ts_ms": 2, "before": None,
+             "after": {"id": 2, "grp": 1, "amt": 2}},
+            {"op": "c", "ts_ms": 3, "before": None,
+             "after": {"id": 3, "grp": 1, "amt": 30}},
+            {"op": "c", "ts_ms": 4, "before": None,
+             "after": {"id": 4, "grp": 2, "amt": 7}},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 2, 30, 14.0, 3), (2, 7, 7, 7.0, 1)]
+        # retract the current MIN (id=2, amt=2) and the current MAX
+        # (id=3 moves to grp 2 with a new amt): grp 1's extremes must
+        # fall back to the multiset's next-best values
+        drop(1, [
+            {"op": "d", "ts_ms": 5,
+             "before": {"id": 2, "grp": 1, "amt": 2}, "after": None},
+            {"op": "u", "ts_ms": 6,
+             "before": {"id": 3, "grp": 1, "amt": 30},
+             "after": {"id": 3, "grp": 2, "amt": 40}},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 10, 10, 10.0, 1), (2, 7, 40, 23.5, 2)]
+        # duplicate values: two rows share amt=10 in grp 1; retracting
+        # ONE keeps min/max at 10 (count-based multiset, not a set)
+        drop(2, [
+            {"op": "c", "ts_ms": 7, "before": None,
+             "after": {"id": 5, "grp": 1, "amt": 10}},
+        ])
+        q.processAllAvailable()
+        drop(3, [
+            {"op": "d", "ts_ms": 8,
+             "before": {"id": 1, "grp": 1, "amt": 10}, "after": None},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 10, 10, 10.0, 1), (2, 7, 40, 23.5, 2)]
+        # full retraction deletes the group from the sink
+        drop(4, [
+            {"op": "d", "ts_ms": 9,
+             "before": {"id": 5, "grp": 1, "amt": 10}, "after": None},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(2, 7, 40, 23.5, 2)]
+    finally:
+        q.stop()
 
 
 def test_temporal_join_for_system_time(spark, tmp_path):
