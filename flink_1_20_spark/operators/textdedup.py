@@ -514,8 +514,6 @@ def exact_substring_dedup(
     chunks = _cdc_chunks(
         docs, id_col, text_col, window, boundary_nibbles, unit=unit
     )
-    from pyspark.sql import Window
-
     dup = (
         chunks.groupBy(F.md5("chunk").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -530,11 +528,23 @@ def exact_substring_dedup(
     if keep_first:
         # the paper's leave-one-copy rule: the globally first occurrence
         # of each duplicated chunk (min doc, then min idx — total order)
-        # is exempt. One extra shuffle on the chunk hash.
-        w_first = Window.partitionBy("h").orderBy("doc", "idx")
-        marked = marked.withColumn(
-            "is_dup", F.col("is_dup") & (F.row_number().over(w_first) > 1)
+        # is exempt.  r12: argmin via groupBy+min(struct) joined back,
+        # restricted to DUPLICATED chunks — the former
+        # Window.partitionBy(h).row_number shuffled+sorted EVERY chunk
+        # and would serialize a Zipfian-hot boilerplate chunk's whole
+        # occurrence set onto one task (WindowExec has no skew
+        # handling); the aggregate shrinks hot chunks map-side and
+        # only dup chunks pay the extra shuffle.
+        first_occ = (
+            marked.filter(F.col("is_dup"))
+            .groupBy("h")
+            .agg(F.min(F.struct("doc", "idx")).alias("__first"))
         )
+        marked = marked.join(first_occ, "h", "left").withColumn(
+            "is_dup",
+            F.col("is_dup")
+            & (F.struct("doc", "idx") != F.col("__first")),
+        ).drop("__first")
     marked = marked.drop("h", "__dup")
     return _remove_marked_runs(chunks, marked, min_span, unit=unit)
 
@@ -761,16 +771,24 @@ def _remove_marked_runs(
 
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate assignment by content hash: every row gets its
-    cluster's canonical (min) id. One shuffle on the 128-bit hash."""
-    from pyspark.sql import Window
+    cluster's canonical (min) id.
 
-    h = docs.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return h.select(
+    Plan (r12): groupBy(fingerprint).agg(min) joined back, NOT a
+    Window.partitionBy(fingerprint) min — WindowExec has no skew
+    handling, so a Zipfian hot content (one viral text = millions of
+    identical rows) would place its whole partition on ONE task; the
+    aggregate shrinks the hot group map-side and the join-back is a
+    plain equi-join AQE's skew-split can divide (the same
+    hot-key-robust shape as the skew probe's adjudication)."""
+    h = docs.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+    canon = h.groupBy("fingerprint").agg(F.min("doc").alias("canonical_doc"))
+    return h.join(canon, "fingerprint").select(
         "doc",
         "fingerprint",
-        F.min("doc").over(w).alias("canonical_doc"),
-        (F.col("doc") != F.min("doc").over(w)).alias("is_duplicate"),
+        "canonical_doc",
+        (F.col("doc") != F.col("canonical_doc")).alias("is_duplicate"),
     )
 
 

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_1_20_spark.operators.components import dedup_assignment
+from flink_1_20_spark.operators.components import (
+    connected_components,
+    dedup_assignment,
+)
 from flink_1_20_spark.operators.textdedup import minhash_lsh_pairs
 from flink_1_20_spark.queries.dedup_docs import _MINHASH_ORACLE
 
@@ -91,11 +94,13 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
 
     Plan: cluster labels come from the checkpointed min-label component
     loop (one assignment per doc), the quality proxy is a pure column
-    expression, and the keep decision is ONE window over cluster — no
-    extra shuffle beyond the labeling itself. Scale-invariant: at 100 TB
+    expression, and the keep decision is ONE max_by aggregation over
+    cluster (argmax on (n_words, -doc_id) — a declarative aggregate
+    with map-side partial merge, so a Zipfian hot cluster is absorbed
+    in partials instead of serializing a row_number window's
+    shuffle+sort onto one task; the member count rides in the same
+    agg, removing the former sizes join).  Scale-invariant: at 100 TB
     the argmax is per-cluster state, never corpus-global."""
-    from pyspark.sql import Window
-
     from flink_1_20_spark.operators.textdedup import normalized_words
 
     docs = T(spark, sf_dir, "documents")
@@ -107,20 +112,77 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
         docs.select("doc_id", F.size(normalized_words(F.col("text"))).alias("n_words")),
         "doc_id",
     )
-    w = Window.partitionBy("cluster").orderBy(
-        F.desc("n_words"), F.asc("doc_id")
+    best = member.groupBy("cluster").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("n_words")),
+            F.struct(F.col("n_words"), (-F.col("doc_id")).alias("nid")),
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
     )
-    sizes = member.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members")
+    return best.select(
+        "cluster",
+        F.col("best.doc_id").alias("kept_doc"),
+        F.col("best.n_words").cast("long").alias("kept_n_words"),
+        "n_members",
     )
-    return (
-        member.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .join(sizes, "cluster")
-        .select(
-            "cluster",
-            F.col("doc_id").alias("kept_doc"),
-            F.col("n_words").cast("long").alias("kept_n_words"),
-            "n_members",
+
+
+@register("dedup_cluster_best_representative_collapsed", oracle=_BEST_REP_ORACLE)
+def dedup_cluster_best_representative_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collapse-first best-representative: identical OUTPUT to the raw
+    form (same oracle), but the pair graph and the component loop run
+    over one node per DISTINCT text.  This is the production path on
+    dup-heavy corpora: a Zipfian hot cluster of K identical documents
+    contributes K(K-1)/2 pairs to the raw LSH pair graph (identical
+    text → identical signature → same buckets, jaccard 1.0) — quadratic
+    in the hot-key weight — while here it is ONE node with
+    group_size=K.
+
+    Correctness of the collapse (why the same oracle holds):
+    - exact-dup groups are cliques in the raw pair graph (jaccard 1.0
+      ≥ any threshold), so contracting each group to one node
+      preserves component structure; inter-group near-dup edges
+      depend only on the distinct texts.
+    - the raw cluster label is the min doc_id of the component; the
+      component's min doc_id is the min of ITS exact group, i.e. a
+      group representative (collapse_exact's rep = min id) — so
+      min-label propagation over rep nodes yields the identical label.
+    - the raw argmax (n_words DESC, doc_id ASC) restricted to an exact
+      group is the group's min doc_id = its rep (identical text ⇒
+      identical n_words), so the argmax over reps equals the argmax
+      over members; n_members = sum of group sizes."""
+    from flink_1_20_spark.operators.textdedup import (
+        collapse_exact,
+        normalized_words,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    reps, sizes = collapse_exact(docs, "doc_id", "text")
+    pairs = minhash_lsh_pairs(reps, "doc_id", "text", jaccard_threshold=0.5)
+    cc = connected_components(pairs)
+    groups = (
+        sizes.join(cc.withColumnRenamed("node", "rep"), "rep", "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col("rep")))
+        .join(
+            reps.select(
+                F.col("doc_id").alias("rep"),
+                F.size(normalized_words(F.col("text"))).alias("n_words"),
+            ),
+            "rep",
         )
+    )
+    best = groups.groupBy("cluster").agg(
+        F.max_by(
+            F.struct(F.col("rep"), F.col("n_words")),
+            F.struct(F.col("n_words"), (-F.col("rep")).alias("nid")),
+        ).alias("best"),
+        F.sum("group_size").alias("n_members"),
+    )
+    return best.select(
+        "cluster",
+        F.col("best.rep").alias("kept_doc"),
+        F.col("best.n_words").cast("long").alias("kept_n_words"),
+        "n_members",
     )

@@ -114,7 +114,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q97_matched_unmatched",
     "tpcds_q50_latency_buckets",
     "tpcds_q86_rollup_rank_within_parent",
-    "tpcds_q30_returns_above_nation_avg",
+    # r12 second half: the NEW collapse-first best-representative query
+    # takes the last rotation slot — a first-time driver confirmation
+    # outranks one more re-proof (tpcds_q30 rotates back next round;
+    # its local-oracle coverage continues every sweep)
+    "dedup_cluster_best_representative_collapsed",
 )
 
 

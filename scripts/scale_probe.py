@@ -71,6 +71,7 @@ HEAVY = [
     "simsearch_ivfpq_adc_topk",
     "simsearch_recall_ivfpq",
     "dedup_cluster_best_representative",
+    "dedup_cluster_best_representative_collapsed",  # r12 second half
     "pipeline_decontaminated_corpus",
     # r8 addition
     "pipeline_dsir_select",
@@ -447,6 +448,144 @@ def run_skew(spark, dst: str) -> None:
                 conf.set(k, v)
 
 
+# ---- hot-cluster probe (r12 second half): the skew probe covered the
+# JOIN side (one hot customer); real corpora are also Zipfian in
+# CONTENT — one viral text carries a macroscopic fraction of the
+# corpus.  Fixture: 1M documents (5k x 200 replicas) where 20% of rows
+# share ONE hot text (a 200k-member exact-dup cluster) and the rest
+# are mutually dissimilar 40-word pseudo-texts (zero cross-doc
+# 3-shingle similarity, so the LSH core sees no accidental near-dups).
+# The hazard class: (a) a hot md5/content-hash GROUP BY key in
+# dedup_exact / the curation funnel — absorbed by map-side partials;
+# (b) the raw LSH pair graph, where a K-member exact cluster
+# contributes K(K-1)/2 pairs (2e10 at K=200k) — the collapse-first
+# forms contract it to ONE node; (c) the keep-decision, where a
+# row_number window serializes the hot cluster onto one task while
+# max_by merges it in partials (A/B below).
+HOT_REP = 200
+HOT_MOD = 5  # doc_id % 5 == 0 -> hot text: 20% of the corpus
+
+
+def generate_hotcluster(spark, dst: str, rep: int) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    r = docs.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+    r = r.withColumn("doc_id", F.col("doc_id") + F.col("__rep") * OFF)
+    uniq = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    "-", F.col("doc_id").cast("string"), i.cast("string")
+                )
+            ),
+        ),
+    )
+    hot = F.lit(" ".join(f"hotword{i:02d} filler{i:02d}" for i in range(20)))
+    r = r.withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0, hot).otherwise(
+            uniq
+        ),
+    )
+    r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+    n = spark.read.parquet(f"{dst}/documents.parquet").count()
+    nh = (
+        spark.read.parquet(f"{dst}/documents.parquet")
+        .filter(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0)
+        .count()
+    )
+    print(f"generated documents x{rep}: {n} rows, hot cluster {nh}")
+
+
+def run_hotcluster(spark, dst: str) -> None:
+    import __spark_entry__ as entry
+
+    from flink_1_20_spark.operators.textdedup import collapse_exact
+
+    qs = entry.queries()
+
+    def timed(name, thunk):
+        times, cnt = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            cnt = thunk().count()
+            times.append(time.time() - t0)
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  {name}",
+            flush=True,
+        )
+
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    # (a) hot GROUP BY keys: exact dedup + the curation funnel
+    timed("dedup_exact [hot md5 key]", lambda: qs["dedup_exact"](spark, dst))
+    timed(
+        "pipeline_corpus_curation [hot content hash]",
+        lambda: qs["pipeline_corpus_curation"](spark, dst),
+    )
+    # (b) collapse-first clustering: the hot cluster is ONE node; print
+    # the pair-graph accounting that makes the raw form infeasible
+    k = docs.filter(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0).count()
+    print(
+        f"raw LSH pair graph would carry K(K-1)/2 = {k * (k - 1) // 2:,} "
+        f"exact-dup pairs for the hot cluster alone (K={k:,}) — not "
+        "enumerated; the collapsed form contracts it to one node:",
+        flush=True,
+    )
+    timed(
+        "dedup_cluster_best_representative_collapsed [1M docs, 200k hot]",
+        lambda: qs["dedup_cluster_best_representative_collapsed"](
+            spark, dst
+        ),
+    )
+    # (c) keep-decision A/B on a synthetic labeled membership with the
+    # same Zipfian shape: window row_number serializes the hot
+    # cluster's shuffle partition onto one sort task; max_by merges it
+    # map-side.  (Isolates the operator decision from the pair graph.)
+    from pyspark.sql import Window
+
+    member = (
+        spark.range(1_000_000)
+        .withColumn(
+            "cluster",
+            F.when(F.col("id") % HOT_MOD == 0, F.lit(0)).otherwise(
+                F.col("id")
+            ),
+        )
+        .withColumn("n_words", (F.col("id") % 997).cast("int"))
+        .withColumn("doc_id", F.col("id"))
+        .repartition(64)
+        .localCheckpoint()
+    )
+
+    def keep_window():
+        w = Window.partitionBy("cluster").orderBy(
+            F.desc("n_words"), F.asc("doc_id")
+        )
+        sizes = member.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        return (
+            member.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .join(sizes, "cluster")
+        )
+
+    def keep_maxby():
+        return member.groupBy("cluster").agg(
+            F.max_by(
+                F.struct(F.col("doc_id"), F.col("n_words")),
+                F.struct(F.col("n_words"), (-F.col("doc_id")).alias("n")),
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+
+    timed("keep-decision: row_number window + sizes join", keep_window)
+    timed("keep-decision: max_by single agg", keep_maxby)
+
+
 def generate(spark, dst: str, rep: int) -> None:
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
@@ -516,6 +655,13 @@ def main() -> None:
         "(default --dst /tmp/sfX3)",
     )
     ap.add_argument(
+        "--hotcluster",
+        action="store_true",
+        help="Zipfian duplicate-content mode: 1M docs, 20%% share one "
+        "hot text; hot GROUP BY keys, collapse-first clustering, "
+        "keep-decision A/B (default --rep 200, --dst /tmp/sfX7)",
+    )
+    ap.add_argument(
         "--skew",
         action="store_true",
         help="Zipfian hot-key mode: one customer carries 20%% of orders "
@@ -539,6 +685,14 @@ def main() -> None:
             generate_flagship(spark, dst, rep)
         if args.run or not (args.gen or args.run):
             run_flagship(spark, dst)
+        return
+    if args.hotcluster:
+        rep = args.rep if args.rep is not None else HOT_REP
+        dst = args.dst if args.dst is not None else "/tmp/sfX7"
+        if args.gen or not (args.gen or args.run):
+            generate_hotcluster(spark, dst, rep)
+        if args.run or not (args.gen or args.run):
+            run_hotcluster(spark, dst)
         return
     if args.skew:
         rep = args.rep if args.rep is not None else 100
