@@ -16,6 +16,16 @@ Scale notes: all dimension tables broadcast under AQE; the fact-side
 joins shuffle on their keys; correlated subqueries decorrelate to
 joins/aggregates in Catalyst (same rewrites Flink's
 FlinkSubQueryRemoveRule performs — SURVEY.md §4.1).
+
+One-pass forms (r12, measured at the full-22 100x battery): q2, q15
+and q18 spell their spec-shaped "CTE referenced twice" subqueries in
+the single-pass equivalent (per-group extreme as a window over the one
+aggregation; q18's order-quantity CTE joined instead of re-aggregated
+under the IN).  Spark inlines CTE references, so the textbook form
+re-scans the 60M-row fact once per reference (q2 measured 74.5 s warm
+/ 494 s cold before, the decorrelated scalar agg being a second full
+costs build); the rewrites are result-identical (the correlation key
+equals the join key in each) and run verbatim on the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -29,21 +39,40 @@ _ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "li
 # name -> dialect-neutral SQL (same string = Spark query AND DuckDB oracle)
 _QUERIES: dict[str, str] = {
     # q2: min-cost supplier per part (partsupp emulated from lineitem)
+    # The correlated scalar subquery form (`unit_cost = (SELECT MIN ...
+    # WHERE c2.l_partkey = p.p_partkey)`) decorrelates to a SECOND full
+    # scan+aggregation of the 60M-row costs CTE (Spark inlines CTE
+    # references) — measured 74.5 s warm at 100x; a MIN-OVER window on
+    # the unfiltered 50M-group costs was WORSE (162.9 s — the window's
+    # partition-key sort dwarfs the extra hash agg; rejected form kept
+    # in SCALE_r12.json).  The winning shape: the correlation key is
+    # the join key and p_size<=10 filters ~4/5 of parts, so the size
+    # filter pushes INTO the costs build (per-partkey minima are
+    # untouched — restricting to qualifying partkeys cannot change a
+    # qualifying partkey's own minimum), and the per-part minimum is a
+    # window over that reduced single pass.
     "tpch_q2_min_cost_supplier": """
     WITH costs AS (
         SELECT l_partkey, l_suppkey,
                CAST(CAST(ROUND(CAST(MIN(l_extendedprice / l_quantity) AS DECIMAL(18,8)), 4)
                          AS DECIMAL(18,4)) AS DOUBLE) AS unit_cost
-        FROM lineitem GROUP BY l_partkey, l_suppkey
+        FROM lineitem
+        JOIN part pc ON pc.p_partkey = l_partkey
+        WHERE pc.p_size <= 10
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM costs
     )
     SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, c.unit_cost
     FROM part p
-    JOIN costs c    ON p.p_partkey = c.l_partkey
+    JOIN best c     ON p.p_partkey = c.l_partkey
     JOIN supplier s ON c.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     WHERE p.p_size <= 10
-      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
-                         WHERE c2.l_partkey = p.p_partkey)
+      AND c.unit_cost = c.min_cost
     """,
     # q4: order priority checking (EXISTS; late-ship predicate adapted)
     "tpch_q4_order_priority": """
@@ -172,10 +201,14 @@ _QUERIES: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey
+    ),
+    best AS (
+        SELECT supplier_no, rev_x4, MAX(rev_x4) OVER () AS max_rev
+        FROM revenue
     )
     SELECT s.s_suppkey, s.s_name, ROUND(r.rev_x4 / 1e4, 2) AS total_revenue
-    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.rev_x4 = (SELECT MAX(rev_x4) FROM revenue)
+    FROM supplier s JOIN best r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_x4 = r.max_rev
     """,
     # q16: supplier count per part attribute group (distinct count, NOT IN)
     "tpch_q16_parts_suppliers": """
@@ -197,16 +230,16 @@ _QUERIES: dict[str, str] = {
     """,
     # q18: large-volume customers (IN over grouped HAVING)
     "tpch_q18_large_volume": """
-    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           ROUND(SUM(l.l_quantity), 2) AS total_qty
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey IN (
-        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    WITH oq AS (
+        SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
         HAVING SUM(l_quantity) > 150
     )
-    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           q.total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN oq q     ON o.o_orderkey = q.l_orderkey
     """,
     # q19: discounted revenue (disjunction of conjunctions pushed to join)
     "tpch_q19_discounted_revenue": """
@@ -222,16 +255,21 @@ _QUERIES: dict[str, str] = {
     """,
     # q20: potential part promotion (nested IN with half-of-shipped agg)
     "tpch_q20_part_promotion": """
+    WITH per AS (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty,
+               SUM(SUM(l_quantity)) OVER (PARTITION BY l_partkey)
+                   AS part_total
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%r%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    )
     SELECT s.s_name, n.n_name
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     WHERE s.s_suppkey IN (
-        SELECT l_suppkey FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%r%')
-        GROUP BY l_suppkey, l_partkey
-        HAVING SUM(l_quantity) > (
-            SELECT 0.15 * SUM(l2.l_quantity) FROM lineitem l2
-            WHERE l2.l_partkey = lineitem.l_partkey
-        )
+        SELECT l_suppkey FROM per WHERE qty > 0.15 * part_total
     )
       AND n.n_regionkey = 3
     """,

@@ -29,6 +29,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
 
 
+def _fast_local_dir() -> str:
+    """Shuffle/spill scratch: prefer a writable tmpfs (RAM-backed —
+    this box's /dev/shm) over the default /tmp when the latter sits on
+    a slow virtual disk; SPARK_LOCAL_DIRS (Spark's own env override)
+    still wins if the deployment sets it."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark-local")
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:
+            pass
+    return os.environ.get("TMPDIR", "/tmp")
+
+
 def get_spark(
     app_name: str = "pyspark-flow",
     shuffle_partitions: int | None = None,
@@ -66,6 +85,17 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # local mode: the driver is the only JVM — give it the memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Shuffle spill directory on the fastest local storage, per
+        # Spark's own spark.local.dir guidance ("fast, local disk").
+        # This box's /tmp sits on a ~250 MB/s virtual disk while RAM
+        # is 128 GiB: a shuffle-heavy 100x join (q10's ~6 GB of
+        # shuffle write+read) read 30.4 s disk-backed vs 12.0 s
+        # best-run RAM-backed (r12 second half; the box shows ~30%
+        # host CPU steal, so min-of-N is the comparison discipline).
+        # On a real cluster this is the executors' NVMe scratch; here
+        # tmpfs stands in when present, with the default
+        # spark.local.dir untouched otherwise.
+        .config("spark.local.dir", _fast_local_dir())
         .config("spark.ui.enabled", "false")
         # deterministic timestamp/parquet behavior for oracle comparison
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -1151,6 +1151,109 @@ class Gen:
         )
         return sql, sql
 
+    def q_match_bounded(self) -> tuple[str, str]:
+        """Bounded-quantifier MATCH_RECOGNIZE (PATTERN (A B{m,n} C),
+        greedy or reluctant, AFTER MATCH SKIP TO NEXT ROW) — the
+        q_match_varlen run-length oracle with the B-count k restricted
+        to [m, n]: greedy binds the LARGEST k with all k rows in the
+        B-run and C satisfied at position p+1+k (backtracking from n),
+        reluctant the smallest."""
+        r = self.rng
+        t1 = r.choice(["click", "view", "signup"])
+        x = r.choice([50, 100, 200])
+        t2 = r.choice(["error", "purchase"])
+        m = r.choice([1, 2])
+        n = m + r.choice([1, 2])
+        greedy = r.random() < 0.5
+        quant = f"B{{{m},{n}}}" + ("" if greedy else "?")
+        pick = "max" if greedy else "min"
+        ks = ", ".join(f"({k})" for k in range(m, n + 1))
+        spark_sql = (
+            f"SELECT user_id, a_id, b_last, c_id "
+            f"FROM events MATCH_RECOGNIZE ("
+            f"  PARTITION BY user_id ORDER BY ts, event_id"
+            f"  MEASURES A.event_id AS a_id, LAST(B.event_id) AS b_last, "
+            f"C.event_id AS c_id"
+            f"  ONE ROW PER MATCH"
+            f"  AFTER MATCH SKIP TO NEXT ROW"
+            f"  PATTERN (A {quant} C)"
+            f"  DEFINE A AS A.event_type = '{t1}', "
+            f"B AS B.`value` > {x}, C AS C.event_type = '{t2}'"
+            f") AS m"
+        )
+        duck_sql = (
+            f"WITH ordered AS ("
+            f"  SELECT user_id, event_id, event_type, value,"
+            f"    row_number() OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id) AS rn FROM events),\n"
+            f"nb AS (SELECT user_id, rn,"
+            f"  min(CASE WHEN NOT (value > {x}) THEN rn END) OVER ("
+            f"    PARTITION BY user_id ORDER BY rn "
+            f"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nb,"
+            f"  max(rn) OVER (PARTITION BY user_id) AS nmax "
+            f"FROM ordered),\n"
+            f"anchors AS ("
+            f"  SELECT o.user_id, o.rn AS p, o.event_id AS a_id,"
+            f"    coalesce(n.next_nb, n.nmax + 1) - (o.rn + 1) AS brun "
+            f"  FROM ordered o JOIN nb n "
+            f"    ON n.user_id = o.user_id AND n.rn = o.rn + 1 "
+            f"  WHERE o.event_type = '{t1}'),\n"
+            f"cands AS ("
+            f"  SELECT a.user_id, a.p, a.a_id, a.p + 1 + ks.k AS c_rn "
+            f"  FROM anchors a JOIN (VALUES {ks}) ks(k) "
+            f"    ON ks.k <= a.brun "
+            f"  JOIN ordered c ON c.user_id = a.user_id "
+            f"   AND c.rn = a.p + 1 + ks.k "
+            f"   AND c.event_type = '{t2}'),\n"
+            f"pick AS (SELECT user_id, p, a_id, {pick}(c_rn) AS c_rn "
+            f"FROM cands GROUP BY user_id, p, a_id)\n"
+            f"SELECT k.user_id, k.a_id, b.event_id AS b_last, "
+            f"c.event_id AS c_id FROM pick k "
+            f"JOIN ordered b ON b.user_id = k.user_id "
+            f"AND b.rn = k.c_rn - 1 "
+            f"JOIN ordered c ON c.user_id = k.user_id AND c.rn = k.c_rn"
+        )
+        return spark_sql, duck_sql
+
+    def q_unnest_ordinality(self) -> tuple[str, str]:
+        """UNNEST WITH ORDINALITY (1-based position column) vs DuckDB's
+        zipped unnest + generate_subscripts; the aggregated variant
+        weights values BY ordinality so position bugs change sums, not
+        just counts."""
+        r = self.rng
+        t = self.table()
+        ic = self.int_col(t)
+        id_col = TABLES[t]["ints"][0]
+        k1, k2 = r.choice([3, 5, 7]), r.choice([11, 13])
+        arr = f"ARRAY[{ic} % {k1}, {ic} % {k2}, {ic} % {k1} + {ic} % {k2}]"
+        pred = self.pred(t)
+        if r.random() < 0.5:
+            spark_sql = (
+                f"SELECT {id_col} AS id, ux, CAST(po AS BIGINT) AS po "
+                f"FROM {t} CROSS JOIN UNNEST({arr}) WITH ORDINALITY "
+                f"AS u(ux, po) WHERE {pred}"
+            )
+            duck_sql = (
+                f"SELECT {id_col} AS id, unnest({arr}) AS ux, "
+                f"CAST(generate_subscripts({arr}, 1) AS BIGINT) AS po "
+                f"FROM {t} WHERE {pred}"
+            )
+        else:
+            spark_sql = (
+                f"SELECT CAST(po AS BIGINT) AS po, count(*) AS cnt, "
+                f"SUM(CAST(ux * po AS BIGINT)) AS s FROM {t} "
+                f"CROSS JOIN UNNEST({arr}) WITH ORDINALITY AS u(ux, po) "
+                f"WHERE {pred} GROUP BY po"
+            )
+            duck_sql = (
+                f"WITH e AS (SELECT unnest({arr}) AS ux, "
+                f"CAST(generate_subscripts({arr}, 1) AS BIGINT) AS po "
+                f"FROM {t} WHERE {pred}) "
+                f"SELECT po, count(*) AS cnt, "
+                f"SUM(CAST(ux * po AS BIGINT)) AS s FROM e GROUP BY po"
+            )
+        return spark_sql, duck_sql
+
     # ------------------------------------------------------ battery
 
     SHAPES = (
@@ -1192,6 +1295,9 @@ class Gen:
         ("match_varlen", "q_match_varlen", 1),
         ("over_range_iv", "q_over_range_interval", 2),
         ("exists_setop", "q_exists_setop", 2),
+        # r12 second-half growth
+        ("match_bounded", "q_match_bounded", 1),
+        ("unnest_ord", "q_unnest_ordinality", 2),
     )
 
     def battery(self, n: int) -> list[tuple[str, str, str]]:
