@@ -500,6 +500,31 @@ def generate_hotcluster(spark, dst: str, rep: int) -> None:
     print(f"generated documents x{rep}: {n} rows, hot cluster {nh}")
 
 
+def _steal_ticks() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    return int(p[1]), int(p[8])  # user, steal
+
+
+def wait_quiet(threshold: float = 0.20, max_wait: float = 600.0) -> float:
+    """Block until hypervisor CPU steal over a 5 s sample drops below
+    `threshold` (fraction of user+steal), or max_wait passes.  This
+    session's host shows steal GUSTS exceeding user time — timings
+    taken inside one are meaningless, so probes gate on a quiet
+    window and annotate the ratio they ran under."""
+    t0 = time.time()
+    ratio = 1.0
+    while time.time() - t0 < max_wait:
+        u0, s0 = _steal_ticks()
+        time.sleep(5)
+        u1, s1 = _steal_ticks()
+        du, ds = u1 - u0, s1 - s0
+        ratio = ds / max(1, du + ds)
+        if ratio < threshold:
+            return ratio
+    return ratio
+
+
 def run_hotcluster(spark, dst: str) -> None:
     import __spark_entry__ as entry
 
@@ -508,13 +533,18 @@ def run_hotcluster(spark, dst: str) -> None:
     qs = entry.queries()
 
     def timed(name, thunk):
+        wait_quiet()
         times, cnt = [], 0
+        u0, s0 = _steal_ticks()
         for _ in range(2):
             t0 = time.time()
             cnt = thunk().count()
             times.append(time.time() - t0)
+        u1, s1 = _steal_ticks()
+        pct = 100 * (s1 - s0) / max(1, (u1 - u0) + (s1 - s0))
         print(
-            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  {name}",
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  "
+            f"{name}  steal={pct:.0f}%",
             flush=True,
         )
 
