@@ -24,8 +24,19 @@ date_diff would be a wrong oracle), swept green on seeds
 4242/777/888/999.  The r11 session-boundary fix (exact-gap
 events MERGE — see tests/test_streaming_differential.py) flipped the
 session_tvf oracle in the same commit as the lowering, keeping the
-battery consistent.  The pinned seed here is the CLI default so a
-future regression reproduces with a bare
+battery consistent.  r11's close grew the grammar to 30 shapes
+(nested set ops, nested CASE, HAVING-vs-scalar-subquery, IN-over-join)
+and r12 to 33 (variable-length MATCH_RECOGNIZE `B+`/`B+?` vs a
+run-length oracle — which caught the batch NFA resolving reluctant
+quantifiers greedily under single-match skips; OVER RANGE INTERVAL
+frames; correlated EXISTS over set ops), soaked 10 fresh seeds × 40.
+The r12 second half added bounded-quantifier MATCH_RECOGNIZE
+(`A B{m,n} C` greedy/reluctant vs the k-ranged run-length oracle) and
+UNNEST WITH ORDINALITY (vs DuckDB's zipped unnest +
+generate_subscripts), taking the grammar to 35 shapes — swept green on
+seeds 424242/7001/7002/7003 (shape-only batteries) and fresh seeds
+8101-8105 × n=40 over the full grammar (200/200).  The pinned seed
+here is the CLI default so a future regression reproduces with a bare
 `python scripts/dialect_fuzz.py`.
 
 Soak history (what the harness itself caught, beyond the grouping-sets
