@@ -1,10 +1,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "steal": {...}, "host": "quiet"|"loaded", "sf": ...}
 
 `value` = total wall-clock over the headline set (each query executed to
 completion via collect(); results are small aggregates by construction).
+
+Steal discipline (r13): this host shows hypervisor CPU-steal gusts that
+exceed user time, and a bench number taken inside one records host
+weather, not engine cost (r12: the driver's 6.309 s sample vs the
+3.0-3.9 s quiet band needed README prose to adjudicate). The artifact
+now adjudicates itself: /proc/stat steal is sampled around the warmup
+and around EVERY timed run, each query re-runs up to a third time when
+a run saw >10% steal, the reported min carries the steal ratio it ran
+under, and a top-level "host" verdict says whether the winning runs
+were all quiet. A bounded (60 s) quiet-window wait runs before the
+timed section; the ratio it achieved is recorded, never assumed.
 """
 
 from __future__ import annotations
@@ -29,6 +41,40 @@ HEADLINE = [
     "tpch_q10_returned_items",
 ]
 
+# A run is "quiet" below this steal fraction; above it the query earns
+# a third attempt (min-of-3) and the artifact's host verdict degrades.
+STEAL_QUIET = 0.10
+
+
+def _ticks() -> tuple[int, int]:
+    """(user, steal) jiffies from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        return int(p[1]), int(p[8])
+    except (OSError, IndexError, ValueError):  # non-Linux: report 0 steal
+        return 0, 0
+
+
+def _steal_ratio(before: tuple[int, int], after: tuple[int, int]) -> float:
+    du, ds = after[0] - before[0], after[1] - before[1]
+    return ds / max(1, du + ds)
+
+
+def wait_quiet(threshold: float = 0.10, max_wait: float = 60.0) -> float:
+    """Best-effort bounded wait for a quiet window (model:
+    scripts/scale_probe.py wait_quiet, shortened — the driver runs
+    bench under a timeout, so this opportunistically dodges a gust
+    rather than insisting on one). Returns the last sampled ratio."""
+    t0 = time.time()
+    ratio = 1.0
+    while True:
+        b = _ticks()
+        time.sleep(2)
+        ratio = _steal_ratio(b, _ticks())
+        if ratio < threshold or time.time() - t0 >= max_wait:
+            return ratio
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,31 +89,45 @@ def main() -> None:
     # set's own plans/results are never touched — this measures the
     # steady-state engine cost a long-lived session (or any real
     # cluster deployment) runs at, not first-query JIT compilation.
+    warm_t = _ticks()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for warm in ("tpch_q12_priority_by_status", "tpch_q4_order_priority"):
         if warm in queries:
             queries[warm](spark, sf_dir).collect()
+    warm_steal = _steal_ratio(warm_t, _ticks())
+    pre_wait_steal = wait_quiet(STEAL_QUIET)
 
-    # Two timed executions per query, MIN reported: the second run hits
-    # the same plan with codegen compiled and page cache warm, so min
-    # measures the engine's steady-state cost rather than the host's
-    # scheduler/GC noise of one sample (JMH-style; single-run totals
-    # swung 5.3-10.0 s on an otherwise-idle 32-core box).
-    runs = 2
+    # Min of 2 timed executions per query (3 when any run was
+    # steal-loaded): the second run hits the same plan with codegen
+    # compiled and page cache warm, so min measures the engine's
+    # steady-state cost rather than the host's scheduler/GC noise of
+    # one sample (JMH-style; single-run totals swung 5.3-10.0 s on an
+    # otherwise-idle 32-core box).
     timings: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(runs):
+        best, best_steal = float("inf"), 1.0
+        max_runs, run = 2, 0
+        while run < max_runs:
+            b = _ticks()
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            r = _steal_ratio(b, _ticks())
+            if r > STEAL_QUIET:
+                max_runs = 3  # one extra attempt to catch a quiet window
+            if dt < best:
+                best, best_steal = dt, r
+            run += 1
         timings[name] = round(best, 3)
+        steal[name] = round(best_steal, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    worst = max(steal.values(), default=0.0)
     print(
         json.dumps(
             {
@@ -76,8 +136,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "runs_per_query": runs,
+                "runs_per_query": "min2, 3 if steal>10%",
                 "agg": "min",
+                "steal": steal,
+                "steal_warmup": round(warm_steal, 3),
+                "steal_prewait": round(pre_wait_steal, 3),
+                "host": "quiet" if worst <= STEAL_QUIET else "loaded",
             }
         )
     )

@@ -49,6 +49,13 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+# Canonical shingle width shared by the minhash operators and the
+# queries that must reason about shingle EXISTENCE (a text enters the
+# pair graph iff it has >= _SHINGLE_N normalized words — word_shingles
+# emits the empty array below that, and minhash_lsh_pairs filters it).
+_SHINGLE_N = 3
+
+
 def normalized_words(text: Column) -> Column:
     """lowercase, strip non-alnum, split — the canonical tokenizer shared
     by every operator here (and its SQL oracles).
@@ -77,13 +84,20 @@ def word_shingles(words: Column, n: int) -> Column:
     references are O(1) lambda-variable reads."""
 
     def build(w: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
-            )
-        )
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — gate
+        # the < n case explicitly or element_at faults on short texts.
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        return F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w, i + k) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(words), build), 1)
 

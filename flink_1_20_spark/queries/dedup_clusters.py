@@ -101,9 +101,16 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
     shuffle+sort onto one task; the member count rides in the same
     agg, removing the former sizes join).  Scale-invariant: at 100 TB
     the argmax is per-cluster state, never corpus-global."""
+    return best_representative_raw(T(spark, sf_dir, "documents"))
+
+
+def best_representative_raw(docs: DataFrame) -> DataFrame:
+    """Raw-form best-representative over any (doc_id, text) frame —
+    the body of dedup_cluster_best_representative, factored out so the
+    equivalence test can feed adversarial corpora (duplicated
+    zero-shingle texts) to both forms."""
     from flink_1_20_spark.operators.textdedup import normalized_words
 
-    docs = T(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
     labeled = dedup_assignment(docs, pairs, "doc_id").select(
         F.col("doc").alias("doc_id"), "cluster"
@@ -152,13 +159,41 @@ def dedup_cluster_best_representative_collapsed(
     - the raw argmax (n_words DESC, doc_id ASC) restricted to an exact
       group is the group's min doc_id = its rep (identical text ⇒
       identical n_words), so the argmax over reps equals the argmax
-      over members; n_members = sum of group sizes."""
+      over members; n_members = sum of group sizes.
+    - zero-shingle texts (< shingle_n normalized words, including
+      empty/whitespace) NEVER enter the raw pair graph —
+      minhash_lsh_pairs filters size(shingles) > 0 and the oracle
+      filters len(sh) > 0 — so K identical short docs are K singleton
+      clusters in the raw form.  Collapsing them would merge what the
+      raw graph keeps apart (r12 ADVICE, high), so the collapse is
+      restricted to texts that survive the shingle filter and
+      zero-shingle docs bypass it as per-doc singletons
+      (cluster = kept_doc = doc_id, n_members = 1).  The word-count
+      gate is the exact shingle-existence condition (word_shingles
+      emits the empty array iff len(words) < n), evaluated once per
+      input row on the scan — no re-shingling of pre-collapse rows."""
+    return best_representative_collapsed(T(spark, sf_dir, "documents"))
+
+
+def best_representative_collapsed(docs: DataFrame) -> DataFrame:
+    """Collapse-first body over any (doc_id, text) frame (see the
+    registered wrapper's docstring for the equivalence argument)."""
     from flink_1_20_spark.operators.textdedup import (
+        _SHINGLE_N,
         collapse_exact,
         normalized_words,
     )
 
-    docs = T(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "__nw", F.size(normalized_words(F.col("text")))
+    )
+    singletons = docs.filter(F.col("__nw") < _SHINGLE_N).select(
+        F.col("doc_id").alias("cluster"),
+        F.col("doc_id").alias("kept_doc"),
+        F.col("__nw").cast("long").alias("kept_n_words"),
+        F.lit(1).cast("long").alias("n_members"),
+    )
+    docs = docs.filter(F.col("__nw") >= _SHINGLE_N).drop("__nw")
     reps, sizes = collapse_exact(docs, "doc_id", "text")
     pairs = minhash_lsh_pairs(reps, "doc_id", "text", jaccard_threshold=0.5)
     cc = connected_components(pairs)
@@ -184,5 +219,5 @@ def dedup_cluster_best_representative_collapsed(
         "cluster",
         F.col("best.rep").alias("kept_doc"),
         F.col("best.n_words").cast("long").alias("kept_n_words"),
-        "n_members",
-    )
+        F.col("n_members").cast("long").alias("n_members"),
+    ).unionByName(singletons)

@@ -40,10 +40,15 @@ when a later-completing match at an earlier position moves a jump
 target, and arrival age alone then under-emits never-scanned matches
 behind a hold point and re-emits already-reported ones.  The log is
 pruned to identities a retained-buffer re-find could still produce,
-so it is bounded by the buffer bounds.  With tied event times ACROSS
-batches inside one key, two distinct matches can share an identity and
-dedup collapses them — supply an order tiebreak column upstream (the
-executeSql path's ORDER BY contract) where ties are possible.
+so it is bounded by the buffer bounds.  Tied event times cannot
+collide identities (r12 verdict finding 3): every buffered row gets a
+per-key ARRIVAL SEQUENCE from a persisted monotonic counter, and the
+identity is (first_ts, last_ts, first_seq, last_seq) — two distinct
+matches sharing boundary timestamps still differ in the sequence
+components, so both emit.  The sequence is assigned once at arrival
+and rides in the state buffer, making it stable across batches
+regardless of later pruning (a rank-within-tie computed per batch
+would shift whenever a trim cuts mid-tie-group).
 
 Contract/simplification vs Flink: matches are emitted at micro-batch
 granularity assuming per-key in-order arrival across batches (no
@@ -138,11 +143,20 @@ def match_recognize_stream(
             buf = json.loads(state.get[0])
             match_no = int(state.get[1])
             elog = {tuple(e) for e in json.loads(state.get[2] or "[]")}
+            seq = int(state.get[3])
         else:
-            buf, match_no, elog = [], 0, set()
+            buf, match_no, elog, seq = [], 0, set(), 0
         n_old = len(buf)  # rows carried from previous batches
         for pdf in batches:
-            buf.extend(_buffer_records(pdf, payload_cols, ts))
+            recs = _buffer_records(pdf, payload_cols, ts)
+            # per-key arrival sequence: assigned once, persisted with
+            # the buffer record — the tiebreak component of the match
+            # identity under tied event times (stable across batches
+            # and prunes, unlike a rank recomputed per batch)
+            for r in recs:
+                r["__seq"] = seq
+                seq += 1
+            buf.extend(recs)
         if not buf:
             return
         pdf = pd.DataFrame(buf)
@@ -179,7 +193,9 @@ def match_recognize_stream(
                 prefix: dict[str, list[int]] = {}
                 for name, idx in m:
                     prefix.setdefault(name, []).append(idx)
-                    src = pdf.iloc[idx].drop(labels=["__ts", "__new"]).to_dict()
+                    src = pdf.iloc[idx].drop(
+                        labels=["__ts", "__new", "__seq"], errors="ignore"
+                    ).to_dict()
                     src[classifier_col] = name
                     src[match_number_col] = match_no
                     src.update(
@@ -244,6 +260,8 @@ def match_recognize_stream(
                     ident = (
                         pdf["__ts"].iat[first_idx].isoformat(),
                         pdf["__ts"].iat[last_idx].isoformat(),
+                        int(pdf["__seq"].iat[first_idx]),
+                        int(pdf["__seq"].iat[last_idx]),
                     )
                     if ident not in elog:
                         elog.add(ident)
@@ -309,19 +327,30 @@ def match_recognize_stream(
             # when a prune crossed the hold point)
             tail = pdf.iloc[held_idx:]
         # prune the emission log to identities a retained-buffer re-find
-        # could still produce (end >= first retained ts)
+        # could still produce: the retained tail is a suffix of the
+        # (ts, seq) sort order, so an entry is reachable iff its END
+        # (last_ts, last_seq) >= the first retained (ts, seq)
         if elog:
             if len(tail):
                 lo = tail["__ts"].iloc[0].isoformat()
-                elog = {e for e in elog if e[1] >= lo}
+                lo_seq = int(tail["__seq"].iloc[0])
+                elog = {
+                    e
+                    for e in elog
+                    if e[1] > lo or (e[1] == lo and e[3] >= lo_seq)
+                }
             else:
                 elog = set()
-        new_buf = _buffer_records(tail, payload_cols, ts)
+        from flink_1_20_spark.streaming._state import marshal_records
+
+        cols = [*payload_cols, ts] if ts not in payload_cols else list(payload_cols)
+        new_buf = marshal_records(tail, [*cols, "__seq"], [ts])
         state.update(
             (
                 json.dumps(new_buf, default=_json_default),
                 match_no,
                 json.dumps(sorted(elog)),
+                seq,
             )
         )
         if out_rows:
@@ -330,7 +359,7 @@ def match_recognize_stream(
     return df.groupBy(*key_cols).applyInPandasWithState(
         fn,
         output_schema,
-        "buf string, match_no bigint, elog string",
+        "buf string, match_no bigint, elog string, seq bigint",
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -273,7 +273,23 @@ def retractable_changelog_agg(
                 st["a"][j] = [
                     [v, c] for v, c in msets[j].items() if c != 0
                 ]
-        state.update((json.dumps(st),))
+        if st["live"] == 0 and all(
+            not st["a"][j]
+            for j in range(n_aggs)
+            if agg_specs[j][0] in ("min", "max")
+        ):
+            # fully retracted group: emit the __retract_live=0 delete
+            # row below but CLEAR the keyed state instead of persisting
+            # an all-zero digest — Flink's GroupAggFunction clears state
+            # when the group count reaches zero (r12 ADVICE: a
+            # high-churn CDC keyspace otherwise grows dead-group state
+            # without bound for the query's lifetime).  A later insert
+            # for the key re-creates fresh zero state, which is the
+            # same accumulator the pruned digest represents.
+            if state.exists:
+                state.remove()
+        else:
+            state.update((json.dumps(st),))
         out = {}
         for name, v, lng in zip(out_names, row, is_long_out):
             if lng and v is not None:

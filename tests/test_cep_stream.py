@@ -356,3 +356,51 @@ def test_streaming_cep_variable_length_hold(spark, tmp_path):
     finally:
         q.stop()
     assert rows == [(10, 6, 12)]
+
+
+def test_streaming_cep_equal_boundary_ts_matches_both_emit(spark, tmp_path):
+    """r12 verdict finding 3: two DISTINCT matches sharing boundary
+    timestamps must both emit.  The emission-log identity was
+    (first_ts, last_ts) — under tied event times the second match looked
+    already-emitted and was silently dropped; the identity now carries
+    the persisted per-key arrival sequence of the boundary rows.
+    Covers both collision surfaces: two same-ts matches inside one
+    batch, and a third same-ts match arriving in a LATER batch (its
+    tie-mates already in the emission log)."""
+    src = str(tmp_path / "in_ties")
+    _drop(src, 0, [
+        ("2024-01-01T10:00:00", 1, "click"),
+        ("2024-01-01T10:00:00", 1, "click"),   # same ts, distinct match
+    ])
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "click")
+        .after_match_skip("TO_NEXT_ROW")
+    )
+
+    def measures(g):
+        return {"m_ts": g["a"]["ts"].iloc[0].isoformat()}
+
+    stream = file_source(spark, src, SCHEMA, fmt="json")
+    out = match_recognize_stream(
+        stream,
+        keys=["user_id"],
+        ts="ts",
+        pattern=pat,
+        measures=measures,
+        output_schema="m_ts string, user_id bigint",
+        payload_cols=["event_type"],
+    )
+    q = run_to_memory(out, "cep_ties_out", output_mode="update")
+    try:
+        q.processAllAvailable()
+        assert spark.table("cep_ties_out").count() == 2
+        # a later batch adds a THIRD click at the same timestamp: the
+        # retained rows' matches are in the log (no re-emission), the
+        # new row's match must not collide with them
+        _drop(src, 1, [("2024-01-01T10:00:00", 1, "click")])
+        q.processAllAvailable()
+        rows = spark.table("cep_ties_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 3
+    assert all(r["m_ts"] == "2024-01-01T10:00:00" for r in rows)

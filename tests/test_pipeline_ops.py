@@ -832,3 +832,44 @@ def test_exact_substring_oracles_share_boundary_rule():
         _EXACT_SUBSTR_TOK_ORACLE
     )
     assert "regexp_replace(lower({text_col}), " in src
+
+
+def test_best_rep_collapsed_keeps_zero_shingle_dups_apart(spark):
+    """r12 ADVICE (high): duplicated texts with < shingle_n (3)
+    normalized words never enter the raw pair graph (minhash filters
+    size(shingles) > 0), so K identical short docs are K singleton
+    clusters in the raw form — the collapsed form must NOT merge them.
+    Corpus mixes: an empty-text dup group, a 2-word dup group, a
+    3-word dup group (collapsible: shingleable), and a near-dup pair."""
+    from flink_1_20_spark.queries.dedup_clusters import (
+        best_representative_collapsed,
+        best_representative_raw,
+    )
+
+    rows = [
+        (0, ""),
+        (1, ""),
+        (2, "   "),                      # whitespace == zero words
+        (3, "hello world"),              # 2 words: zero shingles
+        (4, "hello world"),
+        (5, "hello world"),
+        (6, "alpha beta gamma"),         # exactly 3 words: 1 shingle
+        (7, "alpha beta gamma"),
+        (8, "the quick brown fox jumps over the lazy dog today"),
+        (9, "the quick brown fox jumps over the lazy cat today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        (r.cluster, r.kept_doc, r.kept_n_words, r.n_members)
+        for r in best_representative_raw(docs).collect()
+    }
+    collapsed = {
+        (r.cluster, r.kept_doc, r.kept_n_words, r.n_members)
+        for r in best_representative_collapsed(docs).collect()
+    }
+    assert collapsed == raw
+    # the divergence the fix closes: docs 0-5 are six singletons
+    for d in range(6):
+        assert (d, d, len(rows[d][1].split()), 1) in raw
+    # and shingleable exact dups DID collapse (6,7 one cluster of 2)
+    assert any(c == 6 and n == 2 for c, _k, _w, n in raw)

@@ -1129,13 +1129,23 @@ def test_changelog_retractable_min_max_avg(spark, tmp_path):
         ])
         q.processAllAvailable()
         assert snap() == [(1, 10, 10, 10.0, 1), (2, 7, 40, 23.5, 2)]
-        # full retraction deletes the group from the sink
+        # full retraction deletes the group from the sink — and CLEARS
+        # the group's keyed state (Flink GroupAggFunction count-0
+        # cleanup; r12 ADVICE: dead-group state must not persist)
         drop(4, [
             {"op": "d", "ts_ms": 9,
              "before": {"id": 5, "grp": 1, "amt": 10}, "after": None},
         ])
         q.processAllAvailable()
         assert snap() == [(2, 7, 40, 23.5, 2)]
+        # a later insert for the cleared key re-creates fresh state and
+        # the group reappears with exactly the new row's values
+        drop(5, [
+            {"op": "c", "ts_ms": 10, "before": None,
+             "after": {"id": 6, "grp": 1, "amt": 99}},
+        ])
+        q.processAllAvailable()
+        assert snap() == [(1, 99, 99, 99.0, 1), (2, 7, 40, 23.5, 2)]
     finally:
         q.stop()
 
