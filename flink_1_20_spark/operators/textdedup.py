@@ -208,6 +208,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -220,7 +221,18 @@ def minhash_lsh_pairs(
     repartitions when splits < cores (r10; metadata-only, no-op on
     real multi-file corpora and on derived inputs like the collapsed
     variant's representatives).
-    """
+
+    `max_bucket` (r13, VERDICT r12 task 4): drop band buckets whose
+    population exceeds the cap BEFORE the self-join — the df-cut analog
+    for the band index.  collapse-first eats exact-dup hot clusters,
+    but a templated NEAR-dup hot cluster (distinct texts, identical
+    band hashes) still makes the candidate pair set itself quadratic in
+    the bucket population, a cost no AQE setting can re-plan away at
+    100 TB.  A pair survives if ANY of its shared buckets is under the
+    cap (bucket-wise drop, like dropping an over-frequent shingle from
+    the inverted index), so recall loss is confined to pairs ALL of
+    whose collisions are boilerplate-hot — measured by the
+    hot-cluster probe's recall gate.  None = exact LSH (default)."""
     docs = _ensure_scan_parallelism(docs)
     words = normalized_words(F.col(text_col))
     sh = word_shingles(words, shingle_n).alias("shingles")
@@ -241,6 +253,17 @@ def minhash_lsh_pairs(
     long = banded.select("doc", F.explode(band_struct).alias("bk")).select(
         "doc", "bk.band_idx", "bk.band_hash"
     )
+    if max_bucket is not None:
+        # bucket-population cut: one aggregate on the SAME key as the
+        # pair join (shuffle reused), buckets above the cap removed
+        # before the quadratic step ever sees them
+        pop = (
+            long.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__pop"))
+            .filter(F.col("__pop") <= max_bucket)
+            .drop("__pop")
+        )
+        long = long.join(pop, ["band_idx", "band_hash"])
     pairs = (
         long.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
         .join(long.select(F.col("doc").alias("id_b"), "band_idx", "band_hash"),
@@ -266,11 +289,19 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bits: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) <= max_hamming.
 
     Requires max_hamming < n_bands (=4) so the block join is exhaustive
-    (see simhash_bands pigeonhole note)."""
+    (see simhash_bands pigeonhole note).
+
+    `max_bucket` (r13): drop pigeonhole blocks with population above
+    the cap before the block self-join — same templated-hot-bucket
+    rationale as minhash_lsh_pairs' cap.  With a dropped block the
+    pigeonhole guarantee weakens to "some OTHER block pair must
+    collide", so recall loss concentrates on near-dup pairs whose
+    every agreeing block is boilerplate-hot.  None = exhaustive."""
     n_bands = 4
     if max_hamming >= n_bands:
         raise ValueError("max_hamming must be < 4 for exact 4-block LSH")
@@ -287,6 +318,14 @@ def simhash_pairs(
     long = blk.select("doc", "fp", F.explode(block_struct).alias("b")).select(
         "doc", "fp", "b.blk_idx", "b.blk_val"
     )
+    if max_bucket is not None:
+        pop = (
+            long.groupBy("blk_idx", "blk_val")
+            .agg(F.count(F.lit(1)).alias("__pop"))
+            .filter(F.col("__pop") <= max_bucket)
+            .drop("__pop")
+        )
+        long = long.join(pop, ["blk_idx", "blk_val"])
     left = long.select(F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "blk_idx", "blk_val")
     right = long.select(F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "blk_idx", "blk_val")
     # merge hint (r11): the band join has ~1024 distinct keys with huge

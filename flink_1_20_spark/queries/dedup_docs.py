@@ -108,6 +108,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# capped-band variant (r13, VERDICT r12 task 4): buckets with
+# population > _MAX_BUCKET are dropped before the pair join — the
+# df-cut analog for the band index.  2 binds at sf0.01 (the corpus has
+# population-3 buckets), so the driver comparison exercises the cut.
+_MAX_BUCKET = 2
+
+_MINHASH_CAPPED_ORACLE = (
+    "WITH words AS (SELECT doc_id, " + _WORDS + " AS w FROM documents),\n"
+    "sh AS (SELECT doc_id, " + _sh_sql(3) + " AS sh FROM words WHERE len(" + _sh_sql(3) + ") > 0),\n"
+    "hs AS (SELECT doc_id, sh, list_transform(sh, s -> " + _h32("s") + ") AS hl FROM sh),\n"
+    "sigs AS (SELECT doc_id, sh, "
+    + ", ".join(_mh(i) + " AS mh" + str(i) for i in range(_NUM_HASHES))
+    + " FROM hs),\n"
+    "banded AS (SELECT doc_id, sh, "
+    + ", ".join(_band(b, _ROWS_PER_BAND) + " AS band" + str(b) for b in range(_N_BANDS))
+    + " FROM sigs),\n"
+    "longf AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bi, band{b} AS bh FROM banded"
+        for b in range(_N_BANDS)
+    )
+    + "),\n"
+    "keep AS (SELECT doc_id, bi, bh FROM longf\n"
+    "         QUALIFY count(*) OVER (PARTITION BY bi, bh) <= "
+    + str(_MAX_BUCKET)
+    + "),\n"
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+    "         FROM keep a JOIN keep b\n"
+    "           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),\n"
+    "pairs AS (SELECT c.id_a, c.id_b,\n"
+    "   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,\n"
+    "   len(sa.sh) AS na, len(sb.sh) AS nb\n"
+    " FROM cand c JOIN banded sa ON sa.doc_id = c.id_a\n"
+    "             JOIN banded sb ON sb.doc_id = c.id_b)\n"
+    "SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jac\n"
+    "FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.5"
+)
+
+
+@register("dedup_minhash_lsh_capped", oracle=_MINHASH_CAPPED_ORACLE)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH pairs with the bucket-population cap (max_bucket=2):
+    band buckets above the cap are dropped before the self-join — the
+    100 TB guard against templated NEAR-dup hot buckets (distinct
+    texts, identical band hashes), whose candidate pair set is
+    inherently quadratic in bucket population and which collapse-first
+    cannot contract (it only eats EXACT duplicates).  Oracle encodes
+    the same cut (QUALIFY over the unpivoted band index), so the
+    comparison is exact, not recall-tolerant; the recall effect of the
+    cap is measured separately by the hot-cluster probe's gate
+    (scripts/scale_probe.py --hotcluster)."""
+    docs = T(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        jaccard_threshold=0.5,
+        max_bucket=_MAX_BUCKET,
+    )
+
+
 _SIMHASH_BITS = 32
 
 

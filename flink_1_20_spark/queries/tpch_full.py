@@ -273,22 +273,46 @@ _QUERIES: dict[str, str] = {
     )
       AND n.n_regionkey = 3
     """,
-    # q21: suppliers who kept orders waiting (EXISTS/NOT EXISTS pair;
-    # late = shipped > 180 days after order date)
+    # q21: suppliers who kept orders waiting (late = shipped > 180 days
+    # after order date).  Shipped in the r13 Expand-free pre-agg form
+    # (accepted on the SCALE_r13 A/B: 100x fixture, results identical,
+    # 28.6 -> 4.3 s warm / 83.6 -> 7.1 s cold at 2-3% steal): lineitem
+    # collapses once per (l_orderkey, l_suppkey) with the late-item
+    # count, then ONE per-orderkey aggregation replaces the spec's
+    # EXISTS / NOT-EXISTS self-join pair —
+    #   n_supp      >= 2  ⇔  EXISTS l2 with a different supplier
+    #   n_late_supp  = 1  ⇔  NOT EXISTS another late supplier (l1's own
+    #                        supplier is late, so exactly one is)
+    #   SUM(late_items)   =  the spec's COUNT(*) over qualifying l1
+    #                        rows (under n_late_supp = 1 the sum is
+    #                        exactly the unique late supplier's count)
+    # Both aggregations cluster on l_orderkey, so the second reuses the
+    # join shuffle's partitioning (zero extra exchanges) and nothing
+    # scans lineitem twice.  The spec form is pinned as the ledger twin
+    # by tests/test_tpch_spec_equivalence.py (_Q21_SPEC).
     "tpch_q21_waiting_suppliers": """
-    SELECT s.s_name, COUNT(*) AS numwait
-    FROM supplier s
-    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
-    WHERE o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL '180' DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o.o_orderdate + INTERVAL '180' DAY)
+    WITH sup AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '180' DAY
+                        THEN 1 ELSE 0 END) AS late_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    ord AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(CASE WHEN late_items > 0 THEN 1 ELSE 0 END) AS n_late_supp,
+               MAX(CASE WHEN late_items > 0 THEN l_suppkey END) AS late_supp,
+               SUM(late_items) AS late_items
+        FROM sup
+        GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(SUM(o2.late_items) AS BIGINT) AS numwait
+    FROM ord o2
+    JOIN supplier s ON s.s_suppkey = o2.late_supp
+    WHERE o2.n_supp >= 2 AND o2.n_late_supp = 1
     GROUP BY s.s_name
     """,
     # q22: global sales opportunity (anti-join + scalar avg subquery;
@@ -308,6 +332,33 @@ _QUERIES: dict[str, str] = {
     GROUP BY cntrycode
     """,
 }
+
+
+# q21 SPEC form (the textbook EXISTS / NOT-EXISTS self-join pair the
+# shipped pre-agg replaced in r13) — kept as the ledger twin: the
+# DuckDB equivalence pin (tests/test_tpch_spec_equivalence.py) runs
+# both forms and asserts identical rows, and scale_probe --q21ab
+# re-measures the A/B (r13 acceptance: identical 1000-row results at
+# 100x, spec 28.6 s warm / 83.6 s cold vs pre-agg 4.3 s warm / 7.1 s
+# cold at 2-3% steal; the r12-rejected pre-agg had failed on double
+# COUNT DISTINCT's Expand, which this form avoids with bool_or-style
+# per-(orderkey,suppkey) collapse).
+_Q21_SPEC = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL '180' DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL '180' DAY)
+    GROUP BY s.s_name
+    """
 
 
 def _make(name: str, sql: str):

@@ -65,60 +65,62 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpcds_q1_returns_above_avg",
     # decimal-output-ban regression sentinel (red r4-r5, green r6)
     "join_range_banded",
-    # ---- r12 rotation (VERDICT r11 task 6): the 42 re-proof slots go
-    # to the queries whose last driver confirmation is OLDEST — all 22
-    # remaining r4-confirmed plus the 20 oldest r5-confirmed (the
-    # wtvf_* / cep_* / udx_* / approx-agg era the verdict names).
-    # Cumulative driver confirmation closed at 283/283 in r11; from
-    # here the window purely ages the registry forward.  The r12 CEP
-    # reluctant-backtracking fix (operators/cep.py) makes the two cep_*
-    # rows and wtvf_window_rank this round's guard-path re-proofs.
-    "dedup_keep_last",
-    "over_range_time",
-    "correlate_lateral_topn",
-    "subquery_exists_correlated",
-    "fn_string_advanced",
-    "fn_time_type",
-    "fn_json_path",
-    "wtvf_tumble",
-    "wtvf_session",
-    "asof_join_backward",
-    "lookup_join_dims",
-    "cep_funnel_strict",
-    "cep_followed_by_any",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "simsearch_lsh_topk",
-    "text_quality",
-    "changelog_join_semi",
-    "tpcds_q36_rollup_rank",
-    "tpcds_q78_no_return_by_year",
-    "tpcds_q72_residual_inequality",
-    "agg_approx_count_distinct",
-    "fn_string_basic",
-    "wtvf_hop",
-    "wtvf_cumulate",
-    "wtvf_window_rank",
-    "dedup_simhash",
-    "simsearch_topk_bruteforce",
-    "embed_quantize_int8",
-    "text_tokens",
-    "multimodal_resize_nearest",
-    "count_window_tumble",
-    "changelog_join_anti",
-    "udx_table_function",
-    "temporal_sort",
-    "script_transform_pipe",
-    "tpch_q12_priority_by_status",
-    "tpcds_q99_ship_bucket_grid",
-    "tpcds_q97_matched_unmatched",
-    "tpcds_q50_latency_buckets",
-    "tpcds_q86_rollup_rank_within_parent",
-    # r12 second half: the NEW collapse-first best-representative query
-    # takes the last rotation slot — a first-time driver confirmation
-    # outranks one more re-proof (tpcds_q30 rotates back next round;
-    # its local-oracle coverage continues every sweep)
+    # ---- r13 rotation (VERDICT r12 task 7): 3 slots go to this
+    # round's new or changed-form queries — a first-time/changed-form
+    # driver confirmation outranks a re-proof (r12 precedent):
+    #   dedup_minhash_lsh_capped — NEW bucket-population cap (task 4)
+    #   tpch_q21_waiting_suppliers — NEW shipped pre-agg form (task 2,
+    #     accepted on the 100x A/B: identical rows, 28.6 -> 4.3 s)
+    #   dedup_cluster_best_representative_collapsed — changed form
+    #     (r12 ADVICE high: zero-shingle dups stay singletons)
+    "dedup_minhash_lsh_capped",
+    "tpch_q21_waiting_suppliers",
     "dedup_cluster_best_representative_collapsed",
+    # ---- the remaining 39 re-proof slots take the next-oldest driver
+    # confirmations (computed from CORRECTNESS_r01..r12: every r5-era
+    # row aged past by r12's rotation, then the full r6 era — the
+    # wtvf_*/setop_*/fn_* band the r12 verdict names).  The r12 window
+    # rows rotate out; their local-oracle coverage continues in every
+    # verify_local sweep.
+    "dedup_semantic_cells",
+    "pipeline_sequence_pack",
+    "simsearch_recall_lsh",
+    "text_chunk_sliding",
+    "tpcds_q30_returns_above_nation_avg",
+    "agg_json_objectagg",
+    "cdc_upsert_materialize",
+    "cep_error_burst",
+    "changelog_normalize",
+    "correlate_posexplode",
+    "correlate_unnest_words",
+    "count_window_slide",
+    "dedup_simhash_collapsed",
+    "fn_json",
+    "fn_map",
+    "fn_temporal_extract",
+    "pipeline_temperature_mix",
+    "simsearch_hard_negatives",
+    "simsearch_lsh_buckets",
+    "simsearch_recall_ivf",
+    "subquery_correlated_agg",
+    "subquery_in",
+    "subquery_scalar",
+    "text_fingerprint",
+    "text_repetition",
+    "tpcds_q12_revenue_share_by_class",
+    "tpcds_q20_discounted_share_by_type",
+    "tpcds_q23b_best_customer_frequent_items",
+    "tpcds_q29_sale_return_repurchase",
+    "tpcds_q39b_cov_pair_gated",
+    "tpcds_q62_latency_grid_three_dims",
+    "tpcds_q6_state_over_avg_price",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "udx_pandas_scalar",
+    "values_inline",
 )
 
 

@@ -29,22 +29,47 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
 
 
+# Minimum free tmpfs capacity before it is trusted as the spill dir.
+# Sized to the largest shuffle the probes actually produce (~6 GB for
+# the 100x q10) with 5x headroom; a memory-tight host fails the gate
+# and keeps disk spill.
+_TMPFS_MIN_FREE = 32 << 30
+
+
 def _fast_local_dir() -> str:
     """Shuffle/spill scratch: prefer a writable tmpfs (RAM-backed —
     this box's /dev/shm) over the default /tmp when the latter sits on
-    a slow virtual disk; SPARK_LOCAL_DIRS (Spark's own env override)
-    still wins if the deployment sets it."""
+    a slow virtual disk.  Precedence: SPARK_LOCAL_DIRS (Spark's own
+    env override) always wins; SPARK_GRAFT_TMPFS_SPILL=1/0 forces the
+    tmpfs choice on/off; otherwise tmpfs is used only when its free
+    capacity clears _TMPFS_MIN_FREE (r12 ADVICE: tmpfs is typically
+    capped at 50% of RAM and its pages compete with executor memory —
+    on a memory-tight standalone node a RAM-backed spill both risks
+    ENOSPC where disk would have succeeded and defeats spilling under
+    memory pressure; on a managed cluster the cluster manager
+    overrides spark.local.dir anyway)."""
     env = os.environ.get("SPARK_LOCAL_DIRS")
     if env:
         return env
+    force = os.environ.get("SPARK_GRAFT_TMPFS_SPILL")
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "spark-local")
+    if (
+        force != "0"
+        and os.path.isdir(shm)
+        and os.access(shm, os.W_OK)
+    ):
         try:
-            os.makedirs(d, exist_ok=True)
-            return d
+            st = os.statvfs(shm)
+            free = st.f_bavail * st.f_frsize
         except OSError:
-            pass
+            free = 0
+        if force == "1" or free >= _TMPFS_MIN_FREE:
+            d = os.path.join(shm, "spark-local")
+            try:
+                os.makedirs(d, exist_ok=True)
+                return d
+            except OSError:
+                pass
     return os.environ.get("TMPDIR", "/tmp")
 
 

@@ -78,8 +78,8 @@ class StreamingSqlMixin:
                     "GroupAggFunction retract path), which this engine "
                     "applies on `INSERT INTO <sink with PRIMARY KEY> "
                     "SELECT ... FROM <changelog> [WHERE ...] GROUP BY "
-                    "...` with SUM/COUNT/AVG/MIN/MAX aggregates; for "
-                    "other shapes "
+                    "...` with SUM/COUNT/AVG/STDDEV/VAR/MIN/MAX "
+                    "aggregates; for other shapes "
                     "materialize the final image first "
                     "(operators/changelog.materialize_changelog) and "
                     "aggregate that, or reference row_kind explicitly "
@@ -144,23 +144,25 @@ class StreamingSqlMixin:
                 parsed.append(("count_star", None, cm.group(1)))
                 continue
             cm = re.match(
-                r"^(COUNT|SUM|AVG|MIN|MAX)\s*\((.+)\)\s*"
+                r"^(COUNT|SUM|AVG|MIN|MAX|STDDEV_POP|STDDEV_SAMP|STDDEV"
+                r"|VAR_POP|VAR_SAMP|VARIANCE)\s*\((.+)\)\s*"
                 r"(?:AS\s+(`?\w+`?))?$",
                 it, re.I | re.S,
             )
             if cm:
-                parsed.append(
-                    (
-                        cm.group(1).lower(),
-                        cm.group(2).strip(),
-                        cm.group(3),
-                    )
+                kind = cm.group(1).lower()
+                # Calcite/Flink alias convention: STDDEV = STDDEV_SAMP,
+                # VARIANCE = VAR_SAMP
+                kind = {"stddev": "stddev_samp", "variance": "var_samp"}.get(
+                    kind, kind
                 )
+                parsed.append((kind, cm.group(2).strip(), cm.group(3)))
                 continue
             raise ValueError(
-                f"changelog aggregation supports SUM/COUNT/AVG (signed "
-                f"decomposition) and retractable MIN/MAX (multiset "
-                f"state) over CDC source {tbl!r}; {it!r} needs a "
+                f"changelog aggregation supports SUM/COUNT/AVG/"
+                f"STDDEV/VAR (signed decomposition) and retractable "
+                f"MIN/MAX (multiset state) over CDC source {tbl!r}; "
+                f"{it!r} needs a "
                 "retractable accumulator this engine does not keep — "
                 "materialize the final image first "
                 "(operators/changelog.materialize_changelog) and "
@@ -201,6 +203,42 @@ class StreamingSqlMixin:
                 )
             elif kind == "sum":
                 out_items.append(f"sum(({arg}) * __sign){alias}")
+            elif kind in (
+                "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+            ):
+                # VarPop/VarSampAggFunction retract form (r12 verdict
+                # task 5): signed (count, sum, sum-of-squares) —
+                # variance is a pure function of the three, so the
+                # retraction is the same signed decomposition SUM uses.
+                # n < 1 (pop) / n < 2 (samp) → NULL (both engines'
+                # convention); GREATEST(0, ·) absorbs the negative
+                # epsilon float cancellation can leave under SQRT.
+                n = (
+                    f"sum(CASE WHEN ({arg}) IS NOT NULL THEN __sign "
+                    f"ELSE 0 END)"
+                )
+                s = f"sum(CAST(({arg}) AS DOUBLE) * __sign)"
+                ss = (
+                    f"sum(CAST(({arg}) AS DOUBLE) * ({arg}) * __sign)"
+                )
+                if kind in ("var_pop", "stddev_pop"):
+                    var = (
+                        f"GREATEST(CAST(0 AS DOUBLE), ({ss}) / ({n}) "
+                        f"- POWER(({s}) / ({n}), 2))"
+                    )
+                    guarded = f"CASE WHEN ({n}) >= 1 THEN {var} END"
+                else:
+                    var = (
+                        f"GREATEST(CAST(0 AS DOUBLE), (({ss}) - ({s}) "
+                        f"* ({s}) / ({n})) / (({n}) - 1))"
+                    )
+                    guarded = f"CASE WHEN ({n}) >= 2 THEN {var} END"
+                expr = (
+                    f"SQRT({guarded})"
+                    if kind.startswith("stddev")
+                    else f"({guarded})"
+                )
+                out_items.append(f"{expr}{alias}")
             else:  # avg — AvgAggFunction retract: signed sum / count
                 out_items.append(
                     f"(sum(({arg}) * __sign) / sum(CASE WHEN ({arg}) "

@@ -151,6 +151,18 @@ def retractable_changelog_agg(
         if kind in ("count_star", "count"):
             out = T.LongType()
             enc_kinds.append("")
+        elif kind in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            # signed (count, sum, sum-of-squares) — Flink's
+            # VarPop/VarSampAggFunction retract accumulators
+            if not isinstance(dt, _INTEGRAL + _FRACTIONAL):
+                raise ValueError(
+                    f"changelog aggregation: {kind.upper()}({arg}) over "
+                    f"type {dt.simpleString()} has no retractable "
+                    "accumulator here — materialize the final image "
+                    "first (operators/changelog.materialize_changelog)"
+                )
+            out = T.DoubleType()
+            enc_kinds.append("")
         elif kind in ("sum", "avg"):
             if not isinstance(dt, _INTEGRAL + _FRACTIONAL):
                 raise ValueError(
@@ -197,7 +209,11 @@ def retractable_changelog_agg(
             st = {
                 "live": 0,
                 "a": [
-                    [] if k in ("min", "max") else [0, 0]
+                    []
+                    if k in ("min", "max")
+                    else [0, 0, 0]
+                    if k.startswith(("var_", "stddev_"))
+                    else [0, 0]
                     for k, _ in agg_specs
                 ],
             }
@@ -229,6 +245,13 @@ def retractable_changelog_agg(
                             continue
                         a[0] += v * s
                         a[1] += s
+                elif kind.startswith(("var_", "stddev_")):
+                    for v, s in zip(vals, signs):
+                        if v is None or v != v:
+                            continue
+                        a[0] += v * s
+                        a[1] += s
+                        a[2] += v * v * s
                 else:  # min / max
                     d = msets[j]
                     ek = enc_kinds[j]
@@ -251,6 +274,23 @@ def retractable_changelog_agg(
                 row.append(None if a[1] == 0 else a[0])
             elif kind == "avg":
                 row.append(None if a[1] == 0 else a[0] / a[1])
+            elif kind.startswith(("var_", "stddev_")):
+                s_, n_, ss_ = a
+                if kind.endswith("_pop"):
+                    var = (
+                        None
+                        if n_ < 1
+                        else max(0.0, ss_ / n_ - (s_ / n_) ** 2)
+                    )
+                else:
+                    var = (
+                        None
+                        if n_ < 2
+                        else max(0.0, (ss_ - s_ * s_ / n_) / (n_ - 1))
+                    )
+                if kind.startswith("stddev_") and var is not None:
+                    var = var ** 0.5
+                row.append(var)
             else:
                 d = msets[i_agg]
                 live_vals = [

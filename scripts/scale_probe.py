@@ -192,6 +192,47 @@ def generate_tpch_full(spark, dst: str, rep: int) -> None:
         print(f"generated {t} x{rep}: {n} rows")
 
 
+def run_q21_ab(spark, dst: str) -> None:
+    """q21 A/B at the 100x battery fixture (r12 verdict task 2): the
+    spec form (two 60M-row self semi/anti joins, tpch_full._Q21_SPEC)
+    vs the shipped Expand-free collapse-first pre-agg (accepted r13:
+    identical results, 28.6 -> 4.3 s warm / 83.6 -> 7.1 s cold).
+    Results are compared row-for-row before timing is trusted; each
+    side is timed min-of-3 warm behind wait_quiet with the steal
+    bracket printed."""
+    from flink_1_20_spark.queries._util import V
+    from flink_1_20_spark.queries.tpch_full import _Q21_SPEC, _QUERIES
+
+    V(spark, dst, "region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem")
+    spec_sql = _Q21_SPEC
+    preagg_sql = _QUERIES["tpch_q21_waiting_suppliers"]
+
+    spec_rows = sorted(map(tuple, spark.sql(spec_sql).collect()))
+    cand_rows = sorted(map(tuple, spark.sql(preagg_sql).collect()))
+    assert spec_rows == cand_rows, (
+        f"q21 pre-agg DIVERGES at 100x: spec {len(spec_rows)} rows, "
+        f"candidate {len(cand_rows)} rows"
+    )
+    print(f"q21 A/B: results identical ({len(spec_rows)} rows)", flush=True)
+
+    for name, sql in (("spec", spec_sql), ("preagg", preagg_sql)):
+        q = wait_quiet()
+        times = []
+        u0, s0 = _steal_ticks()
+        for _ in range(3):
+            t0 = time.time()
+            spark.sql(sql).count()
+            times.append(time.time() - t0)
+        u1, s1 = _steal_ticks()
+        pct = 100 * (s1 - s0) / max(1, (u1 - u0) + (s1 - s0))
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) q21_{name}  "
+            f"steal={pct:.0f}% prewait={q:.2f}",
+            flush=True,
+        )
+
+
 def run_tpch_full(spark, dst: str) -> None:
     """All 22 TPC-H queries at 100x, warm min-of-2 (the JIT-retime
     discipline from the subset battery)."""
@@ -500,6 +541,121 @@ def generate_hotcluster(spark, dst: str, rep: int) -> None:
     print(f"generated documents x{rep}: {n} rows, hot cluster {nh}")
 
 
+# ---- near-dup hot bucket (r13, VERDICT r12 task 4): the residual
+# 100 TB hazard collapse-first CANNOT eat — a templated hot cluster of
+# DISTINCT texts (shared 60-word boilerplate + one unique tail word)
+# whose minhash band values mostly coincide (each band's minima come
+# from the shared shingles with prob (20/21)^4 ~ 0.82, so ~82% of the
+# hot docs share ONE mega-bucket per band).  The candidate pair set is
+# quadratic in that bucket's population; the max_bucket cap drops such
+# buckets before the join.  Two fixtures: a small one where the
+# uncapped pair set is still enumerable (the recall ledger), and the
+# 1M-doc one where only the capped form is feasible (the wall-clock
+# evidence).
+HOTNEAR_CYCLE = " ".join(f"boiler{i:02d}" for i in range(20))
+
+
+def generate_hotnear(spark, dst: str, rep: int) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    r = docs.crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+    r = r.withColumn("doc_id", F.col("doc_id") + F.col("__rep") * OFF)
+    uniq = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    "-", F.col("doc_id").cast("string"), i.cast("string")
+                )
+            ),
+        ),
+    )
+    hot = F.concat_ws(
+        " ",
+        F.lit(HOTNEAR_CYCLE),
+        F.lit(HOTNEAR_CYCLE),
+        F.lit(HOTNEAR_CYCLE),
+        F.concat(F.lit("uniqtail"), F.col("doc_id").cast("string")),
+    )
+    r = r.withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0, hot).otherwise(
+            uniq
+        ),
+    )
+    r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+    n = spark.read.parquet(f"{dst}/documents.parquet").count()
+    nh = (
+        spark.read.parquet(f"{dst}/documents.parquet")
+        .filter(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0)
+        .count()
+    )
+    print(f"generated near-dup documents x{rep}: {n} rows, hot {nh}")
+
+
+def run_hotnear(spark, small_dst: str, big_dst: str, cap: int = 1000) -> None:
+    from flink_1_20_spark.operators.textdedup import minhash_lsh_pairs
+
+    # (a) recall ledger on the small fixture: uncapped still enumerable
+    docs_s = spark.read.parquet(f"{small_dst}/documents.parquet")
+    raw = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs_s, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs_s, "doc_id", "text", max_bucket=cap
+        ).collect()
+    }
+    is_hot = lambda d: d % HOT_MOD == 0  # noqa: E731
+    hot_raw = {p for p in raw if is_hot(p[0]) and is_hot(p[1])}
+    cold_raw = raw - hot_raw
+    cold_capped = capped - hot_raw
+    missing_cold = cold_raw - capped
+    print(
+        f"recall ledger (cap={cap}): raw={len(raw)} "
+        f"(hot {len(hot_raw)}, cold {len(cold_raw)}), "
+        f"capped={len(capped)} (hot kept "
+        f"{len(capped & hot_raw)}), cold recall="
+        f"{(len(cold_capped & cold_raw) / max(1, len(cold_raw))):.4f} "
+        f"(missing {len(missing_cold)})",
+        flush=True,
+    )
+    assert not missing_cold, "cap must not lose pairs outside hot buckets"
+
+    # (b) wall clock on the 1M-doc fixture: only the capped form is
+    # feasible — print the accounting that makes the uncapped one not
+    docs_b = spark.read.parquet(f"{big_dst}/documents.parquet")
+    nh = docs_b.filter(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0).count()
+    mega = int(nh * (20 / 21) ** 4)
+    print(
+        f"big fixture: hot cluster {nh} DISTINCT texts; expected "
+        f"mega-bucket ~{mega}/band -> ~{mega * (mega - 1) // 2:.2e} "
+        "candidate pairs/band uncapped (not run)",
+        flush=True,
+    )
+    wait_quiet()
+    times, cnt = [], 0
+    u0, s0 = _steal_ticks()
+    for _ in range(2):
+        t0 = time.time()
+        cnt = minhash_lsh_pairs(
+            docs_b, "doc_id", "text", max_bucket=cap
+        ).count()
+        times.append(time.time() - t0)
+    u1, s1 = _steal_ticks()
+    pct = 100 * (s1 - s0) / max(1, (u1 - u0) + (s1 - s0))
+    print(
+        f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:9d} rows  "
+        f"minhash_lsh_pairs capped={cap} [1M docs, {nh} near-dup hot]  "
+        f"steal={pct:.0f}%",
+        flush=True,
+    )
+
+
 def _steal_ticks() -> tuple[int, int]:
     with open("/proc/stat") as f:
         p = f.readline().split()
@@ -698,8 +854,33 @@ def main() -> None:
         "at 100x; AQE skew-split vs salted join A/B "
         "(default --dst /tmp/sfX5)",
     )
+    ap.add_argument(
+        "--hotnear",
+        action="store_true",
+        help="near-dup templated hot bucket: small recall-ledger "
+        "fixture (/tmp/sfX8s, rep 2) + 1M-doc capped wall clock "
+        "(/tmp/sfX8, rep 200)",
+    )
+    ap.add_argument(
+        "--q21ab",
+        action="store_true",
+        help="q21 spec-vs-preagg A/B on the --tpch-full fixture "
+        "(default --dst /tmp/sfX6; generate it with --tpch-full --gen)",
+    )
     args = ap.parse_args()
     spark = get_spark("scale-probe")
+    if args.q21ab:
+        run_q21_ab(spark, args.dst if args.dst is not None else "/tmp/sfX6")
+        return
+    if args.hotnear:
+        big = args.dst if args.dst is not None else "/tmp/sfX8"
+        small = big + "s"
+        if args.gen or not (args.gen or args.run):
+            generate_hotnear(spark, small, 2)
+            generate_hotnear(spark, big, args.rep if args.rep is not None else HOT_REP)
+        if args.run or not (args.gen or args.run):
+            run_hotnear(spark, small, big)
+        return
     if args.tpch_full:
         rep = args.rep if args.rep is not None else 100
         dst = args.dst if args.dst is not None else "/tmp/sfX6"

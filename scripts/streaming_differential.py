@@ -125,6 +125,11 @@ Shapes covered (each exercises a different lowering path):
                 Min/MaxWithRetractAggFunction) — a retracted extreme
                 must expose the next-best LIVE value, duplicates
                 counted not set-collapsed (r12 second half)
+  cdc_stddev    retractable STDDEV_SAMP/VAR_POP over the CDC envelope
+                generator: signed (count, sum, sum-of-squares) —
+                Flink's VarPop/VarSampAggFunction retract methods;
+                the oracle mirrors the exact closed form so integer
+                inputs give bit-identical doubles (r13)
 
 Determinism rules the GENERATOR must honor (both engines drop late
 data the same way only if disorder is bounded):
@@ -206,6 +211,9 @@ SHAPES = (
     # r12 second half: the retractable-accumulator path (multiset
     # MIN/MAX + AVG) of the changelog aggregation
     "cdc_minmax",
+    # r13 (VERDICT r12 task 5): retractable STDDEV/VAR — signed
+    # (count, sum, sum-of-squares) decomposition
+    "cdc_stddev",
 )
 
 
@@ -1452,6 +1460,119 @@ def run_shape(spark, shape: str, seed: int, n_batches: int = 4,
                 env.execute_sql(
                     "SELECT gk, CAST(min(amt) AS BIGINT) AS mn, "
                     "CAST(max(amt) AS BIGINT) AS mx, avg(amt) AS av, "
+                    "count(*) AS cnt FROM ("
+                    "  SELECT id, gk, amt FROM ("
+                    "    SELECT *, ROW_NUMBER() OVER (PARTITION BY id "
+                    "ORDER BY ts_ms DESC) AS rn "
+                    f"    FROM {tag}_cb WHERE row_kind <> '-U'"
+                    "  ) WHERE rn = 1 AND row_kind <> '-D'"
+                    ") GROUP BY gk"
+                ).collect(),
+                cols_out,
+            )
+            return got, want
+
+        if shape == "cdc_stddev":
+            # Retractable STDDEV/VAR over a CDC changelog source (r13,
+            # VERDICT r12 task 5): the signed (count, sum,
+            # sum-of-squares) decomposition — Flink's
+            # VarPop/VarSampAggFunction retract methods.  The batch
+            # oracle computes the SAME closed form over the
+            # materialized final image (not native stddev_samp, whose
+            # M2-merge accumulation differs in final ulps): all inputs
+            # are exact integers, so identical expression shape =
+            # bit-identical doubles and the string compare is exact.
+            outdir = os.path.join(tmp, "out")
+            env.execute_sql(
+                f"CREATE TABLE {tag}_c (id BIGINT, gk BIGINT, amt BIGINT)"
+                f" WITH ('connector'='filesystem','path'='{src}',"
+                f"'format'='debezium-json','scan.streaming'='true')"
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_sink (gk BIGINT, sd DOUBLE, "
+                f"vp DOUBLE, cnt BIGINT, "
+                f"PRIMARY KEY (gk) NOT ENFORCED) WITH ("
+                f"'connector'='filesystem','path'='{outdir}',"
+                f"'format'='parquet')"
+            )
+            d = _InsertDrain(
+                env,
+                f"INSERT INTO {tag}_sink SELECT gk, "
+                f"stddev_samp(amt) AS sd, var_pop(amt) AS vp, "
+                f"count(*) AS cnt FROM {tag}_c GROUP BY gk",
+            )
+            live: dict[int, tuple[int, int]] = {}
+            next_id, seq = 1, 0
+
+            def _wf_sd(i):
+                nonlocal next_id, seq
+                ops = []
+                for _ in range(rng.randint(3, 10)):
+                    seq += 1
+                    roll = rng.random()
+                    if live and roll < 0.3:  # delete
+                        rid = rng.choice(sorted(live))
+                        gk, amt = live.pop(rid)
+                        ops.append({"op": "d", "ts_ms": seq,
+                                    "before": {"id": rid, "gk": gk,
+                                               "amt": amt},
+                                    "after": None})
+                    elif live and roll < 0.55:  # update (may move group)
+                        rid = rng.choice(sorted(live))
+                        gk, amt = live[rid]
+                        ngk = rng.randint(0, 3)
+                        namt = rng.randint(1, 100)
+                        live[rid] = (ngk, namt)
+                        ops.append({"op": "u", "ts_ms": seq,
+                                    "before": {"id": rid, "gk": gk,
+                                               "amt": amt},
+                                    "after": {"id": rid, "gk": ngk,
+                                              "amt": namt}})
+                    else:  # insert
+                        rid = next_id
+                        next_id += 1
+                        gk = rng.randint(0, 3)
+                        amt = rng.randint(1, 100)
+                        live[rid] = (gk, amt)
+                        ops.append({"op": "c", "ts_ms": seq,
+                                    "before": None,
+                                    "after": {"id": rid, "gk": gk,
+                                              "amt": amt}})
+                _write_batch(src, i, ops)
+
+            try:
+                _feed_loop(d, _wf_sd, n_batches, restart_at,
+                           restart_before)
+            finally:
+                d.stop()
+            cols_out = ["gk", "sd", "vp", "cnt"]
+            got = _norm(
+                env.execute_sql(f"SELECT * FROM {tag}_sink").collect(),
+                cols_out,
+            )
+            env.execute_sql(
+                f"CREATE TABLE {tag}_cb (id BIGINT, gk BIGINT, "
+                f"amt BIGINT) WITH ('connector'='filesystem',"
+                f"'path'='{src}','format'='debezium-json')"
+            )
+            # image = latest row per id, deletes removed; then the
+            # exact mirror of the streaming lowering's closed forms
+            n_ = "sum(CASE WHEN (amt) IS NOT NULL THEN 1 ELSE 0 END)"
+            s_ = "sum(CAST((amt) AS DOUBLE) * 1)"
+            ss_ = "sum(CAST((amt) AS DOUBLE) * (amt) * 1)"
+            sd_sql = (
+                f"SQRT(CASE WHEN ({n_}) >= 2 THEN "
+                f"GREATEST(CAST(0 AS DOUBLE), (({ss_}) - ({s_}) * "
+                f"({s_}) / ({n_})) / (({n_}) - 1)) END)"
+            )
+            vp_sql = (
+                f"(CASE WHEN ({n_}) >= 1 THEN "
+                f"GREATEST(CAST(0 AS DOUBLE), ({ss_}) / ({n_}) "
+                f"- POWER(({s_}) / ({n_}), 2)) END)"
+            )
+            want = _norm(
+                env.execute_sql(
+                    f"SELECT gk, {sd_sql} AS sd, {vp_sql} AS vp, "
                     "count(*) AS cnt FROM ("
                     "  SELECT id, gk, amt FROM ("
                     "    SELECT *, ROW_NUMBER() OVER (PARTITION BY id "

@@ -873,3 +873,72 @@ def test_best_rep_collapsed_keeps_zero_shingle_dups_apart(spark):
         assert (d, d, len(rows[d][1].split()), 1) in raw
     # and shingleable exact dups DID collapse (6,7 one cluster of 2)
     assert any(c == 6 and n == 2 for c, _k, _w, n in raw)
+
+
+def _hot_near_dup_corpus(spark):
+    """Templated NEAR-dup hot bucket: distinct texts with IDENTICAL
+    shingle sets (the same 3-word cycle repeated k times yields the
+    same distinct-shingle set at every k), so every band hash collides
+    but collapse_exact cannot contract them (texts differ).  Plus one
+    ordinary near-dup pair and isolated texts."""
+    rows = []
+    for k in range(2, 12):  # 10 distinct texts, one shared bucket
+        rows.append((k - 2, "alpha beta gamma " * k))
+    # a COLD near-dup pair via the same cycle trick on different words:
+    # identical shingle sets -> identical signatures -> guaranteed band
+    # collision, bucket population 2 (under any sane cap)
+    rows.append((100, "delta epsilon zeta " * 2))
+    rows.append((101, "delta epsilon zeta " * 3))
+    rows.append((102, "entirely different content with no overlap at all whatsoever"))
+    return spark.createDataFrame(rows, "doc_id long, text string"), set(
+        range(10)
+    )
+
+
+def test_minhash_bucket_cap_drops_hot_keeps_rest(spark):
+    """r12 verdict task 4: a templated near-dup hot bucket produces a
+    candidate set quadratic in its population; max_bucket drops those
+    buckets before the join while pairs outside the hot bucket keep
+    recall 1.0 (their buckets are under the cap)."""
+    from flink_1_20_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs, hot_ids = _hot_near_dup_corpus(spark)
+    raw = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", max_bucket=5
+        ).collect()
+    }
+    hot_pairs = {p for p in raw if p[0] in hot_ids and p[1] in hot_ids}
+    # the hot cluster is a clique in the raw pair set (identical
+    # shingle sets -> jaccard 1.0, identical bands)
+    assert len(hot_pairs) == 10 * 9 // 2
+    # cap=5 < bucket population 10: every hot bucket dropped
+    assert capped & hot_pairs == set()
+    # recall 1.0 outside the hot bucket
+    assert capped == raw - hot_pairs
+    assert (100, 101) in capped
+
+
+def test_simhash_bucket_cap_drops_hot_keeps_rest(spark):
+    from flink_1_20_spark.operators.textdedup import simhash_pairs
+
+    docs, hot_ids = _hot_near_dup_corpus(spark)
+    raw = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket=5
+        ).collect()
+    }
+    hot_pairs = {p for p in raw if p[0] in hot_ids and p[1] in hot_ids}
+    assert len(hot_pairs) == 10 * 9 // 2  # same word-sign profile -> fp equal
+    assert capped & hot_pairs == set()
+    assert capped == raw - hot_pairs

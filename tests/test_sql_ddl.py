@@ -1041,11 +1041,13 @@ def test_changelog_source_retract_aggregation(spark, tmp_path):
         ).isStreaming
     )
     # non-decomposable aggregates need retractable accumulators this
-    # engine does not keep (MIN/MAX have the multiset path; stddev has
-    # none)
+    # engine does not keep (MIN/MAX have the multiset path, STDDEV/VAR
+    # the signed sum-of-squares path; an HLL sketch genuinely cannot
+    # retract — removing an element from the sketch is undefined)
     with pytest.raises(ValueError, match="retractable accumulator"):
         env.execute_sql(
-            "INSERT INTO cl_sink SELECT grp, stddev(amt) AS total, "
+            "INSERT INTO cl_sink SELECT grp, "
+            "approx_count_distinct(amt) AS total, "
             "count(*) AS cnt FROM cl_src GROUP BY grp"
         )
 
@@ -1146,6 +1148,157 @@ def test_changelog_retractable_min_max_avg(spark, tmp_path):
         ])
         q.processAllAvailable()
         assert snap() == [(1, 99, 99, 99.0, 1), (2, 7, 40, 23.5, 2)]
+    finally:
+        q.stop()
+
+
+def test_changelog_retractable_stddev_var(spark, tmp_path):
+    """Retractable STDDEV/VAR over a CDC changelog source (r12 verdict
+    task 5; Flink's VarPopAggFunction / VarSampAggFunction retract
+    methods): signed (count, sum, sum-of-squares) is the standard
+    retract form — no multiset needed.  Covers the pure signed SQL path
+    (no MIN/MAX in the statement), n<2 → NULL for the _SAMP variants,
+    retraction exposing the recomputed moments, and a cross-group
+    UPDATE move."""
+    import json as _json
+    import math
+
+    src = tmp_path / "clsd"
+    src.mkdir()
+    out = str(tmp_path / "clsd_out")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE sd_src (id BIGINT, grp BIGINT, amt BIGINT)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='debezium-json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE sd_sink (grp BIGINT, sd DOUBLE, vp DOUBLE,
+                              cnt BIGINT,
+                              PRIMARY KEY (grp) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')
+    """)
+    q = env.execute_sql(
+        "INSERT INTO sd_sink SELECT grp, stddev(amt) AS sd, "
+        "var_pop(amt) AS vp, count(*) AS cnt FROM sd_src GROUP BY grp"
+    )
+
+    def drop(n, ops):
+        (src / f"b{n}.jsonl").write_text(
+            "\n".join(_json.dumps(o) for o in ops) + "\n"
+        )
+
+    def snap():
+        return sorted(
+            (r.grp, r.sd, r.vp, r.cnt)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    def close(a, b):
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert len(ra) == len(rb)
+            for va, vb in zip(ra, rb):
+                if isinstance(vb, float):
+                    assert va is not None and abs(va - vb) < 1e-9, (a, b)
+                else:
+                    assert va == vb, (a, b)
+
+    try:
+        drop(0, [
+            {"op": "c", "ts_ms": 1, "before": None,
+             "after": {"id": 1, "grp": 1, "amt": 2}},
+            {"op": "c", "ts_ms": 2, "before": None,
+             "after": {"id": 2, "grp": 1, "amt": 4}},
+            {"op": "c", "ts_ms": 3, "before": None,
+             "after": {"id": 3, "grp": 1, "amt": 6}},
+            {"op": "c", "ts_ms": 4, "before": None,
+             "after": {"id": 4, "grp": 2, "amt": 10}},
+        ])
+        q.processAllAvailable()
+        # grp1 [2,4,6]: stddev_samp 2.0, var_pop 8/3; grp2 [10]:
+        # stddev_samp NULL (n<2), var_pop 0
+        rows = snap()
+        close(rows[:1], [(1, 2.0, 8.0 / 3.0, 3)])
+        assert rows[1][0] == 2 and rows[1][1] is None and rows[1][3] == 1
+        assert abs(rows[1][2]) < 1e-9
+        # retract the middle value: grp1 [2,6] → var_samp 8
+        drop(1, [
+            {"op": "d", "ts_ms": 5,
+             "before": {"id": 2, "grp": 1, "amt": 4}, "after": None},
+        ])
+        q.processAllAvailable()
+        rows = snap()
+        close(rows[:1], [(1, math.sqrt(8.0), 4.0, 2)])
+        # update MOVES id=3 to grp2 with a new amt: grp1 [2] → NULL
+        # stddev; grp2 [10,8] → var_samp 2
+        drop(2, [
+            {"op": "u", "ts_ms": 6,
+             "before": {"id": 3, "grp": 1, "amt": 6},
+             "after": {"id": 3, "grp": 2, "amt": 8}},
+        ])
+        q.processAllAvailable()
+        rows = snap()
+        assert rows[0][0] == 1 and rows[0][1] is None and rows[0][3] == 1
+        close(rows[1:], [(2, math.sqrt(2.0), 1.0, 2)])
+    finally:
+        q.stop()
+
+
+def test_changelog_retractable_stddev_with_minmax(spark, tmp_path):
+    """Mixed MIN + STDDEV statement routes through the multiset fold
+    (streaming/changelog_agg.py) — the stddev accumulator there is the
+    same signed (sum, count, sum-of-squares) triple."""
+    import json as _json
+
+    src = tmp_path / "clsm"
+    src.mkdir()
+    out = str(tmp_path / "clsm_out")
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE sm_src (id BIGINT, grp BIGINT, amt BIGINT)
+        WITH ('connector'='filesystem','path'='{src}',
+              'format'='debezium-json','scan.streaming'='true')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE sm_sink (grp BIGINT, mn BIGINT, sd DOUBLE,
+                              PRIMARY KEY (grp) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')
+    """)
+    q = env.execute_sql(
+        "INSERT INTO sm_sink SELECT grp, min(amt) AS mn, "
+        "stddev_samp(amt) AS sd FROM sm_src GROUP BY grp"
+    )
+
+    def drop(n, ops):
+        (src / f"b{n}.jsonl").write_text(
+            "\n".join(_json.dumps(o) for o in ops) + "\n"
+        )
+
+    try:
+        drop(0, [
+            {"op": "c", "ts_ms": 1, "before": None,
+             "after": {"id": 1, "grp": 1, "amt": 2}},
+            {"op": "c", "ts_ms": 2, "before": None,
+             "after": {"id": 2, "grp": 1, "amt": 4}},
+            {"op": "c", "ts_ms": 3, "before": None,
+             "after": {"id": 3, "grp": 1, "amt": 6}},
+        ])
+        q.processAllAvailable()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        assert (rows[0].grp, rows[0].mn) == (1, 2)
+        assert abs(rows[0].sd - 2.0) < 1e-9
+        # retract the MIN: multiset exposes next-best, stddev recomputes
+        drop(1, [
+            {"op": "d", "ts_ms": 4,
+             "before": {"id": 1, "grp": 1, "amt": 2}, "after": None},
+        ])
+        q.processAllAvailable()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        assert (rows[0].grp, rows[0].mn) == (1, 4)
+        assert abs(rows[0].sd - 2.0 ** 0.5) < 1e-9
     finally:
         q.stop()
 
