@@ -256,7 +256,17 @@ def minhash_lsh_pairs(
     if max_bucket is not None:
         # bucket-population cut: one aggregate on the SAME key as the
         # pair join (shuffle reused), buckets above the cap removed
-        # before the quadratic step ever sees them
+        # before the quadratic step ever sees them.  The cut makes
+        # `long` a TWO-consumer subtree (population + join) and the
+        # shingle join-back re-derives `base` twice more — without
+        # materialization each consumer re-runs the CPU-bound
+        # tokenize+signature pass over the whole corpus (measured on
+        # the 1M-doc --hotnear fixture: 449 s before the two lazy
+        # local checkpoints below).  Storage is bounded: `long` is
+        # n_bands small rows per doc, `base` is the shingle arrays
+        # (about the input text size), both spill-to-disk RDD blocks.
+        base = base.localCheckpoint(eager=False)
+        long = long.localCheckpoint(eager=False)
         pop = (
             long.groupBy("band_idx", "band_hash")
             .agg(F.count(F.lit(1)).alias("__pop"))
@@ -319,6 +329,9 @@ def simhash_pairs(
         "doc", "fp", "b.blk_idx", "b.blk_val"
     )
     if max_bucket is not None:
+        # two-consumer subtree (population + join): materialize once
+        # (see minhash_lsh_pairs' cap note)
+        long = long.localCheckpoint(eager=False)
         pop = (
             long.groupBy("blk_idx", "blk_val")
             .agg(F.count(F.lit(1)).alias("__pop"))

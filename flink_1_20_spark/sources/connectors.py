@@ -144,7 +144,10 @@ def avro_available(spark: SparkSession) -> bool:
     *external* Spark module (not bundled with the pip distribution);
     deployments that need it add `org.apache.spark:spark-avro` to
     `spark.jars.packages` (flink-formats/flink-avro AvroFormatFactory
-    parity)."""
+    parity).  Env re-probe 2026-08-17 (r13): datasource still absent
+    from the bundled classpath and no network to fetch the jar (DNS
+    resolution unavailable); the pure-Python wire codecs
+    (sources/wire_formats.py) remain the tested path here."""
     try:
         spark.range(0).write.format("avro").save(
             f"/tmp/__avro_probe_{spark.sparkContext.applicationId}"

@@ -27,7 +27,7 @@ ENVIRONMENT NOTE: executing transformWithStateInPandas requires the
 is protobuf-RPC — pyspark/sql/streaming/proto/StateMessage_pb2.py).
 This container ships pyspark without the protobuf wheel and has no
 network, so tests/test_process_v2.py skips at import-probe when the
-runtime is absent (probed 2026-08-14, re-confirmed 2026-08-15). On a normally-provisioned
+runtime is absent (probed 2026-08-14, re-confirmed 2026-08-15 and 2026-08-17: google.protobuf absent, DNS resolution unavailable). On a normally-provisioned
 cluster (protobuf is a standard pyspark extra) the facade runs
 unchanged; the applyInPandasWithState path (streaming/process.py) is
 the fully-tested fallback here.

@@ -577,11 +577,28 @@ def generate_hotnear(spark, dst: str, rep: int) -> None:
         F.lit(HOTNEAR_CYCLE),
         F.concat(F.lit("uniqtail"), F.col("doc_id").cast("string")),
     )
+    # COLD near-dup pairs (the recall ledger's non-vacuous side): ids
+    # with doc_id%10 in {1, 6} pair up per decade g=doc_id//10 — a
+    # 3-word cycle keyed by g repeated 2 (for %10==1) or 3 (for %10==6)
+    # times gives the pair identical shingle sets (guaranteed band
+    # collision, bucket population exactly 2) but distinct texts and
+    # distinct buckets across decades.
+    g = (F.col("doc_id") / F.lit(10)).cast("long").cast("string")
+    cold_cycle = F.concat_ws(
+        " ",
+        F.concat(F.lit("cw"), g, F.lit("a")),
+        F.concat(F.lit("cw"), g, F.lit("b")),
+        F.concat(F.lit("cw"), g, F.lit("c")),
+    )
+    cold2 = F.concat_ws(" ", cold_cycle, cold_cycle)
+    cold3 = F.concat_ws(" ", cold_cycle, cold_cycle, cold_cycle)
+    m10 = F.pmod(F.col("doc_id"), F.lit(10))
     r = r.withColumn(
         "text",
-        F.when(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0, hot).otherwise(
-            uniq
-        ),
+        F.when(F.pmod(F.col("doc_id"), F.lit(HOT_MOD)) == 0, hot)
+        .when(m10 == 1, cold2)
+        .when(m10 == 6, cold3)
+        .otherwise(uniq),
     )
     r.drop("__rep").repartition(64).write.mode("overwrite").parquet(
         f"{dst}/documents.parquet"
@@ -615,15 +632,18 @@ def run_hotnear(spark, small_dst: str, big_dst: str, cap: int = 1000) -> None:
     cold_raw = raw - hot_raw
     cold_capped = capped - hot_raw
     missing_cold = cold_raw - capped
+    cold_recall = (
+        len(cold_capped & cold_raw) / len(cold_raw) if cold_raw else float("nan")
+    )
     print(
         f"recall ledger (cap={cap}): raw={len(raw)} "
         f"(hot {len(hot_raw)}, cold {len(cold_raw)}), "
         f"capped={len(capped)} (hot kept "
-        f"{len(capped & hot_raw)}), cold recall="
-        f"{(len(cold_capped & cold_raw) / max(1, len(cold_raw))):.4f} "
+        f"{len(capped & hot_raw)}), cold recall={cold_recall:.4f} "
         f"(missing {len(missing_cold)})",
         flush=True,
     )
+    assert cold_raw, "fixture must contain cold pairs or the ledger is vacuous"
     assert not missing_cold, "cap must not lose pairs outside hot buckets"
 
     # (b) wall clock on the 1M-doc fixture: only the capped form is
