@@ -152,8 +152,15 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VALUES source (exec/batch/BatchExecValues.java:37)."""
-    df = spark.createDataFrame(
-        [(1, "flink"), (2, "spark"), (3, "calcite"), (4, None)], "id int, name string"
+    """VALUES source (exec/batch/BatchExecValues.java:37).
+
+    Expressed as a SQL VALUES clause so the plan is a driver-local
+    LocalTableScan — `createDataFrame` over a Python list parallelizes
+    it into an RDD scan whose stage launches `defaultParallelism`
+    tasks (32 on this box) for 4 rows (r13 plan audit; BatchExecValues
+    is likewise a local values node, not a distributed scan)."""
+    return spark.sql(
+        "SELECT id, name, upper(name) AS uname "
+        "FROM VALUES (1, 'flink'), (2, 'spark'), (3, 'calcite'), "
+        "(4, CAST(NULL AS STRING)) AS v(id, name)"
     )
-    return df.select("id", "name", F.upper("name").alias("uname"))

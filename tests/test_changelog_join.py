@@ -310,3 +310,29 @@ def test_changelog_semi_anti_random_sequences(spark):
                 delta = j.process(dl, dr)
                 acc = delta if acc is None else _consolidate(acc.unionByName(delta))
                 assert _as_set(acc) == _as_set(j.materialized()), f"{how} trial {trial} batch {b}"
+
+
+def test_changelog_join_checkpoint_interval_bounds_plan(spark):
+    """r13: state lineage is truncated every CHECKPOINT_INTERVAL batches
+    so a long-running drive's per-batch plan stays bounded instead of
+    re-embedding the whole input history. Invariant (delta-accumulation
+    == materialized view) must hold across the checkpoint boundary, and
+    the state plan must actually be cut at the interval (an RDD scan
+    root instead of the union+consolidate chain)."""
+    interval = ChangelogJoin.CHECKPOINT_INTERVAL
+    j = ChangelogJoin(on=["k"])
+    acc = None
+    for b in range(2 * interval):
+        dl = _counts(spark, [(b, float(b), "+I")], L_SCHEMA)
+        dr = _counts(spark, [(b, "x", "+I"), (max(b - 1, 0), "x", "-D")], R_SCHEMA)
+        delta = j.process(dl, dr)
+        acc = delta if acc is None else _consolidate(acc.unionByName(delta))
+        assert _as_set(acc) == _as_set(j.materialized()), f"batch {b}"
+        plan = j.state_left._jdf.queryExecution().optimizedPlan().toString()
+        if (b + 1) % interval == 0:
+            # checkpointed: the state root is a materialized RDD scan
+            assert "LogicalRDD" in plan or "ExistingRDD" in plan
+        else:
+            # plan depth stays bounded by the interval: at most
+            # `interval` folds since the last truncation, not b folds
+            assert plan.count("Union") <= interval
