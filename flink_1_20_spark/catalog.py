@@ -34,8 +34,35 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved table HANDLES per (session, sf_dir, table) — the catalog's
+# whole job (Flink's CatalogManager resolves a table once and serves
+# the resolved handle to every query; Spark's own saveAsTable catalog
+# does the same through the metastore).  A handle is a lazy plan: NO
+# rows, NO computed results are retained — every action re-reads the
+# parquet files — but building a fresh DataFrame via
+# `spark.read.parquet` re-runs file listing + footer schema inference
+# through the JVM on every call, measured 160-410 ms per table on this
+# box (r13 profile: plan construction was ~40% of a warm headline
+# query; a 5-table join paid ~1.3 s per build).  Keyed by
+# applicationId so a new session never sees another session's entries;
+# keyed by sf_dir so scale factors stay distinct.  Self-join call
+# sites pass fresh=True (see read_table).
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _build_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
     """Read one fixture table, normalizing physical-format quirks.
 
     `events.ts` is parquet `timestamp[us]` without a timezone at every
@@ -48,18 +75,44 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the UTC session — rather than here, so projected schemas stay
     oracle-compatible.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _HANDLES.get(key)
+    if df is None:
+        df = _build_table(spark, sf_dir, name)
+        _HANDLES[key] = df
+    if fresh:
+        # Self-join call sites ask for a reference with FRESH expression
+        # ids: repeated calls otherwise return the one cached plan
+        # object, and a join of a table with itself through the same
+        # object trips Spark's ambiguous-self-join analysis (loudly —
+        # an AnalysisException, caught by the oracle gate; q30/q81
+        # regression in tests/test_plans.py).  toDF re-aliases every
+        # column, which mints new ids while collapsing into the scan.
+        return df.toDF(*df.columns)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame keyed by name."""
     return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# (session, sf_dir) each fixture VIEW currently points at — lets
+# register_view skip the per-table createOrReplaceTempView py4j
+# round-trip (~12 ms; a 5-table query build paid ~60 ms, r13 profile)
+# when the view already points at the requested data.  Any repoint —
+# new session, different sf_dir — always re-registers.
+_VIEW_STATE: dict[str, tuple[str, str]] = {}
+
+
+def register_view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Point the temp view `name` at the sf_dir fixture table, skipping
+    the round-trip when it already does (single bookkeeping shared with
+    register_views, so mixed callers can never observe a stale skip)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if _VIEW_STATE.get(name) != key:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        _VIEW_STATE[name] = key
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -69,6 +122,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     between calls (views always reflect the latest registration).
     """
     dfs = load_tables(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+        _VIEW_STATE[name] = key
     return dfs

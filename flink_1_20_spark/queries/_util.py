@@ -6,11 +6,20 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (declarative scan — pushdown-friendly)."""
+def T(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
+    """Load one fixture table (declarative scan — pushdown-friendly).
+
+    Pass ``fresh=True`` at SELF-JOIN call sites (a query referencing
+    the same table twice in one join tree): the catalog serves one
+    shared lazy handle per (session, sf_dir, table), and a self-join
+    through the same object trips Spark's ambiguous-self-join check —
+    `fresh` re-aliases the reference with new expression ids
+    (catalog.read_table)."""
     from flink_1_20_spark.catalog import read_table
 
-    return read_table(spark, sf_dir, name)
+    return read_table(spark, sf_dir, name, fresh=fresh)
 
 
 def V(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -18,10 +27,13 @@ def V(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
     View names match the oracle's pre-registered DuckDB views, so a
     dialect-neutral SQL string can be shared verbatim between both
-    engines.
-    """
+    engines.  Registration state lives in catalog.register_view (one
+    shared bookkeeping — repeat registrations of the same
+    (session, sf_dir) are skipped, any repoint re-registers)."""
+    from flink_1_20_spark.catalog import register_view
+
     for name in names:
-        T(spark, sf_dir, name).createOrReplaceTempView(name)
+        register_view(spark, sf_dir, name)
 
 
 def canon_join(col: Column | str, sep: str = ",") -> Column:

@@ -755,10 +755,12 @@ def _ctr_above_nation_avg(
     gated = ctr.withColumn(
         "nation_avg", F.avg("ctr_total_return").over(w)
     ).filter(F.col("ctr_total_return") > 1.2 * F.col("nation_avg"))
-    # fresh scan for the detail join — customer already appears inside
-    # ctr's lineage and Spark's self-join check would see an ambiguous
-    # attribute; a second dim scan is free (broadcast both times)
-    c2 = T(spark, sf_dir, "customer")
+    # fresh-id reference for the detail join — customer already appears
+    # inside ctr's lineage and Spark's self-join check would see an
+    # ambiguous attribute; fresh=True re-aliases the cached catalog
+    # handle with new expression ids (r13 — T() serves one shared
+    # handle per table, so a plain second T() is the SAME object)
+    c2 = T(spark, sf_dir, "customer", fresh=True)
     return (
         gated.join(c2, gated.ctr_customer == c2.c_custkey)
         .join(n, c2.c_nationkey == n.n_nationkey)

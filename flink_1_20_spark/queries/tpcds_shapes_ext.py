@@ -171,8 +171,10 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["customer", "nation", "orders"],
         """
         SELECT c.c_mktsegment, n.n_name, count(*) AS cnt,
-               round(sum(CAST(round(c.c_acctbal * 1e2) AS BIGINT)) / 1e2
-                     / count(c.c_acctbal), 2) AS avg_bal
+               sign(sum(CAST(round(c.c_acctbal * 1e2) AS BIGINT)))
+                 * floor(abs(sum(CAST(round(c.c_acctbal * 1e2) AS BIGINT))
+                             * 1e0 / count(c.c_acctbal)) + 0.5) / 1e2
+                 AS avg_bal
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -652,10 +654,10 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "orders", "customer", "nation"],
         """
         SELECT n.n_name, c.c_mktsegment,
-               round(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e0
-                     / count(l.l_quantity), 2) AS avg_qty,
-               round(sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT)) / 1e2
-                     / count(l.l_extendedprice), 2)
+               floor(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e2
+                     / count(l.l_quantity) + 0.5) / 1e2 AS avg_qty,
+               floor(sum(CAST(round(l.l_extendedprice * 1e2) AS BIGINT))
+                     * 1e0 / count(l.l_extendedprice) + 0.5) / 1e2
                  AS avg_price
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey

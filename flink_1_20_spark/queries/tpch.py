@@ -12,15 +12,64 @@ strategy; small dimensions (region/nation/customer/supplier/part) go
 broadcast automatically under AQE at any scale where they fit, while the
 lineitem/orders fact-fact join shuffles on the join key — the plan shape
 that survives a 100x scale-up.
+
+Form note (r13, guide §1/§4 — the Python boundary applies to the DRIVER
+too): these were DataFrame-API chains through round 12.  Every Column
+operation is a py4j round-trip, and the r13 profile measured
+construction at 0.35-0.7 s per build against 0.09-0.26 s of actual
+execution at sf0.1 — the Python-side chatter had become the dominant
+per-query cost.  Each query is now ONE SQL string (a single round-trip
+into Catalyst, exactly how tpch_full.py's q2-q22 are shipped), mirroring
+the former DataFrame chain expression-for-expression: measured build
+0.68 s → 0.12-0.18 s (q5), identical physical plans
+(plans/r13/*_before/_after.txt), identical results (oracle gate).
+The integer-units money algebra (see _util.money_sum) is unchanged —
+sums are exact and order-independent, so cross-engine hashes are stable.
+
+q1's cents trick: `CAST(expr * 10^d + 0.5 AS BIGINT)` ==
+`CAST(ROUND(expr * 10^d) AS BIGINT)` for these strictly NON-NEGATIVE
+money columns (+0.5-then-truncate is round-half-up), and skips Spark
+round()'s per-value BigDecimal path (~30% off the agg; r8 ledger).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from flink_1_20_spark.queries._util import T, money, money_sum
+from flink_1_20_spark.queries._util import V
 from flink_1_20_spark.registry import register
+
+# Spark-side SQL per query.  The oracle strings (register(...) below)
+# stay byte-identical to rounds 8-12: the Spark forms use the
+# +0.5-truncate cents form where the DataFrame chain did; the oracles
+# keep DuckDB's ROUND form — equal values on non-negative money.
+
+
+_Q1_SPARK = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(qty, 2)                  AS sum_qty,
+       ROUND(base_c / 1e2, 2)         AS sum_base_price,
+       ROUND(disc_c / 1e4, 2)         AS sum_disc_price,
+       ROUND(charge_c / 1e6, 2)       AS sum_charge,
+       ROUND(qty / n, 4)              AS avg_qty,
+       ROUND(base_c / 1e2 / n, 4)     AS avg_price,
+       ROUND(discount_c / 1e2 / n, 4) AS avg_disc,
+       n                              AS count_order
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS qty,
+           SUM(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)) AS base_c,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * 10000 + 0.5
+                    AS BIGINT)) AS disc_c,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    * 1000000 + 0.5 AS BIGINT)) AS charge_c,
+           SUM(CAST(l_discount * 100 + 0.5 AS BIGINT)) AS discount_c,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+) g
+"""
 
 
 @register(
@@ -56,45 +105,28 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-scan group agg: the canonical partial+final HashAggregate.
 
     Flink: BatchExecHashAggregate (exec/batch/BatchExecHashAggregate.java:55);
-    Spark plans the identical two-phase hash agg automatically.
-    """
-    l = T(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    Spark plans the identical two-phase hash agg automatically. ONE
+    integer aggregate per money column; every rounded output — including
+    the averages — derives from it."""
+    V(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1_SPARK)
 
-    def cents(col, m):
-        # exact integer units — order-independent sums. +0.5-then-truncate
-        # == round for these strictly NON-NEGATIVE money columns and skips
-        # Spark round()'s per-value BigDecimal path (~30% off the agg)
-        return F.sum((col * m + F.lit(0.5)).cast("bigint"))
 
-    # ONE integer aggregate per money column; every rounded output —
-    # including the averages — derives from it, so the exact-sum
-    # conversion costs no duplicate aggregates
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("qty"),
-            cents(F.col("l_extendedprice"), 100).alias("base_c"),
-            cents(disc_price, 10000).alias("disc_c"),
-            cents(charge, 1000000).alias("charge_c"),
-            cents(F.col("l_discount"), 100).alias("discount_c"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            money("qty").alias("sum_qty"),
-            F.round(F.col("base_c") / 1e2, 2).alias("sum_base_price"),
-            F.round(F.col("disc_c") / 1e4, 2).alias("sum_disc_price"),
-            F.round(F.col("charge_c") / 1e6, 2).alias("sum_charge"),
-            F.round(F.col("qty") / F.col("n"), 4).alias("avg_qty"),
-            F.round(F.col("base_c") / 1e2 / F.col("n"), 4).alias("avg_price"),
-            F.round(F.col("discount_c") / 1e2 / F.col("n"), 4).alias("avg_disc"),
-            F.col("n").alias("count_order"),
-        )
-    )
+_Q3_SPARK = """
+SELECT l_orderkey,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 1e4, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
 
 
 @register(
@@ -121,18 +153,25 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flink: BatchExecHashJoin + BatchExecSortLimit
     (exec/batch/BatchExecHashJoin.java:58, BatchExecSortLimit.java:48).
     """
-    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    l = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
-        .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-    )
+    V(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3_SPARK)
+
+
+_Q5_SPARK = """
+SELECT /*+ BROADCAST(nation), BROADCAST(region) */ n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 1e4, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
 
 
 @register(
@@ -156,26 +195,22 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 5-table star join → revenue by nation.
 
-    Fact-fact (lineitem⋈orders) shuffles on the key; dims broadcast.
-    Flink runs this as chained BatchExecHashJoin ops; Spark's AQE picks
-    broadcast for every dim side automatically.
-    """
-    l = T(spark, sf_dir, "lineitem")
-    o = T(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    c = T(spark, sf_dir, "customer")
-    n = T(spark, sf_dir, "nation")
-    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
-        .orderBy(F.desc("revenue"))
-    )
+    Fact-fact (lineitem⋈orders) shuffles on the key; dims broadcast
+    (hinted for nation/region exactly as the DataFrame form did).
+    Flink runs this as chained BatchExecHashJoin ops."""
+    V(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return spark.sql(_Q5_SPARK)
+
+
+_Q6_SPARK = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                      AS BIGINT)) / 1e4, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
 
 
 @register(
@@ -192,16 +227,26 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure scan+filter+agg — validates predicate pushdown to parquet."""
-    l = T(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-            & (F.col("l_discount").between(0.03, 0.07))
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
-    )
+    V(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SPARK)
+
+
+_Q10_SPARK = """
+SELECT /*+ BROADCAST(nation) */ c_custkey, c_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 1e4, 2) AS revenue,
+       ROUND(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
 
 
 @register(
@@ -225,25 +270,5 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join agg with TopN on revenue (returned-items report)."""
-    c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
-    )
-    l = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = T(spark, sf_dir, "nation")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            money("c_acctbal").alias("acctbal"),
-            "n_name",
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
+    V(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SPARK)
