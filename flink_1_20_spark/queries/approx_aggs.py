@@ -40,13 +40,37 @@ from ._util import T, money
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct count per group with a 5% error-contract check
     (Spark HLL++ at rsd=0.01 — typical error ~1%). One pass, no
-    distinct shuffle: the scale path for count(DISTINCT) at 100 TB."""
+    distinct shuffle: the scale path for count(DISTINCT) at 100 TB.
+
+    Plan shape (r13): the exact and approx aggregates run as TWO
+    aggregations joined on the group key, not one combined agg.
+    Mixing a DISTINCT aggregate with a non-distinct one makes Catalyst
+    rewrite to a two-level aggregate whose first level groups by
+    (key, DISTINCT column) and evaluates the non-distinct aggregate
+    THERE — i.e. one partial 2^18-register HLL++ sketch buffer
+    (1,641 longs ≈ 13 KB, plan node Results [1641]) per DISTINCT KEY
+    group through the first exchange: hundreds of MB shuffled for an
+    11 MB input.  Measured 5.4 s combined vs 1.7 s split at sf0.1
+    (noop sink, min-of-3, quiet host; the stand-alone aggs are 0.9 s +
+    1.3 s; plans/r13/agg_approx_count_distinct_before/_after.txt).
+    Same aggregate functions, same rsd, bit-identical outputs — a pure
+    plan change, and the form that scales: the per-distinct-key sketch
+    blowup grows with the distinct count at any SF, while the split
+    form ships one sketch per (group × map task)."""
     l = T(spark, sf_dir, "lineitem")
-    exact = F.count_distinct("l_partkey")
-    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
-    return l.groupBy("l_returnflag").agg(
-        exact.alias("n_exact"),
-        ((F.abs(approx - exact) / exact) <= 0.05).alias("approx_ok"),
+    e = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact")
+    )
+    a = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__n_approx")
+    )
+    return e.join(a, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            (F.abs(F.col("__n_approx") - F.col("n_exact")) / F.col("n_exact"))
+            <= 0.05
+        ).alias("approx_ok"),
     )
 
 
