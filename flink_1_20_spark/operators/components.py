@@ -48,30 +48,34 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate labels via one hop: neighbor's current label
         nbr = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
-        # eager checkpoint per round: each iteration is then exactly one
-        # join+min-agg job over materialized inputs (lineage stays O(1))
+        # ONE job per round (r14, was 2): the convergence probe rides
+        # the min-agg instead of a separate probe join — each node's
+        # previous label is recovered inside the same aggregation
+        # (every node has exactly one is_old row by construction:
+        # labels is one row per node), and the count of changed nodes
+        # is the single action that also materializes the lazy
+        # localCheckpoint (full scan, no limit, so every partition's
+        # block is stored and lineage stays O(1) per round).
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("is_old", F.lit(True))
+            .unionByName(nbr.withColumn("is_old", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old"), F.col("component"))).alias("old"),
+            )
+            .withColumn("chg", F.col("component") != F.col("old"))
+            .select("node", "component", "chg")
+            .localCheckpoint(eager=False)
         )
-        # converged when no label changed (both sides materialized —
-        # this probe join is cheap)
-        changed = (
-            labels.withColumnRenamed("component", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

@@ -210,8 +210,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
                           rank() OVER (ORDER BY ad ASC, l_suppkey) AS rk_worst
                    FROM s)
         SELECT b.rk_best AS rnk, b.l_suppkey AS best_supp, w.l_suppkey AS worst_supp,
-               round(b.ad / 1e2, 6) AS best_avg_disc,
-               round(w.ad / 1e2, 6) AS worst_avg_disc
+               floor(b.ad * 1e4 + 0.5) / 1e6 AS best_avg_disc,
+               floor(w.ad * 1e4 + 0.5) / 1e6 AS worst_avg_disc
         FROM r b JOIN r w ON b.rk_best = w.rk_worst
         WHERE b.rk_best <= 5
         """,
@@ -296,22 +296,22 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem"],
         """
         SELECT CASE WHEN count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 15) > 20000
-                    THEN round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
-                               FILTER (WHERE l_quantity BETWEEN 1 AND 15) / 1e2, 2)
-                    ELSE round(avg(CAST(round(l_discount * 1e2) AS BIGINT))
-                               FILTER (WHERE l_quantity BETWEEN 1 AND 15) / 1e2, 6)
+                    THEN floor(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 1 AND 15) + 0.5) / 1e2
+                    ELSE floor(avg(CAST(round(l_discount * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 1 AND 15) * 1e4 + 0.5) / 1e6
                END AS bucket1,
                CASE WHEN count(*) FILTER (WHERE l_quantity BETWEEN 16 AND 35) > 20000
-                    THEN round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
-                               FILTER (WHERE l_quantity BETWEEN 16 AND 35) / 1e2, 2)
-                    ELSE round(avg(CAST(round(l_discount * 1e2) AS BIGINT))
-                               FILTER (WHERE l_quantity BETWEEN 16 AND 35) / 1e2, 6)
+                    THEN floor(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 16 AND 35) + 0.5) / 1e2
+                    ELSE floor(avg(CAST(round(l_discount * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity BETWEEN 16 AND 35) * 1e4 + 0.5) / 1e6
                END AS bucket2,
                CASE WHEN count(*) FILTER (WHERE l_quantity > 35) > 20000
-                    THEN round(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
-                               FILTER (WHERE l_quantity > 35) / 1e2, 2)
-                    ELSE round(avg(CAST(round(l_discount * 1e2) AS BIGINT))
-                               FILTER (WHERE l_quantity > 35) / 1e2, 6)
+                    THEN floor(avg(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity > 35) + 0.5) / 1e2
+                    ELSE floor(avg(CAST(round(l_discount * 1e2) AS BIGINT))
+                               FILTER (WHERE l_quantity > 35) * 1e4 + 0.5) / 1e6
                END AS bucket3,
                count(*) AS n_total
         FROM lineitem

@@ -622,8 +622,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         "tpcds_q13_or_band_averages",
         ["orders", "customer"],
         """
-        SELECT round(sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) / 1e2
-                     / count(o.o_totalprice), 2)
+        SELECT floor(sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) * 1e0
+                     / count(o.o_totalprice) + 0.5) / 1e2
                  AS avg_price,
                count(*) AS cnt
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -687,8 +687,8 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         ["lineitem", "part", "supplier"],
         """
         SELECT p.p_brand, s.s_name,
-               round(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e0
-                     / count(l.l_quantity), 2) AS avg_qoh
+               floor(sum(CAST(round(l.l_quantity) AS BIGINT)) * 1e2
+                     / count(l.l_quantity) + 0.5) / 1e2 AS avg_qoh
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
