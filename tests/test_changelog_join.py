@@ -4,6 +4,8 @@ downstream materialization equals join-of-materializations)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from flink_1_20_spark.operators.changelog_join import (
@@ -175,7 +177,11 @@ def test_changelog_join_random_sequences(spark):
     import random
 
     rng = random.Random(7)
-    for trial in range(3):
+    # gate mode runs one trial (the sequences are seeded, so trial 0 is
+    # the same model check every round); SPARK_GRAFT_SOAK=1 restores
+    # the full battery (r14 suite-throughput cut, VERDICT r13 task 1)
+    n_trials = 3 if os.environ.get("SPARK_GRAFT_SOAK") == "1" else 1
+    for trial in range(n_trials):
         # build a random but WELL-FORMED changelog per side (deletes only
         # of rows currently present — Flink's input contract)
         sides = {"L": [], "R": []}
@@ -284,9 +290,10 @@ def test_changelog_semi_anti_random_sequences(spark):
     every batch."""
     import random
 
+    n_trials = 2 if os.environ.get("SPARK_GRAFT_SOAK") == "1" else 1
     for how in ("semi", "anti"):
         rng = random.Random(11)
-        for trial in range(2):
+        for trial in range(n_trials):
             sides = {"L": [], "R": []}
             live = {"L": [], "R": []}
             for _ in range(30):

@@ -52,11 +52,17 @@ soak.
 
 from __future__ import annotations
 
+import os
+
 
 def test_dialect_fuzz_pinned_seed(spark, sf_dir):
     from scripts.dialect_fuzz import run_battery
 
-    fails = run_battery(seed=20260815, n=120, sf_dir=sf_dir, spark=spark)
+    # gate mode sweeps 40 pinned cases (every historical find here
+    # reproduced within the first 40 of its seed); SPARK_GRAFT_SOAK=1
+    # restores the 120-case battery (r14 suite-throughput cut)
+    n = 120 if os.environ.get("SPARK_GRAFT_SOAK") == "1" else 40
+    fails = run_battery(seed=20260815, n=n, sf_dir=sf_dir, spark=spark)
     assert not fails, "\n".join(
         f"{name}: {msg}\n  spark: {s}\n  duck: {d}" for name, s, d, msg in fails[:5]
     )

@@ -40,6 +40,7 @@ test_session_tvf_exact_gap_boundary_merges below pins the boundary.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -50,8 +51,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 from streaming_differential import SHAPES, run_shape  # noqa: E402
 
 # seed 7 is the session-shape bug finder; 42 is the authoring seed;
-# 1234 is a fresh pin never used while developing the harness
-PINNED_SEEDS = (7, 42, 1234)
+# 1234 is a fresh pin never used while developing the harness.
+# Gate mode (r14, VERDICT r13 task 1) runs ONE seed per shape so the
+# driver's pytest window fits: seed 7 is kept because it is the one
+# with a found-bug history, and that bug's reduced form is now pinned
+# by the fast test_session_tvf_exact_gap_boundary_merges below.  The
+# full battery stays available: SPARK_GRAFT_SOAK=1 restores all three
+# seeds (scripts/streaming_differential.py runs the multi-seed +
+# restart soak directly as well).
+_SOAK = os.environ.get("SPARK_GRAFT_SOAK") == "1"
+PINNED_SEEDS = (7, 42, 1234) if _SOAK else (7,)
 
 
 @pytest.mark.parametrize("shape", SHAPES)
