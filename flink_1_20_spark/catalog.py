@@ -47,7 +47,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # applicationId so a new session never sees another session's entries;
 # keyed by sf_dir so scale factors stay distinct.  Self-join call
 # sites pass fresh=True (see read_table).
+#
+# Assumptions this keying documents (r13 ADVICE): (a) fixture files are
+# IMMUTABLE for the life of a session — a handle snapshots the file
+# listing (InMemoryFileIndex) at first resolution, so regenerating a
+# fixture in-session would serve stale listings (regeneration flows all
+# create a fresh session or write to a fresh directory; call
+# invalidate_handles() if that ever changes); (b) sibling newSession()
+# sessions share an applicationId — they would share handles (harmless:
+# a handle is session-agnostic lazy metadata) and view bookkeeping
+# (NOT harmless for temp views, which are per-session — no current
+# flow uses newSession()).
 _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_handles(sf_dir: str | None = None) -> None:
+    """Drop resolved handles (all, or one sf_dir's) so the next
+    read_table re-lists and re-infers — the fixture-regeneration hook
+    (r13 ADVICE).  View bookkeeping is dropped too: a re-registered
+    view must repoint at the fresh handle."""
+    if sf_dir is None:
+        _HANDLES.clear()
+        _VIEW_STATE.clear()
+        return
+    want = os.path.abspath(sf_dir)
+    for k in [k for k in _HANDLES if k[1] == want]:
+        del _HANDLES[k]
+    for name in [n for n, (_, d) in _VIEW_STATE.items() if d == want]:
+        del _VIEW_STATE[name]
 
 
 def _build_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -159,6 +159,13 @@ class ChangelogJoin:
         r_new = _consolidate(r_old.unionByName(dr))
         l_new = _consolidate(l_old.unionByName(dl))
         if self._batches % self.CHECKPOINT_INTERVAL == 0:
+            # single-node durability caveat (r13 ADVICE): localCheckpoint
+            # truncates lineage into executor-local block storage — on
+            # executor loss the state is unrecoverable mid-stream (no
+            # lineage left to recompute).  Right for the single-box
+            # drives here; a clustered deployment must swap this for
+            # reliable .checkpoint() / the parquet state persistence the
+            # class docstring describes.
             r_new = r_new.localCheckpoint(eager=False)
             l_new = l_new.localCheckpoint(eager=False)
 

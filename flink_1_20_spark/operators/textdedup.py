@@ -253,20 +253,26 @@ def minhash_lsh_pairs(
     long = banded.select("doc", F.explode(band_struct).alias("bk")).select(
         "doc", "bk.band_idx", "bk.band_hash"
     )
+    # Multi-consumer subtrees — materialize ONCE (lazy: building the
+    # DataFrame must not run a job; the first action stores the blocks
+    # and every branch of that same job reuses them).  `base` feeds the
+    # signature aggregation AND the two shingle join-backs (sh_a/sh_b);
+    # `long` feeds both sides of the pair self-join (plus the bucket
+    # population cut when capped).  Without these, every consumer
+    # re-runs the CPU-bound tokenize+shingle(+signature) pass over the
+    # whole corpus — measured on the 1M-doc --hotnear fixture: 449 s
+    # before the capped path gained them in r13; the uncapped path
+    # shares the cost structure (r13 verdict task 3).  Storage is
+    # bounded: `long` is n_bands small rows per doc, `base` is the
+    # shingle arrays (about the input text size), both
+    # spill-to-disk RDD blocks.  On a cluster this would be
+    # .checkpoint() to reliable storage.
+    base = base.localCheckpoint(eager=False)
+    long = long.localCheckpoint(eager=False)
     if max_bucket is not None:
         # bucket-population cut: one aggregate on the SAME key as the
         # pair join (shuffle reused), buckets above the cap removed
-        # before the quadratic step ever sees them.  The cut makes
-        # `long` a TWO-consumer subtree (population + join) and the
-        # shingle join-back re-derives `base` twice more — without
-        # materialization each consumer re-runs the CPU-bound
-        # tokenize+signature pass over the whole corpus (measured on
-        # the 1M-doc --hotnear fixture: 449 s before the two lazy
-        # local checkpoints below).  Storage is bounded: `long` is
-        # n_bands small rows per doc, `base` is the shingle arrays
-        # (about the input text size), both spill-to-disk RDD blocks.
-        base = base.localCheckpoint(eager=False)
-        long = long.localCheckpoint(eager=False)
+        # before the quadratic step ever sees them.
         pop = (
             long.groupBy("band_idx", "band_hash")
             .agg(F.count(F.lit(1)).alias("__pop"))
@@ -328,10 +334,12 @@ def simhash_pairs(
     long = blk.select("doc", "fp", F.explode(block_struct).alias("b")).select(
         "doc", "fp", "b.blk_idx", "b.blk_val"
     )
+    # two-consumer subtree (both sides of the block self-join, plus the
+    # population cut when capped): materialize once so the per-token
+    # md5 + fingerprint aggregation runs a single time (see
+    # minhash_lsh_pairs' multi-consumer note)
+    long = long.localCheckpoint(eager=False)
     if max_bucket is not None:
-        # two-consumer subtree (population + join): materialize once
-        # (see minhash_lsh_pairs' cap note)
-        long = long.localCheckpoint(eager=False)
         pop = (
             long.groupBy("blk_idx", "blk_val")
             .agg(F.count(F.lit(1)).alias("__pop"))
@@ -386,8 +394,20 @@ def ngram_jaccard_pairs(
     base = docs.select(
         F.col(id_col).alias("doc"), word_shingles(words, shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sizes = base.select("doc", F.size("shingles").alias("n_sh"))
+    # multi-consumer subtree (r13 verdict task 3, same rationale as
+    # minhash_lsh_pairs): `base` feeds the sizes lookup and every
+    # consumer of the inverted index (both self-join sides, plus the
+    # df-cut count when enabled) — one lazy materialization instead of
+    # re-running the tokenize+shingle pass per consumer.  `inv` itself
+    # is deliberately NOT checkpointed: the probe A/B (1M unique docs,
+    # scripts/scale_probe.py --uncappedab) measured storing the ~38
+    # exploded posting rows per doc SLOWER than re-running the explode
+    # from the materialized shingle arrays (21 -> 40 s warm) — the
+    # explode is a narrow projection; the tokenize+shingle pass is the
+    # expensive part.
+    base = base.localCheckpoint(eager=False)
     inv = base.select("doc", F.explode("shingles").alias("sh"))
+    sizes = base.select("doc", F.size("shingles").alias("n_sh"))
     if max_doc_freq is not None:
         freq = inv.groupBy("sh").count().filter(F.col("count") <= max_doc_freq)
         inv = inv.join(freq.select("sh"), "sh")

@@ -126,8 +126,15 @@ def cep_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE: click NEXT view NEXT purchase (strict contiguity,
     AFTER MATCH SKIP TO NEXT ROW) per user — CepOperator.java:82 running
     the NFA of Pattern.begin().next().next(). The SQL oracle is the
-    lead()-rewrite valid exactly for strict patterns."""
-    e = T(spark, sf_dir, "events")
+    lead()-rewrite valid exactly for strict patterns.
+
+    Boundary trim (guide §4): applyInPandas is opaque to column
+    pruning, so only the columns the NFA touches are selected before
+    the boundary — `props` stays out of the scan's ReadSchema and the
+    Arrow transfer."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
     pat = (
         Pattern.begin("a", lambda r: r["event_type"] == "click")
         .next("b", lambda r: r["event_type"] == "view")
@@ -211,8 +218,13 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked: the DuckDB recursive CTE above replays the NFA's
     anchor loop itself — islands of consecutive errors, greedy
     within-window prefix per anchor, skip-past-last advance — so every
-    registered query is value-verified cross-engine."""
-    e = T(spark, sf_dir, "events")
+    registered query is value-verified cross-engine.
+
+    Boundary trim (guide §4): neither `props` nor `value` is touched
+    by this pattern — only the 4 needed columns cross into Python."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
     pat = (
         Pattern.begin("e", lambda r: r["event_type"] == "error")
         .times_or_more(2)
@@ -259,8 +271,13 @@ def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly a time-bounded self-join, so the oracle is the join. The
     scalable declarative plan for THIS shape is indeed the join (one
     user_id shuffle); the NFA run proves branch enumeration matches it
-    pair-for-pair."""
-    e = T(spark, sf_dir, "events")
+    pair-for-pair.
+
+    Boundary trim (guide §4): only the NFA-touched columns cross the
+    Arrow boundary (`props` pruned from the scan)."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
     pat = (
         Pattern.begin("s", lambda r: r["event_type"] == "signup")
         .followed_by_any("p", lambda r: r["event_type"] == "purchase")
@@ -313,8 +330,13 @@ def cep_vshape_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     C rebounds above the row bound to B. Two-argument predicates see
     the partial match; the NFA evaluates them lazily per candidate
     (simple one-argument conditions stay vectorized). Strict 3-step +
-    SKIP TO NEXT ROW makes the lead() rewrite an exact oracle."""
-    e = T(spark, sf_dir, "events")
+    SKIP TO NEXT ROW makes the lead() rewrite an exact oracle.
+
+    Boundary trim (guide §4): only the NFA-touched columns cross the
+    Arrow boundary (`props` pruned from the scan)."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
     pat = (
         Pattern.begin("a", lambda r: r["event_type"] == "click")
         .next("b", lambda r, g: r["value"] < g["a"]["value"].iloc[-1])

@@ -595,32 +595,6 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """,
     ),
     (
-        # q24b: wide multi-join spine aggregated into a reused CTE,
-        # filtered on one attribute, HAVING above a scalar fraction of
-        # the CTE-wide average.
-        "tpcds_q24b_netpaid_above_cte_avg",
-        ["lineitem", "orders", "customer", "part", "supplier", "nation"],
-        """
-        WITH ssales AS (
-          SELECT c.c_name, p.p_brand, n.n_name, p.p_size,
-                 ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
-                   AS netpaid
-          FROM lineitem l
-          JOIN orders o   ON l.l_orderkey = o.o_orderkey
-          JOIN customer c ON o.o_custkey = c.c_custkey
-          JOIN part p     ON l.l_partkey = p.p_partkey
-          JOIN supplier s ON l.l_suppkey = s.s_suppkey
-          JOIN nation n   ON s.s_nationkey = n.n_nationkey
-          WHERE c.c_nationkey <> s.s_nationkey
-          GROUP BY c.c_name, p.p_brand, n.n_name, p.p_size)
-        SELECT c_name, n_name, ROUND(SUM(netpaid), 4) AS paid
-        FROM ssales
-        WHERE p_brand = 'Brand#21'
-        GROUP BY c_name, n_name
-        HAVING SUM(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
-        """,
-    ),
-    (
         # q39b: the consecutive-month coefficient-of-variation pair
         # with the extra cov > 1.5 gate on the first month (vs the
         # q39a shape already in the battery).
@@ -800,4 +774,86 @@ def tpcds_q81_returns_incl_tax_above_avg(spark: SparkSession, sf_dir: str) -> Da
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "n_name",
         "ctr_total_return",
+    )
+
+
+# -- q24b: wide multi-join spine aggregated into a reused CTE, filtered
+# on one attribute, HAVING above a scalar fraction of the CTE-wide
+# average.  The SQL CTE form inlines `ssales` into BOTH consumers (the
+# filtered re-aggregate and the scalar average) — Catalyst duplicates
+# the whole 6-table join spine (measured at the 100x fixture: 24
+# parquet scans, 20 joins, 85-92 s; plans/r14/..._100x_executed.txt).
+# Spark-first single-pass form (r14, VERDICT r13 task 6 — the q30/q81
+# playbook): materialize ssales ONCE (lazy localCheckpoint — the first
+# action stores the blocks, both consumers read them), reduce the
+# scalar gate to a 1-row frame, and attach it with a broadcast
+# EQUI-join on a constant key (stays BroadcastHashJoin — no BNLJ).
+# The oracle keeps the CTE spec form, proving the rewrite
+# value-identical at every SF on every gate run (DuckDB computes a
+# WITH-CTE once by design, so the spec form IS the one-pass semantics).
+
+_Q24B_ORACLE = """
+WITH ssales AS (
+  SELECT c.c_name, p.p_brand, n.n_name, p.p_size,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS netpaid
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY c.c_name, p.p_brand, n.n_name, p.p_size)
+SELECT c_name, n_name, ROUND(SUM(netpaid), 4) AS paid
+FROM ssales
+WHERE p_brand = 'Brand#21'
+GROUP BY c_name, n_name
+HAVING SUM(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+"""
+
+
+@register("tpcds_q24b_netpaid_above_cte_avg", oracle=_Q24B_ORACLE)
+def tpcds_q24b_netpaid_above_cte_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q24b port, single-pass ssales (see comment above)."""
+    from pyspark.sql import functions as F
+
+    from ._util import T
+
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    p = T(spark, sf_dir, "part")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    ssales = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_name", "p_brand", "n_name", "p_size")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("netpaid")
+        )
+        # two consumers (scalar average + filtered re-aggregate):
+        # materialize the 6-join spine once; lazy — no job at build
+        .localCheckpoint(eager=False)
+    )
+    thr = ssales.agg((0.05 * F.avg("netpaid")).alias("__thr")).withColumn(
+        "__k", F.lit(1)
+    )
+    return (
+        ssales.filter(F.col("p_brand") == "Brand#21")
+        .groupBy("c_name", "n_name")
+        .agg(F.sum("netpaid").alias("__s"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(thr), "__k")
+        .filter(F.col("__s") > F.col("__thr"))
+        .select("c_name", "n_name", F.round("__s", 4).alias("paid"))
     )

@@ -217,25 +217,6 @@ _SHAPES: list[tuple[str, list[str], str]] = [
         """,
     ),
     (
-        # TPC-DS q16/q94: EXISTS (different member on a second relation
-        # instance) + NOT EXISTS, over a selective outer filter.
-        "tpcds_q16_exists_shape",
-        ["orders", "lineitem"],
-        """
-        SELECT count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
-        FROM orders o
-        WHERE o.o_orderstatus = 'O'
-          AND EXISTS (SELECT 1
-                      FROM lineitem l1 JOIN lineitem l2
-                        ON l1.l_orderkey = l2.l_orderkey
-                       AND l1.l_suppkey <> l2.l_suppkey
-                      WHERE l1.l_orderkey = o.o_orderkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem lr
-                          WHERE lr.l_orderkey = o.o_orderkey
-                            AND lr.l_returnflag = 'R')
-        """,
-    ),
-    (
         # TPC-DS q36/q86: ROLLUP hierarchy + rank within grouping level
         # (the lochierarchy + CASE partition trick, verbatim shape).
         "tpcds_q36_rollup_rank",
@@ -755,3 +736,64 @@ def _make(name: str, tables: list[str], sql: str) -> None:
 
 for _name, _tables, _sql in _SHAPES:
     _make(_name, _tables, _sql)
+
+
+# -- q16/q94: EXISTS (a second supplier on another lineitem of the same
+# order) + NOT EXISTS (no returned lineitem), over a selective outer
+# filter.  The spec form's EXISTS subquery self-joins lineitem with
+# lineitem on l_orderkey — at the 100x fixture AQE keeps the 60M x 60M
+# SortMergeJoin (6 SMJ, 9.6 s cold / 8.1 s warm;
+# plans/r14/tpcds_q16_exists_shape_100x_executed.txt) because neither
+# side can broadcast.  The q21 pre-agg playbook (r13, accepted on a
+# row-identical 100x A/B) applies verbatim: both existence predicates
+# are per-orderkey aggregates of lineitem —
+#   EXISTS(l1 x l2, same order, different supplier)
+#     <=> count(DISTINCT l_suppkey) >= 2 over the order's lineitems
+#   NOT EXISTS(lr with l_returnflag = 'R')
+#     <=> zero 'R' rows over the order's lineitems
+# so ONE aggregate over lineitem replaces the self-join + two
+# semi/anti joins.  The oracle keeps the spec EXISTS form, and the
+# DuckDB both-forms pin (tests/test_tpch_spec_equivalence.py) proves
+# the collapse row-identical, as for q21.
+
+_Q16_SPEC = """
+SELECT count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+WHERE o.o_orderstatus = 'O'
+  AND EXISTS (SELECT 1
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_suppkey <> l2.l_suppkey
+              WHERE l1.l_orderkey = o.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                  WHERE lr.l_orderkey = o.o_orderkey
+                    AND lr.l_returnflag = 'R')
+"""
+
+# dialect-neutral pre-agg twin (runs on Spark AND in the DuckDB
+# equivalence pin; the registered oracle stays _Q16_SPEC).
+# ">= 2 distinct suppliers" is min <> max, NOT count(DISTINCT):
+# a single distinct-agg still plans the two-level
+# group-by-(orderkey, suppkey) rewrite (60M rows through the first
+# exchange at 100x — measured SLOWER than the spec self-join), while
+# min/max are plain partial aggregates that collapse map-side to one
+# row per orderkey before the shuffle.
+_Q16_PREAGG = """
+SELECT count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN (SELECT l_orderkey,
+             min(l_suppkey) AS supp_min,
+             max(l_suppkey) AS supp_max,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem
+      GROUP BY l_orderkey) lx
+  ON o.o_orderkey = lx.l_orderkey
+WHERE o.o_orderstatus = 'O' AND lx.supp_min <> lx.supp_max AND lx.has_r = 0
+"""
+
+
+@register("tpcds_q16_exists_shape", oracle=_Q16_SPEC)
+def tpcds_q16_exists_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16/q94 port, pre-agg form (see comment above)."""
+    V(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q16_PREAGG)

@@ -69,15 +69,9 @@ def main() -> int:
             n = len(re.findall(pat, plan))
             if n:
                 flags[key] = n
-        n_exchange = len(re.findall(r"\bExchange\b(?! hashpartitioning)", plan.split("\n\n")[0])) or plan.count("+- Exchange") + plan.count(":- Exchange")
-        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-        flags["exchanges"] = n_exchange
+        flags["exchanges"] = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
         rows.append((name, flags, len(plan), time.time() - t0))
 
-    print("\n=== summary (flag: count of queries) ===")
-    for key, _ in MARKERS + [("exchanges>2", "")]:
-        pass
-    # table
     print(f"{'query':<50} {'exch':>4}  flags")
     for name, flags, _, dt in sorted(rows, key=lambda r: -r[1].get("exchanges", 0)):
         extras = {k: v for k, v in flags.items() if k != "exchanges"}
@@ -98,8 +92,12 @@ def main() -> int:
     bad = [n for n, f, _, _ in rows if f.get("cartesian") or f.get("bnlj") or f.get("error")]
     if bad:
         print("cartesian/bnlj/error:", " ".join(bad))
-    return 0
+    # r13 ADVICE: nonzero exit on cartesian/BNLJ/error hits so the audit
+    # can fail automation (BNLJ hits include the audited intentional
+    # broadcast-GEMM/scalar-subquery users — automation consumers should
+    # diff against the known allowlist in tests/test_plans.py)
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

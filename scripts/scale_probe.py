@@ -676,6 +676,137 @@ def run_hotnear(spark, small_dst: str, big_dst: str, cap: int = 1000) -> None:
     )
 
 
+# ---- uncapped multi-consumer A/B (r14, VERDICT r13 task 3): the
+# UNCAPPED minhash/ngram/simhash pair paths re-derived the CPU-bound
+# tokenize+shingle(+signature) pass once per consumer subtree (the
+# capped paths gained lazy localCheckpoints in r13: 449 -> 140 s at
+# the 1M-doc hotnear fixture).  Fixture here: 1M UNIQUE 40-word docs —
+# the candidate pair set is ~empty, so wall clock isolates exactly the
+# redundant derivations the checkpoints remove.  The OLD forms are
+# reproduced inline (checkpoint-free) so the A/B runs on one tree.
+def generate_uniqdocs(spark, dst: str, n: int = 1_000_000) -> None:
+    uniq = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.md5(
+                F.concat_ws("-", F.col("doc_id").cast("string"), i.cast("string"))
+            ),
+        ),
+    )
+    (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", uniq)
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{dst}/documents.parquet")
+    )
+    print(f"generated {n} unique docs at {dst}")
+
+
+def _minhash_pairs_old(docs, id_col, text_col):
+    """The pre-r14 UNCAPPED minhash_lsh_pairs body: no localCheckpoint —
+    base/long re-derived per consumer (kept verbatim for the A/B)."""
+    from flink_1_20_spark.operators.textdedup import (
+        _ensure_scan_parallelism, band_keys, jaccard, minhash_signatures,
+        normalized_words, word_shingles,
+    )
+
+    docs = _ensure_scan_parallelism(docs)
+    words = normalized_words(F.col(text_col))
+    sh = word_shingles(words, 3).alias("shingles")
+    base = docs.select(F.col(id_col).alias("doc"), sh)
+    base = base.filter(F.size("shingles") > 0)
+    sigs = minhash_signatures(base, "doc", "shingles", 16)
+    banded = sigs.select("doc", *band_keys("mh", 16, 4))
+    band_struct = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+            for b in range(4)
+        ]
+    )
+    long = banded.select("doc", F.explode(band_struct).alias("bk")).select(
+        "doc", "bk.band_idx", "bk.band_hash"
+    )
+    pairs = (
+        long.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
+        .join(long.select(F.col("doc").alias("id_b"), "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jac") >= 0.5)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+def _ngram_pairs_old(docs, id_col, text_col):
+    """The pre-r14 ngram_jaccard_pairs body (checkpoint-free)."""
+    from flink_1_20_spark.operators.textdedup import (
+        _ensure_scan_parallelism, normalized_words, word_shingles,
+    )
+
+    docs = _ensure_scan_parallelism(docs)
+    words = normalized_words(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc"), word_shingles(words, 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = base.select("doc", F.size("shingles").alias("n_sh"))
+    inv = base.select("doc", F.explode("shingles").alias("sh"))
+    a = inv.select(F.col("doc").alias("id_a"), "sh")
+    b = inv.select(F.col("doc").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jac") >= 0.4)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+def run_uncapped_ab(spark, dst: str) -> None:
+    from flink_1_20_spark.operators.textdedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    battery = [
+        ("minhash_old", lambda: _minhash_pairs_old(docs, "doc_id", "text")),
+        ("minhash_new", lambda: minhash_lsh_pairs(docs, "doc_id", "text")),
+        ("ngram_old", lambda: _ngram_pairs_old(docs, "doc_id", "text")),
+        ("ngram_new", lambda: ngram_jaccard_pairs(docs, "doc_id", "text")),
+    ]
+    for tag, mk in battery:
+        wait_quiet()
+        times = []
+        u0, s0 = _steal_ticks()
+        for _ in range(2):
+            t0 = time.time()
+            cnt = mk().count()
+            times.append(time.time() - t0)
+        u1, s1 = _steal_ticks()
+        pct = 100 * (s1 - s0) / max(1, (u1 - u0) + (s1 - s0))
+        print(
+            f"{min(times):7.2f}s (cold {times[0]:7.2f}s) {cnt:6d} rows "
+            f"{tag} [1M unique docs] steal={pct:.0f}%",
+            flush=True,
+        )
+
+
 def _steal_ticks() -> tuple[int, int]:
     with open("/proc/stat") as f:
         p = f.readline().split()
@@ -887,10 +1018,23 @@ def main() -> None:
         help="q21 spec-vs-preagg A/B on the --tpch-full fixture "
         "(default --dst /tmp/sfX6; generate it with --tpch-full --gen)",
     )
+    ap.add_argument(
+        "--uncappedab",
+        action="store_true",
+        help="uncapped minhash/ngram multi-consumer checkpoint A/B on "
+        "a 1M-unique-doc fixture (default --dst /tmp/sfX9)",
+    )
     args = ap.parse_args()
     spark = get_spark("scale-probe")
     if args.q21ab:
         run_q21_ab(spark, args.dst if args.dst is not None else "/tmp/sfX6")
+        return
+    if args.uncappedab:
+        dst = args.dst if args.dst is not None else "/tmp/sfX9"
+        if args.gen or not (args.gen or args.run):
+            generate_uniqdocs(spark, dst)
+        if args.run or not (args.gen or args.run):
+            run_uncapped_ab(spark, dst)
         return
     if args.hotnear:
         big = args.dst if args.dst is not None else "/tmp/sfX8"

@@ -127,3 +127,16 @@ def test_q21_shipped_preagg_equals_spec_form(con):
     spec = _rows(con, _Q21_SPEC)
     assert spec, "q21: empty result would vacuously pass"
     assert shipped == spec
+
+
+def test_q16_shipped_preagg_equals_spec_form(con):
+    """r14: tpcds_q16_exists_shape ships the per-orderkey pre-agg form
+    (count(DISTINCT l_suppkey) >= 2 replaces the EXISTS lineitem
+    self-join; zero 'R' rows replaces the NOT EXISTS) — same collapse
+    class as q21.  DuckDB runs both forms; rows must be identical."""
+    from flink_1_20_spark.queries.tpcds_shapes import _Q16_PREAGG, _Q16_SPEC
+
+    shipped = _rows(con, _Q16_PREAGG)
+    spec = _rows(con, _Q16_SPEC)
+    assert spec and spec[0][0] > 0, "q16: empty result would vacuously pass"
+    assert shipped == spec
